@@ -1,0 +1,338 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+import graft.QuerySpec
+import graft.functions.Money._
+import graft.tables.Tables
+
+/** Relational parity surface (SURVEY.md §2): scans, filters, projections,
+  * joins (inner / left-outer / semi / anti), hash aggregations, global
+  * sorts, upsert algebra — re-expressed on the driver's TPC-H-ish corpus.
+  *
+  * Scale notes (100 TB design):
+  *  - `part` / dimension sides are always `broadcast()`-hinted: the fact
+  *    side streams, no shuffle of lineitem for the joins.
+  *  - Aggregations are plain `groupBy.agg` → Catalyst plans partial/final
+  *    HashAggregate with map-side combine; one shuffle on the group keys.
+  *  - Money sums are exact decimals (see [[graft.functions.Money]]) so the
+  *    result is independent of partition count/order.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical scan→filter→agg probe.
+    * (Reference has no direct analog; this is the bench anchor query.)
+    */
+  val q00PricingSummary: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("sum_disc_price"),
+          sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast(DoubleType).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(money(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sum_base_price,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS sum_disc_price,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2))) * (1 + cast(l_tax AS decimal(4,2)))) AS double) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= timestamp '2000-01-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** A1 (README.md:43–54): total revenue per product, descending. */
+  val q01RevenuePerProduct: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(
+          sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+          sum(col("l_quantity")).as("total_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("total_revenue").desc, col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS total_revenue,
+      |  sum(l_quantity) AS total_qty,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_partkey, p_name
+      |ORDER BY total_revenue DESC, p_partkey""".stripMargin)
+
+  /** A2 (README.md:79–92): quantity sold per product per month. */
+  val q02OrdersMonthly: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(
+          col("p_partkey"), col("p_name"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("ship_year").desc, col("ship_month").desc, col("total_qty").desc, col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name,
+      |  cast(year(l_shipdate) AS integer) AS ship_year,
+      |  cast(month(l_shipdate) AS integer) AS ship_month,
+      |  sum(l_quantity) AS total_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY ship_year DESC, ship_month DESC, total_qty DESC, p_partkey""".stripMargin)
+
+  /** A3 (README.md:96–109): revenue per category (p_type plays category). */
+  val q03RevenuePerCategory: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+        .orderBy(col("total_revenue").desc)
+    },
+    """SELECT p_type,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type
+      |ORDER BY total_revenue DESC""".stripMargin)
+
+  /** A4 (README.md:112–130): stock status over a LEFT JOIN — NULL
+    * total_sold for never-sold parts must propagate (no coalesce).
+    */
+  val q04StockStatus: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_outer")
+        .groupBy(col("p_partkey"), col("p_name"), col("p_size"))
+        .agg(sum(col("l_quantity")).as("total_sold"))
+        .withColumn("remaining_stock", col("p_size") - col("total_sold"))
+        .orderBy(col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name, p_size,
+      |  sum(l_quantity) AS total_sold,
+      |  p_size - sum(l_quantity) AS remaining_stock
+      |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+      |GROUP BY p_partkey, p_name, p_size
+      |ORDER BY p_partkey""".stripMargin)
+
+  /** P6/O2 (README.md:69–72): low-stock filter + ascending sort. The
+    * predicate reaches the parquet scan (PushedFilters).
+    */
+  val q05LowStock: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_size").asc, col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name, p_size, p_retailprice
+      |FROM part WHERE p_size < 10
+      |ORDER BY p_size ASC, p_partkey""".stripMargin)
+
+  /** P7 (README.md:126–127): point lookup on a single product key. */
+  val q06PointLookup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_partkey") === 1)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("p_name"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    """SELECT l_orderkey, l_linenumber, p_partkey, p_name, l_quantity, l_extendedprice
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_partkey = 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  /** A5 (README.md:132–148): best sellers — global ORDER BY like the
+    * reference (per-group top-k is q26).
+    */
+  val q07BestSellers: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"), col("p_partkey"), col("p_name"))
+        .agg(sum(col("l_quantity")).as("total_sold"))
+        .orderBy(col("total_sold").desc, col("p_partkey"))
+    },
+    """SELECT p_type, p_partkey, p_name, sum(l_quantity) AS total_sold
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type, p_partkey, p_name
+      |ORDER BY total_sold DESC, p_partkey""".stripMargin)
+
+  /** S3/J3: existence probe as a left-semi join (parts ever sold). */
+  val q08ExistsSemiJoin: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+      Tables.part(s, dir)
+        .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size
+      |FROM part p WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey""".stripMargin)
+
+  /** U0 insert-split: anti join — parts with no shipment in 2001+ (every
+    * part has *some* lineitem in this corpus, so the probe is filtered to
+    * keep the result non-trivial; the filter pushes below the join).
+    */
+  val q09AntiJoin: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("l_partkey"))
+      Tables.part(s, dir)
+        .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size
+      |FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_shipdate >= timestamp '2001-01-01 00:00:00')
+      |ORDER BY p_partkey""".stripMargin)
+
+  /** U1 (SURVEY.md §2.4): MERGE as anti-join + union — batch rows override
+    * matching state rows, unmatched batch rows are inserts. State/batch are
+    * deterministic slices of `orders`.
+    */
+  val q10UpsertMerge: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val state = o.filter(col("o_orderkey") % 3 =!= 0)
+      val batch = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      state.join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(batch)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+    """WITH state AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+      |batch AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |                 o_totalprice * cast(1.1 AS double) AS o_totalprice,
+      |                 o_orderdate, o_orderpriority
+      |          FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM state WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      |UNION ALL
+      |SELECT * FROM batch
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** §2.4 duplicate-key last-write-wins: one surviving row per
+    * (l_orderkey, l_partkey), highest l_linenumber wins. The order is a
+    * total order (linenumber can repeat within a key in the corpus) so the
+    * survivor is deterministic across engines and partitionings.
+    */
+  val q11UpsertLww: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
+        .orderBy(col("l_linenumber").desc, col("l_extendedprice").desc,
+          col("l_quantity").desc)
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))
+    },
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM (SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice,
+      |             row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber DESC, l_extendedprice DESC, l_quantity DESC) AS rn
+      |      FROM lineitem)
+      |WHERE rn = 1
+      |ORDER BY l_orderkey, l_partkey""".stripMargin)
+
+  /** §7.4 extension: per-category top-3 by revenue (window rank — the
+    * per-group variant the reference's A5 lacks).
+    */
+  val q26TopKPerCategory: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"), col("p_partkey"), col("p_name"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("total_revenue").desc, col("p_partkey"))
+      rev.withColumn("rank_in_type", row_number().over(w))
+        .filter(col("rank_in_type") <= 3)
+        .orderBy(col("p_type"), col("rank_in_type"))
+    },
+    """SELECT p_type, p_partkey, p_name, total_revenue, cast(rank_in_type AS integer) AS rank_in_type
+      |FROM (
+      |  SELECT p_type, p_partkey, p_name, total_revenue,
+      |         row_number() OVER (PARTITION BY p_type ORDER BY total_revenue DESC, p_partkey) AS rank_in_type
+      |  FROM (
+      |    SELECT p_type, p_partkey, p_name,
+      |      cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS total_revenue
+      |    FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    GROUP BY p_type, p_partkey, p_name))
+      |WHERE rank_in_type <= 3
+      |ORDER BY p_type, rank_in_type""".stripMargin)
+
+  /** §7.4 set algebra: INTERSECT / EXCEPT with set (distinct) semantics. */
+  val q27SetOps: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val bigSpenders = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      finished.intersect(bigSpenders).except(urgent).orderBy(col("o_custkey"))
+    },
+    """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin)
+
+  /** §7.4 rollup: subtotal + grand-total rows with NULL group keys. */
+  val q29Rollup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q00_pricing_summary" -> q00PricingSummary,
+    "q01_revenue_per_product" -> q01RevenuePerProduct,
+    "q02_orders_monthly" -> q02OrdersMonthly,
+    "q03_revenue_per_category" -> q03RevenuePerCategory,
+    "q04_stock_status" -> q04StockStatus,
+    "q05_low_stock" -> q05LowStock,
+    "q06_point_lookup" -> q06PointLookup,
+    "q07_best_sellers" -> q07BestSellers,
+    "q08_exists_semi_join" -> q08ExistsSemiJoin,
+    "q09_anti_join" -> q09AntiJoin,
+    "q10_upsert_merge" -> q10UpsertMerge,
+    "q11_upsert_lww" -> q11UpsertLww,
+    "q26_topk_per_category" -> q26TopKPerCategory,
+    "q27_set_ops" -> q27SetOps,
+    "q29_rollup" -> q29Rollup)
+}
