@@ -13,7 +13,7 @@ object SparkEntry {
     * text analysis), events/streaming surface.
     */
   def registry: Map[String, QuerySpec] =
-    operators.Relational.all
+    operators.Relational.all ++ ext.TextOps.all ++ ext.VectorOps.all ++ ext.EventOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** Event-stream analytics over `events` — the batch expression of the
+  * streaming surface (graft.streaming runs the same aggregations
+  * incrementally with watermarks; these are their oracle-checkable batch
+  * twins).
+  *
+  * `value` sums go through decimal (2dp data) for partition-order
+  * independence, like Money.
+  */
+object EventOps {
+
+  private def decSum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast(DecimalType(12, 2))).cast(DoubleType)
+
+  /** Tumbling 1-hour event-time windows per event_type. */
+  val q23TumblingWindows: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum("value").as("total_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |       event_type, count(*) AS n_events,
+      |       cast(sum(cast(value AS decimal(12,2))) AS double) AS total_value
+      |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin)
+
+  /** Sliding windows: 1 hour long, every 15 minutes (each event lands in
+    * 4 windows). The DuckDB twin derives the same window set from epoch
+    * arithmetic (windows aligned to the epoch, like Spark's `window()`).
+    */
+  val q24SlidingWindows: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum("value").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    """WITH k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+      |win AS (SELECT make_timestamp(((cast(floor(epoch(ts)) AS bigint) // 900) - k.k) * 900 * 1000000) AS window_start,
+      |               event_type, value
+      |        FROM events, k)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |       cast(sum(cast(value AS decimal(12,2))) AS double) AS total_value
+      |FROM win GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+
+  /** Sessionization: per-user sessions split on >30 min inactivity gaps.
+    * Epoch-micro arithmetic (not intervals) for engine parity; (ts,
+    * event_id) is a total order within user.
+    */
+  val q30Sessionize: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+      val newSession = when(gap.isNull || gap > 1800L * 1000000L, 1L).otherwise(0L)
+      Tables.events(s, dir)
+        .withColumn("session_seq", sum(newSession).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), decSum("value").as("total_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+    """WITH g AS (SELECT user_id, event_id, ts, value,
+      |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                       > 1800 * 1000000
+      |                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             THEN 1 ELSE 0 END AS new_session
+      |           FROM events),
+      |sess AS (SELECT user_id, event_id, ts, value,
+      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         FROM g)
+      |SELECT user_id, cast(session_seq AS bigint) AS session_seq,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events,
+      |       cast(sum(cast(value AS decimal(12,2))) AS double) AS total_value
+      |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)
+
+  /** Semi-structured props: JSON field extraction + aggregation. */
+  val q28JsonExtract: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("event_type"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("k"))
+    },
+    """SELECT cast(json_extract_string(props, '$.k') AS integer) AS k,
+      |       count(*) AS n_events, count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q23_tumbling_windows" -> q23TumblingWindows,
+    "q24_sliding_windows" -> q24SlidingWindows,
+    "q28_json_extract" -> q28JsonExtract,
+    "q30_sessionize" -> q30Sessionize)
+}

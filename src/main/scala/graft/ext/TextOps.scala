@@ -1,0 +1,264 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** Training-data text operators over the `documents` table: exact and
+  * near deduplication (MinHash, SimHash, n-gram Jaccard), language-ID
+  * heuristics, quality scoring, token statistics, fingerprinting.
+  *
+  * Scale design:
+  *  - Everything is expression-only (whole-stage codegen; no UDFs, no
+  *    driver-side collects).
+  *  - Near-dup candidate generation is *blocked* — MinHash band buckets
+  *    (q18) or a source block (q20) — never an unblocked O(n²) cross
+  *    join; the pair space at 100 TB comes from bucket-local joins whose
+  *    size is controlled by band width / block key cardinality.
+  *  - Hashes are md5-based so signatures are engine-portable (the DuckDB
+  *    oracle computes the identical signature), deterministic across
+  *    runs, partitionings and cluster sizes.
+  */
+object TextOps {
+
+  /** Tokenize: whitespace-split of trimmed text. */
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      split(trim(col("text")), "\\s+").as("w"))
+
+  /** Word 3-shingles as an exploded (doc_id, source, sh) relation. */
+  private def shingles(docs: DataFrame): DataFrame =
+    toks(docs).filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+
+  private val shSql =
+    """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |shx AS (SELECT doc_id, source,
+      |          unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM t WHERE len(w) >= 3)""".stripMargin
+
+  /** Exact dedup: content-hash grouping, canonical = min doc_id. */
+  val q12DedupExact: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical_doc_id"))
+    },
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id""".stripMargin)
+
+  /** Token statistics per document (token counting). */
+  val q13TokenStats: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          (length(regexp_replace(col("text"), "\\s", "")).cast("double")
+            / size(split(trim(col("text")), "\\s+")).cast("double")).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    // avg token length = non-whitespace chars / token count
+    """SELECT doc_id, lang,
+      |  cast(len(string_split_regex(trim(text), '\s+')) AS integer) AS n_tokens,
+      |  cast(len(regexp_replace(text, '\s', '', 'g')) AS double)
+      |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Language-ID heuristic: function-word hit ratio (n-gram heuristic on
+    * the corpus vocabulary) + per-document guess.
+    */
+  val q14LangId: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val hits = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and|in)\\b"), lit(0)))
+      val ntok = size(split(trim(col("text")), "\\s+"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          hits.cast("int").as("stop_hits"),
+          (hits.cast("double") / ntok.cast("double")).as("stop_ratio"))
+        .withColumn("lang_guess",
+          when(col("stop_ratio") >= 0.15, lit("en")).otherwise(lit("other")))
+        .orderBy(col("doc_id"))
+    },
+    """SELECT doc_id, lang,
+      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS integer) AS stop_hits,
+      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS stop_ratio,
+      |  CASE WHEN cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |            / cast(len(string_split_regex(trim(text), '\s+')) AS double) >= cast(0.15 AS double)
+      |       THEN 'en' ELSE 'other' END AS lang_guess
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Quality scoring: length/punctuation/stopword components combined
+    * with plain linear arithmetic (no transcendentals — keeps the score
+    * bit-identical across engines and hardware).
+    */
+  val q15QualityScore: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val nchars = length(col("text")).cast("double")
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("double")
+      val punct = length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("double")
+      val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (punct / nchars).as("punct_ratio"),
+          (stop / ntok).as("stop_ratio"),
+          (least(ntok / lit(100.0), lit(1.0)) * lit(0.3)
+            + (lit(1.0) - punct / nchars) * lit(0.2)
+            + (stop / ntok) * lit(0.5)).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+      |  cast(len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double) AS punct_ratio,
+      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS stop_ratio,
+      |  least(cast(len(string_split_regex(trim(text), '\s+')) AS double) / cast(100.0 AS double), cast(1.0 AS double)) * cast(0.3 AS double)
+      |    + (cast(1.0 AS double) - cast(len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
+      |    + cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |      / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double) AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Document fingerprint: md5 of whitespace-normalized text (plus a
+    * 64-bit prefix for compact storage/joins).
+    */
+  val q16Fingerprint: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(norm).as("fingerprint"),
+          substring(md5(norm), 1, 16).as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  private val NumHashes = 8
+
+  /** MinHash signatures: k=8 independent permutations approximated by
+    * seeded md5 over word 3-shingles; the per-seed minimum is taken
+    * lexicographically (map-side combinable ⇒ one shuffle of 8 small
+    * strings per doc regardless of doc length).
+    */
+  val q17MinHash: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val aggs = (0 until NumHashes).map(i =>
+        min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
+      shingles(Tables.documents(s, dir))
+        .groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("doc_id"))
+    },
+    shSql + "\n" +
+      s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")}
+         |FROM shx GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** MinHash LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
+    * bucket become candidates. The join is per-(band, bucket) — bucket-
+    * local, never all-pairs.
+    */
+  val q18LshPairs: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val aggs = (0 until NumHashes).map(i =>
+        min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
+      val sig = shingles(Tables.documents(s, dir))
+        .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bands = (0 until NumHashes / 2).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band_id"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket"))
+      }.reduce(_.unionByName(_))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bucket"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bucket").as("bucket_b"))
+      a.join(b, col("band_id") === col("band_id_b") && col("bucket") === col("bucket_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    shSql + "\n" +
+      s""", sig AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")}
+         |          FROM shx GROUP BY doc_id),
+         |bands AS (${(0 until NumHashes / 2).map(b =>
+            s"SELECT doc_id, $b AS band_id, mh${2 * b} || mh${2 * b + 1} AS bucket FROM sig").mkString("\n UNION ALL ")})
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin)
+
+  private val SimBits = 16
+
+  /** SimHash (16-bit): per-bit majority vote over token md5 nibbles.
+    * Bit j comes from hex digit j of md5(token) (MSB of the nibble), so
+    * the signature is identical in any engine with standard md5.
+    */
+  val q19SimHash: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val sums = (0 until SimBits).map(j =>
+        sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+      val bitsum = (0 until SimBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      tok.groupBy(col("doc_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |b AS (SELECT doc_id, ${(0 until SimBits).map(j =>
+          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+       |      FROM tok GROUP BY doc_id)
+       |SELECT doc_id, cast(${(0 until SimBits).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bigint) AS simhash
+       |FROM b ORDER BY doc_id""".stripMargin)
+
+  /** n-gram Jaccard near-dup pairs, blocked by source: |A∩B| / |A∪B| over
+    * distinct word 3-shingles; only same-source pairs are candidates.
+    */
+  val q20JaccardPairs: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("sh")).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
+      a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
+          && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    shSql + "\n" +
+      """, shd AS (SELECT DISTINCT doc_id, source, sh FROM shx),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+        |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |       FROM shd a JOIN shd b
+        |         ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cast(n_common AS bigint) AS n_common,
+        |       cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) AS jaccard
+        |FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id
+        |WHERE cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) >= cast(0.5 AS double)
+        |ORDER BY doc_a, doc_b""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q12_dedup_exact" -> q12DedupExact,
+    "q13_token_stats" -> q13TokenStats,
+    "q14_langid" -> q14LangId,
+    "q15_quality_score" -> q15QualityScore,
+    "q16_fingerprint" -> q16Fingerprint,
+    "q17_minhash_sig" -> q17MinHash,
+    "q18_lsh_pairs" -> q18LshPairs,
+    "q19_simhash" -> q19SimHash,
+    "q20_jaccard_pairs" -> q20JaccardPairs)
+}

@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** Embedding similarity over `embeddings` (64-dim float vectors).
+  *
+  * Determinism: dot products / norms are computed as a *sequential left
+  * fold* (`aggregate`) over double-cast elements — identical association
+  * order in Spark and the DuckDB oracle (`list_reduce`), so cosines are
+  * bit-exact across engines. `sqrt` and `/` are IEEE-correctly-rounded in
+  * both.
+  *
+  * Scale design: brute-force top-k (q21) broadcasts the small *query*
+  * side and streams the corpus — one pass, no shuffle of the big side;
+  * per-query top-k is a window over a (n_queries × k)-bounded set after
+  * aggregation. The LSH path (q22) buckets by sign-random-projection so
+  * candidate generation is bucket-local (the 100 TB path); its buckets
+  * depend on engine-specific hashing of hyperplanes, hence rows-only
+  * oracle. Near-dup (q25) blocks pairs by label.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double-cast float arrays. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+
+  private def norm2(a: String): Column =
+    expr(s"aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> cast($a[i] AS double) * cast($b[i] AS double)), (x, y) -> x + y)"
+
+  private def duckNorm2(a: String): String =
+    s"list_reduce(list_transform($a, x -> cast(x AS double) * cast(x AS double)), (x, y) -> x + y)"
+
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5). */
+  val q21CosineTopK: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+       |p AS (SELECT q_id, c_id,
+       |        ${duckDot("qv", "cv")} / (sqrt(${duckNorm2("qv")}) * sqrt(${duckNorm2("cv")})) AS cosine
+       |      FROM c, q WHERE q_id <> c_id),
+       |r AS (SELECT q_id, c_id, cosine,
+       |        cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS integer) AS rank
+       |      FROM p)
+       |SELECT q_id, c_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 within a label block (corpus max within-label cosine is ~0.47 — the threshold is calibrated to surface the top candidate pairs). */
+  val q25EmbeddingNearDup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
+      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+        .withColumn("cosine", dot("va", "vb") / (sqrt(norm2("va")) * sqrt(norm2("vb"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    s"""WITH a AS (SELECT vec_id AS id_a, label, embedding AS va FROM embeddings),
+       |b AS (SELECT vec_id AS id_b, label AS label_b, embedding AS vb FROM embeddings),
+       |p AS (SELECT id_a, id_b, label,
+       |        ${duckDot("va", "vb")} / (sqrt(${duckNorm2("va")}) * sqrt(${duckNorm2("vb")})) AS cosine
+       |      FROM a JOIN b ON label = label_b AND id_a < id_b)
+       |SELECT id_a, id_b, label, cosine FROM p
+       |WHERE cosine >= cast(0.35 AS double) ORDER BY id_a, id_b""".stripMargin)
+
+  private val AnnBits = 12
+
+  /** IVF/LSH-style ANN: sign-random-projection signature (deterministic
+    * ±1 hyperplanes from a seeded hash of (plane, dim)), bucket by
+    * signature, exact cosine re-rank *within* the query's bucket.
+    *
+    * Not SQL-expressible cheaply (hyperplane materialization) → rows-only
+    * oracle. Recall is traded for bucket-local candidate generation: at
+    * 100 TB the corpus side is hash-partitioned by bucket and only the
+    * probed bucket is scanned (partition pruning on `bucket`).
+    */
+  val q22AnnLsh: QuerySpec = QuerySpec(
+    run = (s, dir) => {
+      // Deterministic ±1 hyperplanes: component h[p][d] from md5-free
+      // integer mix (p * 1315423911 + d * 2654435761) — engine-local is
+      // fine here (no SQL oracle); stable across runs/partitionings.
+      val planes: Seq[Seq[Int]] = (0 until AnnBits).map { p =>
+        (0 until 64).map { d =>
+          val x = (p * 1315423911L + d * 2654435761L) & 0xffffffffL
+          if (((x >> 13) & 1L) == 0L) -1 else 1
+        }
+      }
+      val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
+      val e = Tables.embeddings(s, dir).withColumn("planes", planesCol)
+      val sig = e.withColumn("bucket",
+        expr(s"""aggregate(sequence(0, ${AnnBits - 1}), 0L, (acc, p) ->
+                 acc + CASE WHEN aggregate(sequence(0, 63), cast(0 AS double),
+                        (a, d) -> a + cast(embedding[d] AS double) * cast(planes[p][d] AS double)) > 0
+                   THEN shiftleft(1L, p) ELSE 0L END)"""))
+        .drop("planes")
+      val q = sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+      val c = sig.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket").as("bucket_c"))
+      val scored = c.join(broadcast(q), col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
+        .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("c_id"), col("bucket"), col("cosine"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    oracle = None)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q21_cosine_topk" -> q21CosineTopK,
+    "q22_ann_lsh" -> q22AnnLsh,
+    "q25_embedding_neardup" -> q25EmbeddingNearDup)
+}
