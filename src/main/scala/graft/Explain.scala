@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection utility: `runMain graft.Explain <query> [sfDir]`
+  * prints the formatted physical plan (pushdown, join strategy, codegen
+  * spans) and a timed noop-materialization.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").format("noop").save()
+    println(f"[explain] $name first run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    df.write.mode("overwrite").format("noop").save()
+    println(f"[explain] $name warm run: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

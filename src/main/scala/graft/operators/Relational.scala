@@ -54,17 +54,26 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
-  /** A1 (README.md:43–54): total revenue per product, descending. */
+  /** A1 (README.md:43–54): total revenue per product, descending.
+    *
+    * Aggregate-before-join: lineitem is reduced to one row per partkey
+    * *before* the dimension join, so the shuffle carries (bigint, partial
+    * aggs) instead of fact rows widened with dimension strings, and the
+    * join probes only #parts rows. At 100 TB this is the difference
+    * between shuffling the fact table and shuffling its aggregate.
+    */
   val q01RevenuePerProduct: QuerySpec = QuerySpec(
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-        .groupBy(col("p_partkey"), col("p_name"))
+      val agg = li.groupBy(col("l_partkey"))
         .agg(
           sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
           sum(col("l_quantity")).as("total_qty"),
           countDistinct(col("l_orderkey")).as("n_orders"))
+      agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("total_revenue"),
+          col("total_qty"), col("n_orders"))
         .orderBy(col("total_revenue").desc, col("p_partkey"))
     },
     """SELECT p_partkey, p_name,
@@ -75,17 +84,21 @@ object Relational {
       |GROUP BY p_partkey, p_name
       |ORDER BY total_revenue DESC, p_partkey""".stripMargin)
 
-  /** A2 (README.md:79–92): quantity sold per product per month. */
+  /** A2 (README.md:79–92): quantity sold per product per month
+    * (aggregate-before-join, as q01).
+    */
   val q02OrdersMonthly: QuerySpec = QuerySpec(
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-        .groupBy(
-          col("p_partkey"), col("p_name"),
+      val agg = li.groupBy(
+          col("l_partkey"),
           year(col("l_shipdate")).as("ship_year"),
           month(col("l_shipdate")).as("ship_month"))
         .agg(sum(col("l_quantity")).as("total_qty"))
+      agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("ship_year"),
+          col("ship_month"), col("total_qty"))
         .orderBy(col("ship_year").desc, col("ship_month").desc, col("total_qty").desc, col("p_partkey"))
     },
     """SELECT p_partkey, p_name,
@@ -119,10 +132,12 @@ object Relational {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      p.join(li, p("p_partkey") === li("l_partkey"), "left_outer")
-        .groupBy(col("p_partkey"), col("p_name"), col("p_size"))
-        .agg(sum(col("l_quantity")).as("total_sold"))
-        .withColumn("remaining_stock", col("p_size") - col("total_sold"))
+      // aggregate the fact side first; LEFT JOIN of the dimension onto the
+      // aggregate preserves NULL total_sold for never-sold parts
+      val agg = li.groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("total_sold"))
+      p.join(agg, p("p_partkey") === agg("l_partkey"), "left_outer")
+        .select(col("p_partkey"), col("p_name"), col("p_size"), col("total_sold"),
+          (col("p_size") - col("total_sold")).as("remaining_stock"))
         .orderBy(col("p_partkey"))
     },
     """SELECT p_partkey, p_name, p_size,
@@ -168,9 +183,9 @@ object Relational {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-        .groupBy(col("p_type"), col("p_partkey"), col("p_name"))
-        .agg(sum(col("l_quantity")).as("total_sold"))
+      val agg = li.groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("total_sold"))
+      agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"), col("p_partkey"), col("p_name"), col("total_sold"))
         .orderBy(col("total_sold").desc, col("p_partkey"))
     },
     """SELECT p_type, p_partkey, p_name, sum(l_quantity) AS total_sold
@@ -268,9 +283,10 @@ object Relational {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      val rev = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-        .groupBy(col("p_type"), col("p_partkey"), col("p_name"))
+      val agg = li.groupBy(col("l_partkey"))
         .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+      val rev = agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"), col("p_partkey"), col("p_name"), col("total_revenue"))
       val w = Window.partitionBy(col("p_type"))
         .orderBy(col("total_revenue").desc, col("p_partkey"))
       rev.withColumn("rank_in_type", row_number().over(w))

@@ -1,0 +1,123 @@
+package graft.state
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Parquet-backed keyed state table with atomic version swap and the
+  * reference's upsert semantics (SURVEY.md §2.4, `flows/data_ingestion
+  * .py:99–216`).
+  *
+  * Layout: `root/v-<uuid>/` immutable parquet versions + a `root/_CURRENT`
+  * pointer file updated with an atomic filesystem move — readers always
+  * see a complete version (the reference's per-batch transaction +
+  * rollback, R3, without an external store; on a cluster the same pattern
+  * runs against any filesystem with atomic rename, or is swapped for
+  * Delta/Iceberg ACID commits).
+  *
+  * Upsert semantics (duplicate-key behavior replicated exactly):
+  *  - first load: *append all rows* — within-batch duplicate keys are NOT
+  *    collapsed (`flows/data_ingestion.py:116,146` check only DB-existing
+  *    keys);
+  *  - re-run: for each key already present, the *latest* state row for
+  *    that key (max `_seq`) is overwritten with the *last* batch row for
+  *    that key in file order (dict overwrite at `flows/data_ingestion
+  *    .py:50–65` + sequential per-row UPDATE at `:197–206` ⇒
+  *    last-write-wins); earlier duplicate state rows stay untouched;
+  *  - batch rows with unseen keys are appended as-is (duplicates
+  *    included).
+  *
+  * Everything is join/window algebra — no driver-side row loops — so the
+  * same code runs on a 1000-executor cluster; the only driver action is a
+  * scalar max(_seq) lookup.
+  */
+final class StateTable(spark: SparkSession, root: String, keyCols: Seq[String]) {
+  import StateTable._
+
+  private val rootPath = Paths.get(root)
+
+  private def pointer = rootPath.resolve("_CURRENT")
+
+  def currentVersion: Option[String] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  /** Current contents, or None before the first write. */
+  def read(): Option[DataFrame] =
+    currentVersion.map(v => spark.read.parquet(rootPath.resolve(v).toString))
+
+  /** Write `df` as a fresh immutable version and atomically repoint. */
+  def overwrite(df: DataFrame): Unit = {
+    Files.createDirectories(rootPath)
+    val v = s"v-${UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(rootPath.resolve(v).toString)
+    val tmp = rootPath.resolve(s".ptr-${UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, v)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop all non-current versions (the reference's rollback leaves no
+    * trace; failed writes here are simply never pointed at).
+    */
+  def vacuum(): Unit = currentVersion.foreach { keep =>
+    Files.list(rootPath).iterator.asScala
+      .filter(p => p.getFileName.toString.startsWith("v-") && p.getFileName.toString != keep)
+      .foreach(deleteRecursively)
+  }
+
+  /** Upsert a batch. `orderCol` names a column of `batch` that is
+    * monotone in source order (it decides last-write-wins
+    * deterministically, §7.5 risk 1) and is consumed here; when absent,
+    * `monotonically_increasing_id()` is used — monotone in file order for
+    * a single-source read.
+    */
+  def upsert(batch: DataFrame, orderCol: Option[String] = None): Unit = {
+    val b = orderCol match {
+      case Some(c) => batch.withColumn(SeqCol, col(c).cast("long")).drop(c)
+      case None => batch.withColumn(SeqCol, monotonically_increasing_id())
+    }
+    read() match {
+      case None =>
+        overwrite(b)
+      case Some(state) =>
+        val valueCols = state.columns.filterNot(c => keyCols.contains(c) || c == SeqCol)
+        // last batch row per key (the surviving update value)
+        val wB = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+        val lastPerKey = b.withColumn("_rn", row_number().over(wB)).filter(col("_rn") === 1)
+          .select(keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_u_$c")) :+ lit(true).as("_matched"): _*)
+        // the state row that absorbs the update: max _seq per key
+        val wS = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+        val target = state.withColumn("_srn", row_number().over(wS))
+        val updated = target.join(lastPerKey, keyCols, "left")
+          .select(keyCols.map(col) ++ valueCols.map { c =>
+            when(col("_srn") === 1 && col("_matched"), col(s"_u_$c")).otherwise(col(c)).as(c)
+          } :+ col(SeqCol): _*)
+        // unseen keys: append every batch row (within-batch dups kept)
+        // coalesce: state may exist but be empty (schema-sync CreateTable)
+        val maxSeq = state.agg(coalesce(max(col(SeqCol)), lit(0L))).head.getLong(0)
+        val inserts = b.join(state.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .withColumn(SeqCol, col(SeqCol) + lit(maxSeq) + lit(1L))
+          .select(updated.columns.map(col).toIndexedSeq: _*)
+        overwrite(updated.unionByName(inserts))
+    }
+  }
+
+  /** Reader view without internal bookkeeping columns. */
+  def current(): Option[DataFrame] = read().map(_.drop(SeqCol))
+}
+
+object StateTable {
+  /** Internal monotone sequence column (persisted). */
+  val SeqCol = "_seq"
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator.asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

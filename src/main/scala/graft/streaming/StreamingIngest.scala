@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Schemas
+import graft.ingest.Ingest
+import graft.state.StateTable
+
+/** Structured Streaming ingestion (SURVEY.md §7.1 step 6): the
+  * reference's "re-run the batch when a new file lands" semantics
+  * (`main.py:29–32`), expressed as a file-source stream over a landing
+  * directory with `foreachBatch` feeding the *same* upsert code path as
+  * batch ingestion — batch–stream parity by construction.
+  *
+  * Scale notes: the file source tracks processed files in the checkpoint
+  * (exactly-once per file); each micro-batch is a normal distributed job,
+  * so ingest throughput scales with executors. Windowed aggregation uses
+  * event-time + watermark, so state is bounded regardless of stream
+  * length.
+  */
+object StreamingIngest {
+
+  /** Streaming variant of [[Ingest.readOrdersCsv]] — same schema, same
+    * normalization.
+    */
+  def ordersStream(spark: SparkSession, landingDir: String): DataFrame =
+    Ingest.normalizeOrders(
+      spark.readStream
+        .schema(Schemas.ordersRaw)
+        .option("header", "true")
+        .option("nullValue", "")
+        .option("emptyValue", "")
+        .csv(landingDir))
+
+  /** Continuous upsert into a [[StateTable]]; `AvailableNow` drains what
+    * is currently in the landing dir and stops (swap the trigger for a
+    * long-running deployment).
+    */
+  def runOrdersIngest(
+      spark: SparkSession,
+      landingDir: String,
+      table: StateTable,
+      checkpointDir: String): StreamingQuery =
+    ordersStream(spark, landingDir).writeStream
+      .queryName("orders_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.upsert(batch)
+      }
+      .start()
+
+  /** Event-time tumbling-window aggregation with a watermark (late rows
+    * beyond `lateness` are dropped; state for closed windows is evicted).
+    * Works on any streaming frame with (ts, event_type, value).
+    */
+  def windowedEventCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+}

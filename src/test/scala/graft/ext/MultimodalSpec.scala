@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+import graft.tables.Tables
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("media table has the declared multimodal schema") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType == BinaryType)
+    assert(media.schema("meta").dataType == Multimodal.metaType)
+    assert(media.count() == docs.count())
+  }
+
+  test("stub decode fills typed metadata deterministically") {
+    val decoded = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs)).cache()
+    assert(decoded.filter(col("meta.width").isNull).count() == 0)
+    assert(decoded.filter(!col("meta.format").isin("png", "jpeg")).count() == 0)
+    // deterministic: same input -> same meta on recompute
+    val a = decoded.select("media_id", "meta.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs))
+      .select("media_id", "meta.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("feature extraction yields normalized fixed-width float vectors") {
+    val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
+    assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))
+    val row = feats.select(col("features")).head.getSeq[Float](0)
+    assert(row.length == 16)
+    assert(math.abs(row.sum - 1.0f) < 1e-3)
+  }
+
+  test("frame sampling explodes bounded fixed-size slices") {
+    val media = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs))
+    val frames = Multimodal.sampledFrames(media, frameBytes = 64, maxFrames = 4).cache()
+    assert(frames.columns.toSeq == Seq("media_id", "kind", "frame_idx", "frame"))
+    val perDoc = frames.groupBy("media_id").count()
+    assert(perDoc.filter(col("count") > 4).count() == 0)
+    // every frame except possibly the last is exactly 64 bytes
+    assert(frames.filter(length(col("frame")) > 64).count() == 0)
+  }
+}

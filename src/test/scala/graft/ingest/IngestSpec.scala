@@ -1,0 +1,31 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("orders CSV: renamed columns, nulls, dual timestamps") {
+    val df = Ingest.readOrdersCsv(spark, TestSpark.fixture("orders_fixture.csv")).cache()
+    assert(df.columns.toSeq == Seq("order_id", "product_id", "currency", "quantity",
+      "shipping_cost", "amount", "channel", "channel_group", "campaign", "date_time"))
+    assert(df.count() == 6)
+    // empty campaign -> NULL (3 rows in the fixture)
+    assert(df.filter(col("campaign").isNull).count() == 3)
+    // both timestamp variants parsed; nothing null
+    assert(df.filter(col("date_time").isNull).count() == 0)
+    val secondsLess = df.filter(col("order_id") === "ord-002").select("date_time").head.getTimestamp(0)
+    assert(secondsLess.toInstant.toString == "2023-02-01T06:16:00Z")
+  }
+
+  test("inventory CSV: schema and count") {
+    val df = Ingest.readInventoriesCsv(spark, TestSpark.fixture("inventory_fixture.csv"))
+    assert(df.columns.toSeq == Seq("product_id", "name", "quantity", "category", "sub_category"))
+    assert(df.count() == 6)
+    assert(df.filter(col("quantity") < 10).count() == 3)
+  }
+}

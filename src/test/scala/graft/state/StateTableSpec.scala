@@ -1,0 +1,67 @@
+package graft.state
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.Schemas
+import graft.ingest.Ingest
+
+class StateTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(): StateTable = {
+    val dir = Files.createTempDirectory("graft-state").toString
+    new StateTable(spark, dir, Schemas.ordersKey)
+  }
+
+  private def ordersBatch(name: String) =
+    Ingest.readOrdersCsv(spark, TestSpark.fixture(name))
+
+  test("first load appends all rows, within-batch duplicate keys kept") {
+    val t = freshTable()
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    // fixture: 6 rows with one duplicated (ord-001, prod1520...) key
+    assert(t.current().get.count() == 6)
+  }
+
+  test("re-run of the same file is row-count stable (reference §2.4)") {
+    val t = freshTable()
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    assert(t.current().get.count() == 6)
+  }
+
+  test("re-run updates only the latest row per key, last batch row wins") {
+    val t = freshTable()
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    t.upsert(ordersBatch("orders_rerun.csv"))
+    val cur = t.current().get.cache()
+    // 6 original + 2 inserted rows for the new key ord-005 (dup kept)
+    assert(cur.count() == 8)
+    val k = cur.filter(col("order_id") === "ord-001" && col("product_id") === "prod1520#prod100011001100")
+      .orderBy(col("date_time")).collect()
+    assert(k.length == 2)
+    // earlier duplicate untouched (quantity 1 from first load)...
+    assert(k.map(_.getAs[Int]("quantity")).toSet == Set(1, 9))
+    // ...and the updated row carries the LAST rerun row's values
+    assert(k.exists(r => r.getAs[Int]("quantity") == 9 && r.getAs[String]("campaign") == "updated_camp2"))
+    assert(!k.exists(r => r.getAs[String]("campaign") == "updated_camp"))
+    // new key appended twice
+    assert(cur.filter(col("order_id") === "ord-005").count() == 2)
+  }
+
+  test("overwrite is atomic: pointer flips to a complete version") {
+    val t = freshTable()
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    val v1 = t.currentVersion.get
+    t.upsert(ordersBatch("orders_rerun.csv"))
+    val v2 = t.currentVersion.get
+    assert(v1 != v2)
+    t.vacuum()
+    assert(t.current().get.count() == 8)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.Schemas
+import graft.ingest.Ingest
+import graft.state.StateTable
+
+class StreamingIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("batch-stream parity: streamed files produce the same state as batch upserts") {
+    val landing = Files.createTempDirectory("graft-landing")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stateDir = Files.createTempDirectory("graft-stream-state").toString
+    val table = new StateTable(spark, stateDir, Schemas.ordersKey)
+
+    // first file lands
+    Files.copy(Paths.get(TestSpark.fixture("orders_fixture.csv")),
+      landing.resolve("batch1.csv"), StandardCopyOption.REPLACE_EXISTING)
+    val q1 = StreamingIngest.runOrdersIngest(spark, landing.toString, table, ckpt)
+    q1.awaitTermination()
+    assert(table.current().get.count() == 6)
+
+    // second file lands later; checkpoint ensures batch1 is not re-read
+    Files.copy(Paths.get(TestSpark.fixture("orders_rerun.csv")),
+      landing.resolve("batch2.csv"), StandardCopyOption.REPLACE_EXISTING)
+    val q2 = StreamingIngest.runOrdersIngest(spark, landing.toString, table, ckpt)
+    q2.awaitTermination()
+
+    val cur = table.current().get.cache()
+    assert(cur.count() == 8) // same as the batch path in StateTableSpec
+    val updated = cur.filter(col("order_id") === "ord-001" && col("campaign") === "updated_camp2")
+    assert(updated.count() == 1)
+    assert(updated.head.getAs[Int]("quantity") == 9)
+  }
+
+  test("windowed aggregation with watermark over a replayed event stream") {
+    // replay the corpus events table as a file stream (micro-precision ts)
+    val dir = Files.createTempDirectory("graft-events").toString
+    val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val agg = StreamingIngest.windowedEventCounts(stream)
+    val q = agg.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("win_counts")
+    val expect = graft.ext.EventOps.q23TumblingWindows.run(spark, "/root/testdata/sf0.001")
+    assert(got.count() == expect.count())
+    // spot-check one window against the batch twin
+    val g = got.orderBy(col("window_start"), col("event_type")).head
+    val e = expect.head
+    assert(g.getAs[Long]("n_events") == e.getAs[Long]("n_events"))
+    assert(g.getAs[Double]("total_value") == e.getAs[Double]("total_value"))
+  }
+}
