@@ -251,7 +251,48 @@ object TextOps {
         |WHERE cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) >= cast(0.5 AS double)
         |ORDER BY doc_a, doc_b""".stripMargin)
 
+  /** Rolling-hash fingerprint via the native codegen'd
+    * [[graft.functions.RollingHash]] Catalyst expression; the oracle
+    * reproduces the identical char fold in SQL.
+    */
+  val q31RollingFingerprint: QuerySpec = QuerySpec(
+    (s, dir) => {
+      graft.functions.RollingHash.register(s)
+      Tables.documents(s, dir)
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .select(col("doc_id"), expr("rolling_hash(norm)").as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::bigint,
+      |      list_transform(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+      |                     ch -> ascii(ch)::bigint)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** BPE-ish regex tokenization (GPT-2-style pretokenizer simplified to
+    * the RE2 ∩ java.util.regex common subset — no lookahead): word /
+    * number / punctuation runs with optional leading space.
+    */
+  val q32BpeTokens: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_unique_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    """SELECT doc_id, lang,
+      |  cast(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS integer) AS n_bpe_tokens,
+      |  cast(len(list_distinct(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))) AS integer) AS n_unique_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q31_rolling_fingerprint" -> q31RollingFingerprint,
+    "q32_bpe_tokens" -> q32BpeTokens,
     "q12_dedup_exact" -> q12DedupExact,
     "q13_token_stats" -> q13TokenStats,
     "q14_langid" -> q14LangId,

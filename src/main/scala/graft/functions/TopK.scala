@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k aggregator over (score, id) pairs.
+  *
+  * Replaces `ORDER BY score DESC LIMIT k` for top-k extraction: each
+  * partition keeps at most k candidates (map-side partial aggregation),
+  * merge is k+k selection — no global sort, no shuffle of anything
+  * beyond per-partition k-vectors. At 100 TB this turns a full
+  * range-partitioned sort of the aggregate into a single reduce of
+  * (numPartitions × k) rows.
+  *
+  * Ordering is total — (score desc, id asc) — so results are
+  * deterministic and oracle-comparable.
+  */
+class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    trim(buf :+ in)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+
+  // ordering summoned statically per call (a captured Ordering field does
+  // not survive the aggregator's closure-serialization round trip)
+  private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    buf.sortBy { case (score, id) => (-score, id) }
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

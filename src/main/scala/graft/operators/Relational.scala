@@ -335,7 +335,37 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 
+  /** Global top-10 products by revenue via the bounded
+    * [[graft.functions.TopK]] Aggregator — no global sort: each partition
+    * keeps ≤k candidates, the reduce merges (numPartitions × k) rows.
+    * (The reference's ORDER-BY-everything reports are kept as-is in
+    * q01/q07; this is the scale-path alternative.)
+    */
+  val q33TopKGlobal: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rev = li.groupBy(col("l_partkey"))
+        .agg(sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+      val topk = udaf(new graft.functions.TopK(10))
+      rev.agg(topk(col("total_revenue"), col("l_partkey")).as("top"))
+        .select(posexplode(col("top")))
+        .select(
+          col("col._2").as("l_partkey"),
+          col("col._1").as("total_revenue"),
+          (col("pos") + 1).cast(IntegerType).as("rank"))
+        .orderBy(col("rank"))
+    },
+    """SELECT l_partkey, total_revenue, rank FROM (
+      |  SELECT l_partkey, total_revenue,
+      |         cast(row_number() OVER (ORDER BY total_revenue DESC, l_partkey) AS integer) AS rank
+      |  FROM (
+      |    SELECT l_partkey,
+      |      cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS total_revenue
+      |    FROM lineitem GROUP BY l_partkey))
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q33_topk_global" -> q33TopKGlobal,
     "q00_pricing_summary" -> q00PricingSummary,
     "q01_revenue_per_product" -> q01RevenuePerProduct,
     "q02_orders_monthly" -> q02OrdersMonthly,

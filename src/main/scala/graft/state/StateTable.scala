@@ -36,7 +36,15 @@ import scala.jdk.CollectionConverters._
   * same code runs on a 1000-executor cluster; the only driver action is a
   * scalar max(_seq) lookup.
   */
-final class StateTable(spark: SparkSession, root: String, keyCols: Seq[String]) {
+final class StateTable(
+    spark: SparkSession,
+    root: String,
+    keyCols: Seq[String],
+    /** Optional hive-style partition columns for every version write —
+      * e.g. year/month derivatives — so time-ranged reads prune
+      * partitions at the scan (SURVEY.md §4 partitioning strategy).
+      */
+    partitionCols: Seq[String] = Nil) {
   import StateTable._
 
   private val rootPath = Paths.get(root)
@@ -54,7 +62,9 @@ final class StateTable(spark: SparkSession, root: String, keyCols: Seq[String]) 
   def overwrite(df: DataFrame): Unit = {
     Files.createDirectories(rootPath)
     val v = s"v-${UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(rootPath.resolve(v).toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(rootPath.resolve(v).toString)
     val tmp = rootPath.resolve(s".ptr-${UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, v)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

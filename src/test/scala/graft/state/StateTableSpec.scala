@@ -54,6 +54,20 @@ class StateTableSpec extends AnyFunSuite {
     assert(cur.filter(col("order_id") === "ord-005").count() == 2)
   }
 
+  test("partitioned state: hive layout written, reads prune partitions") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val t = new StateTable(spark, dir, Seq("product_id"), partitionCols = Seq("category"))
+    t.upsert(graft.ingest.Ingest.readInventoriesCsv(spark, TestSpark.fixture("inventory_fixture.csv")))
+    // hive-style layout on disk
+    val vdir = Files.list(java.nio.file.Paths.get(dir)).filter(_.getFileName.toString.startsWith("v-")).findFirst.get
+    assert(Files.exists(vdir.resolve("category=Shoes")))
+    // a category filter becomes a partition filter (pruned scan)
+    val filtered = t.current().get.filter(col("category") === "Shoes")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("category"))
+    assert(filtered.count() == 2)
+  }
+
   test("overwrite is atomic: pointer flips to a complete version") {
     val t = freshTable()
     t.upsert(ordersBatch("orders_fixture.csv"))
