@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.RollingHash
+
+/** Session extensions: installs graft's native functions into any session
+  * built with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions` — the idiomatic way to
+  * ship engine extensions to a cluster (no per-query registration).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHash(exprs.head)))
+  }
+}

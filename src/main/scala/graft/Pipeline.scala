@@ -24,6 +24,7 @@ import graft.streaming.StreamingIngest
   */
 object Pipeline {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--sessions")) { runSessions(args.drop(1)); return }
     val streaming = args.headOption.contains("--stream")
     val rest = if (streaming) args.drop(1) else args
     if (rest.length != 3) {
@@ -37,6 +38,7 @@ object Pipeline {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-pipeline")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -81,6 +83,44 @@ object Pipeline {
     println("[pipeline] 6. most sold per category")
     Reports.mostSoldPerCategory(orders, inventories).show(5, truncate = false)
 
+    spark.stop()
+  }
+
+  /** `--sessions <sfDir>`: replay the corpus events table as a stream and
+    * run the stateful (`flatMapGroupsWithState`) sessionizer, printing
+    * emitted (closed) sessions — the streaming twin of `q30_sessionize`.
+    */
+  private def runSessions(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sessions")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    val replayDir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val batch = graft.tables.Tables.events(spark, sfDir)
+    batch.write.mode("overwrite").parquet(replayDir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(replayDir)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[streaming.StatefulSessions.Event]
+    val q = streaming.StatefulSessions.sessionize(stream).toDF()
+      .writeStream.format("memory").queryName("sessions_cli").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions_cli")
+    println(s"[pipeline] closed sessions: ${out.count()}")
+    out.orderBy(col("user_id"), col("session_start")).show(10, truncate = false)
     spark.stop()
   }
 }

@@ -104,7 +104,26 @@ object EventOps {
       |       count(*) AS n_events, count(DISTINCT event_type) AS n_types
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
 
+  /** Schema-on-read for semi-structured props: `from_json` into a typed
+    * struct, then ordinary relational ops over the parsed fields.
+    */
+  val q35PropsStruct: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"), schema))
+        .filter(col("p.k") < 10)
+        .select(col("event_id"), col("event_type"), col("p.k").as("k"))
+        .orderBy(col("event_id"))
+    },
+    """SELECT event_id, event_type, cast(json_extract_string(props, '$.k') AS integer) AS k
+      |FROM events
+      |WHERE cast(json_extract_string(props, '$.k') AS integer) < 10
+      |ORDER BY event_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q35_props_struct" -> q35PropsStruct,
     "q23_tumbling_windows" -> q23TumblingWindows,
     "q24_sliding_windows" -> q24SlidingWindows,
     "q28_json_extract" -> q28JsonExtract,

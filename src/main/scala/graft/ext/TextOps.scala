@@ -290,7 +290,34 @@ object TextOps {
       |  cast(len(list_distinct(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))) AS integer) AS n_unique_bpe
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Term-frequency / document-frequency weighting (tf-idf shape, with a
+    * log-free idf ratio N/df so weights stay bit-exact across engines —
+    * `ln` is not guaranteed correctly-rounded everywhere).
+    */
+  val q34Tfidf: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("weight",
+          col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("weight"))
+        .orderBy(col("doc_id"), col("tok"))
+    },
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |       cast(tf.tf AS double) * (cast(n.n_docs AS double) / cast(df.df AS double)) AS weight
+      |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+      |ORDER BY tf.doc_id, tf.tok""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q34_tfidf" -> q34Tfidf,
     "q31_rolling_fingerprint" -> q31RollingFingerprint,
     "q32_bpe_tokens" -> q32BpeTokens,
     "q12_dedup_exact" -> q12DedupExact,

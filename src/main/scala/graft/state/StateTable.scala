@@ -119,6 +119,23 @@ final class StateTable(
 
   /** Reader view without internal bookkeeping columns. */
   def current(): Option[DataFrame] = read().map(_.drop(SeqCol))
+
+  /** Time travel: read a specific retained version (versions are
+    * immutable until [[vacuum]]).
+    */
+  def readVersion(version: String): DataFrame =
+    spark.read.parquet(rootPath.resolve(version).toString).drop(SeqCol)
+
+  /** All retained versions, oldest first (by filesystem mtime), with the
+    * current one last-write wins semantics visible via [[currentVersion]].
+    */
+  def history(): Seq[String] =
+    if (!Files.exists(rootPath)) Nil
+    else Files.list(rootPath).iterator.asScala
+      .filter(_.getFileName.toString.startsWith("v-"))
+      .toSeq
+      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      .map(_.getFileName.toString)
 }
 
 object StateTable {
