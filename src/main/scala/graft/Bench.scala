@@ -24,7 +24,10 @@ object Bench {
     "q20_jaccard_pairs",
     "q21_cosine_topk",
     "q23_tumbling_windows",
-    "q30_sessionize")
+    "q30_sessionize",
+    "q33_topk_global",
+    "q34_tfidf",
+    "q36_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -188,9 +188,9 @@ object TextOps {
          |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin)
 
-  private val SimBits = 16
+  private val SimBits = 32
 
-  /** SimHash (16-bit): per-bit majority vote over token md5 nibbles.
+  /** SimHash (32-bit): per-bit majority vote over token md5 nibbles.
     * Bit j comes from hex digit j of md5(token) (MSB of the nibble), so
     * the signature is identical in any engine with standard md5.
     */
@@ -316,7 +316,59 @@ object TextOps {
       |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
       |ORDER BY tf.doc_id, tf.tok""".stripMargin)
 
+  /** SimHash near-dup candidate pairs with Hamming distance ≤ 3, found
+    * bucket-locally: 32 signature bits split into 4 bands — any pair
+    * within distance 3 must agree on ≥1 whole band (pigeonhole), so the
+    * self-join runs per (band_id, band_value) bucket, never all-pairs.
+    * `bit_count(xor)` verifies the exact distance; integer ops are
+    * engine-exact.
+    */
+  val q36SimHashPairs: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val sums = (0 until SimBits).map(j =>
+        sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+      val bitsum = (0 until SimBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sig = tok.groupBy(col("doc_id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
+      val bands = (0 until 4).map { b =>
+        sig.select(col("doc_id"), col("simhash"), lit(b).as("band_id"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))
+      }.reduce(_.unionByName(_))
+      val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+        col("band_id"), col("band_val"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+        col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
+      a.join(b, col("band_id") === col("band_id_b") && col("band_val") === col("band_val_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |b AS (SELECT doc_id, ${(0 until SimBits).map(j =>
+          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+       |      FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id, cast(${(0 until SimBits).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bigint) AS simhash FROM b),
+       |bands AS (${(0 until 4).map(bd =>
+          s"SELECT doc_id, simhash, $bd AS band_id, (simhash >> ${bd * 8}) & 255 AS band_val FROM sig")
+          .mkString("\n UNION ALL ")})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       cast(bit_count(xor(a.simhash, b.simhash)) AS integer) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q36_simhash_pairs" -> q36SimHashPairs,
     "q34_tfidf" -> q34Tfidf,
     "q31_rolling_fingerprint" -> q31RollingFingerprint,
     "q32_bpe_tokens" -> q32BpeTokens,

@@ -364,7 +364,24 @@ object Relational {
       |    FROM lineitem GROUP BY l_partkey))
       |WHERE rank <= 10 ORDER BY rank""".stripMargin)
 
+  /** Sketch aggregates (HLL distinct, approximate percentile): the
+    * bounded-memory scale path for cardinality/quantile stats. Sketch
+    * internals are engine-specific ⇒ rows-only check (no SQL oracle).
+    */
+  val q37SketchStats: QuerySpec = QuerySpec(
+    run = (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("median_price_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = None)
+
   val all: Map[String, QuerySpec] = Map(
+    "q37_sketch_stats" -> q37SketchStats,
     "q33_topk_global" -> q33TopKGlobal,
     "q00_pricing_summary" -> q00PricingSummary,
     "q01_revenue_per_product" -> q01RevenuePerProduct,
