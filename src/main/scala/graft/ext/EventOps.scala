@@ -122,7 +122,29 @@ object EventOps {
       |WHERE cast(json_extract_string(props, '$.k') AS integer) < 10
       |ORDER BY event_id""".stripMargin)
 
+  /** As-of join (purchase→latest-prior-view attribution) via
+    * [[graft.operators.AsOfJoin]] — one shuffle, no range-join blowup.
+    * DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  val q38AsofAttribution: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      graft.operators.AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", "ts")
+        .orderBy(col("event_id"))
+    },
+    """SELECT p.user_id, p.ts, p.event_id, p.value,
+      |       v.ts AS asof_ts, v.event_id AS asof_view_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q38_asof_attribution" -> q38AsofAttribution,
     "q35_props_struct" -> q35PropsStruct,
     "q23_tumbling_windows" -> q23TumblingWindows,
     "q24_sliding_windows" -> q24SlidingWindows,

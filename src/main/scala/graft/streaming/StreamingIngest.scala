@@ -53,6 +53,18 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming exact deduplication: one surviving row per key within the
+    * watermark horizon (`dropDuplicatesWithinWatermark` keeps state only
+    * for `lateness`, so dedup state is bounded no matter how long the
+    * stream runs — the streaming twin of q12's batch dedup).
+    */
+  def dedupedEvents(
+      events: DataFrame,
+      keys: Seq[String] = Seq("user_id", "event_type", "ts"),
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Event-time tumbling-window aggregation with a watermark (late rows
     * beyond `lateness` are dropped; state for closed windows is evicted).
     * Works on any streaming frame with (ts, event_type, value).

@@ -40,6 +40,25 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(updated.head.getAs[Int]("quantity") == 9)
   }
 
+  test("streaming dedup: duplicated input files collapse to distinct keys") {
+    val dir = Files.createTempDirectory("graft-dedup-events")
+    val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    // land the same data twice (two files -> duplicate rows in the stream)
+    batch.write.mode("overwrite").parquet(dir.resolve("copy1").toString)
+    batch.write.mode("overwrite").parquet(dir.resolve("copy2").toString)
+
+    val stream = spark.readStream.schema(batch.schema)
+      .option("recursiveFileLookup", "true").parquet(dir.toString)
+    val q = StreamingIngest.dedupedEvents(stream)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = batch.select("user_id", "event_type", "ts").distinct().count()
+    assert(spark.table("dedup_out").count() == expected)
+  }
+
   test("windowed aggregation with watermark over a replayed event stream") {
     // replay the corpus events table as a file stream (micro-precision ts)
     val dir = Files.createTempDirectory("graft-events").toString
