@@ -19,6 +19,18 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "all") {
+      // one-line physical-plan audit per query: join strategies, shuffle
+      // count, scan pushdown — the red-flag sweep.
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def c(s: String) = plan.sliding(s.length).count(_ == s)
+          println(f"[audit] $n%-28s exchanges=${c("Exchange")}%2d bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} cartesian=${c("CartesianProduct")} bnl=${c("BroadcastNestedLoopJoin")} pushed=${if (plan.contains("PushedFilters: [")) "y" else "-"}")
+        } catch { case e: Throwable => println(s"[audit] $n FAILED: ${e.getMessage.take(80)}") }
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     val t0 = System.nanoTime()

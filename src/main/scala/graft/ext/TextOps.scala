@@ -167,10 +167,12 @@ object TextOps {
         min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
       val sig = shingles(Tables.documents(s, dir))
         .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      val bands = (0 until NumHashes / 2).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band_id"),
-          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bucket"))
-      }.reduce(_.unionByName(_))
+      // one posexplode pass — NOT a 4-way union, which would recompute
+      // the whole signature aggregation once per band
+      val bands = sig.select(col("doc_id"), posexplode(array(
+          (0 until NumHashes / 2).map(b =>
+            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
+        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("bucket"))
       val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bucket"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bucket").as("bucket_b"))
       a.join(b, col("band_id") === col("band_id_b") && col("bucket") === col("bucket_b")
@@ -221,17 +223,18 @@ object TextOps {
     */
   val q20JaccardPairs: QuerySpec = QuerySpec(
     (s, dir) => {
+      // set sizes ride along as a window count BEFORE the self-join —
+      // no separate sizes aggregation + two re-join passes
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       val sh = shingles(Tables.documents(s, dir))
         .select(col("doc_id"), col("source"), col("sh")).distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
+        .withColumn("n_sh", count(lit(1)).over(wDoc))
+      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"), col("n_sh").as("n_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"), col("n_sh").as("n_b"))
       a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
           && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .agg(count(lit(1)).as("n_common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
         .filter(col("jaccard") >= 0.5)
@@ -299,9 +302,11 @@ object TextOps {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df as a window over tf (one row per doc-term) — avoids a second
+      // aggregation pipeline + re-join of the same subtree
+      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
       val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-      tf.join(df, "tok").crossJoin(broadcast(n))
+      tf.withColumn("df", count(lit(1)).over(wTok)).crossJoin(broadcast(n))
         .withColumn("weight",
           col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("weight"))
@@ -335,10 +340,12 @@ object TextOps {
       val sig = tok.groupBy(col("doc_id"))
         .agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
-      val bands = (0 until 4).map { b =>
-        sig.select(col("doc_id"), col("simhash"), lit(b).as("band_id"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_val"))
-      }.reduce(_.unionByName(_))
+      // single posexplode pass over the 4 band values (no union re-compute)
+      val bands = sig.select(col("doc_id"), col("simhash"), posexplode(array(
+          (0 until 4).map(b =>
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+        .select(col("doc_id"), col("simhash"),
+          col("pos").as("band_id"), col("col").as("band_val"))
       val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
         col("band_id"), col("band_val"))
       val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
