@@ -374,7 +374,46 @@ object TextOps {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  /** Winnowing fingerprints (the MOSS scheme): rolling hash every 8-char
+    * gram of the normalized text, then keep the minimum of each 4-hash
+    * window — a position-robust fingerprint *set* per document whose size
+    * is ~n/w regardless of alignment. Built on the codegen'd
+    * [[graft.functions.RollingHash]]; the oracle reproduces gram hashing
+    * + window minima with list folds.
+    */
+  val q39Winnowing: QuerySpec = QuerySpec(
+    (s, dir) => {
+      graft.functions.RollingHash.register(s)
+      Tables.documents(s, dir)
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .filter(length(col("norm")) >= 11) // k=8 grams, w=4 windows
+        .withColumn("hashes",
+          expr("transform(sequence(1, length(norm) - 7), i -> rolling_hash(substring(norm, i, 8)))"))
+        .withColumn("fp",
+          explode(array_distinct(
+            expr("transform(sequence(1, size(hashes) - 3), i -> array_min(slice(hashes, i, 4)))"))))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    },
+    """WITH n AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(norm) - 6),
+      |      i -> list_reduce(
+      |             list_prepend(0::bigint,
+      |               list_transform(string_split_regex(substr(norm, i, 8), ''), ch -> ascii(ch)::bigint)),
+      |             (a, b) -> (a * 31 + b) % 1000000007)) AS hashes
+      |  FROM n WHERE len(norm) >= 11),
+      |w AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(hashes) - 2),
+      |      i -> list_aggregate(hashes[i:i+3], 'min')))) AS fp
+      |  FROM h)
+      |SELECT doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q39_winnowing" -> q39Winnowing,
     "q36_simhash_pairs" -> q36SimHashPairs,
     "q34_tfidf" -> q34Tfidf,
     "q31_rolling_fingerprint" -> q31RollingFingerprint,

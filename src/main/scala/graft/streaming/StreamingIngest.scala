@@ -65,6 +65,14 @@ object StreamingIngest {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment: join a fact stream against a broadcast
+    * static dimension — the dimension is re-read per micro-batch (picks
+    * up slowly-changing dims) and never forces the stream to shuffle.
+    */
+  def enriched(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      stream(streamKey) === dim(dimKey))
+
   /** Event-time tumbling-window aggregation with a watermark (late rows
     * beyond `lateness` are dropped; state for closed windows is evicted).
     * Works on any streaming frame with (ts, event_type, value).

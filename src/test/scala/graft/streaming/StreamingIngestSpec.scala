@@ -59,6 +59,25 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == expected)
   }
 
+  test("stream-static enrichment: broadcast dim join on a stream") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_partkey", "l_orderkey", "l_quantity")
+    li.write.mode("overwrite").parquet(dir)
+    val part = graft.tables.Tables.part(spark, "/root/testdata/sf0.001")
+      .select("p_partkey", "p_name")
+
+    val stream = spark.readStream.schema(li.schema).parquet(dir)
+    val q = StreamingIngest.enriched(stream, part, "l_partkey", "p_partkey")
+      .writeStream.format("memory").queryName("enriched_out").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched_out")
+    assert(got.count() == li.count()) // every partkey resolves
+    assert(got.columns.contains("p_name"))
+  }
+
   test("windowed aggregation with watermark over a replayed event stream") {
     // replay the corpus events table as a file stream (micro-precision ts)
     val dir = Files.createTempDirectory("graft-events").toString
