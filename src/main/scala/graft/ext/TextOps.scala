@@ -321,9 +321,9 @@ object TextOps {
       |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
       |ORDER BY tf.doc_id, tf.tok""".stripMargin)
 
-  /** SimHash near-dup candidate pairs with Hamming distance ≤ 3, found
+  /** SimHash near-dup candidate pairs with Hamming distance ≤ 1, found
     * bucket-locally: 32 signature bits split into 4 bands — any pair
-    * within distance 3 must agree on ≥1 whole band (pigeonhole), so the
+    * within distance 1 must agree on ≥1 whole band (pigeonhole), so the
     * self-join runs per (band_id, band_value) bucket, never all-pairs.
     * `bit_count(xor)` verifies the exact distance; integer ops are
     * engine-exact.
@@ -354,7 +354,7 @@ object TextOps {
           && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 1)
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -371,7 +371,7 @@ object TextOps {
        |       cast(bit_count(xor(a.simhash, b.simhash)) AS integer) AS hamming
        |FROM bands a JOIN bands b
        |  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Winnowing fingerprints (the MOSS scheme): rolling hash every 8-char
