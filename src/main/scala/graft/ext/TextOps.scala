@@ -322,11 +322,12 @@ object TextOps {
       |ORDER BY tf.doc_id, tf.tok""".stripMargin)
 
   /** SimHash near-dup candidate pairs with Hamming distance ≤ 1, found
-    * bucket-locally: 32 signature bits split into 4 bands — any pair
-    * within distance 1 must agree on ≥1 whole band (pigeonhole), so the
-    * self-join runs per (band_id, band_value) bucket, never all-pairs.
-    * `bit_count(xor)` verifies the exact distance; integer ops are
-    * engine-exact.
+    * bucket-locally: 32 signature bits split into d+1 = 2 bands of 16
+    * bits — any pair within distance 1 must agree on ≥1 whole band
+    * (pigeonhole), so the self-join runs per (band_id, band_value)
+    * bucket, never all-pairs. 16-bit bands give 65536 bucket values,
+    * so false candidates are rare and the exact `bit_count(xor)` filter
+    * does little work. Integer ops are engine-exact.
     */
   val q36SimHashPairs: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -340,10 +341,10 @@ object TextOps {
       val sig = tok.groupBy(col("doc_id"))
         .agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
-      // single posexplode pass over the 4 band values (no union re-compute)
+      // single posexplode pass over the 2 band values (no union re-compute)
       val bands = sig.select(col("doc_id"), col("simhash"), posexplode(array(
-          (0 until 4).map(b =>
-            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
+          (0 until 2).map(b =>
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))): _*)))
         .select(col("doc_id"), col("simhash"),
           col("pos").as("band_id"), col("col").as("band_val"))
       val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
@@ -364,8 +365,8 @@ object TextOps {
        |      FROM tok GROUP BY doc_id),
        |sig AS (SELECT doc_id, cast(${(0 until SimBits).map(j =>
           s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bigint) AS simhash FROM b),
-       |bands AS (${(0 until 4).map(bd =>
-          s"SELECT doc_id, simhash, $bd AS band_id, (simhash >> ${bd * 8}) & 255 AS band_val FROM sig")
+       |bands AS (${(0 until 2).map(bd =>
+          s"SELECT doc_id, simhash, $bd AS band_id, (simhash >> ${bd * 16}) & 65535 AS band_val FROM sig")
           .mkString("\n UNION ALL ")})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       cast(bit_count(xor(a.simhash, b.simhash)) AS integer) AS hamming
