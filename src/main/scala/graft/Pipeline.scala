@@ -25,6 +25,7 @@ import graft.streaming.StreamingIngest
 object Pipeline {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--sessions")) { runSessions(args.drop(1)); return }
+    if (args.headOption.contains("--attribution")) { runAttribution(args.drop(1)); return }
     val streaming = args.headOption.contains("--stream")
     val rest = if (streaming) args.drop(1) else args
     if (rest.length != 3) {
@@ -84,6 +85,45 @@ object Pipeline {
     Reports.mostSoldPerCategory(orders, inventories).show(5, truncate = false)
 
     spark.stop()
+  }
+
+  /** `--attribution <sfDir>`: replay events and run the stream-stream
+    * interval join (purchases ⋈ same-user views within 1 hour, watermarks
+    * on both sides).
+    */
+  private def runAttribution(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = sessionFor("graft-attribution")
+    import org.apache.spark.sql.functions.col
+
+    val replayDir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val batch = graft.tables.Tables.events(spark, sfDir)
+    batch.write.mode("overwrite").parquet(replayDir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(replayDir)
+    val q = streaming.StreamingIngest.purchaseViewJoin(stream)
+      .writeStream.format("memory").queryName("attr_cli").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr_cli")
+    println(s"[pipeline] attributed purchase-view pairs: ${out.count()}")
+    out.orderBy(col("user_id"), col("p_ts")).show(10, truncate = false)
+    spark.stop()
+  }
+
+  private def sessionFor(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
   }
 
   /** `--sessions <sfDir>`: replay the corpus events table as a stream and

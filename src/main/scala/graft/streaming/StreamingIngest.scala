@@ -73,6 +73,27 @@ object StreamingIngest {
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       stream(streamKey) === dim(dimKey))
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * views within the preceding hour. Watermarks on BOTH sides bound the
+    * join state (views older than watermark + interval are evicted), so
+    * state stays proportional to the active window, not stream history.
+    */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"), col("view_id"), col("v_ts"))
+  }
+
   /** Event-time tumbling-window aggregation with a watermark (late rows
     * beyond `lateness` are dropped; state for closed windows is evicted).
     * Works on any streaming frame with (ts, event_type, value).

@@ -37,4 +37,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     // sanity: a decent share of purchases actually have a prior view
     assert(got.filter(col("asof_view_event_id").isNotNull).count() > 0)
   }
+
+  test("asof join property: matches scala-reference semantics on generated data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+
+    val rowGen = for {
+      key <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 50L)
+    } yield (key, t)
+    // left/right sets of (key, time); times unique per side via distinct
+    val caseGen = for {
+      ls <- Gen.listOfN(15, rowGen)
+      rs <- Gen.listOfN(15, rowGen)
+    } yield (ls.distinct, rs.distinct.map { case (k, t) => (k, t, s"r$k-$t") })
+
+    val prop = Prop.forAll(caseGen) { case (ls, rs) =>
+      val left = ls.toDF("k", "lt")
+      val right = rs.toDF("k", "rt", "payload")
+      val got = AsOfJoin.asof(left, right, Seq("k"), "lt", "rt")
+        .select(col("k"), col("lt"), col("asof_payload"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), Option(r.getString(2))))
+        .toSet
+      // scala reference: latest right with rt <= lt per key (unique rt per
+      // (k, rt) after distinct, so the max is unambiguous)
+      val expect = ls.map { case (k, lt) =>
+        val best = rs.filter { case (rk, rt, _) => rk == k && rt <= lt }
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, lt, best)
+      }.toSet
+      got == expect
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop).passed)
+  }
 }

@@ -59,6 +59,32 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == expected)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = StreamingIngest.purchaseViewJoin(stream)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: same interval join without streaming machinery
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val v = batch.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val expected = p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour")).count()
+
+    assert(spark.table("ssj_out").count() == expected)
+    assert(expected > 0)
+  }
+
   test("stream-static enrichment: broadcast dim join on a stream") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
