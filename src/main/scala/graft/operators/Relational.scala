@@ -380,7 +380,23 @@ object Relational {
     },
     oracle = None)
 
+  /** §7.4 cube: all grouping-set combinations in one pass (Expand-based;
+    * the full rollup/cube/grouping-sets family).
+    */
+  val q40Cube: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q40_cube" -> q40Cube,
     "q37_sketch_stats" -> q37SketchStats,
     "q33_topk_global" -> q33TopKGlobal,
     "q00_pricing_summary" -> q00PricingSummary,
