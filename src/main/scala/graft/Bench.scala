@@ -55,16 +55,21 @@ object Bench {
     // shared JVM are dominated by JIT recompilation + GC noise (observed
     // 2–10× outliers); the min reflects steady-state engine throughput.
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None // a failed run must not contribute a (fast) bogus time
+        }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0) // -1 marks "never succeeded"
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

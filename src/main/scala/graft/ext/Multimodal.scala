@@ -112,13 +112,8 @@ object Multimodal {
           greatest(lit(0),
             least(ceil(col("meta.n_bytes") / lit(frameBytes)).cast(IntegerType) - 1,
               lit(maxFrames - 1))))))
+      // binary slice payload[idx*frameBytes : +frameBytes] (1-based)
       .withColumn("frame",
-        substring_index_bytes(col("payload"), col("frame_idx"), frameBytes))
+        expr(s"substring(payload, cast(frame_idx AS int) * $frameBytes + 1, $frameBytes)"))
       .select(col("media_id"), col("kind"), col("frame_idx"), col("frame"))
-
-  /** Binary slice `payload[idx*frameBytes : +frameBytes]` (1-based
-    * substring on binary).
-    */
-  private def substring_index_bytes(payload: Column, idx: Column, frameBytes: Int): Column =
-    expr(s"substring(payload, cast(frame_idx AS int) * $frameBytes + 1, $frameBytes)")
 }

@@ -40,6 +40,46 @@ object TextOps {
       |          unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |        FROM t WHERE len(w) >= 3)""".stripMargin
 
+  private val NumHashes = 8
+  private val SimBits = 32
+
+  /** MinHash signature frame (doc_id, mh0..mh7): one row per doc; shared
+    * by q17 (signatures) and q18 (LSH pairs) so the scheme cannot drift
+    * between them.
+    */
+  private def minhashSig(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
+    shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Oracle twin of [[minhashSig]] as a CTE (appends to [[shSql]]). */
+  private val minhashSigSql: String =
+    s""", sig AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")}
+       |          FROM shx GROUP BY doc_id)""".stripMargin
+
+  /** SimHash signature frame (doc_id, simhash); shared by q19 and q36. */
+  private def simhashSig(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val sums = (0 until SimBits).map(j =>
+      sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
+    val bitsum = (0 until SimBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
+  }
+
+  /** Oracle twin of [[simhashSig]] (self-contained CTE chain). */
+  private val simhashSigSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |b AS (SELECT doc_id, ${(0 until SimBits).map(j =>
+          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
+       |      FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id, cast(${(0 until SimBits).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bigint) AS simhash FROM b)""".stripMargin
+
   /** Exact dedup: content-hash grouping, canonical = min doc_id. */
   val q12DedupExact: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -73,7 +113,7 @@ object TextOps {
     */
   val q14LangId: QuerySpec = QuerySpec(
     (s, dir) => {
-      val hits = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and|in)\\b"), lit(0)))
+      val hits = size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|and|in)\\b"), lit(0)))
       val ntok = size(split(trim(col("text")), "\\s+"))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -84,10 +124,10 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
     """SELECT doc_id, lang,
-      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS integer) AS stop_hits,
-      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |  cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS integer) AS stop_hits,
+      |  cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
       |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS stop_ratio,
-      |  CASE WHEN cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |  CASE WHEN cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
       |            / cast(len(string_split_regex(trim(text), '\s+')) AS double) >= cast(0.15 AS double)
       |       THEN 'en' ELSE 'other' END AS lang_guess
       |FROM documents ORDER BY doc_id""".stripMargin)
@@ -100,8 +140,8 @@ object TextOps {
     (s, dir) => {
       val nchars = length(col("text")).cast("double")
       val ntok = size(split(trim(col("text")), "\\s+")).cast("double")
-      val punct = length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("double")
-      val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("double")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
+      val stop = size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("double")
       Tables.documents(s, dir)
         .select(col("doc_id"),
           (punct / nchars).as("punct_ratio"),
@@ -112,12 +152,12 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
     """SELECT doc_id,
-      |  cast(len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double) AS punct_ratio,
-      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |  cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double) AS punct_ratio,
+      |  cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
       |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS stop_ratio,
       |  least(cast(len(string_split_regex(trim(text), '\s+')) AS double) / cast(100.0 AS double), cast(1.0 AS double)) * cast(0.3 AS double)
-      |    + (cast(1.0 AS double) - cast(len(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
-      |    + cast(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS double)
+      |    + (cast(1.0 AS double) - cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
+      |    + cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
       |      / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double) AS quality_score
       |FROM documents ORDER BY doc_id""".stripMargin)
 
@@ -137,25 +177,14 @@ object TextOps {
       |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin)
 
-  private val NumHashes = 8
-
   /** MinHash signatures: k=8 independent permutations approximated by
     * seeded md5 over word 3-shingles; the per-seed minimum is taken
     * lexicographically (map-side combinable ⇒ one shuffle of 8 small
     * strings per doc regardless of doc length).
     */
   val q17MinHash: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val aggs = (0 until NumHashes).map(i =>
-        min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
-      shingles(Tables.documents(s, dir))
-        .groupBy(col("doc_id"))
-        .agg(aggs.head, aggs.tail: _*)
-        .orderBy(col("doc_id"))
-    },
-    shSql + "\n" +
-      s"""SELECT doc_id, ${(0 until NumHashes).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")}
-         |FROM shx GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    (s, dir) => minhashSig(Tables.documents(s, dir)).orderBy(col("doc_id")),
+    shSql + minhashSigSql + "\nSELECT * FROM sig ORDER BY doc_id")
 
   /** MinHash LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
     * bucket become candidates. The join is per-(band, bucket) — bucket-
@@ -163,10 +192,7 @@ object TextOps {
     */
   val q18LshPairs: QuerySpec = QuerySpec(
     (s, dir) => {
-      val aggs = (0 until NumHashes).map(i =>
-        min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
-      val sig = shingles(Tables.documents(s, dir))
-        .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val sig = minhashSig(Tables.documents(s, dir))
       // one posexplode pass — NOT a 4-way union, which would recompute
       // the whole signature aggregation once per band
       val bands = sig.select(col("doc_id"), posexplode(array(
@@ -180,43 +206,21 @@ object TextOps {
         .select(col("doc_a"), col("doc_b")).distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    shSql + "\n" +
-      s""", sig AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")}
-         |          FROM shx GROUP BY doc_id),
-         |bands AS (${(0 until NumHashes / 2).map(b =>
+    shSql + minhashSigSql + "\n" +
+      s""", bands AS (${(0 until NumHashes / 2).map(b =>
             s"SELECT doc_id, $b AS band_id, mh${2 * b} || mh${2 * b + 1} AS bucket FROM sig").mkString("\n UNION ALL ")})
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin)
 
-  private val SimBits = 32
-
   /** SimHash (32-bit): per-bit majority vote over token md5 nibbles.
     * Bit j comes from hex digit j of md5(token) (MSB of the nibble), so
     * the signature is identical in any engine with standard md5.
     */
   val q19SimHash: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val sums = (0 until SimBits).map(j =>
-        sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
-      val bitsum = (0 until SimBits)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      tok.groupBy(col("doc_id"))
-        .agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
-        .orderBy(col("doc_id"))
-    },
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
-       |b AS (SELECT doc_id, ${(0 until SimBits).map(j =>
-          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
-       |      FROM tok GROUP BY doc_id)
-       |SELECT doc_id, cast(${(0 until SimBits).map(j =>
-          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bigint) AS simhash
-       |FROM b ORDER BY doc_id""".stripMargin)
+    (s, dir) => simhashSig(Tables.documents(s, dir)).orderBy(col("doc_id")),
+    simhashSigSql + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id")
 
   /** n-gram Jaccard near-dup pairs, blocked by source: |A∩B| / |A∪B| over
     * distinct word 3-shingles; only same-source pairs are candidates.
@@ -281,7 +285,7 @@ object TextOps {
   val q32BpeTokens: QuerySpec = QuerySpec(
     (s, dir) => {
       val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
-      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+      val toks = regexp_extract_all(lower(col("text")), lit(pat), lit(0))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
           size(toks).as("n_bpe_tokens"),
@@ -289,8 +293,8 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
     """SELECT doc_id, lang,
-      |  cast(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS integer) AS n_bpe_tokens,
-      |  cast(len(list_distinct(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))) AS integer) AS n_unique_bpe
+      |  cast(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS integer) AS n_bpe_tokens,
+      |  cast(len(list_distinct(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))) AS integer) AS n_unique_bpe
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** Term-frequency / document-frequency weighting (tf-idf shape, with a
@@ -331,16 +335,7 @@ object TextOps {
     */
   val q36SimHashPairs: QuerySpec = QuerySpec(
     (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val sums = (0 until SimBits).map(j =>
-        sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
-      val bitsum = (0 until SimBits)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sig = tok.groupBy(col("doc_id"))
-        .agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
+      val sig = simhashSig(Tables.documents(s, dir))
       // single posexplode pass over the 2 band values (no union re-compute)
       val bands = sig.select(col("doc_id"), col("simhash"), posexplode(array(
           (0 until 2).map(b =>
@@ -359,13 +354,8 @@ object TextOps {
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
-       |b AS (SELECT doc_id, ${(0 until SimBits).map(j =>
-          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")}
-       |      FROM tok GROUP BY doc_id),
-       |sig AS (SELECT doc_id, cast(${(0 until SimBits).map(j =>
-          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS bigint) AS simhash FROM b),
-       |bands AS (${(0 until 2).map(bd =>
+    simhashSigSql + "\n" +
+      s""", bands AS (${(0 until 2).map(bd =>
           s"SELECT doc_id, simhash, $bd AS band_id, (simhash >> ${bd * 16}) & 65535 AS band_val FROM sig")
           .mkString("\n UNION ALL ")})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -67,17 +66,12 @@ object RollingHash {
   val Mult = 31L
   val Mod = 1000000007L
 
-  /** Register `rolling_hash` in the session's function registry so it is
-    * usable from both SQL text and the Column DSL (via [[rolling_hash]]).
+  /** Register `rolling_hash` in the session's function registry, making
+    * it usable from SQL text, `expr(...)`, and SQL lambda bodies.
+    * (Sessions built with [[graft.GraftExtensions]] get it injected at
+    * build time instead.)
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
-
-  /** Column DSL wrapper (requires [[register]] on the session first). */
-  def rolling_hash(c: Column): Column = {
-    // The Column(Expression) constructor is internal in Spark 4; routing
-    // through the registry + expr() keeps this on public API only.
-    expr(s"rolling_hash(${c.toString})")
-  }
 }

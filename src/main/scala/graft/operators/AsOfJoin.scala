@@ -40,8 +40,11 @@ object AsOfJoin {
         carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
         left.columns.filterNot(c => key.contains(c) || c == leftTime).map(col): _*)
 
+    // Total order: ties on (_t, _side) — multiple right rows with the
+    // same (key, time) — are broken by the carried right columns, so the
+    // surviving match is deterministic across runs and partitionings.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t") +: col("_side") +: carried.sorted.map(c => col(s"_r_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val unioned = rTagged

@@ -58,10 +58,13 @@ final class StateTable(
   def read(): Option[DataFrame] =
     currentVersion.map(v => spark.read.parquet(rootPath.resolve(v).toString))
 
-  /** Write `df` as a fresh immutable version and atomically repoint. */
+  /** Write `df` as a fresh immutable version and atomically repoint.
+    * Version names embed a monotonic nano timestamp so [[history]] has a
+    * deterministic order even for writes within the same millisecond.
+    */
   def overwrite(df: DataFrame): Unit = {
     Files.createDirectories(rootPath)
-    val v = s"v-${UUID.randomUUID().toString.take(8)}"
+    val v = f"v-${System.nanoTime()}%016x-${UUID.randomUUID().toString.take(4)}"
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(rootPath.resolve(v).toString)
@@ -75,7 +78,7 @@ final class StateTable(
     * trace; failed writes here are simply never pointed at).
     */
   def vacuum(): Unit = currentVersion.foreach { keep =>
-    Files.list(rootPath).iterator.asScala
+    listDir(rootPath)
       .filter(p => p.getFileName.toString.startsWith("v-") && p.getFileName.toString != keep)
       .foreach(deleteRecursively)
   }
@@ -87,15 +90,21 @@ final class StateTable(
     * a single-source read.
     */
   def upsert(batch: DataFrame, orderCol: Option[String] = None): Unit = {
-    val b = orderCol match {
+    val b0 = orderCol match {
       case Some(c) => batch.withColumn(SeqCol, col(c).cast("long")).drop(c)
       case None => batch.withColumn(SeqCol, monotonically_increasing_id())
     }
     read() match {
       case None =>
-        overwrite(b)
+        overwrite(b0)
       case Some(state) =>
         val valueCols = state.columns.filterNot(c => keyCols.contains(c) || c == SeqCol)
+        // align the batch to the state schema: schema sync may have added
+        // declared columns the source doesn't carry yet (evolve-then-
+        // ingest) — they land as typed nulls
+        val b = valueCols.filterNot(b0.columns.contains).foldLeft(b0) { (d, c) =>
+          d.withColumn(c, lit(null).cast(state.schema(c).dataType))
+        }
         // last batch row per key (the surviving update value)
         val wB = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
         val lastPerKey = b.withColumn("_rn", row_number().over(wB)).filter(col("_rn") === 1)
@@ -131,20 +140,25 @@ final class StateTable(
     */
   def history(): Seq[String] =
     if (!Files.exists(rootPath)) Nil
-    else Files.list(rootPath).iterator.asScala
+    else listDir(rootPath)
       .filter(_.getFileName.toString.startsWith("v-"))
-      .toSeq
-      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
       .map(_.getFileName.toString)
+      .sorted // monotonic nano-timestamp prefix => creation order
 }
 
 object StateTable {
   /** Internal monotone sequence column (persisted). */
   val SeqCol = "_seq"
 
+  /** Files.list with the stream closed (it holds a directory fd). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator.asScala.toSeq
+    finally s.close()
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

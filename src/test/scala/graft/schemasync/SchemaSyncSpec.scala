@@ -65,6 +65,20 @@ class SchemaSyncSpec extends AnyFunSuite {
     assert(SchemaSync.sync(spark, t, v2, protectedCols = Set("product_id")).isEmpty)
   }
 
+  test("evolve-then-ingest: upsert of a batch lacking a synced-in column") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val t = new StateTable(spark, dir, Seq("product_id"))
+    t.upsert(Ingest.readInventoriesCsv(spark, TestSpark.fixture("inventory_fixture.csv")))
+    // declare a new column the CSV doesn't carry, sync, then re-ingest
+    val v2 = StructType(Schemas.inventories.fields :+ StructField("supplier_code", StringType))
+    SchemaSync.sync(spark, t, v2, protectedCols = Set("product_id"))
+    t.upsert(Ingest.readInventoriesCsv(spark, TestSpark.fixture("inventory_fixture.csv")))
+    val cur = t.current().get
+    assert(cur.count() == 6)
+    assert(cur.columns.contains("supplier_code"))
+    assert(cur.filter(cur("supplier_code").isNotNull).count() == 0)
+  }
+
   test("sync creates an empty table when absent") {
     val dir = Files.createTempDirectory("graft-sync2").toString
     val t = new StateTable(spark, dir, Seq("product_id"))
