@@ -143,7 +143,30 @@ object EventOps {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** The same attribution as q38, executed by the NATIVE custom operator
+    * ([[graft.plans.NativeAsOf]]: LogicalPlan + Strategy + SparkPlan with
+    * a per-partition merge sweep) instead of the compositional
+    * union+window form — both must match DuckDB's independent ASOF.
+    */
+  val q41AsofNative: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      graft.plans.NativeAsOf.asof(purchases, views, Seq("user_id"), "ts", "v_ts")
+        .orderBy(col("event_id"))
+    },
+    """SELECT p.user_id, p.ts, p.event_id, p.value,
+      |       v.ts AS v_ts, v.event_id AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q41_asof_native" -> q41AsofNative,
     "q38_asof_attribution" -> q38AsofAttribution,
     "q35_props_struct" -> q35PropsStruct,
     "q23_tumbling_windows" -> q23TumblingWindows,
