@@ -27,7 +27,9 @@ object Bench {
     "q30_sessionize",
     "q33_topk_global",
     "q34_tfidf",
-    "q36_simhash_pairs")
+    "q36_simhash_pairs",
+    "q38_asof_attribution",
+    "q41_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

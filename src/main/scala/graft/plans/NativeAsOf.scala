@@ -83,6 +83,9 @@ object NativeAsOf {
 
     override def outputPartitioning = left.outputPartitioning
 
+    // left rows stream through in their (key, time) sorted order
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
     override protected def doExecute(): RDD[InternalRow] = {
       val lOut = left.output
       val rOut = right.output
@@ -108,6 +111,10 @@ object NativeAsOf {
         val nullRight = new GenericInternalRow(rOut.size)
 
         new Iterator[InternalRow] {
+          // rHead/rHeadKey are NOT copied: the underlying row objects are
+          // only reused by the sorter on the next rIter.next()/rKeyProj
+          // call, which happens only after the head is consumed. Rows are
+          // copied exactly once, at retention as matchRow.
           private var rHead: InternalRow = _       // buffered right row (not yet consumed)
           private var rHeadKey: InternalRow = _
           private var matchRow: InternalRow = _    // latest right row <= current position
@@ -115,8 +122,8 @@ object NativeAsOf {
 
           private def advanceRightHead(): Unit =
             if (rHead == null && rIter.hasNext) {
-              rHead = rIter.next().copy()
-              rHeadKey = rKeyProj(rHead).copy()
+              rHead = rIter.next()
+              rHeadKey = rKeyProj(rHead)
             }
 
           override def hasNext: Boolean = lIter.hasNext
@@ -124,18 +131,27 @@ object NativeAsOf {
           override def next(): InternalRow = {
             val lRow = lIter.next()
             val lKey = lKeyProj(lRow)
-            val lTime = lTimeProj(lRow).get(0, lt.dataType)
-            // consume right rows up to (lKey, lTime)
+            val lTimeRow = lTimeProj(lRow)
+            val lTimeNull = lTimeRow.isNullAt(0)
+            val lTime = if (lTimeNull) null else lTimeRow.get(0, lt.dataType)
+            // consume right rows up to (lKey, lTime); SQL comparison
+            // semantics: a NULL time on either side never matches
             var continue = true
             while (continue) {
               advanceRightHead()
               if (rHead == null) continue = false
               else {
                 val c = keyOrd.compare(rHeadKey, lKey)
-                val rTimeV = rTimeProj(rHead).get(0, rt.dataType)
-                if (c < 0 || (c == 0 && timeOrd.lteq(rTimeV, lTime))) {
-                  matchRow = rHead
-                  matchKey = rHeadKey
+                val rTimeRow = rTimeProj(rHead)
+                val rTimeNull = rTimeRow.isNullAt(0)
+                if (c < 0 || (c == 0 && rTimeNull)) {
+                  // earlier key, or null-time row in this key (sorted
+                  // NULLS FIRST): consume without retaining as a match
+                  rHead = null
+                } else if (c == 0 && !lTimeNull &&
+                    timeOrd.lteq(rTimeRow.get(0, rt.dataType), lTime)) {
+                  matchRow = rHead.copy()
+                  matchKey = rHeadKey.copy()
                   rHead = null
                 } else continue = false
               }
@@ -179,12 +195,20 @@ object NativeAsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
 
-    val node = AsOfJoinNode(
-      lPlan, rPlan,
-      key.map(attr(lPlan, _)),
-      key.map(n => rPlan.output.find(_.name == n).map(_.asInstanceOf[Attribute]).get),
-      attr(lPlan, leftTime),
-      rPlan.output.find(_.name == rightTime).map(_.asInstanceOf[Attribute]).get)
-    GraftDataset.ofRows(spark, node)
+    val lk = key.map(attr(lPlan, _))
+    val rk = key.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    // the merge sweep compares left/right rows with ONE ordering per
+    // column, so mismatched types would silently compare garbage — fail
+    // at call time instead
+    lk.zip(rk).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key type mismatch: ${l.name} ${l.dataType.catalogString} vs ${r.name} ${r.dataType.catalogString}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: ${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
+
+    GraftDataset.ofRows(spark, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -42,6 +42,20 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") >= 2)
   }
 
+  test("native as-of: NULL times never match (SQL comparison semantics)") {
+    import spark.implicits._
+    val left = Seq((1, Some(10L)), (1, None), (2, Some(5L)))
+      .toDF("k", "lt").select(col("k"), col("lt").cast("long").as("lt"))
+    val right = Seq((1, Some(3L), "a"), (1, None, "null-time"), (2, Some(9L), "late"))
+      .toDF("k", "rt", "p").select(col("k"), col("rt").cast("long").as("rt"), col("p"))
+    val got = NativeAsOf.asof(left, right, Seq("k"), "lt", "rt")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1, Some(10L), Some("a")),   // matches rt=3, never the null-time row
+      (1, None, None),             // null left time matches nothing
+      (2, Some(5L), None)))        // rt=9 > 5: no match
+  }
+
   test("native as-of property: matches scala reference on generated data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
