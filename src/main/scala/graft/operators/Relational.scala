@@ -395,7 +395,52 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 
+  /** §7.4 running aggregates: cumulative revenue per customer over order
+    * time — the unbounded-preceding window frame class (distinct from
+    * rank windows). Total order within customer via (date, key).
+    */
+  val q42RunningTotals: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(money(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"),
+          count(lit(1)).over(w).as("running_orders"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  cast(sum(cast(o_totalprice AS decimal(12,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_spend,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_orders
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+
+  /** §7.4 pivot: order counts per customer-segmentless status columns.
+    * Spark's `pivot` with explicit values ⇔ portable conditional
+    * aggregation in the oracle (identical output schema).
+    */
+  val q43Pivot: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    },
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q42_running_totals" -> q42RunningTotals,
+    "q43_pivot" -> q43Pivot,
     "q40_cube" -> q40Cube,
     "q37_sketch_stats" -> q37SketchStats,
     "q33_topk_global" -> q33TopKGlobal,
