@@ -38,6 +38,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(row.sum - 1.0f) < 1e-3)
   }
 
+  test("media features compose with the similarity operators") {
+    // the promised contract: stub features are shaped like embeddings,
+    // so VectorOps-style cosine runs on them unchanged
+    val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs))
+      .select(col("media_id"), col("features"))
+    val q = feats.filter(col("media_id") < 3)
+      .select(col("media_id").as("q_id"), col("features").as("qv"))
+    val c = feats.select(col("media_id").as("c_id"), col("features").as("cv"))
+    val dot = expr("aggregate(zip_with(qv, cv, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+    val norm = (a: String) => expr(s"aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+    val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", dot / (sqrt(norm("qv")) * sqrt(norm("cv"))))
+    val top = scored.orderBy(col("q_id"), col("cosine").desc).groupBy("q_id")
+      .agg(max(col("cosine")).as("best"))
+      .collect()
+    assert(top.length == 3)
+    // histograms of same-vocabulary text are highly similar but not NaN/degenerate
+    assert(top.forall(r => r.getDouble(1) > 0.5 && r.getDouble(1) <= 1.0 + 1e-9))
+  }
+
   test("frame sampling explodes bounded fixed-size slices") {
     val media = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampledFrames(media, frameBytes = 64, maxFrames = 4).cache()
