@@ -438,7 +438,55 @@ object Relational {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
+  /** §7.4 correlated scalar subquery: orders above their customer's own
+    * average (decorrelated in the DSL as an aggregate-then-join; DuckDB
+    * runs the correlated form — same rows).
+    */
+  val q44AboveCustomerAvg: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgSpend = o.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(money(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("avg_spend"))
+      o.join(avgSpend, o("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("avg_spend"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    // exact-decimal average on both sides so the threshold compare is
+    // engine-identical
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT cast(sum(cast(i.o_totalprice AS decimal(12,2))) AS double) / count(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** Fuzzy-matching dedup: Levenshtein near-identical part names within a
+    * brand block (edit distance is integer-exact in both engines).
+    * Aggregated per brand to keep the candidate-pair output compact.
+    */
+  val q45FuzzyNames: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand").as("brand_b"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, col("p_brand") === col("brand_b") && col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist").between(1, 4))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_near_pairs"), min(col("dist")).as("min_dist"))
+        .orderBy(col("p_brand"))
+    },
+    """SELECT a.p_brand,
+      |       count(*) AS n_near_pairs,
+      |       cast(min(levenshtein(a.p_name, b.p_name)) AS integer) AS min_dist
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+      |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q44_above_customer_avg" -> q44AboveCustomerAvg,
+    "q45_fuzzy_names" -> q45FuzzyNames,
     "q42_running_totals" -> q42RunningTotals,
     "q43_pivot" -> q43Pivot,
     "q40_cube" -> q40Cube,
