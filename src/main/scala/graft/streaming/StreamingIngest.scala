@@ -78,7 +78,7 @@ object StreamingIngest {
     * join state (views older than watermark + interval are evicted), so
     * state stays proportional to the active window, not stream history.
     */
-  def purchaseViewJoin(events: DataFrame): DataFrame = {
+  def purchaseViewJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
@@ -90,7 +90,8 @@ object StreamingIngest {
     purchases.join(views,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("interval 1 hour"))
+        col("v_ts") >= col("p_ts") - expr("interval 1 hour"),
+      joinType)
       .select(col("user_id"), col("purchase_id"), col("p_ts"), col("view_id"), col("v_ts"))
   }
 

@@ -85,6 +85,58 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(expected > 0)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit after the watermark passes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssj-outer")
+    val ckpt = Files.createTempDirectory("graft-ssj-outer-ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+    // batch1: user 1 has view->purchase (matches); user 2 purchase has no view
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "purchase", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 2L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("b1").toString)
+
+    val stream = spark.readStream.schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .option("recursiveFileLookup", "true").parquet(dir.toString)
+    val outDir = Files.createTempDirectory("graft-ssj-outer-out")
+    def drain(): Unit = {
+      // file sink (not memory): it supports resuming from the checkpoint
+      val q = StreamingIngest.purchaseViewJoin(stream, "left_outer")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+
+    // batch2/3: later events on BOTH streams (the global watermark is the
+    // minimum across inputs, so both sides must advance) push it past
+    // batch1's join window
+    Seq(
+      (9L, ts("2024-01-02 10:00:00"), 99L, "view", 0.0, "{}"),
+      (10L, ts("2024-01-02 10:30:00"), 99L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("b2").toString)
+    drain()
+    Seq(
+      (11L, ts("2024-01-03 10:00:00"), 99L, "view", 0.0, "{}"),
+      (12L, ts("2024-01-03 10:30:00"), 99L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("b3").toString)
+    drain()
+
+    val out = spark.read.parquet(outDir.toString).cache()
+    // matched pair present
+    assert(out.filter(col("purchase_id") === 2L && col("view_id") === 1L).count() == 1)
+    // unmatched purchase emitted with NULL view columns after watermark passed
+    assert(out.filter(col("purchase_id") === 3L && col("view_id").isNull).count() == 1)
+  }
+
   test("stream-static enrichment: broadcast dim join on a stream") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
