@@ -24,11 +24,13 @@ import graft.tables.Tables
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two double-cast float arrays. */
-  private def dot(a: String, b: String): Column =
+  /** Sequential-fold dot product of two double-cast float arrays.
+    * (private[ext]: Multimodal feature columns reuse the same cosine.)
+    */
+  private[ext] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
 
-  private def norm2(a: String): Column =
+  private[ext] def norm2(a: String): Column =
     expr(s"aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v)")
 
   private def duckDot(a: String, b: String): String =

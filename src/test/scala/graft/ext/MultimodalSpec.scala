@@ -46,11 +46,11 @@ class MultimodalSpec extends AnyFunSuite {
     val q = feats.filter(col("media_id") < 3)
       .select(col("media_id").as("q_id"), col("features").as("qv"))
     val c = feats.select(col("media_id").as("c_id"), col("features").as("cv"))
-    val dot = expr("aggregate(zip_with(qv, cv, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
-    val norm = (a: String) => expr(s"aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+    // the REAL VectorOps expressions, not a copy — this is the contract
     val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", dot / (sqrt(norm("qv")) * sqrt(norm("cv"))))
-    val top = scored.orderBy(col("q_id"), col("cosine").desc).groupBy("q_id")
+      .withColumn("cosine",
+        VectorOps.dot("qv", "cv") / (sqrt(VectorOps.norm2("qv")) * sqrt(VectorOps.norm2("cv"))))
+    val top = scored.groupBy("q_id")
       .agg(max(col("cosine")).as("best"))
       .collect()
     assert(top.length == 3)
