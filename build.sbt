@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the one JSON line Bench prints from raw stdout. sbt's
+// default LoggedOutput prefixes forked-process stdout with "[info] " and
+// appends a "[success] Total time" line, both of which break that parse —
+// pass the child's stdout/stderr through untouched and drop the banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
