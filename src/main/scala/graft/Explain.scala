@@ -20,13 +20,22 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "all") {
-      // one-line physical-plan audit per query: join strategies, shuffle
-      // count, scan pushdown — the red-flag sweep.
+      // One-line physical-plan audit per query: join strategies, shuffle
+      // count, scan pushdown — the red-flag sweep. Counted as plan-tree
+      // NODES, not plan-string substrings (a substring count would fold
+      // every BroadcastExchange into the shuffle count). AQE is disabled
+      // here so executedPlan is the real tree rather than an opaque
+      // AdaptiveSparkPlanExec leaf — the audit is about static shape.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          def c(s: String) = plan.sliding(s.length).count(_ == s)
-          println(f"[audit] $n%-28s exchanges=${c("Exchange")}%2d bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} cartesian=${c("CartesianProduct")} bnl=${c("BroadcastNestedLoopJoin")} pushed=${if (plan.contains("PushedFilters: [")) "y" else "-"}")
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          def c(f: PartialFunction[SparkPlan, Unit]) = plan.collect(f).size
+          val pushed = plan.toString.contains("PushedFilters: [")
+          println(f"[audit] $n%-28s exchanges=${c { case _: ShuffleExchangeExec => }}%2d bhj=${c { case _: BroadcastHashJoinExec => }} smj=${c { case _: SortMergeJoinExec => }} cartesian=${c { case _: CartesianProductExec => }} bnl=${c { case _: BroadcastNestedLoopJoinExec => }} pushed=${if (pushed) "y" else "-"}")
         } catch { case e: Throwable => println(s"[audit] $n FAILED: ${e.getMessage.take(80)}") }
       }
       spark.stop(); return

@@ -105,15 +105,21 @@ object Multimodal {
     * one row per frame — the video→frames batch shape. Pure expression
     * (binary `substring` slices), no UDF.
     */
-  def sampledFrames(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
+  def sampledFrames(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    // NULL or empty payloads yield ZERO frames (least/greatest skip NULL
+    // operands, so an unguarded range would explode a NULL n_bytes into
+    // maxFrames empty frames, and n_bytes=0 into one).
+    val nFrames = when(col("meta.n_bytes").isNull || col("meta.n_bytes") <= 0, lit(0))
+      .otherwise(least(
+        ceil(col("meta.n_bytes") / lit(frameBytes)).cast(IntegerType),
+        lit(maxFrames)))
     media
       .withColumn("frame_idx",
-        explode(sequence(lit(0),
-          greatest(lit(0),
-            least(ceil(col("meta.n_bytes") / lit(frameBytes)).cast(IntegerType) - 1,
-              lit(maxFrames - 1))))))
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))))
       // binary slice payload[idx*frameBytes : +frameBytes] (1-based)
       .withColumn("frame",
         expr(s"substring(payload, cast(frame_idx AS int) * $frameBytes + 1, $frameBytes)"))
       .select(col("media_id"), col("kind"), col("frame_idx"), col("frame"))
+  }
 }

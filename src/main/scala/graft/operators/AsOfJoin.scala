@@ -22,6 +22,16 @@ object AsOfJoin {
   /** Columns of `right` other than key/time are carried onto matching
     * left rows (null when no right row precedes the left row — LEFT
     * as-of semantics).
+    *
+    * All right columns travel as ONE struct carried by a single
+    * `last(_, ignoreNulls)`: the whole matched row survives or none of it
+    * does. (Carrying columns independently would substitute a value from
+    * an OLDER right row wherever the true match holds NULL — mixing
+    * columns from different right rows.)
+    *
+    * SQL comparison semantics, matching DuckDB ASOF: a NULL join key
+    * never matches (left rows with NULL keys are null-extended), and a
+    * right row with NULL time can never satisfy `rightTime <= leftTime`.
     */
   def asof(
       left: DataFrame,
@@ -30,33 +40,40 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String): DataFrame = {
     val carried = right.columns.filterNot(c => key.contains(c) || c == rightTime)
-    val rTagged = right.select(
+    // Right rows with a NULL key or NULL time can never be matched under
+    // SQL comparison semantics — drop them before the union. Left rows
+    // with NULL keys land in the window's null partition, which then
+    // holds no right rows, so they null-extend naturally.
+    val rMatchable = (key :+ rightTime).map(col(_).isNotNull).reduce(_ && _)
+    val rStruct = struct(col(rightTime).as("_time") +: carried.map(col): _*)
+    val rTagged = right.filter(rMatchable).select(
       key.map(col) ++
-        Seq(col(rightTime).as("_t"), lit(0).as("_side"), col(rightTime).as("_r_time")) ++
-        carried.map(c => col(c).as(s"_r_$c")): _*)
+        Seq(col(rightTime).as("_t"), lit(0).as("_side"), rStruct.as("_r")): _*)
+    val lRest = left.columns.filterNot(c => key.contains(c) || c == leftTime)
     val lTagged = left.select(
       key.map(col) ++
-        Seq(col(leftTime).as("_t"), lit(1).as("_side"), lit(null).cast(rTagged.schema("_r_time").dataType).as("_r_time")) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
-        left.columns.filterNot(c => key.contains(c) || c == leftTime).map(col): _*)
+        Seq(col(leftTime).as("_t"), lit(1).as("_side"),
+          lit(null).cast(rTagged.schema("_r").dataType).as("_r")) ++
+        lRest.map(col): _*)
 
     // Total order: ties on (_t, _side) — multiple right rows with the
-    // same (key, time) — are broken by the carried right columns, so the
-    // surviving match is deterministic across runs and partitionings.
+    // same (key, time) — are broken by the carried struct's lexicographic
+    // order, so the surviving match is deterministic across runs and
+    // partitionings. Left rows sort after right rows at equal timestamps
+    // (`<=` semantics); a left row with NULL time sorts before every
+    // right row (NULLS FIRST) and therefore null-extends.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("_t") +: col("_side") +: carried.sorted.map(c => col(s"_r_$c")): _*)
+      .orderBy(col("_t"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val unioned = rTagged
+    val matched = rTagged
       .unionByName(lTagged, allowMissingColumns = true)
-      .select(
-        (key.map(col) ++ Seq(col("_t"), col("_side")) ++
-          left.columns.filterNot(c => key.contains(c) || c == leftTime).map(col) ++
-          Seq(last(col("_r_time"), ignoreNulls = true).over(w).as(s"asof_$rightTime")) ++
-          carried.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
 
-    unioned.filter(col("_side") === 1)
-      .withColumnRenamed("_t", leftTime)
-      .drop("_side")
+    matched.filter(col("_side") === 1)
+      .select(
+        key.map(col) ++ Seq(col("_t").as(leftTime)) ++ lRest.map(col) ++
+          Seq(col("_m._time").as(s"asof_$rightTime")) ++
+          carried.map(c => col(s"_m.$c").as(s"asof_$c")): _*)
   }
 }

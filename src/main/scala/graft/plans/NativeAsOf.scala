@@ -106,7 +106,11 @@ object NativeAsOf {
               org.apache.spark.sql.catalyst.expressions.Ascending)
           })
         val timeOrd = PhysicalDataType.ordering(lt.dataType).asInstanceOf[Ordering[Any]]
-        val resultProj = UnsafeProjection.create(out, lOut ++ rOut)
+        // Bind against nullability-RELAXED right attributes: unmatched left
+        // rows join an all-null right row, and binding against a
+        // non-nullable input attr (e.g. an in-memory relation) would skip
+        // the null check and read garbage (0) out of the null slot.
+        val resultProj = UnsafeProjection.create(out, lOut ++ rOut.map(_.withNullability(true)))
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rOut.size)
 
@@ -185,10 +189,20 @@ object NativeAsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
+    // SQL comparison semantics (matching DuckDB ASOF): a NULL key never
+    // matches. The sweep's InterpretedOrdering would compare NULL==NULL
+    // as equal, so drop unmatchable null-key right rows up front; left
+    // null-key rows then find no right rows in their group and
+    // null-extend. (NULL times are already handled inside the sweep.)
+    import org.apache.spark.sql.functions.col
+    val rightFiltered =
+      if (key.isEmpty) right
+      else right.filter(key.map(col(_).isNotNull).reduce(_ && _))
+
     val lPlan = left.queryExecution.analyzed
     // re-alias the right side so a self-join (same source both sides)
     // cannot carry conflicting expression ids into the binary node
-    val rPlan0 = right.queryExecution.analyzed
+    val rPlan0 = rightFiltered.queryExecution.analyzed
     val rPlan = Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
 
     def attr(plan: LogicalPlan, name: String): Attribute =

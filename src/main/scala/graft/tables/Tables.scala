@@ -24,15 +24,25 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * convert to a micro-precision timestamp (the corpus carries no
-    * sub-microsecond values, so this is lossless and matches what the
-    * DuckDB oracle sees).
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema
+    * inference rejects outright. Declaring the column as `LongType`
+    * up-front makes the reader hand back the raw nanos with NO session
+    * conf involved (the legacy `nanosAsLong` conf would have to stay set
+    * for the lifetime of the plan and would silently retype every later
+    * nano-timestamp read in the session). Convert to a micro-precision
+    * timestamp: the corpus carries no sub-microsecond values, so this is
+    * lossless and matches what the DuckDB oracle sees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
+    import org.apache.spark.sql.types._
+    val raw = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) surfaced as raw nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.read.schema(raw).parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

@@ -58,6 +58,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(top.forall(r => r.getDouble(1) > 0.5 && r.getDouble(1) <= 1.0 + 1e-9))
   }
 
+  test("frame sampling yields zero frames for NULL or empty payloads") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Option("abcd"), Option(4L)),    // 2 frames of 2 bytes
+      (2L, Option(""), Option(0L)),        // empty payload -> 0 frames
+      (3L, Option.empty[String], Option.empty[Long])) // null payload/meta -> 0 frames
+      .toDF("media_id", "text", "n_bytes")
+      .select(
+        col("media_id"), lit("image").as("kind"),
+        col("text").cast(BinaryType).as("payload"),
+        struct(
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(StringType).as("format"),
+          col("n_bytes")).as("meta"))
+    val frames = Multimodal.sampledFrames(media, frameBytes = 2, maxFrames = 4)
+      .select("media_id", "frame_idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((1L, 0), (1L, 1)))
+  }
+
   test("frame sampling explodes bounded fixed-size slices") {
     val media = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampledFrames(media, frameBytes = 64, maxFrames = 4).cache()

@@ -38,6 +38,61 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.filter(col("asof_view_event_id").isNotNull).count() > 0)
   }
 
+  test("asof carries the whole matched right row atomically (NULLs in carried columns)") {
+    import spark.implicits._
+    // key 1 has an older right row with non-null `a` and a newer one with
+    // NULL `a`: per-column carry-forward would resurrect the older `a`
+    // next to the newer `b` — the match must be all-or-nothing.
+    val left = Seq((1, 25L), (1, 5L), (2, 35L)).toDF("k", "lt")
+    val right = Seq(
+      (1, 10L, Option("old"), Option("oldB")),
+      (1, 20L, Option.empty[String], Option("newB")),
+      (2, 30L, Option("x"), Option.empty[String])).toDF("k", "rt", "a", "b")
+    val expect = Set(
+      (1, 25L, Some(20L), None, Some("newB")), // NOT (…, Some("old"), Some("newB"))
+      (1, 5L, None, None, None),
+      (2, 35L, Some(30L), Some("x"), None))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Option[Long], Option[String], Option[String])] =
+      df.collect().map { r =>
+        (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          Option(r.getString(3)), Option(r.getString(4)))
+      }.toSet
+
+    val windowed = AsOfJoin.asof(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "asof_rt", "asof_a", "asof_b")
+    val native = graft.plans.NativeAsOf.asof(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "rt", "a", "b")
+    assert(rows(windowed) == expect)
+    assert(rows(native) == expect)
+  }
+
+  test("NULL join keys and NULL right times never match (SQL semantics, both impls)") {
+    import spark.implicits._
+    val left = Seq((Option(1), 10L), (Option.empty[Int], 10L)).toDF("k", "lt")
+    val right = Seq(
+      (Option(1), Option(5L), "ok"),
+      (Option.empty[Int], Option(5L), "null-key"),   // must never match anything
+      (Option(1), Option.empty[Long], "null-time")). // must never match anything
+      toDF("k", "rt", "p")
+    val expect = Set(
+      (Some(1), 10L, Some("ok")),
+      (None, 10L, None)) // null-extended, NOT matched to the null-key row
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Option[Int], Long, Option[String])] =
+      df.collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getLong(1), Option(r.getString(2)))
+      }.toSet
+
+    val windowed = AsOfJoin.asof(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "asof_p")
+    val native = graft.plans.NativeAsOf.asof(left, right, Seq("k"), "lt", "rt")
+      .select("k", "lt", "p")
+    assert(rows(windowed) == expect)
+    assert(rows(native) == expect)
+  }
+
   test("asof join property: matches scala-reference semantics on generated data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
