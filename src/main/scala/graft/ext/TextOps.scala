@@ -186,33 +186,108 @@ object TextOps {
     (s, dir) => minhashSig(Tables.documents(s, dir)).orderBy(col("doc_id")),
     shSql + minhashSigSql + "\nSELECT * FROM sig ORDER BY doc_id")
 
-  /** MinHash LSH candidate pairs: 4 bands × 2 rows; docs sharing any band
-    * bucket become candidates. The join is per-(band, bucket) — bucket-
-    * local, never all-pairs.
+  /** MinHash LSH candidate pairs (doc_a < doc_b, distinct, unordered):
+    * 4 bands × 2 rows; docs sharing any band bucket become candidates.
+    * The join is per-(band, bucket) — bucket-local, never all-pairs.
+    * Shared by q18 (the pair listing) and q46/q47 (dedup clustering) so
+    * the candidate scheme cannot drift between them.
     */
+  private[graft] def lshPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+    // one posexplode pass — NOT a 4-way union, which would recompute
+    // the whole signature aggregation once per band
+    val bands = sig.select(col("doc_id"), posexplode(array(
+        (0 until NumHashes / 2).map(b =>
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("bucket"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bucket"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("band_id") === col("band_id_b") && col("bucket") === col("bucket_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Oracle twin of [[lshPairs]] as a `pairs` CTE (appends to
+    * [[shSql]]+[[minhashSigSql]]).
+    */
+  private val lshPairsSql: String =
+    s""", bands AS (${(0 until NumHashes / 2).map(b =>
+          s"SELECT doc_id, $b AS band_id, mh${2 * b} || mh${2 * b + 1} AS bucket FROM sig").mkString("\n UNION ALL ")}),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
   val q18LshPairs: QuerySpec = QuerySpec(
+    (s, dir) => lshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b")),
+    shSql + minhashSigSql + "\n" + lshPairsSql +
+      "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b")
+
+  /** Per-document cluster labels (doc_id, cluster_id) from LSH candidate
+    * pairs via [[graft.operators.ConnectedComponents]] min-label
+    * propagation; cluster_id = min doc_id of the near-dup component.
+    * Singleton documents are their own cluster.
+    */
+  private[graft] def dedupClusters(docs: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents.components(
+        docs.select(col("doc_id").as("id")),
+        lshPairs(docs).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
+  /** Oracle twin of [[dedupClusters]]: transitive closure of the pair
+    * graph as a recursive CTE (DuckDB dedups each step, so cycles
+    * terminate); cluster_id = min reachable doc_id. Appends to the
+    * recursive-enabled shSql+sig+pairs chain as a `clusters` CTE.
+    */
+  private val dedupClustersSql: String =
+    """, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |            UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT u, v FROM edges
+      |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |clusters AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      |             FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+      |             GROUP BY d.doc_id)""".stripMargin
+
+  private def recursive(sql: String): String =
+    "WITH RECURSIVE " + sql.stripPrefix("WITH ")
+
+  /** Near-dup clustering: LSH pairs → connected components → one cluster
+    * label per document (the end-to-end dedup *grouping*, not just the
+    * pair listing).
+    */
+  val q46DedupClusters: QuerySpec = QuerySpec(
+    (s, dir) => dedupClusters(Tables.documents(s, dir)).orderBy(col("doc_id")),
+    recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
+      "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
+
+  /** Survivor selection: keep ONE document per near-dup cluster — the
+    * longest (n_chars, tie-break min doc_id) — and report how many
+    * members it displaced. The "keep one per group" step that follows
+    * clustering in a dedup pipeline.
+    */
+  val q47DedupSurvivors: QuerySpec = QuerySpec(
     (s, dir) => {
-      val sig = minhashSig(Tables.documents(s, dir))
-      // one posexplode pass — NOT a 4-way union, which would recompute
-      // the whole signature aggregation once per band
-      val bands = sig.select(col("doc_id"), posexplode(array(
-          (0 until NumHashes / 2).map(b =>
-            concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
-        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("bucket"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bucket"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bucket").as("bucket_b"))
-      a.join(b, col("band_id") === col("band_id_b") && col("bucket") === col("bucket_b")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      val docs = Tables.documents(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      dedupClusters(docs)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_doc_id"),
+          col("n_chars").as("survivor_chars"), col("n_members"))
+        .orderBy(col("cluster_id"))
     },
-    shSql + minhashSigSql + "\n" +
-      s""", bands AS (${(0 until NumHashes / 2).map(b =>
-            s"SELECT doc_id, $b AS band_id, mh${2 * b} || mh${2 * b + 1} AS bucket FROM sig").mkString("\n UNION ALL ")})
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin)
+    recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
+      """
+        |SELECT cluster_id, doc_id AS survivor_doc_id, n_chars AS survivor_chars, n_members
+        |FROM (SELECT c.cluster_id, c.doc_id, d.n_chars,
+        |             row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+        |             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
 
   /** SimHash (32-bit): per-bit majority vote over token md5 nibbles.
     * Bit j comes from hex digit j of md5(token) (MSB of the nibble), so
@@ -404,6 +479,8 @@ object TextOps {
       |SELECT doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin)
 
   val all: Map[String, QuerySpec] = Map(
+    "q46_dedup_clusters" -> q46DedupClusters,
+    "q47_dedup_survivors" -> q47DedupSurvivors,
     "q39_winnowing" -> q39Winnowing,
     "q36_simhash_pairs" -> q36SimHashPairs,
     "q34_tfidf" -> q34Tfidf,

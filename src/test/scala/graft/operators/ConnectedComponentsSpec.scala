@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("labels chains, cliques and singletons with the component minimum") {
+    // component {1,2,3,4} as a chain (needs >1 propagation round),
+    // component {10,11}, singleton {20}
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+
+    val got = ConnectedComponents.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("null edge endpoints are dropped, not propagated") {
+    val vertices = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(2L)))
+      .toDF("a", "b")
+
+    val got = ConnectedComponents.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("long path converges within maxIter via min-label propagation") {
+    // path 0-1-2-...-19: worst case for label propagation (19 hops)
+    val n = 20
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+
+    val got = ConnectedComponents.components(vertices, edges)
+      .agg(countDistinct(col("label")), min(col("label")))
+      .as[(Long, Long)].head()
+
+    assert(got == ((1L, 0L)))
+  }
+}
