@@ -130,8 +130,83 @@ object VectorOps {
     },
     oracle = None)
 
+  private val IvfK = 16     // inverted lists (centroids)
+  private val IvfProbes = 2 // lists probed per query
+
+  /** IVF (inverted-file) ANN: partition the corpus into K inverted lists
+    * by nearest centroid, then answer a query by exact-rescoring only the
+    * `IvfProbes` lists whose centroids are closest to the query — the
+    * classic coarse-quantizer trade (recall vs lists scanned).
+    *
+    * Centroids here are a deterministic seed set (the first K corpus
+    * vectors) rather than trained k-means — centroid *training* is an
+    * offline job whose output would be swapped in unchanged; a fixed seed
+    * set keeps the whole operator bit-exact and lets the DuckDB oracle
+    * verify assignment + probing + rescoring end-to-end (unlike the
+    * hyperplane-LSH path q22, which is rows-only).
+    *
+    * Scale design: assignment is ONE broadcast pass over the corpus (K
+    * centroid vectors broadcast; no shuffle of the big side); at rest the
+    * corpus is written partitioned by `list_id`, so a probe reads
+    * IvfProbes/K of the data via partition pruning. The probe set is
+    * (n_queries × IvfProbes) rows — broadcast to the corpus side, so
+    * search is also shuffle-free on the corpus.
+    */
+  val q48AnnIvf: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          dot("embedding", "centv") / (sqrt(norm2("embedding")) * sqrt(norm2("centv"))))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("cent_id").as("list_id"), col("embedding"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          dot("qv", "centv") / (sqrt(norm2("qv")) * sqrt(norm2("centv"))))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbes)
+        .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
+        .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
+        .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("c_id"), col("list_id"), col("cosine"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < $IvfK),
+       |ac AS (SELECT e.vec_id, c.cent_id, e.embedding,
+       |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
+       |       FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cent_id AS list_id, embedding
+       |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS arn FROM ac)
+       |             WHERE arn = 1),
+       |probes AS (SELECT q_id, qv, cent_id AS probe_list
+       |           FROM (SELECT vec_id AS q_id, embedding AS qv, cent_id, cent_cos,
+       |                   row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS prn
+       |                 FROM ac WHERE vec_id < 5)
+       |           WHERE prn <= $IvfProbes),
+       |scored AS (SELECT p.q_id, a.vec_id AS c_id, a.list_id,
+       |             ${duckDot("p.qv", "a.embedding")} / (sqrt(${duckNorm2("p.qv")}) * sqrt(${duckNorm2("a.embedding")})) AS cosine
+       |           FROM assigned a JOIN probes p ON a.list_id = p.probe_list AND p.q_id <> a.vec_id)
+       |SELECT q_id, c_id, list_id, cosine, rank
+       |FROM (SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS integer) AS rank FROM scored)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
-    "q25_embedding_neardup" -> q25EmbeddingNearDup)
+    "q25_embedding_neardup" -> q25EmbeddingNearDup,
+    "q48_ann_ivf" -> q48AnnIvf)
 }
