@@ -29,7 +29,9 @@ object Bench {
     "q34_tfidf",
     "q36_simhash_pairs",
     "q38_asof_attribution",
-    "q41_asof_native")
+    "q41_asof_native",
+    "q46_dedup_clusters",
+    "q48_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

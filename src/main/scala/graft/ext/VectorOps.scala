@@ -157,14 +157,18 @@ object VectorOps {
       val e = Tables.embeddings(s, dir)
       val cents = e.filter(col("vec_id") < IvfK)
         .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+      // argmax(cent_cos, tie-break min cent_id) as max(struct(cos, -id))
+      // rather than a row_number window: the aggregate is map-side
+      // combined, so the shuffle moves ONE row per vector instead of K
+      // window-input copies — the corpus is never amplified K× in flight.
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cent_cos",
           dot("embedding", "centv") / (sqrt(norm2("embedding")) * sqrt(norm2("centv"))))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("cent_id").as("list_id"), col("embedding"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"),
+          col("embedding"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg_cent")).as("list_id"),
+          col("m.embedding").as("embedding"))
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
       val probes = e.filter(col("vec_id") < 5)
