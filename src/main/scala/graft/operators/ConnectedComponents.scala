@@ -62,4 +62,74 @@ object ConnectedComponents {
     }
     labels
   }
+
+  /** Same contract as [[components]], but via alternating large-star /
+    * small-star edge rewriting (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which converges in O(log² n) rounds even on
+    * path/tree graphs where plain label propagation needs O(diameter)
+    * rounds — the scale path for adversarially deep graphs.
+    *
+    *  - large-star: every neighbor v > u's current minimum m(u) re-links
+    *    to m(u); small-star: every neighbor v ≤ u re-links to m(u).
+    *    Both are one groupBy over the edge list (min + collect of the
+    *    star) — same shuffle shape per round as [[components]], but the
+    *    *edge set itself* contracts toward star graphs, so rounds are
+    *    polylog instead of linear in depth.
+    *  - Iteration state is only the rewritten edge list; converged when
+    *    the edge set no longer changes (every edge then points directly
+    *    at its component minimum).
+    */
+  def componentsAlternating(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Parent-pointer form: every edge oriented larger → smaller.
+    val e0 = edges.filter(col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star(u): m = min(N(u) ∪ {u}); re-link every neighbor v > u to
+    // m. Join-based (per-center min, then join back) — a hot center never
+    // materializes its star as one array row, so degree skew costs only
+    // a skewed-join (AQE-splittable), not a single giant record.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, sym("u") === mins("c"))
+        .filter(col("v") > col("u")) // v > u ≥ m ⇒ (v, m) already oriented
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star(u) over larger→smaller edges: m = min(N(u)) (all
+    // neighbors are < u); re-link every smaller neighbor AND u itself
+    // to m — dropping the (u, m) link would disconnect the center.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val relinked = e.join(mins, Seq("u"))
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v")) // v > mn by minimality
+      relinked.union(mins.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+
+    var e = e0
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      round += 1
+    }
+    // Converged edge set is a collection of stars centered at component
+    // minima: label(u) = its (unique) parent pointer; centers and
+    // singletons label themselves.
+    vertices.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left_outer")
+      .groupBy(col("id")).agg(coalesce(min(col("lbl")), first(col("id"))).as("label"))
+  }
 }

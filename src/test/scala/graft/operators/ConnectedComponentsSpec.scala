@@ -34,6 +34,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("alternating large/small-star matches label propagation on a random graph") {
+    // deterministic pseudo-random graph: 60 vertices, edges from an LCG
+    val n = 60
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val lcg = Iterator.iterate(12345L)(x => (x * 1103515245L + 12345L) & 0x7fffffffL)
+    val edges = lcg.take(80).grouped(2).collect { case Seq(x, y) => (x % n, y % n) }
+      .filter { case (a, b) => a != b }.toSeq.toDF("a", "b")
+
+    val viaLabels = ConnectedComponents.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val viaStars = ConnectedComponents.componentsAlternating(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+
+    assert(viaStars == viaLabels)
+  }
+
+  test("alternating variant handles a deep path, singletons and null endpoints") {
+    val vertices = (0L to 25L).toDF("id")
+    // path 0..19 (depth 19), pair {21,22}, singletons 20/23/24/25, null edge
+    val edges = ((0 until 19).map(i => (Some(i.toLong), Some(i.toLong + 1)))
+      ++ Seq((Some(21L), Some(22L)), (Some(23L), None))).toDF("a", "b")
+
+    val got = ConnectedComponents.componentsAlternating(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+
+    val expected = ((0 to 19).map(_.toLong -> 0L)
+      ++ Seq(20L -> 20L, 21L -> 21L, 22L -> 21L, 23L -> 23L, 24L -> 24L, 25L -> 25L)).toMap
+    assert(got == expected)
+  }
+
   test("long path converges within maxIter via min-label propagation") {
     // path 0-1-2-...-19: worst case for label propagation (19 hops)
     val n = 20
