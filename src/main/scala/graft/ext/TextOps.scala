@@ -478,7 +478,55 @@ object TextOps {
       |  FROM h)
       |SELECT doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin)
 
+  private val CmsDepth = 4    // independent hash rows
+  private val CmsHexChars = 3 // 16^3 = 4096 buckets per row
+
+  /** Count-Min sketch heavy hitters: a d×w integer sketch (d=4 seeded md5
+    * hashes, w=4096 buckets) over the token stream, then every token's
+    * estimate = min over rows of its bucket count — the classic
+    * overcount-only guarantee (est ≥ true, error ≤ N/w per row). Reported
+    * tokens: estimate ≥ 100, alongside the true count so the
+    * overestimate is visible.
+    *
+    * Scale design: the sketch is built from the pre-aggregated term
+    * frequencies (same result as hashing every occurrence, one exchange
+    * less), is fixed-size (d·w cells) regardless of corpus size, and the
+    * estimate join is per-(row, bucket) — broadcast-able at any scale.
+    * Integer-only arithmetic + md5 bucketing ⇒ bit-exact in any engine;
+    * the DuckDB oracle rebuilds the identical sketch.
+    */
+  val q49CountMinHh: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      val hb = freq.select(col("tok"), col("true_count"),
+          explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+        .withColumn("bucket",
+          expr(s"cast(conv(substring(md5(concat(cast(j AS string), '|', tok)), 1, $CmsHexChars), 16, 10) AS int)"))
+      val sketch = hb.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("true_count")).as("cnt"))
+      hb.join(sketch, Seq("j", "bucket"))
+        .groupBy(col("tok"))
+        .agg(min(col("cnt")).as("est"), min(col("true_count")).as("true_count"))
+        .filter(col("est") >= 100)
+        .orderBy(col("tok"))
+    },
+    s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |freq AS (SELECT tok, count(*) AS true_count FROM tok GROUP BY tok),
+       |hb AS (SELECT tok, true_count, j,
+       |         ${(0 until CmsHexChars).map(i =>
+                 s"(strpos('0123456789abcdef', substr(md5(j::varchar || '|' || tok), ${i + 1}, 1)) - 1) * ${math.pow(16, CmsHexChars - 1 - i).toLong}")
+                 .mkString(" + ")} AS bucket
+       |       FROM freq, range(0, $CmsDepth) t(j)),
+       |sketch AS (SELECT j, bucket, cast(sum(true_count) AS bigint) AS cnt FROM hb GROUP BY j, bucket),
+       |est AS (SELECT hb.tok, min(s.cnt) AS est, min(hb.true_count) AS true_count
+       |        FROM hb JOIN sketch s ON hb.j = s.j AND hb.bucket = s.bucket
+       |        GROUP BY hb.tok)
+       |SELECT tok, est, true_count FROM est WHERE est >= 100 ORDER BY tok""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q49_countmin_hh" -> q49CountMinHh,
     "q46_dedup_clusters" -> q46DedupClusters,
     "q47_dedup_survivors" -> q47DedupSurvivors,
     "q39_winnowing" -> q39Winnowing,
