@@ -165,7 +165,84 @@ object EventOps {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** Ordered funnel view → click → purchase: each step counts users whose
+    * first step-event strictly follows their previous step's first event.
+    * One row: step reach counts + conversion ratios.
+    *
+    * Scale: three per-user min-aggregations chained by equi-joins on
+    * user_id — every stage shuffles (or reuses) the same user_id hash
+    * partitioning, and each stage's output is ≤ one row per user, so the
+    * chain never amplifies. Ratios divide exact bigints ⇒ bit-exact.
+    */
+  val q50Funnel: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+        .withColumn("view_to_click",
+          col("n_click").cast("double") / col("n_view").cast("double"))
+        .withColumn("click_to_purchase",
+          col("n_purchase").cast("double") / col("n_click").cast("double"))
+    },
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id),
+      |f AS (SELECT v.user_id, t_view, t_click, t_purchase
+      |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |             LEFT JOIN p ON v.user_id = p.user_id)
+      |SELECT cast(count(t_view) AS bigint) AS n_view,
+      |       cast(count(t_click) AS bigint) AS n_click,
+      |       cast(count(t_purchase) AS bigint) AS n_purchase,
+      |       cast(count(t_click) AS double) / cast(count(t_view) AS double) AS view_to_click,
+      |       cast(count(t_purchase) AS double) / cast(count(t_click) AS double) AS click_to_purchase
+      |FROM f""".stripMargin)
+
+  /** Retention cohorts: users grouped by first-activity date; n_active =
+    * distinct users from the cohort active again day_offset days later
+    * (offsets 0–7). Integer date arithmetic — engine-exact.
+    */
+  val q51Retention: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_date"))
+      val act = ev.select(col("user_id"), to_date(col("ts")).as("act_date")).distinct()
+      act.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("act_date"), col("cohort_date")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_date").cast("timestamp").as("cohort_date"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_date"), col("day_offset"))
+    },
+    """WITH f AS (SELECT user_id, min(cast(ts AS date)) AS cohort_date
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, cast(ts AS date) AS act_date FROM events)
+      |SELECT cast(cohort_date AS timestamp) AS cohort_date,
+      |       cast(date_diff('day', cohort_date, act_date) AS integer) AS day_offset,
+      |       count(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |WHERE date_diff('day', cohort_date, act_date) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q50_funnel" -> q50Funnel,
+    "q51_retention" -> q51Retention,
     "q41_asof_native" -> q41AsofNative,
     "q38_asof_attribution" -> q38AsofAttribution,
     "q35_props_struct" -> q35PropsStruct,
