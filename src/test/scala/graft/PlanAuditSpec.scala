@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+/** Plan-shape regression suite: locks the physical-plan properties the
+  * engine is designed around (broadcast joins for dim sides, parquet
+  * filter pushdown, bounded shuffle counts) so an innocent-looking
+  * refactor that silently degrades the 100 TB plan — a join falling back
+  * to sort-merge, a filter no longer reaching the scan, an extra
+  * exchange — fails CI, not the next benchmark.
+  *
+  * AQE is disabled per-plan here so `executedPlan` is the static tree
+  * (the audit is about shape, not runtime re-planning).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def count(p: SparkPlan)(f: PartialFunction[SparkPlan, Unit]): Int =
+    p.collect(f).size
+
+  test("no query plans a cartesian product") {
+    // Iterative operators (q46/q47) and funnel chains included: an
+    // unconstrained cross anywhere is always a bug at scale.
+    SparkEntry.queries.keys.foreach { n =>
+      assert(count(plan(n)) { case _: CartesianProductExec => } == 0, s"cartesian in $n")
+    }
+  }
+
+  test("dim-sided joins broadcast instead of sort-merge at dim-fits scales") {
+    for (n <- Seq("q01_revenue_per_product", "q02_orders_monthly", "q04_stock_status",
+        "q07_best_sellers", "q08_exists_semi_join", "q18_lsh_pairs", "q47_dedup_survivors")) {
+      val p = plan(n)
+      assert(count(p) { case _: BroadcastHashJoinExec => } >= 1, s"no broadcast join in $n")
+      assert(count(p) { case _: SortMergeJoinExec => } == 0, s"sort-merge fallback in $n")
+    }
+  }
+
+  test("selective filters reach the parquet scan") {
+    for (n <- Seq("q05_low_stock", "q06_point_lookup", "q21_cosine_topk"))
+      assert(plan(n).toString.contains("PushedFilters: ["), s"no pushdown in $n")
+  }
+
+  test("shuffle budgets hold for headline plans") {
+    // Upper bounds from the audited round-2 plans (graft.Explain all);
+    // an increase means a new exchange crept into the hot path.
+    val budget = Map(
+      "q00_pricing_summary" -> 2, "q01_revenue_per_product" -> 3,
+      "q02_orders_monthly" -> 2, "q11_upsert_lww" -> 2,
+      "q17_minhash_sig" -> 2, "q23_tumbling_windows" -> 2,
+      "q30_sessionize" -> 2, "q34_tfidf" -> 5,
+      "q41_asof_native" -> 3, "q48_ann_ivf" -> 4, "q50_funnel" -> 4)
+    budget.foreach { case (n, maxEx) =>
+      val got = count(plan(n)) { case _: ShuffleExchangeExec => }
+      assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
+    }
+  }
+}
