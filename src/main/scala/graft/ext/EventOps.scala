@@ -190,10 +190,12 @@ object EventOps {
         .agg(count(col("t_view")).as("n_view"),
           count(col("t_click")).as("n_click"),
           count(col("t_purchase")).as("n_purchase"))
+        // try_divide: NULL on an empty upstream step, matching DuckDB's
+        // x/0 → NULL (plain `/` under ANSI mode would throw instead)
         .withColumn("view_to_click",
-          col("n_click").cast("double") / col("n_view").cast("double"))
+          expr("try_divide(cast(n_click AS double), cast(n_view AS double))"))
         .withColumn("click_to_purchase",
-          col("n_purchase").cast("double") / col("n_click").cast("double"))
+          expr("try_divide(cast(n_purchase AS double), cast(n_click AS double))"))
     },
     """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
       |           WHERE event_type = 'view' GROUP BY user_id),

@@ -154,7 +154,10 @@ object VectorOps {
     */
   val q48AnnIvf: QuerySpec = QuerySpec(
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      // zero-norm vectors can't rank by cosine and would make the
+      // division throw under ANSI mode — excluded identically in the
+      // oracle (none exist in the corpus; the guard is for the contract)
+      val e = Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
       val cents = e.filter(col("vec_id") < IvfK)
         .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
       // argmax(cent_cos, tie-break min cent_id) as max(struct(cos, -id))
@@ -189,10 +192,11 @@ object VectorOps {
         .select(col("q_id"), col("c_id"), col("list_id"), col("cosine"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < $IvfK),
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM emb WHERE vec_id < $IvfK),
        |ac AS (SELECT e.vec_id, c.cent_id, e.embedding,
        |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
-       |       FROM embeddings e CROSS JOIN cents c),
+       |       FROM emb e CROSS JOIN cents c),
        |assigned AS (SELECT vec_id, cent_id AS list_id, embedding
        |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS arn FROM ac)
        |             WHERE arn = 1),

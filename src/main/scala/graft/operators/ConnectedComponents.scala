@@ -32,10 +32,15 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param vertices one column `id` (distinct vertex ids; vertices with
-    *                 no edges become singleton clusters)
+    *                 no edges become singleton clusters). Defines the
+    *                 output domain exactly: ids appearing only in `edges`
+    *                 conduct connectivity but are not returned.
     * @param edges    two columns `a`, `b` (undirected; null endpoints are
     *                 dropped — a null id joins nothing, SQL semantics)
     * @return (id, label) where label = min vertex id of the component
+    * @throws IllegalStateException if not converged within maxIter rounds
+    *         (rounds ≈ component depth here; use
+    *         [[componentsAlternating]] for adversarially deep graphs)
     */
   def components(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.filter(col("a").isNotNull && col("b").isNotNull)
@@ -53,14 +58,23 @@ object ConnectedComponents {
       val next = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
+      // changed = any label decreased OR an edge-only id entered the
+      // label set (an inner join would drop the latter and declare
+      // convergence a round early)
       converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") < col("o.label"))
+        .join(labels.alias("o"), col("n.id") === col("o.id"), "left_outer")
+        .where(col("o.id").isNull || col("n.label") < col("o.label"))
         .isEmpty
       labels = next
       round += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds; " +
+          "raise maxIter or use componentsAlternating for deep graphs")
+    // restrict to the declared vertex domain (edge-only ids conducted
+    // labels above but are not part of the output contract)
+    labels.join(vertices.select(col("id")), Seq("id"), "left_semi")
   }
 
   /** Same contract as [[components]], but via alternating large-star /
@@ -121,10 +135,16 @@ object ConnectedComponents {
     var round = 0
     while (!converged && round < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // both sides are distinct sets ⇒ equality = same size + one-sided
+      // empty difference (one count + one bounded anti-join probe, not
+      // two full exceptAll jobs per round)
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
       e = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating connected components did not converge in $maxIter rounds")
     // Converged edge set is a collection of stars centered at component
     // minima: label(u) = its (unique) parent pointer; centers and
     // singletons label themselves.

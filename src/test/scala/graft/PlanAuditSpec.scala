@@ -21,9 +21,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def plan(name: String): SparkPlan = {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
   private def count(p: SparkPlan)(f: PartialFunction[SparkPlan, Unit]): Int =

@@ -64,6 +64,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("both variants restrict output to the declared vertex domain") {
+    // id 5 appears only in an edge: it conducts connectivity (1-5-2) but
+    // is not returned by either variant
+    val vertices = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 5L), (5L, 2L)).toDF("a", "b")
+
+    val viaLabels = ConnectedComponents.components(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val viaStars = ConnectedComponents.componentsAlternating(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+
+    assert(viaLabels == Map(1L -> 1L, 2L -> 1L))
+    assert(viaStars == viaLabels)
+  }
+
+  test("non-convergence within maxIter fails loudly instead of returning wrong labels") {
+    val vertices = (0L to 10L).toDF("id")
+    val edges = (0 until 10).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.components(vertices, edges, maxIter = 3).collect()
+    }
+  }
+
   test("long path converges within maxIter via min-label propagation") {
     // path 0-1-2-...-19: worst case for label propagation (19 hops)
     val n = 20
