@@ -13,7 +13,8 @@ object SparkEntry {
     * text analysis), events/streaming surface.
     */
   def registry: Map[String, QuerySpec] =
-    operators.Relational.all ++ ext.TextOps.all ++ ext.VectorOps.all ++ ext.EventOps.all
+    operators.Relational.all ++ ext.TextOps.all ++ ext.VectorOps.all ++
+      ext.EventOps.all ++ ext.ProfileOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** Data-quality / pipeline-hygiene operators: column profiling,
+  * deterministic stratified sampling, exact distributed quantiles.
+  * (The reference lists "data quality checks" as future work,
+  * README.md:166–169 — first-class here.)
+  *
+  * All three are engine-exact: integer counts, md5-derived sample
+  * buckets, and order-statistic quantiles with the identical
+  * interpolation expression in Spark and the DuckDB oracle.
+  */
+object ProfileOps {
+
+  private val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val profNumeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Column profile of `orders`: one output row per column with null
+    * count, distinct count, numeric min/max. ONE scan — all per-column
+    * aggregates run in a single pass (a per-column union would rescan
+    * the table |cols| times), then `stack` unpivots the 1-row result.
+    */
+  val q52Profile: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val aggs = profCols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct")) ++
+          (if (profNumeric(c))
+            Seq(min(col(c)).cast("double").as(s"${c}_min"),
+              max(col(c)).cast("double").as(s"${c}_max"))
+          else Seq.empty)
+      }
+      val stackArgs = profCols.map { c =>
+        val mn = if (profNumeric(c)) s"${c}_min" else "cast(null AS double)"
+        val mx = if (profNumeric(c)) s"${c}_max" else "cast(null AS double)"
+        s"'$c', ${c}_nulls, ${c}_distinct, $mn, $mx"
+      }.mkString(", ")
+      Tables.orders(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${profCols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_value, max_value)"))
+        .orderBy(col("col_name"))
+    },
+    profCols.map { c =>
+      val mn = if (profNumeric(c)) s"cast(min($c) AS double)" else "cast(NULL AS double)"
+      val mx = if (profNumeric(c)) s"cast(max($c) AS double)" else "cast(NULL AS double)"
+      s"""SELECT '$c' AS col_name,
+         |  cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct, $mn AS min_value, $mx AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+
+  /** Deterministic stratified sample of `documents`: per-source rates
+    * (0.6 for src0–src4, 0.2 otherwise) applied via an md5(doc_id)
+    * bucket in [0, 65536) — the same rows survive on any cluster size,
+    * any partitioning, any run (unlike `sample()`, whose output is
+    * seed- and partitioning-dependent). Filter-only ⇒ fully pushed-down,
+    * no shuffle.
+    */
+  val q53StratifiedSample: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val bucket = expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS int)")
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), lit(0.6))
+        .otherwise(lit(0.2))
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket).withColumn("rate", rate)
+        .filter(col("bucket").cast("double") < col("rate") * 65536.0)
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH b AS (SELECT doc_id, source,
+       |  ${(0 until 4).map(i =>
+           s"(strpos('0123456789abcdef', substr(md5(doc_id::varchar), ${i + 1}, 1)) - 1) * ${math.pow(16, 3 - i).toLong}")
+           .mkString(" + ")} AS bucket,
+       |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.6 ELSE 0.2 END AS rate
+       |FROM documents)
+       |SELECT doc_id, source, cast(bucket AS integer) AS bucket FROM b
+       |WHERE cast(bucket AS double) < rate * 65536.0 ORDER BY doc_id""".stripMargin)
+
+  private val QPs = Seq("50" -> 0.5, "95" -> 0.95, "99" -> 0.99)
+
+  /** Exact quantiles (p50/p95/p99 of l_extendedprice per returnflag) by
+    * order statistics: rank within group, pick the two bracketing ranks,
+    * interpolate v_lo + frac·(v_hi − v_lo) — quantile_cont semantics
+    * with the interpolation written identically in both engines so the
+    * doubles are bit-exact. The per-group sort is the price of
+    * exactness (the sketch path q37 is the approximate alternative);
+    * it distributes as one range-partition-per-group window.
+    */
+  val q54Quantiles: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val wRank = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val wGrp = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wGrp))
+      val aggs = QPs.flatMap { case (nm, p) =>
+        val idx = (col("n") - 1) * lit(p)
+        Seq(max(when(col("rn") === floor(idx) + 1, col("v"))).as(s"lo$nm"),
+          max(when(col("rn") === floor(idx) + 2, col("v"))).as(s"hi$nm"))
+      }
+      val out = QPs.map { case (nm, p) =>
+        val idx = (col("n") - 1) * lit(p)
+        (col(s"lo$nm") + (idx - floor(idx))
+          * (coalesce(col(s"hi$nm"), col(s"lo$nm")) - col(s"lo$nm"))).as(s"p$nm")
+      }
+      ranked.groupBy(col("l_returnflag"), col("n"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: out: _*)
+        .orderBy(col("l_returnflag"))
+    },
+    s"""WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+       |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem),
+       |a AS (SELECT l_returnflag, n,
+       |  ${QPs.map { case (nm, p) =>
+            // cast(p AS double): a bare literal is DECIMAL in DuckDB and
+            // the decimal interpolation rounds differently in the last ulp
+            s"max(CASE WHEN rn = floor((n-1)*cast($p AS double))+1 THEN v END) AS lo$nm, " +
+            s"max(CASE WHEN rn = floor((n-1)*cast($p AS double))+2 THEN v END) AS hi$nm"
+          }.mkString(",\n|  ")}
+       |FROM r GROUP BY 1, 2)
+       |SELECT l_returnflag,
+       |  ${QPs.map { case (nm, p) =>
+            s"lo$nm + ((n-1)*cast($p AS double) - floor((n-1)*cast($p AS double))) * (coalesce(hi$nm, lo$nm) - lo$nm) AS p$nm"
+          }.mkString(",\n|  ")}
+       |FROM a ORDER BY l_returnflag""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q52_profile" -> q52Profile,
+    "q53_stratified_sample" -> q53StratifiedSample,
+    "q54_quantiles" -> q54Quantiles)
+}
