@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def state = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "qty")
+
+  test("update-all + insert-all (classic upsert)") {
+    val batch = Seq((2L, "B", 200), (4L, "d", 40)).toDF("id", "name", "qty")
+    val got = Merge.into(state, batch).on("id")
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .execute()
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "B", 200), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("conditional update leaves non-qualifying matches untouched") {
+    val batch = Seq((1L, "A", 5), (2L, "B", 200)).toDF("id", "name", "qty")
+    val got = Merge.into(state, batch).on("id")
+      .whenMatchedUpdate(Some(expr("s.qty > t.qty"))) // only 2 qualifies
+      .whenNotMatchedInsert()
+      .execute()
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "B", 200), (3L, "c", 30)))
+  }
+
+  test("delete clause wins over a later update clause (first-match order)") {
+    val batch = Seq((1L, "x", 0), (2L, "B", 200)).toDF("id", "name", "qty")
+    val got = Merge.into(state, batch).on("id")
+      .whenMatchedDelete(Some(expr("s.qty = 0")))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .execute()
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((2L, "B", 200), (3L, "c", 30)))
+  }
+
+  test("partial-column update with expressions over both sides") {
+    val batch = Seq((1L, "ignored", 7)).toDF("id", "name", "qty")
+    val got = Merge.into(state, batch).on("id")
+      .whenMatchedUpdate(None, Map("qty" -> expr("t.qty + s.qty")))
+      .execute()
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 17), (2L, "b", 20), (3L, "c", 30)))
+  }
+
+  test("conditional insert drops non-qualifying source rows") {
+    val batch = Seq((4L, "d", 40), (5L, "e", -1)).toDF("id", "name", "qty")
+    val got = Merge.into(state, batch).on("id")
+      .whenNotMatchedInsert(Some(expr("s.qty >= 0")))
+      .execute()
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("duplicate source keys are rejected, not silently multiplied") {
+    val batch = Seq((2L, "B", 200), (2L, "BB", 201)).toDF("id", "name", "qty")
+    assertThrows[IllegalStateException] {
+      Merge.into(state, batch).on("id").whenMatchedUpdate().execute().collect()
+    }
+  }
+}
