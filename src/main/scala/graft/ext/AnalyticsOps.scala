@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** OLAP surface beyond plain group-bys: arbitrary grouping sets,
+  * time-series gap filling with forward fill, equal-width histograms.
+  */
+object AnalyticsOps {
+
+  /** Arbitrary GROUPING SETS (finer than rollup/cube: an explicit
+    * lattice subset) with grouping() disambiguators — one shuffle, the
+    * expand happens map-side.
+    */
+  val q55GroupingSets: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus,
+              |  cast(grouping(o_orderpriority) AS int) AS g_pri,
+              |  cast(grouping(o_orderstatus) AS int) AS g_st,
+              |  count(*) AS n_orders,
+              |  cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS total_price
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+              |                        (o_orderpriority), (o_orderstatus), ())
+              |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin)
+    },
+    """SELECT o_orderpriority, o_orderstatus,
+      |  cast(grouping(o_orderpriority) AS int) AS g_pri,
+      |  cast(grouping(o_orderstatus) AS int) AS g_st,
+      |  count(*) AS n_orders,
+      |  cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin)
+
+  /** Time-series gap fill: daily revenue per order priority over each
+    * priority's own date span, missing days materialized from a
+    * generated calendar and forward-filled. The fill uses the portable
+    * gaps-and-islands form — running count of non-null values defines
+    * islands, max-per-island is the carried value — written identically
+    * in both engines (no IGNORE NULLS dialect dependence).
+    *
+    * Scale: the calendar explode is span-bounded per key (days, not
+    * rows); join + windows all share the priority partitioning.
+    */
+  val q56GapFill: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("rev"))
+      val cal = daily.groupBy(col("pri")).agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("pri"), explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val wRun = Window.partitionBy(col("pri")).orderBy(col("d"))
+      val filled = cal.join(daily, Seq("pri", "d"), "left_outer")
+        .withColumn("island", count(col("rev")).over(wRun))
+        .withColumn("rev_filled",
+          max(col("rev")).over(Window.partitionBy(col("pri"), col("island"))))
+        .withColumn("was_gap", col("rev").isNull)
+      filled.select(col("pri").as("o_orderpriority"),
+          col("d").cast("timestamp").as("d"), col("rev_filled"), col("was_gap"))
+        .orderBy(col("o_orderpriority"), col("d"))
+    },
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri, cast(o_orderdate AS date) AS d,
+      |         cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT pri, cast(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS date) AS d
+      |  FROM (SELECT pri, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY pri)),
+      |f AS (SELECT c.pri, c.d, daily.rev
+      |      FROM cal c LEFT JOIN daily ON c.pri = daily.pri AND c.d = daily.d),
+      |isl AS (SELECT pri, d, rev,
+      |          count(rev) OVER (PARTITION BY pri ORDER BY d) AS island
+      |        FROM f)
+      |SELECT pri AS o_orderpriority, cast(d AS timestamp) AS d,
+      |       max(rev) OVER (PARTITION BY pri, island) AS rev_filled,
+      |       rev IS NULL AS was_gap
+      |FROM isl ORDER BY o_orderpriority, d""".stripMargin)
+
+  private val HistBins = 20
+
+  /** Equal-width histogram of l_extendedprice: global min/max in one
+    * tiny broadcast row, then a single codegen'd pass assigns bins —
+    * two scans total, no shuffle of the fact side beyond the final
+    * 20-row aggregation.
+    */
+  val q57Histogram: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val stats = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      li.crossJoin(broadcast(stats))
+        .withColumn("w", (col("mx") - col("mn")) / lit(HistBins.toDouble))
+        .withColumn("bin",
+          least(floor((col("v") - col("mn")) / col("w")), lit(HistBins - 1L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), max(col("mn")).as("mn"), max(col("w")).as("w"))
+        .select(col("bin"),
+          (col("mn") + col("bin") * col("w")).as("bin_lo"),
+          (col("mn") + (col("bin") + 1) * col("w")).as("bin_hi"),
+          col("n"))
+        .orderBy(col("bin"))
+    },
+    s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+       |st AS (SELECT min(v) AS mn, max(v) AS mx,
+       |              (max(v) - min(v)) / cast($HistBins AS double) AS w FROM v),
+       |b AS (SELECT cast(least(floor((v - mn) / w), ${HistBins - 1}) AS integer) AS bin, mn, w
+       |      FROM v CROSS JOIN st)
+       |SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
+       |       count(*) AS n
+       |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q55_grouping_sets" -> q55GroupingSets,
+    "q56_gapfill" -> q56GapFill,
+    "q57_histogram" -> q57Histogram)
+}
