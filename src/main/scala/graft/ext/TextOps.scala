@@ -259,6 +259,22 @@ object TextOps {
     recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
       "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
 
+  /** Same clustering through the alternating large/small-star engine —
+    * the deep-graph scale path, verified against the identical
+    * transitive-closure oracle as q46.
+    */
+  val q58DedupClustersStar: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.ConnectedComponents.componentsAlternating(
+          docs.select(col("doc_id").as("id")),
+          lshPairs(docs).select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
+      "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
+
   /** Survivor selection: keep ONE document per near-dup cluster — the
     * longest (n_chars, tie-break min doc_id) — and report how many
     * members it displaced. The "keep one per group" step that follows
@@ -529,6 +545,7 @@ object TextOps {
     "q49_countmin_hh" -> q49CountMinHh,
     "q46_dedup_clusters" -> q46DedupClusters,
     "q47_dedup_survivors" -> q47DedupSurvivors,
+    "q58_dedup_clusters_star" -> q58DedupClustersStar,
     "q39_winnowing" -> q39Winnowing,
     "q36_simhash_pairs" -> q36SimHashPairs,
     "q34_tfidf" -> q34Tfidf,
