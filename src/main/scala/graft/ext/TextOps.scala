@@ -541,7 +541,60 @@ object TextOps {
        |        GROUP BY hb.tok)
        |SELECT tok, est, true_count FROM est WHERE est >= 100 ORDER BY tok""".stripMargin)
 
+  /** End-to-end training-data pipeline in ONE declarative plan:
+    * language gate (lang column) → quality gate (q15's linear score)
+    * → exact dedup on the normalized fingerprint (keep min doc_id) →
+    * deterministic 50% sample → per-source doc/token accounting.
+    * Every stage is a filter/window over the same scan — Catalyst fuses
+    * the gates into the scan and the whole pipeline is two shuffles
+    * (dedup window + final aggregation) regardless of corpus size.
+    */
+  val q59PipelineE2e: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("double")
+      val nchars = length(col("text")).cast("double")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
+      val hits = size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("double")
+      val stopRatio = hits / ntok
+      val quality = least(ntok / lit(100.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - punct / nchars) * lit(0.2) + stopRatio * lit(0.5)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && quality >= 0.35)
+        .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+        .filter(expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS int)") < lit(32768))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"))
+        .orderBy(col("source"))
+    },
+    """WITH scored AS (
+      |  SELECT doc_id, source, text, lang,
+      |    least(cast(len(string_split_regex(trim(text), '\s+')) AS double) / cast(100.0 AS double), cast(1.0 AS double)) * cast(0.3 AS double)
+      |      + (cast(1.0 AS double) - cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
+      |      + cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
+      |        / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double) AS quality
+      |  FROM documents),
+      |gated AS (SELECT doc_id, source, text,
+      |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |          FROM scored
+      |          WHERE lang = 'en' AND quality >= cast(0.35 AS double)),
+      |deduped AS (SELECT doc_id, source, text
+      |            FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated)
+      |            WHERE rn = 1),
+      |sampled AS (SELECT doc_id, source, text FROM deduped
+      |            WHERE (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 1, 1)) - 1) * 4096
+      |                + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 2, 1)) - 1) * 256
+      |                + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 3, 1)) - 1) * 16
+      |                + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 4, 1)) - 1) < 32768)
+      |SELECT source, count(*) AS n_docs,
+      |       cast(sum(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS total_tokens
+      |FROM sampled GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q59_pipeline_e2e" -> q59PipelineE2e,
     "q49_countmin_hh" -> q49CountMinHh,
     "q46_dedup_clusters" -> q46DedupClusters,
     "q47_dedup_survivors" -> q47DedupSurvivors,
