@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Quality bounds for the approximate similarity paths. The oracle gate
+  * proves the *exact* queries (q21, q48) bit-match DuckDB; these specs
+  * pin down what the gate can't: that the approximate candidates the
+  * LSH/IVF paths surface actually overlap the true neighbors.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** True cosine top-10 ids per query from the brute-force baseline. */
+  private lazy val exact: Map[Long, Set[Long]] =
+    VectorOps.q21CosineTopK.run(spark, sfDir)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  test("IVF ANN recall@10 vs brute force is usable (>= 0.5 on every query)") {
+    val got = VectorOps.q48AnnIvf.run(spark, sfDir)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    assert(got.keySet == exact.keySet, "IVF lost whole queries")
+    got.foreach { case (q, ids) =>
+      val recall = (ids intersect exact(q)).size / 10.0
+      assert(recall >= 0.5, s"IVF recall@10 for query $q = $recall")
+    }
+  }
+
+  test("LSH ANN returns only true-positive-checkable candidates with sane scores") {
+    val rows = VectorOps.q22AnnLsh.run(spark, sfDir)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rank")).collect()
+    assert(rows.nonEmpty)
+    // rank is dense 1..k per query and cosine is within [-1, 1]
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to rs.length).toSeq, s"ranks not dense for $q")
+    }
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // bucket-local candidates are a subset of the full corpus ranking:
+    // every LSH hit that IS a true top-10 neighbor must carry the same
+    // cosine the exact path computed (scores don't drift between paths)
+    val exactScores = VectorOps.q21CosineTopK.run(spark, sfDir)
+      .select(col("q_id"), col("c_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1))).foreach { ex =>
+        assert(ex == r.getDouble(2), s"cosine drift for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+  }
+}
