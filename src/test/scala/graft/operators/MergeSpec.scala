@@ -61,6 +61,32 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Set((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)))
   }
 
+  test("property: upsert-merge is idempotent and empty-source is identity") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val row = for {
+      id <- Gen.chooseNum(0L, 20L)
+      nm <- Gen.oneOf("a", "b", "c")
+      q <- Gen.chooseNum(0, 100)
+    } yield (id, nm, q)
+    // key-unique batches (ambiguous merges are rejected by contract)
+    val batchGen = Gen.listOf(row).map(_.distinctBy(_._1))
+
+    val prop = Prop.forAll(batchGen) { rows =>
+      val batch = rows.toDF("id", "name", "qty")
+      def merge(t: org.apache.spark.sql.DataFrame) =
+        Merge.into(t, batch).on("id").whenMatchedUpdate().whenNotMatchedInsert().execute()
+      val once = merge(state).as[(Long, String, Int)].collect().toSet
+      val twice = merge(merge(state)).as[(Long, String, Int)].collect().toSet
+      val identity = Merge.into(state, spark.emptyDataset[(Long, String, Int)].toDF("id", "name", "qty"))
+        .on("id").whenMatchedUpdate().whenNotMatchedInsert().execute()
+        .as[(Long, String, Int)].collect().toSet
+      once == twice && identity == state.as[(Long, String, Int)].collect().toSet
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("duplicate source keys are rejected, not silently multiplied") {
     val batch = Seq((2L, "B", 200), (2L, "BB", 201)).toDF("id", "name", "qty")
     assertThrows[IllegalStateException] {
