@@ -95,8 +95,12 @@ object AnalyticsOps {
       val stats = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       li.crossJoin(broadcast(stats))
         .withColumn("w", (col("mx") - col("mn")) / lit(HistBins.toDouble))
+        // degenerate range (all values equal ⇒ w = 0): one bin, and the
+        // division would throw under ANSI where the oracle yields NULL
         .withColumn("bin",
-          least(floor((col("v") - col("mn")) / col("w")), lit(HistBins - 1L)).cast("int"))
+          when(col("w") === 0.0, lit(0))
+            .otherwise(least(floor((col("v") - col("mn")) / col("w")), lit(HistBins - 1L)))
+            .cast("int"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), max(col("mn")).as("mn"), max(col("w")).as("w"))
         .select(col("bin"),
@@ -108,7 +112,8 @@ object AnalyticsOps {
     s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
        |st AS (SELECT min(v) AS mn, max(v) AS mx,
        |              (max(v) - min(v)) / cast($HistBins AS double) AS w FROM v),
-       |b AS (SELECT cast(least(floor((v - mn) / w), ${HistBins - 1}) AS integer) AS bin, mn, w
+       |b AS (SELECT cast(CASE WHEN w = 0 THEN 0
+       |                       ELSE least(floor((v - mn) / w), ${HistBins - 1}) END AS integer) AS bin, mn, w
        |      FROM v CROSS JOIN st)
        |SELECT bin, mn + bin * w AS bin_lo, mn + (bin + 1) * w AS bin_hi,
        |       count(*) AS n

@@ -1,0 +1,24 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable md5 bucketing — the one hash scheme shared by every
+  * operator that needs a *numeric* deterministic bucket (Count-Min rows
+  * q49, stratified sampling q53, pipeline sampling q59), so the formula
+  * cannot drift between operators or between an operator and its oracle.
+  */
+private[graft] object PortableHash {
+
+  /** Bucket in [0, 16^hexChars) from md5(e) — codegen'd `conv`. */
+  def bucketCol(e: Column, hexChars: Int): Column =
+    conv(substring(md5(e), 1, hexChars), 16, 10).cast("int")
+
+  /** DuckDB twin over the SQL expression `e` (DuckDB has no conv;
+    * positional strpos arithmetic over the hex chars is exact).
+    */
+  def bucketSql(e: String, hexChars: Int): String =
+    (0 until hexChars).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * ${math.pow(16, hexChars - 1 - i).toLong}")
+      .mkString(" + ")
+}

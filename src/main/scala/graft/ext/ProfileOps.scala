@@ -64,19 +64,17 @@ object ProfileOps {
     */
   val q53StratifiedSample: QuerySpec = QuerySpec(
     (s, dir) => {
-      val bucket = expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS int)")
       val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), lit(0.6))
         .otherwise(lit(0.2))
       Tables.documents(s, dir)
-        .withColumn("bucket", bucket).withColumn("rate", rate)
+        .withColumn("bucket", PortableHash.bucketCol(col("doc_id").cast("string"), 4))
+        .withColumn("rate", rate)
         .filter(col("bucket").cast("double") < col("rate") * 65536.0)
         .select(col("doc_id"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))
     },
     s"""WITH b AS (SELECT doc_id, source,
-       |  ${(0 until 4).map(i =>
-           s"(strpos('0123456789abcdef', substr(md5(doc_id::varchar), ${i + 1}, 1)) - 1) * ${math.pow(16, 3 - i).toLong}")
-           .mkString(" + ")} AS bucket,
+       |  ${PortableHash.bucketSql("doc_id::varchar", 4)} AS bucket,
        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.6 ELSE 0.2 END AS rate
        |FROM documents)
        |SELECT doc_id, source, cast(bucket AS integer) AS bucket FROM b

@@ -43,6 +43,29 @@ object TextOps {
   private val NumHashes = 8
   private val SimBits = 32
 
+  /** Whitespace-normalized lowercase text — the shared fingerprint
+    * normalization (q16, q31, q39, q59).
+    */
+  private def normCol: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  /** The q15 linear quality score (length/punct/stopword components, no
+    * transcendentals) — shared by q15 and the e2e pipeline gate (q59).
+    */
+  private def qualityCol: Column = {
+    val nchars = length(col("text")).cast("double")
+    val ntok = size(split(trim(col("text")), "\\s+")).cast("double")
+    val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
+    val stop = size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("double")
+    least(ntok / lit(100.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - punct / nchars) * lit(0.2) + (stop / ntok) * lit(0.5)
+  }
+  private val qualitySql: String =
+    """least(cast(len(string_split_regex(trim(text), '\s+')) AS double) / cast(100.0 AS double), cast(1.0 AS double)) * cast(0.3 AS double)
+      |    + (cast(1.0 AS double) - cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
+      |    + cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
+      |      / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double)""".stripMargin
+
   /** MinHash signature frame (doc_id, mh0..mh7): one row per doc; shared
     * by q17 (signatures) and q18 (LSH pairs) so the scheme cannot drift
     * between them.
@@ -146,36 +169,30 @@ object TextOps {
         .select(col("doc_id"),
           (punct / nchars).as("punct_ratio"),
           (stop / ntok).as("stop_ratio"),
-          (least(ntok / lit(100.0), lit(1.0)) * lit(0.3)
-            + (lit(1.0) - punct / nchars) * lit(0.2)
-            + (stop / ntok) * lit(0.5)).as("quality_score"))
+          qualityCol.as("quality_score"))
         .orderBy(col("doc_id"))
     },
-    """SELECT doc_id,
-      |  cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double) AS punct_ratio,
-      |  cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
-      |    / cast(len(string_split_regex(trim(text), '\s+')) AS double) AS stop_ratio,
-      |  least(cast(len(string_split_regex(trim(text), '\s+')) AS double) / cast(100.0 AS double), cast(1.0 AS double)) * cast(0.3 AS double)
-      |    + (cast(1.0 AS double) - cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
-      |    + cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
-      |      / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double) AS quality_score
-      |FROM documents ORDER BY doc_id""".stripMargin)
+    s"""SELECT doc_id,
+       |  cast(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS double) / cast(len(text) AS double) AS punct_ratio,
+       |  cast(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in)\\b')) AS double)
+       |    / cast(len(string_split_regex(trim(text), '\\s+')) AS double) AS stop_ratio,
+       |  $qualitySql AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** Document fingerprint: md5 of whitespace-normalized text (plus a
     * 64-bit prefix for compact storage/joins).
     */
   val q16Fingerprint: QuerySpec = QuerySpec(
     (s, dir) => {
-      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
       Tables.documents(s, dir)
-        .select(col("doc_id"), md5(norm).as("fingerprint"),
-          substring(md5(norm), 1, 16).as("fp64"))
+        .select(col("doc_id"), md5(normCol).as("fingerprint"),
+          substring(md5(normCol), 1, 16).as("fp64"))
         .orderBy(col("doc_id"))
     },
-    """SELECT doc_id,
-      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-      |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
-      |FROM documents ORDER BY doc_id""".stripMargin)
+    s"""SELECT doc_id,
+       |  md5($normSql) AS fingerprint,
+       |  substr(md5($normSql), 1, 16) AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** MinHash signatures: k=8 independent permutations approximated by
     * seeded md5 over word 3-shingles; the per-seed minimum is taken
@@ -250,14 +267,20 @@ object TextOps {
   private def recursive(sql: String): String =
     "WITH RECURSIVE " + sql.stripPrefix("WITH ")
 
+  /** One oracle text for BOTH clustering engines (q46/q58) — edits
+    * cannot desynchronize them.
+    */
+  private val dedupClustersOracle: String =
+    recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
+      "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
+
   /** Near-dup clustering: LSH pairs → connected components → one cluster
     * label per document (the end-to-end dedup *grouping*, not just the
     * pair listing).
     */
   val q46DedupClusters: QuerySpec = QuerySpec(
     (s, dir) => dedupClusters(Tables.documents(s, dir)).orderBy(col("doc_id")),
-    recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
-      "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
+    dedupClustersOracle)
 
   /** Same clustering through the alternating large/small-star engine —
     * the deep-graph scale path, verified against the identical
@@ -272,8 +295,7 @@ object TextOps {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
-    recursive(shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql) +
-      "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
+    dedupClustersOracle)
 
   /** Survivor selection: keep ONE document per near-dup cluster — the
     * longest (n_chars, tie-break min doc_id) — and report how many
@@ -357,7 +379,7 @@ object TextOps {
     (s, dir) => {
       graft.functions.RollingHash.register(s)
       Tables.documents(s, dir)
-        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("norm", normCol)
         .select(col("doc_id"), expr("rolling_hash(norm)").as("rolling_fp"))
         .orderBy(col("doc_id"))
     },
@@ -467,7 +489,7 @@ object TextOps {
     (s, dir) => {
       graft.functions.RollingHash.register(s)
       Tables.documents(s, dir)
-        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("norm", normCol)
         .filter(length(col("norm")) >= 11) // k=8 grams, w=4 windows
         .withColumn("hashes",
           expr("transform(sequence(1, length(norm) - 7), i -> rolling_hash(substring(norm, i, 8)))"))
@@ -519,7 +541,7 @@ object TextOps {
       val hb = freq.select(col("tok"), col("true_count"),
           explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
         .withColumn("bucket",
-          expr(s"cast(conv(substring(md5(concat(cast(j AS string), '|', tok)), 1, $CmsHexChars), 16, 10) AS int)"))
+          PortableHash.bucketCol(concat(col("j").cast("string"), lit("|"), col("tok")), CmsHexChars))
       val sketch = hb.groupBy(col("j"), col("bucket"))
         .agg(sum(col("true_count")).as("cnt"))
       hb.join(sketch, Seq("j", "bucket"))
@@ -531,9 +553,7 @@ object TextOps {
     s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
        |freq AS (SELECT tok, count(*) AS true_count FROM tok GROUP BY tok),
        |hb AS (SELECT tok, true_count, j,
-       |         ${(0 until CmsHexChars).map(i =>
-                 s"(strpos('0123456789abcdef', substr(md5(j::varchar || '|' || tok), ${i + 1}, 1)) - 1) * ${math.pow(16, CmsHexChars - 1 - i).toLong}")
-                 .mkString(" + ")} AS bucket
+       |         ${PortableHash.bucketSql("j::varchar || '|' || tok", CmsHexChars)} AS bucket
        |       FROM freq, range(0, $CmsDepth) t(j)),
        |sketch AS (SELECT j, bucket, cast(sum(true_count) AS bigint) AS cnt FROM hb GROUP BY j, bucket),
        |est AS (SELECT hb.tok, min(s.cnt) AS est, min(hb.true_count) AS true_count
@@ -551,47 +571,34 @@ object TextOps {
     */
   val q59PipelineE2e: QuerySpec = QuerySpec(
     (s, dir) => {
-      val ntok = size(split(trim(col("text")), "\\s+")).cast("double")
-      val nchars = length(col("text")).cast("double")
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double")
-      val hits = size(regexp_extract_all(lower(col("text")), lit("\\b(the|a|of|and|in)\\b"), lit(0))).cast("double")
-      val stopRatio = hits / ntok
-      val quality = least(ntok / lit(100.0), lit(1.0)) * lit(0.3) +
-        (lit(1.0) - punct / nchars) * lit(0.2) + stopRatio * lit(0.5)
       val wFp = org.apache.spark.sql.expressions.Window
         .partitionBy(col("fp")).orderBy(col("doc_id"))
       Tables.documents(s, dir)
-        .filter(col("lang") === "en" && quality >= 0.35)
-        .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .filter(col("lang") === "en" && qualityCol >= 0.35)
+        .withColumn("fp", md5(normCol))
         .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
-        .filter(expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 4), 16, 10) AS int)") < lit(32768))
+        .filter(PortableHash.bucketCol(col("doc_id").cast("string"), 4) < lit(32768))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"))
         .orderBy(col("source"))
     },
-    """WITH scored AS (
-      |  SELECT doc_id, source, text, lang,
-      |    least(cast(len(string_split_regex(trim(text), '\s+')) AS double) / cast(100.0 AS double), cast(1.0 AS double)) * cast(0.3 AS double)
-      |      + (cast(1.0 AS double) - cast(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS double) / cast(len(text) AS double)) * cast(0.2 AS double)
-      |      + cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b')) AS double)
-      |        / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double) AS quality
-      |  FROM documents),
-      |gated AS (SELECT doc_id, source, text,
-      |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-      |          FROM scored
-      |          WHERE lang = 'en' AND quality >= cast(0.35 AS double)),
-      |deduped AS (SELECT doc_id, source, text
-      |            FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated)
-      |            WHERE rn = 1),
-      |sampled AS (SELECT doc_id, source, text FROM deduped
-      |            WHERE (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 1, 1)) - 1) * 4096
-      |                + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 2, 1)) - 1) * 256
-      |                + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 3, 1)) - 1) * 16
-      |                + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 4, 1)) - 1) < 32768)
-      |SELECT source, count(*) AS n_docs,
-      |       cast(sum(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS total_tokens
-      |FROM sampled GROUP BY source ORDER BY source""".stripMargin)
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text, lang,
+       |    $qualitySql AS quality
+       |  FROM documents),
+       |gated AS (SELECT doc_id, source, text,
+       |            md5($normSql) AS fp
+       |          FROM scored
+       |          WHERE lang = 'en' AND quality >= cast(0.35 AS double)),
+       |deduped AS (SELECT doc_id, source, text
+       |            FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated)
+       |            WHERE rn = 1),
+       |sampled AS (SELECT doc_id, source, text FROM deduped
+       |            WHERE ${PortableHash.bucketSql("doc_id::varchar", 4)} < 32768)
+       |SELECT source, count(*) AS n_docs,
+       |       cast(sum(len(string_split_regex(trim(text), '\\s+'))) AS bigint) AS total_tokens
+       |FROM sampled GROUP BY source ORDER BY source""".stripMargin)
 
   val all: Map[String, QuerySpec] = Map(
     "q59_pipeline_e2e" -> q59PipelineE2e,

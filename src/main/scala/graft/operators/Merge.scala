@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * The result is a new DataFrame — compose with `StateTable.overwrite`
   * for the atomic-swap commit.
   *
-  * Scale: ONE full-outer join on the merge keys plus per-row case
-  * expressions — no driver-side rows, no second pass; the join
-  * broadcasts or shuffle-hash-joins exactly as Catalyst decides from
-  * the two sides' sizes.
+  * Scale: the source (batch side) is materialized once, then ONE
+  * full-outer join on the merge keys plus per-row case expressions —
+  * no driver-side rows; the ambiguity check re-reads the materialized
+  * source, never recomputes it. The join broadcasts or
+  * shuffle-hash-joins exactly as Catalyst decides from the two sides'
+  * sizes.
   *
   * Clause conditions and update expressions reference the two sides as
   * `t.<col>` (target) and `s.<col>` (source), e.g.
@@ -46,9 +48,12 @@ object Merge {
       matched: Vector[Clause],
       notMatched: Vector[Insert]) {
 
-    /** Update all target columns from the same-named source columns. */
+    /** Update every target column that the source also carries (updateAll
+      * on the shared columns; target-only columns keep their values).
+      */
     def whenMatchedUpdate(cond: Option[Column] = None): Builder = {
       val set = target.columns.filterNot(keys.contains)
+        .filter(source.columns.contains)
         .map(c => c -> col(s"s.$c")).toMap
       whenMatchedUpdate(cond, set)
     }
@@ -68,7 +73,18 @@ object Merge {
       *         "multiple source rows matched")
       */
     def execute(): DataFrame = {
-      val dupKeys = source.groupBy(keys.map(col): _*)
+      val reserved = Seq("_t", "_s", "_action")
+      val clash = (target.columns ++ source.columns).filter(reserved.contains)
+      if (clash.nonEmpty)
+        throw new IllegalArgumentException(
+          s"column name(s) ${clash.distinct.mkString(", ")} are reserved by Merge")
+
+      // Materialize the source ONCE so the ambiguity check below and the
+      // join read the same rows — a non-deterministic or recomputed
+      // source (sample(), rand-derived) could otherwise pass the check
+      // yet deliver duplicate keys to the join.
+      val src = source.localCheckpoint()
+      val dupKeys = src.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
       if (!dupKeys.isEmpty)
         throw new IllegalStateException(
@@ -76,7 +92,7 @@ object Merge {
             "deduplicate (e.g. last-write-wins) before merging")
 
       val t = target.withColumn("_t", lit(true)).alias("t")
-      val s = source.withColumn("_s", lit(true)).alias("s")
+      val s = src.withColumn("_s", lit(true)).alias("s")
       val joined = t.join(s, keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
       val isMatched = col("_t").isNotNull && col("_s").isNotNull
       val targetOnly = col("_t").isNotNull && col("_s").isNull

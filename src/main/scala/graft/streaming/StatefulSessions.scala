@@ -42,12 +42,14 @@ object StatefulSessions {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) => {
-          // micro-precision round trips (Timestamp(millis) would truncate)
+          // micro-precision round trips (Timestamp(millis) would truncate);
+          // floorDiv/floorMod keep pre-epoch values correct (truncating
+          // division sign-flips the sub-second part for negative millis)
           def toMicros(t: Timestamp): Long =
-            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           def fromMicros(us: Long): Timestamp = {
-            val t = new Timestamp((us / 1000000L) * 1000L)
-            t.setNanos(((us % 1000000L) * 1000L).toInt)
+            val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
             t
           }
           def close(s: OpenSession): Session = Session(

@@ -42,7 +42,7 @@ object StreamingFunnel {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) => {
           def toMicros(t: Timestamp): Long =
-            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
           var s = state.getOption.getOrElse(FunnelState(None, None, None))
           rows.toVector.sortBy(e => toMicros(e.ts)).foreach { e =>

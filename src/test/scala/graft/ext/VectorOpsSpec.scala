@@ -15,11 +15,14 @@ class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** True cosine top-10 ids per query from the brute-force baseline. */
-  private lazy val exact: Map[Long, Set[Long]] =
+  /** Brute-force baseline, collected ONCE for the whole suite. */
+  private lazy val exactRows =
     VectorOps.q21CosineTopK.run(spark, sfDir)
-      .select(col("q_id"), col("c_id")).collect()
-      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      .select(col("q_id"), col("c_id"), col("cosine")).collect()
+
+  /** True cosine top-10 ids per query. */
+  private lazy val exact: Map[Long, Set[Long]] =
+    exactRows.groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
 
   test("IVF ANN recall@10 vs brute force is usable (>= 0.5 on every query)") {
     val got = VectorOps.q48AnnIvf.run(spark, sfDir)
@@ -45,8 +48,7 @@ class VectorOpsSpec extends AnyFunSuite {
     // bucket-local candidates are a subset of the full corpus ranking:
     // every LSH hit that IS a true top-10 neighbor must carry the same
     // cosine the exact path computed (scores don't drift between paths)
-    val exactScores = VectorOps.q21CosineTopK.run(spark, sfDir)
-      .select(col("q_id"), col("c_id"), col("cosine")).collect()
+    val exactScores = exactRows
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     rows.foreach { r =>
       exactScores.get((r.getLong(0), r.getLong(1))).foreach { ex =>

@@ -87,6 +87,24 @@ class MergeSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("updateAll touches only the shared columns when target has extras") {
+    val widened = state.withColumn("note", lit("keep-me"))
+    val batch = Seq((2L, "B", 200)).toDF("id", "name", "qty")
+    val got = Merge.into(widened, batch).on("id")
+      .whenMatchedUpdate()
+      .execute()
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(got == Set((1L, "a", 10, "keep-me"), (2L, "B", 200, "keep-me"), (3L, "c", 30, "keep-me")))
+  }
+
+  test("reserved internal column names are rejected up front") {
+    val bad = state.withColumn("_action", lit(1))
+    val batch = Seq((2L, "B", 200)).toDF("id", "name", "qty")
+    assertThrows[IllegalArgumentException] {
+      Merge.into(bad, batch).on("id").whenMatchedUpdate().execute()
+    }
+  }
+
   test("duplicate source keys are rejected, not silently multiplied") {
     val batch = Seq((2L, "B", 200), (2L, "BB", 201)).toDF("id", "name", "qty")
     assertThrows[IllegalStateException] {
