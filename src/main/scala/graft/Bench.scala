@@ -31,7 +31,9 @@ object Bench {
     "q38_asof_attribution",
     "q41_asof_native",
     "q46_dedup_clusters",
-    "q48_ann_ivf")
+    "q48_ann_ivf",
+    "q56_gapfill",
+    "q59_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
