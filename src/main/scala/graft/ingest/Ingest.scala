@@ -53,4 +53,25 @@ object Ingest {
       .csv(path)
     renamed(raw)
   }
+
+  /** JSON-Lines source with the same cleaning contract as the CSV
+    * readers: declared schema (never inference — at 100 TB a schema
+    * inference pass is a full extra read), camelCase keys renamed, rows
+    * that don't parse preserved in `_corrupt_record` instead of silently
+    * dropped (PERMISSIVE). One file per task, no shuffle — the standard
+    * landing format for document/training-data pipelines.
+    */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    renamed(spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path))
+  }
 }

@@ -28,4 +28,28 @@ class IngestSpec extends AnyFunSuite {
     assert(df.count() == 6)
     assert(df.filter(col("quantity") < 10).count() == 3)
   }
+
+  test("JSONL: declared schema, camelCase renames, corrupt rows preserved") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"docId": 1, "text": "hello world", "sourceName": "web"}
+        |{"docId": 2, "text": "second doc", "sourceName": "books"}
+        |{not valid json at all
+        |{"docId": 4, "text": null, "sourceName": "web"}
+        |""".stripMargin)
+
+    val schema = StructType(Seq(
+      StructField("docId", LongType),
+      StructField("text", StringType),
+      StructField("sourceName", StringType)))
+    val df = Ingest.readJsonl(spark, f.toString, schema).cache()
+
+    assert(df.columns.toSeq == Seq("doc_id", "text", "source_name", "_corrupt_record"))
+    assert(df.count() == 4)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("doc_id") === 4 && col("text").isNull).count() == 1)
+    assert(df.filter(col("_corrupt_record").isNull).count() == 3)
+  }
 }
