@@ -79,7 +79,7 @@ object Pipeline {
     println("[pipeline] 4. revenue per category")
     Reports.revenuePerCategory(orders, inventories).show(5, truncate = false)
     println("[pipeline] 5. inventory status (first inventory product)")
-    val firstId = inventories.select("product_id").head.getString(0)
+    val firstId = inventories.select("product_id").head().getString(0)
     Reports.inventoryStatus(orders, inventories, firstId).show(truncate = false)
     println("[pipeline] 6. most sold per category")
     Reports.mostSoldPerCategory(orders, inventories).show(5, truncate = false)

@@ -242,7 +242,42 @@ object EventOps {
       |WHERE date_diff('day', cohort_date, act_date) <= 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Gap sessionization through Spark's NATIVE session_window operator
+    * (dynamic-gap session aggregation — in streaming this runs
+    * incrementally with watermark state eviction; here its batch results
+    * must equal the explicit window-algebra sessionizer q30, which is
+    * what the oracle computes). session_start/end are min/max event
+    * times (session_window's own `end` is last+gap, a different
+    * convention than q30's).
+    */
+  val q61SessionWindowNative: QuerySpec = QuerySpec(
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), decSum("value").as("total_value"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    """WITH g AS (SELECT user_id, event_id, ts, value,
+      |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                       >= 1800 * 1000000
+      |                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             THEN 1 ELSE 0 END AS new_session
+      |           FROM events),
+      |sess AS (SELECT user_id, ts, value,
+      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events,
+      |       cast(sum(cast(value AS decimal(12,2))) AS double) AS total_value
+      |FROM sess GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q61_session_window" -> q61SessionWindowNative,
     "q50_funnel" -> q50Funnel,
     "q51_retention" -> q51Retention,
     "q41_asof_native" -> q41AsofNative,

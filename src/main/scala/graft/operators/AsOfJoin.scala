@@ -45,7 +45,7 @@ object AsOfJoin {
     // with NULL keys land in the window's null partition, which then
     // holds no right rows, so they null-extend naturally.
     val rMatchable = (key :+ rightTime).map(col(_).isNotNull).reduce(_ && _)
-    val rStruct = struct(col(rightTime).as("_time") +: carried.map(col): _*)
+    val rStruct = struct((col(rightTime).as("_time") +: carried.map(col)).toIndexedSeq: _*)
     val rTagged = right.filter(rMatchable).select(
       key.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side"), rStruct.as("_r")): _*)

@@ -484,7 +484,33 @@ object Relational {
       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
       |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)
 
+  /** Skew-safe join: the lineitem⋈part revenue rollup routed through
+    * [[graft.functions.Skew.saltedJoin]] (8-way salt), proving the
+    * salted plan is RESULT-IDENTICAL to the plain join the oracle runs —
+    * salting changes only row routing, never semantics. The pattern for
+    * hot-key fact joins too skewed for AQE's post-shuffle splitting.
+    */
+  val q60SaltedJoin: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val part = Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.functions.Skew
+        .saltedJoin(li, part, Seq("l_partkey"), salt = 8,
+          bigRowId = col("l_orderkey") * 16 + col("l_linenumber"))
+        .groupBy(col("p_brand"))
+        .agg(sumMoney(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    """SELECT p_brand,
+      |       cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q60_salted_join" -> q60SaltedJoin,
     "q44_above_customer_avg" -> q44AboveCustomerAvg,
     "q45_fuzzy_names" -> q45FuzzyNames,
     "q42_running_totals" -> q42RunningTotals,

@@ -38,7 +38,7 @@ import scala.jdk.CollectionConverters._
   */
 final class StateTable(
     spark: SparkSession,
-    root: String,
+    val root: String,
     keyCols: Seq[String],
     /** Optional hive-style partition columns for every version write —
       * e.g. year/month derivatives — so time-ranged reads prune
@@ -118,13 +118,28 @@ final class StateTable(
           } :+ col(SeqCol): _*)
         // unseen keys: append every batch row (within-batch dups kept)
         // coalesce: state may exist but be empty (schema-sync CreateTable)
-        val maxSeq = state.agg(coalesce(max(col(SeqCol)), lit(0L))).head.getLong(0)
+        val maxSeq = state.agg(coalesce(max(col(SeqCol)), lit(0L))).head().getLong(0)
         val inserts = b.join(state.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
           .withColumn(SeqCol, col(SeqCol) + lit(maxSeq) + lit(1L))
           .select(updated.columns.map(col).toIndexedSeq: _*)
         overwrite(updated.unionByName(inserts))
     }
   }
+
+  /** Compact the current version into `targetFiles` files per partition
+    * directory (the small-files problem: every upsert writes a full new
+    * version, and long-lived tables accrete many small parquet files
+    * whose per-file open/footer cost dominates scans at scale). Contents
+    * are byte-identical rows — only the file layout changes; readers see
+    * the compacted version atomically via the usual pointer swap.
+    */
+  def compact(targetFiles: Int = 1): Unit =
+    read().foreach { df =>
+      val compacted =
+        if (partitionCols.nonEmpty) df.repartition(targetFiles, partitionCols.map(col): _*)
+        else df.repartition(targetFiles)
+      overwrite(compacted)
+    }
 
   /** Reader view without internal bookkeeping columns. */
   def current(): Option[DataFrame] = read().map(_.drop(SeqCol))

@@ -68,6 +68,26 @@ class StateTableSpec extends AnyFunSuite {
     assert(filtered.count() == 2)
   }
 
+  test("compact collapses files without changing contents") {
+    val t = freshTable()
+    val batch = ordersBatch("orders_fixture.csv")
+    t.upsert(batch)
+    // force a fragmented version: many partitions -> many files
+    t.overwrite(t.read().get.repartition(8))
+    val before = t.current().get.orderBy(col("order_id"), col("product_id")).collect().toSeq
+    val filesBefore = Files.list(java.nio.file.Paths.get(t.currentVersion.map(v =>
+      s"${t.root}/$v").get)).filter(_.toString.endsWith(".parquet")).count()
+
+    t.compact(targetFiles = 1)
+
+    val after = t.current().get.orderBy(col("order_id"), col("product_id")).collect().toSeq
+    val filesAfter = Files.list(java.nio.file.Paths.get(t.currentVersion.map(v =>
+      s"${t.root}/$v").get)).filter(_.toString.endsWith(".parquet")).count()
+    assert(after == before)
+    assert(filesBefore > 1L)
+    assert(filesAfter == 1L)
+  }
+
   test("overwrite is atomic: pointer flips to a complete version") {
     val t = freshTable()
     t.upsert(ordersBatch("orders_fixture.csv"))
