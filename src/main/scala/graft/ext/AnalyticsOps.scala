@@ -119,8 +119,37 @@ object AnalyticsOps {
        |       count(*) AS n
        |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin)
 
+  /** Decile statistics via ntile: equal-frequency buckets (the
+    * complement of q57's equal-width bins) — per-decile count and value
+    * range of order totals. ntile needs a TOTAL order (ties broken by
+    * key) or the two engines bucket tied rows differently.
+    *
+    * Scale caveat: an unpartitioned window funnels every row through one
+    * task — exact global ntile is inherently serial. At 100 TB the same
+    * report comes from q54-style order-statistic cut points (or q37's
+    * sketch) + a broadcast binning pass; this exact form is for
+    * per-partition or modest-cardinality use.
+    */
+  val q62Deciles: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("decile"))
+    },
+    """SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (SELECT o_orderkey, o_totalprice,
+      |        cast(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS integer) AS decile
+      |      FROM orders)
+      |GROUP BY decile ORDER BY decile""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,
-    "q57_histogram" -> q57Histogram)
+    "q57_histogram" -> q57Histogram,
+    "q62_deciles" -> q62Deciles)
 }
