@@ -55,14 +55,19 @@ object Pipeline {
     val c2 = SchemaSync.sync(spark, inventoriesTable, Schemas.inventories, protectedCols = Schemas.inventoriesKey.toSet)
     println(s"[pipeline] schema sync: orders=$c1 inventories=$c2")
 
-    // 2. ingest
-    inventoriesTable.upsert(Ingest.readInventoriesCsv(spark, inventoryPath))
+    // 2. ingest — reads/upserts retried at the driver like the
+    // reference's Prefect task retries (R1: retries=3, delay 5 s)
+    Ingest.retried {
+      inventoriesTable.upsert(Ingest.readInventoriesCsv(spark, inventoryPath))
+    }
     if (streaming) {
       val q = StreamingIngest.runOrdersIngest(spark, ordersPath, ordersTable, s"$warehouse/_checkpoints/orders")
       q.awaitTermination()
       println(s"[pipeline] streaming ingest drained from $ordersPath")
     } else {
-      ordersTable.upsert(Ingest.readOrdersCsv(spark, ordersPath))
+      Ingest.retried {
+        ordersTable.upsert(Ingest.readOrdersCsv(spark, ordersPath))
+      }
     }
 
     val orders = ordersTable.current().get

@@ -20,6 +20,9 @@ import graft.core.Schemas
   */
 object Ingest {
 
+  /** Reference retry policy for ingest actions (R1: retries=3, 5 s). */
+  def retried[A](f: => A): A = Retry.withRetries(attempts = 3, delayMillis = 5000L)(f)
+
   private def renamed(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(Schemas.camelToSnake).toIndexedSeq: _*)
 

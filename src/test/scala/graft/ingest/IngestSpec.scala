@@ -29,6 +29,36 @@ class IngestSpec extends AnyFunSuite {
     assert(df.filter(col("quantity") < 10).count() == 3)
   }
 
+  test("retry wrapper: recovers after transient failures, rethrows when exhausted") {
+    var calls = 0
+    val got = Retry.withRetries(attempts = 3, delayMillis = 1L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"transient $calls")
+      "ok"
+    }
+    assert(got == "ok" && calls == 3)
+
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetries(attempts = 2, delayMillis = 1L) {
+        calls2 += 1
+        throw new RuntimeException(s"always $calls2")
+      }
+    }
+    assert(e.getMessage == "always 2" && calls2 == 2)
+
+    // non-matching failures are not retried
+    var calls3 = 0
+    intercept[IllegalStateException] {
+      Retry.withRetries(attempts = 3, delayMillis = 1L,
+        shouldRetry = _.getMessage.startsWith("transient")) {
+        calls3 += 1
+        throw new IllegalStateException("fatal")
+      }
+    }
+    assert(calls3 == 1)
+  }
+
   test("JSONL: declared schema, camelCase renames, corrupt rows preserved") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
