@@ -246,9 +246,10 @@ object EventOps {
     * (dynamic-gap session aggregation — in streaming this runs
     * incrementally with watermark state eviction; here its batch results
     * must equal the explicit window-algebra sessionizer q30, which is
-    * what the oracle computes). session_start/end are min/max event
-    * times (session_window's own `end` is last+gap, a different
-    * convention than q30's).
+    * what the oracle computes — including the boundary: events exactly
+    * gap-apart MERGE in both, so the oracle splits only on gap > 30 min).
+    * session_start/end are min/max event times (session_window's own
+    * `end` is last+gap, a different convention than q30's).
     */
   val q61SessionWindowNative: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -262,7 +263,7 @@ object EventOps {
     },
     """WITH g AS (SELECT user_id, event_id, ts, value,
       |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |                       >= 1800 * 1000000
+      |                       > 1800 * 1000000
       |                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |             THEN 1 ELSE 0 END AS new_session
       |           FROM events),

@@ -20,8 +20,10 @@ import graft.core.Schemas
   */
 object Ingest {
 
-  /** Reference retry policy for ingest actions (R1: retries=3, 5 s). */
-  def retried[A](f: => A): A = Retry.withRetries(attempts = 3, delayMillis = 5000L)(f)
+  /** Reference retry policy for ingest actions (R1: retries=3, 5 s —
+    * i.e. 1 initial try + 3 retries = 4 attempts).
+    */
+  def retried[A](f: => A): A = Retry.withRetries(attempts = 4, delayMillis = 5000L)(f)
 
   private def renamed(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(Schemas.camelToSnake).toIndexedSeq: _*)
@@ -61,8 +63,11 @@ object Ingest {
     * readers: declared schema (never inference — at 100 TB a schema
     * inference pass is a full extra read), camelCase keys renamed, rows
     * that don't parse preserved in `_corrupt_record` instead of silently
-    * dropped (PERMISSIVE). One file per task, no shuffle — the standard
-    * landing format for document/training-data pipelines.
+    * dropped. Parsed as text + `from_json` rather than the json reader:
+    * the reader's corrupt column carries a query restriction
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN forbids filtering on it without
+    * caching first), while this form yields an ordinary queryable
+    * column. Line-splittable text input ⇒ parallel scan, no shuffle.
     */
   def readJsonl(
       spark: SparkSession,
@@ -71,10 +76,10 @@ object Ingest {
     val withCorrupt =
       if (schema.fieldNames.contains("_corrupt_record")) schema
       else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    renamed(spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path))
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select(col("r.*"))
+    renamed(parsed)
   }
 }

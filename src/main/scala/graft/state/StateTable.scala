@@ -132,12 +132,20 @@ final class StateTable(
     * whose per-file open/footer cost dominates scans at scale). Contents
     * are byte-identical rows — only the file layout changes; readers see
     * the compacted version atomically via the usual pointer swap.
+    *
+    * Partitioned tables shuffle on (partitionCols, key-hash salt) so each
+    * partition directory gets up to `targetFiles` files AND no single
+    * task absorbs a whole hot partition. Unpartitioned tables with
+    * targetFiles=1 funnel through one task by construction — size
+    * targetFiles to the table, not the default, for big tables.
     */
   def compact(targetFiles: Int = 1): Unit =
     read().foreach { df =>
       val compacted =
-        if (partitionCols.nonEmpty) df.repartition(targetFiles, partitionCols.map(col): _*)
-        else df.repartition(targetFiles)
+        if (partitionCols.nonEmpty) {
+          val salt = pmod(hash(keyCols.map(col): _*), lit(targetFiles))
+          df.repartition((partitionCols.map(col) :+ salt): _*)
+        } else df.repartition(targetFiles)
       overwrite(compacted)
     }
 

@@ -18,7 +18,7 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianPro
   */
 class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = TestSpark.testdata("0.001")
 
   private def plan(name: String): SparkPlan = {
     val prior = spark.conf.get("spark.sql.adaptive.enabled")

@@ -21,4 +21,8 @@ object TestSpark {
 
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
+
+  /** Driver-generated corpus root, overridable for other checkouts. */
+  def testdata(scale: String): String =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + s"/sf$scale"
 }

@@ -13,7 +13,7 @@ import graft.TestSpark
   */
 class VectorOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = TestSpark.testdata("0.001")
 
   /** Brute-force baseline, collected ONCE for the whole suite. */
   private lazy val exactRows =

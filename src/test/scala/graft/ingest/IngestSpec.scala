@@ -74,7 +74,8 @@ class IngestSpec extends AnyFunSuite {
       StructField("docId", LongType),
       StructField("text", StringType),
       StructField("sourceName", StringType)))
-    val df = Ingest.readJsonl(spark, f.toString, schema).cache()
+    // no cache(): the corrupt-record column must be directly queryable
+    val df = Ingest.readJsonl(spark, f.toString, schema)
 
     assert(df.columns.toSeq == Seq("doc_id", "text", "source_name", "_corrupt_record"))
     assert(df.count() == 4)

@@ -14,7 +14,7 @@ import graft.tables.Tables
   */
 class SketchAccuracySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sfDir = "/root/testdata/sf0.01"
+  private val sfDir = TestSpark.testdata("0.01")
 
   test("HLL distinct counts and approx medians stay within error bounds") {
     val approx = Relational.q37SketchStats.run(spark, sfDir)

@@ -74,15 +74,19 @@ class StateTableSpec extends AnyFunSuite {
     t.upsert(batch)
     // force a fragmented version: many partitions -> many files
     t.overwrite(t.read().get.repartition(8))
+    def parquetFiles(): Long = {
+      val dir = java.nio.file.Paths.get(s"${t.root}/${t.currentVersion.get}")
+      val s = Files.list(dir)
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close() // Files.list holds a directory fd
+    }
     val before = t.current().get.orderBy(col("order_id"), col("product_id")).collect().toSeq
-    val filesBefore = Files.list(java.nio.file.Paths.get(t.currentVersion.map(v =>
-      s"${t.root}/$v").get)).filter(_.toString.endsWith(".parquet")).count()
+    val filesBefore = parquetFiles()
 
     t.compact(targetFiles = 1)
 
     val after = t.current().get.orderBy(col("order_id"), col("product_id")).collect().toSeq
-    val filesAfter = Files.list(java.nio.file.Paths.get(t.currentVersion.map(v =>
-      s"${t.root}/$v").get)).filter(_.toString.endsWith(".parquet")).count()
+    val filesAfter = parquetFiles()
     assert(after == before)
     assert(filesBefore > 1L)
     assert(filesAfter == 1L)
