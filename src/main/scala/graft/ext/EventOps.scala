@@ -143,6 +143,33 @@ object EventOps {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** FORWARD as-of: for each view, the next purchase at-or-after it by
+    * the same user (time-to-convert attribution) — the backward operator
+    * reused through the negated-time reduction, checked against DuckDB's
+    * native forward ASOF (`v.ts <= p.ts`).
+    */
+  val q63AsofForward: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_event_id"), col("value"))
+      graft.operators.AsOfJoin
+        .asofForward(views, purchases, Seq("user_id"), "ts", "ts")
+        .withColumn("secs_to_purchase",
+          (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).cast("double") / 1e6)
+        .orderBy(col("event_id"))
+    },
+    """SELECT v.user_id, v.ts, v.event_id,
+      |       p.ts AS asof_ts, p.event_id AS asof_purchase_event_id, p.value AS asof_value,
+      |       cast(epoch_us(p.ts) - epoch_us(v.ts) AS double) / cast(1000000 AS double) AS secs_to_purchase
+      |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND v.ts <= p.ts
+      |ORDER BY v.event_id""".stripMargin)
+
   /** The same attribution as q38, executed by the NATIVE custom operator
     * ([[graft.plans.NativeAsOf]]: LogicalPlan + Strategy + SparkPlan with
     * a per-partition merge sweep) instead of the compositional
@@ -278,6 +305,7 @@ object EventOps {
       |ORDER BY user_id, session_start""".stripMargin)
 
   val all: Map[String, QuerySpec] = Map(
+    "q63_asof_forward" -> q63AsofForward,
     "q61_session_window" -> q61SessionWindowNative,
     "q50_funnel" -> q50Funnel,
     "q51_retention" -> q51Retention,

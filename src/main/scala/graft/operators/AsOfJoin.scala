@@ -76,4 +76,26 @@ object AsOfJoin {
           Seq(col("_m._time").as(s"asof_$rightTime")) ++
           carried.map(c => col(s"_m.$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` within the same key ("next event after").
+    * Pure reduction to the backward join on negated time: the latest
+    * right with −rt ≤ −lt is exactly the earliest right with rt ≥ lt,
+    * inclusive ties included — one implementation, both directions.
+    * The original right time column rides along as a carried value, so
+    * the output matches [[asof]]'s shape (asof_<col> columns).
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val ln = "_fwd_lt"
+    val rn = "_fwd_rt"
+    val l2 = left.withColumn(ln, -unix_micros(col(leftTime)))
+    val r2 = right.withColumn(rn, -unix_micros(col(rightTime)))
+    asof(l2, r2, key, ln, rn)
+      .drop(ln, s"asof_$rn")
+  }
 }

@@ -11,6 +11,30 @@ import graft.tables.Tables
 class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("forward asof equals brute-force next-event join") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+
+    val got = AsOfJoin.asofForward(views, purchases, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("asof_p_id"))
+
+    val pR = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("p_ts").asc)
+    val brute = views
+      .join(pR, col("user_id") === col("p_user") && col("p_ts") >= col("ts"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("p_id").as("asof_p_id"))
+
+    assert(got.count() == views.count())
+    assert(got.except(brute).count() == 0)
+    assert(brute.except(got).count() == 0)
+    assert(got.filter(col("asof_p_id").isNotNull).count() > 0)
+  }
+
   test("asof join equals brute-force inequality join + row_number") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = ev.filter(col("event_type") === "purchase")
