@@ -533,15 +533,30 @@ object TextOps {
     * Integer-only arithmetic + md5 bucketing ⇒ bit-exact in any engine;
     * the DuckDB oracle rebuilds the identical sketch.
     */
+  /** Per-token CMS hash rows (tok, true_count, j, bucket) — shared by
+    * q49 and the streaming sketch maintenance.
+    */
+  private[graft] def cmsHb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    tok.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      .select(col("tok"), col("true_count"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .withColumn("bucket",
+        PortableHash.bucketCol(concat(col("j").cast("string"), lit("|"), col("tok")), CmsHexChars))
+  }
+
+  /** The d×w sketch itself: (j, bucket, cnt) cells. Count-Min is LINEAR
+    * (cell-wise addable), so cells from disjoint corpus slices sum to
+    * the full-corpus sketch — the property streaming maintenance rests
+    * on ([[graft.streaming.StreamingSketch]]).
+    */
+  private[graft] def cmsCells(docs: DataFrame): DataFrame =
+    cmsHb(docs).groupBy(col("j"), col("bucket"))
+      .agg(sum(col("true_count")).as("cnt"))
+
   val q49CountMinHh: QuerySpec = QuerySpec(
     (s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
-      val hb = freq.select(col("tok"), col("true_count"),
-          explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
-        .withColumn("bucket",
-          PortableHash.bucketCol(concat(col("j").cast("string"), lit("|"), col("tok")), CmsHexChars))
+      val hb = cmsHb(Tables.documents(s, dir))
       val sketch = hb.groupBy(col("j"), col("bucket"))
         .agg(sum(col("true_count")).as("cnt"))
       hb.join(sketch, Seq("j", "bucket"))
