@@ -158,6 +158,41 @@ final class StateTable(
   def readVersion(version: String): DataFrame =
     spark.read.parquet(rootPath.resolve(version).toString).drop(SeqCol)
 
+  /** Change-data-capture between two retained versions: one row per
+    * changed KEY with `_change ∈ {insert, update, delete}` and the
+    * after-image columns (before-image for deletes). Key-level — a key
+    * whose latest row's values are byte-equal in both versions emits
+    * nothing. Versioned immutable state makes CDC a pure join: no log,
+    * no triggers; two scans + one shuffle on the key.
+    */
+  def diff(fromVersion: String, toVersion: String): DataFrame = {
+    def latestPerKey(v: String): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+      spark.read.parquet(rootPath.resolve(v).toString)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn", SeqCol)
+    }
+    val before = latestPerKey(fromVersion)
+    val after = latestPerKey(toVersion)
+    val valueCols = after.columns.filterNot(keyCols.contains).toSeq
+    val b = before.select(keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_b_$c")) :+ lit(true).as("_in_b"): _*)
+    val a = after.select(keyCols.map(col) ++ valueCols.map(col) :+ lit(true).as("_in_a"): _*)
+    val j = a.join(b, keyCols.toSeq, "full_outer")
+    val changed = valueCols
+      .map(c => !(col(c) <=> col(s"_b_$c"))) // null-safe per-column compare
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.withColumn("_change",
+        when(col("_in_b").isNull, lit("insert"))
+          .when(col("_in_a").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(keyCols.map(col) ++ valueCols.map { c =>
+        // after-image; before-image for deletes. NOT coalesce — an
+        // update TO null must surface as null, not the old value.
+        when(col("_in_a").isNotNull, col(c)).otherwise(col(s"_b_$c")).as(c)
+      } :+ col("_change"): _*)
+  }
+
   /** All retained versions, oldest first (by filesystem mtime), with the
     * current one last-write wins semantics visible via [[currentVersion]].
     */

@@ -1,4 +1,5 @@
 package graft.state
+// (diff/CDC tests live in StateTableDiffSpec)
 
 import java.nio.file.Files
 
