@@ -519,22 +519,9 @@ object TextOps {
   private val CmsDepth = 4    // independent hash rows
   private val CmsHexChars = 3 // 16^3 = 4096 buckets per row
 
-  /** Count-Min sketch heavy hitters: a d×w integer sketch (d=4 seeded md5
-    * hashes, w=4096 buckets) over the token stream, then every token's
-    * estimate = min over rows of its bucket count — the classic
-    * overcount-only guarantee (est ≥ true, error ≤ N/w per row). Reported
-    * tokens: estimate ≥ 100, alongside the true count so the
-    * overestimate is visible.
-    *
-    * Scale design: the sketch is built from the pre-aggregated term
-    * frequencies (same result as hashing every occurrence, one exchange
-    * less), is fixed-size (d·w cells) regardless of corpus size, and the
-    * estimate join is per-(row, bucket) — broadcast-able at any scale.
-    * Integer-only arithmetic + md5 bucketing ⇒ bit-exact in any engine;
-    * the DuckDB oracle rebuilds the identical sketch.
-    */
-  /** Per-token CMS hash rows (tok, true_count, j, bucket) — shared by
-    * q49 and the streaming sketch maintenance.
+  /** Per-token CMS hash rows (tok, true_count, j, bucket) for the d=4,
+    * w=4096 seeded-md5 sketch — shared by q49 and the streaming sketch
+    * maintenance.
     */
   private[graft] def cmsHb(docs: DataFrame): DataFrame = {
     val tok = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -550,15 +537,25 @@ object TextOps {
     * the full-corpus sketch — the property streaming maintenance rests
     * on ([[graft.streaming.StreamingSketch]]).
     */
-  private[graft] def cmsCells(docs: DataFrame): DataFrame =
-    cmsHb(docs).groupBy(col("j"), col("bucket"))
+  private[graft] def cmsCellsFromHb(hb: DataFrame): DataFrame =
+    hb.groupBy(col("j"), col("bucket"))
       .agg(sum(col("true_count")).as("cnt"))
 
+  private[graft] def cmsCells(docs: DataFrame): DataFrame =
+    cmsCellsFromHb(cmsHb(docs))
+
+  /** Count-Min heavy hitters over the token stream: every token's
+    * estimate = min over rows of its bucket count — the classic
+    * overcount-only guarantee (est ≥ true, error ≤ N/w per row);
+    * reported tokens: estimate ≥ 100, with the true count alongside so
+    * the overestimate is visible. Fixed d×w size regardless of corpus;
+    * built from pre-aggregated term frequencies (same cells, one
+    * exchange less); the DuckDB oracle rebuilds the identical sketch.
+    */
   val q49CountMinHh: QuerySpec = QuerySpec(
     (s, dir) => {
       val hb = cmsHb(Tables.documents(s, dir))
-      val sketch = hb.groupBy(col("j"), col("bucket"))
-        .agg(sum(col("true_count")).as("cnt"))
+      val sketch = cmsCellsFromHb(hb)
       hb.join(sketch, Seq("j", "bucket"))
         .groupBy(col("tok"))
         .agg(min(col("cnt")).as("est"), min(col("true_count")).as("true_count"))

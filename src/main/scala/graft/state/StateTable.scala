@@ -167,13 +167,27 @@ final class StateTable(
     */
   def diff(fromVersion: String, toVersion: String): DataFrame = {
     def latestPerKey(v: String): DataFrame = {
-      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-      spark.read.parquet(rootPath.resolve(v).toString)
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .drop("_rn", SeqCol)
+      val raw = spark.read.parquet(rootPath.resolve(v).toString)
+      // versions written via bare overwrite() (sketches, compacted
+      // snapshots) carry no _seq — their rows are already key-level
+      if (!raw.columns.contains(SeqCol)) raw
+      else {
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+        raw.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .drop("_rn", SeqCol)
+      }
     }
-    val before = latestPerKey(fromVersion)
-    val after = latestPerKey(toVersion)
+    // align schemas across an evolution boundary: a column present in
+    // only one version appears as typed nulls on the other side, so an
+    // added/dropped column surfaces as updates instead of crashing
+    // (forward) or silently vanishing from the CDC stream (reverse)
+    val before0 = latestPerKey(fromVersion)
+    val after0 = latestPerKey(toVersion)
+    def aligned(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val before = aligned(before0, after0)
+    val after = aligned(after0, before0)
     val valueCols = after.columns.filterNot(keyCols.contains).toSeq
     val b = before.select(keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_b_$c")) :+ lit(true).as("_in_b"): _*)
     val a = after.select(keyCols.map(col) ++ valueCols.map(col) :+ lit(true).as("_in_a"): _*)

@@ -19,25 +19,36 @@ import graft.state.StateTable
 object StreamingSketch {
 
   /** Merge one micro-batch of documents (needs a `text` column) into the
-    * sketch table. Usable directly as a `foreachBatch` body.
+    * sketch table. IDEMPOTENT per batchId: the sketch records the last
+    * folded epoch, and a replayed micro-batch (failure after overwrite
+    * but before the streaming checkpoint commits) is skipped instead of
+    * double-counted — a cell merge is an increment, so without this
+    * guard a replay would inflate every estimate permanently.
     */
-  def mergeBatch(sketch: StateTable, docs: DataFrame): Unit = {
+  def mergeBatch(sketch: StateTable, docs: DataFrame, batchId: Long): Unit = {
     val cells = graft.ext.TextOps.cmsCells(docs)
-    val merged = sketch.read() match {
-      case None => cells
+    sketch.read() match {
+      case None =>
+        sketch.overwrite(cells.withColumn(BatchCol, lit(batchId)))
       case Some(prev) =>
-        prev.select(col("j"), col("bucket"), col("cnt"))
-          .unionByName(cells)
-          .groupBy(col("j"), col("bucket"))
-          .agg(sum(col("cnt")).as("cnt"))
+        val lastMerged = prev.agg(max(col(BatchCol))).head().getLong(0)
+        if (batchId > lastMerged) {
+          val merged = prev.select(col("j"), col("bucket"), col("cnt"))
+            .unionByName(cells)
+            .groupBy(col("j"), col("bucket"))
+            .agg(sum(col("cnt")).as("cnt"))
+          sketch.overwrite(merged.withColumn(BatchCol, lit(batchId)))
+        } // else: epoch already folded in — replay is a no-op
     }
-    sketch.overwrite(merged)
   }
 
-  /** Attach to a streaming Dataset of documents: one sketch merge per
-    * micro-batch (exactly-once per epoch via the checkpointed batch id —
-    * StateTable versions make replayed batches idempotent to re-merge
-    * only if the caller dedups on batchId; keep the checkpoint dir).
+  /** Epoch watermark column persisted with the sketch (same value on
+    * every row of a version).
+    */
+  val BatchCol = "_last_batch"
+
+  /** Attach to a streaming Dataset of documents: one idempotent sketch
+    * merge per micro-batch, keyed by the checkpointed batch id.
     */
   def attach(
       stream: DataFrame,
@@ -45,6 +56,6 @@ object StreamingSketch {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: DataFrame, _: Long) => mergeBatch(sketch, batch))
+      .foreachBatch((batch: DataFrame, id: Long) => mergeBatch(sketch, batch, id))
       .start()
 }

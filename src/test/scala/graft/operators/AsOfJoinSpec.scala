@@ -12,7 +12,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("forward asof equals brute-force next-event join") {
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, graft.TestSpark.testdata("0.001"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -22,7 +22,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("event_id"), col("asof_p_id"))
 
     val pR = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
-    val w = Window.partitionBy(col("event_id")).orderBy(col("p_ts").asc)
+    val w = Window.partitionBy(col("event_id")).orderBy(col("p_ts").asc, col("p_id").asc)
     val brute = views
       .join(pR, col("user_id") === col("p_user") && col("p_ts") >= col("ts"), "left_outer")
       .withColumn("rn", row_number().over(w))
@@ -36,7 +36,7 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("asof join equals brute-force inequality join + row_number") {
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = Tables.events(spark, graft.TestSpark.testdata("0.001"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
     val views = ev.filter(col("event_type") === "view")
@@ -47,7 +47,7 @@ class AsOfJoinSpec extends AnyFunSuite {
 
     // brute force: all (purchase, prior view) pairs, keep latest view
     val viewsR = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("view_event_id"))
-    val w = Window.partitionBy(col("event_id")).orderBy(col("v_ts").desc)
+    val w = Window.partitionBy(col("event_id")).orderBy(col("v_ts").desc, col("view_event_id").desc)
     val brute = purchases
       .join(viewsR, col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left_outer")
       .withColumn("rn", row_number().over(w))

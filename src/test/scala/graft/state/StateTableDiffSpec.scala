@@ -39,6 +39,22 @@ class StateTableDiffSpec extends AnyFunSuite {
       (5L, None, 50, "insert")))
   }
 
+  test("diff tolerates no-_seq versions and a schema-evolution boundary") {
+    val dir = Files.createTempDirectory("graft-diff3").toString
+    val t = new StateTable(spark, dir, keyCols = Seq("id"))
+    // bare overwrites (no _seq), second version gains a column
+    t.overwrite(Seq((1L, 10), (2L, 20)).toDF("id", "qty"))
+    val v1 = t.currentVersion.get
+    t.overwrite(Seq((1L, 10, Some("fresh")), (2L, 20, Option.empty[String]))
+      .toDF("id", "qty", "note"))
+    val v2 = t.currentVersion.get
+
+    val got = t.diff(v1, v2)
+      .as[(Long, Int, Option[String], String)].collect().toSet
+    // key 1 gains a non-null note -> update; key 2's note stays null -> unchanged
+    assert(got == Set((1L, 10, Some("fresh"), "update")))
+  }
+
   test("diff respects last-write-wins rows within a version") {
     val dir = Files.createTempDirectory("graft-diff2").toString
     val t = new StateTable(spark, dir, keyCols = Seq("id"))

@@ -18,8 +18,10 @@ class StreamingSketchSpec extends AnyFunSuite {
       keyCols = Seq("j", "bucket"))
 
     // two disjoint micro-batches
-    StreamingSketch.mergeBatch(sketch, docs.filter(col("doc_id") % 2 === 0))
-    StreamingSketch.mergeBatch(sketch, docs.filter(col("doc_id") % 2 =!= 0))
+    StreamingSketch.mergeBatch(sketch, docs.filter(col("doc_id") % 2 === 0), batchId = 0L)
+    StreamingSketch.mergeBatch(sketch, docs.filter(col("doc_id") % 2 =!= 0), batchId = 1L)
+    // replayed epoch (failure before checkpoint commit): must be a no-op
+    StreamingSketch.mergeBatch(sketch, docs.filter(col("doc_id") % 2 =!= 0), batchId = 1L)
 
     val streamed = sketch.current().get
       .select(col("j"), col("bucket"), col("cnt"))
