@@ -67,10 +67,31 @@ object TextOps {
       |      / cast(len(string_split_regex(trim(text), '\s+')) AS double) * cast(0.5 AS double)""".stripMargin
 
   /** MinHash signature frame (doc_id, mh0..mh7): one row per doc; shared
-    * by q17 (signatures) and q18 (LSH pairs) so the scheme cannot drift
-    * between them.
+    * by q17 (signatures), q18 (LSH pairs) and the clustering queries so
+    * the scheme cannot drift between them.
+    *
+    * Computed by the codegen [[graft.functions.MinHashSigs]] expression:
+    * the per-seed minima fold per ROW over the shingle array, so the
+    * signature costs ZERO shuffles (the agg form explodes to the
+    * (docs × shingles) relation and shuffles it into a groupBy).
+    * [[minhashSigAgg]] keeps the aggregation form for the equality spec.
     */
   private def minhashSig(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSigs.register(docs.sparkSession)
+    toks(docs).filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr(s"minhash_sigs(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])), $NumHashes)").as("_sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i => col("_sig")(i).as(s"mh$i")): _*)
+  }
+
+  /** Test hook for the expression-based signature path. */
+  private[graft] def minhashSigForTest(docs: DataFrame): DataFrame = minhashSig(docs)
+
+  /** The original aggregation form of [[minhashSig]] (explode → seeded
+    * md5 minima groupBy) — identical output by construction; retained
+    * as the differential check for the expression kernel.
+    */
+  private[graft] def minhashSigAgg(docs: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
     shingles(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
