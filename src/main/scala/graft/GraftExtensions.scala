@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSigs, RollingHash}
+import graft.functions.{MinHashSigs, RollingHash, SimHashSig}
 
 /** Session extensions: installs graft's native functions into any session
   * built with `.withExtensions(new GraftExtensions)` or
@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigs(exprs.head,
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashSig(exprs.head)))
   }
 }

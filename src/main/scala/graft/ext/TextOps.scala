@@ -102,8 +102,21 @@ object TextOps {
     s""", sig AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")}
        |          FROM shx GROUP BY doc_id)""".stripMargin
 
-  /** SimHash signature frame (doc_id, simhash); shared by q19 and q36. */
+  /** SimHash signature frame (doc_id, simhash); shared by q19 and q36.
+    * Computed per ROW by the codegen [[graft.functions.SimHashSig]]
+    * kernel — zero shuffles (the agg form explodes tokens and shuffles
+    * the (docs × tokens) relation into 32 conditional sums).
+    */
   private def simhashSig(docs: DataFrame): DataFrame = {
+    graft.functions.SimHashSig.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      expr("simhash_sig(split(trim(text), '\\\\s+'))").as("simhash"))
+  }
+
+  /** The original aggregation form of [[simhashSig]] — identical output;
+    * retained as the differential check for the expression kernel.
+    */
+  private[graft] def simhashSigAgg(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
     val sums = (0 until SimBits).map(j =>
       sum(when(substring(md5(col("tok")), j + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$j"))
@@ -114,6 +127,9 @@ object TextOps {
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), bitsum.cast("bigint").as("simhash"))
   }
+
+  /** Test hook for the expression-based simhash path. */
+  private[graft] def simhashSigForTest(docs: DataFrame): DataFrame = simhashSig(docs)
 
   /** Oracle twin of [[simhashSig]] (self-contained CTE chain). */
   private val simhashSigSql: String =

@@ -19,6 +19,15 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(viaAgg.except(viaExpr).count() == 0)
   }
 
+  test("simhash expression kernel equals the explode+groupBy form on the corpus") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.testdata("0.001"))
+    val viaExpr = graft.ext.TextOps.simhashSigForTest(docs)
+    val viaAgg = graft.ext.TextOps.simhashSigAgg(docs)
+    assert(viaExpr.count() > 0)
+    assert(viaExpr.except(viaAgg).count() == 0)
+    assert(viaAgg.except(viaExpr).count() == 0)
+  }
+
   test("null/empty shingle arrays yield null signatures; null elements are skipped") {
     import spark.implicits._
     MinHashSigs.register(spark)
