@@ -59,6 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q00_pricing_summary" -> 2, "q01_revenue_per_product" -> 3,
       "q02_orders_monthly" -> 2, "q11_upsert_lww" -> 2,
       "q17_minhash_sig" -> 1, // expression-computed signature: sort only
+      "q19_simhash" -> 1,     // expression-computed signature: sort only
+      "q36_simhash_pairs" -> 2,
       "q23_tumbling_windows" -> 2,
       "q30_sessionize" -> 2, "q34_tfidf" -> 5,
       "q41_asof_native" -> 3, "q48_ann_ivf" -> 4, "q50_funnel" -> 4)
