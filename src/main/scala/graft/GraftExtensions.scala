@@ -21,13 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSigs(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue())))
+      MinHashSigs.builder _))
     e.injectFunction((
       new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashSig(exprs.head)))
+      SimHashSig.builder _))
   }
 }

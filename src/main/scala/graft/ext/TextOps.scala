@@ -28,11 +28,18 @@ object TextOps {
     docs.select(col("doc_id"), col("source"), col("lang"),
       split(trim(col("text")), "\\s+").as("w"))
 
+  /** Word-trigram array expression over the token array `w` — ONE
+    * definition shared by the exploded relation ([[shingles]]) and the
+    * expression-kernel signature ([[minhashSig]]) so the shingle scheme
+    * cannot drift between the two paths.
+    */
+  private val TrigramExpr =
+    "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+
   /** Word 3-shingles as an exploded (doc_id, source, sh) relation. */
   private def shingles(docs: DataFrame): DataFrame =
     toks(docs).filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+      .select(col("doc_id"), col("source"), explode(expr(TrigramExpr)).as("sh"))
 
   private val shSql =
     """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -80,7 +87,7 @@ object TextOps {
     graft.functions.MinHashSigs.register(docs.sparkSession)
     toks(docs).filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        expr(s"minhash_sigs(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])), $NumHashes)").as("_sig"))
+        expr(s"minhash_sigs($TrigramExpr, $NumHashes)").as("_sig"))
       .select(col("doc_id") +: (0 until NumHashes).map(i => col("_sig")(i).as(s"mh$i")): _*)
   }
 
@@ -109,8 +116,11 @@ object TextOps {
     */
   private def simhashSig(docs: DataFrame): DataFrame = {
     graft.functions.SimHashSig.register(docs.sparkSession)
-    docs.select(col("doc_id"),
-      expr("simhash_sig(split(trim(text), '\\\\s+'))").as("simhash"))
+    // NULL-text docs carry no tokens: the agg form's explode drops them
+    // (no output row), so this path must filter, not emit a NULL row
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("simhash_sig(split(trim(text), '\\\\s+'))").as("simhash"))
   }
 
   /** The original aggregation form of [[simhashSig]] — identical output;

@@ -26,11 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sigs requires array<string>, got ${other.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numHashes <= 0)
+      TypeCheckResult.TypeCheckFailure(s"minhash_sigs requires k > 0, got $numHashes")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs requires array<string>, got ${other.catalogString}")
+    }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
@@ -54,34 +57,43 @@ object MinHashSigs {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // per-k seed byte-arrays, cached: "j|" (normal) and "j" (what the agg
+  // form's concat_ws degrades to when the element is NULL)
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Array[Byte]], Array[Array[Byte]])]()
+
+  private def prefixes(k: Int): (Array[Array[Byte]], Array[Array[Byte]]) =
+    prefixCache.computeIfAbsent(k, kk =>
+      (Array.tabulate(kk)(j => s"$j|".getBytes("UTF-8")),
+        Array.tabulate(kk)(j => s"$j".getBytes("UTF-8"))))
+
   /** Static kernel shared by eval and generated code. Null on empty
-    * input (no shingles ⇒ no signature).
+    * input (no shingles ⇒ no signature). A NULL element hashes as the
+    * bare seed — exactly what the aggregation form's
+    * `concat_ws("|", seed, NULL)` collapses to — so the two forms stay
+    * bit-identical even on inputs TextOps never produces.
     */
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = MessageDigest.getInstance("MD5")
-    val prefixes = Array.tabulate(k)(j => s"$j|".getBytes("UTF-8"))
+    val md = Md5Local.get()
+    val (withSep, bare) = prefixes(k)
     val mins = new Array[UTF8String](k)
     var i = 0
     while (i < n) {
       val sh = arr.getUTF8String(i)
-      if (sh != null) {
-        val shBytes = sh.getBytes
-        var j = 0
-        while (j < k) {
-          md.reset()
-          md.update(prefixes(j))
-          md.update(shBytes)
-          val hex = toHex(md.digest())
-          if (mins(j) == null || hex.compareTo(mins(j)) < 0) mins(j) = hex
-          j += 1
-        }
+      val shBytes = if (sh == null) null else sh.getBytes
+      var j = 0
+      while (j < k) {
+        if (shBytes == null) md.update(bare(j))
+        else { md.update(withSep(j)); md.update(shBytes) }
+        val hex = toHex(md.digest()) // digest() resets the instance
+        if (mins(j) == null || hex.compareTo(mins(j)) < 0) mins(j) = hex
+        j += 1
       }
       i += 1
     }
-    if (mins(0) == null) null
-    else new GenericArrayData(mins.asInstanceOf[Array[Any]])
+    new GenericArrayData(mins.asInstanceOf[Array[Any]])
   }
 
   private def toHex(digest: Array[Byte]): UTF8String = {
@@ -95,11 +107,28 @@ object MinHashSigs {
     UTF8String.fromBytes(out)
   }
 
+  /** Shared builder for both registration paths (temp function and
+    * [[graft.GraftExtensions]]): validates arity and that k is a
+    * foldable integer literal, with a clear error instead of an
+    * executor-side crash.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "minhash_sigs(arr, k) takes exactly 2 arguments")
+    require(exprs(1).foldable, "minhash_sigs: k must be a literal")
+    MinHashSigs(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+
   /** Register `minhash_sigs(arr, k)` (k must be a literal). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs",
-      exprs => MinHashSigs(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
+      "minhash_sigs", builder, "scala_udf")
+}
+
+/** One MessageDigest per thread for the hash kernels — getInstance per
+  * row would do a JCA provider lookup per document.
+  */
+private[functions] object Md5Local {
+  private val tl = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  def get(): MessageDigest = { val md = tl.get(); md.reset(); md }
 }

@@ -30,11 +30,8 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_sig"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null
-    else SimHashSig.compute(v.asInstanceOf[ArrayData])
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashSig.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -60,15 +57,14 @@ object SimHashSig {
   def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     val votes = new Array[Int](Bits)
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Local.get()
     var seen = false
     var i = 0
     while (i < n) {
       val tok = arr.getUTF8String(i)
       if (tok != null) {
         seen = true
-        val digest = md.digest(tok.getBytes)
-        md.reset()
+        val digest = md.digest(tok.getBytes) // digest() resets the instance
         var j = 0
         while (j < Bits) {
           // hex digit j = high nibble of byte j/2 when j even, low when odd;
@@ -94,7 +90,15 @@ object SimHashSig {
     }
   }
 
+  /** Shared builder for both registration paths; rejects wrong arity
+    * instead of silently discarding extra arguments.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "simhash_sig(arr) takes exactly 1 argument")
+    SimHashSig(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sig", exprs => SimHashSig(exprs.head), "scala_udf")
+      "simhash_sig", builder, "scala_udf")
 }

@@ -28,7 +28,7 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(viaAgg.except(viaExpr).count() == 0)
   }
 
-  test("null/empty shingle arrays yield null signatures; null elements are skipped") {
+  test("null/empty shingle arrays yield null signatures; null elements hash like concat_ws") {
     import spark.implicits._
     MinHashSigs.register(spark)
     val df = Seq(
@@ -40,5 +40,13 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> false, 2L -> true, 3L -> true))
     val sig = df.filter(col("id") === 1).select(expr("size(sig)")).head().getInt(0)
     assert(sig == 4)
+
+    // a NULL element degrades to the bare seed, exactly like the agg
+    // form's md5(concat_ws('|', seed, NULL))
+    val ok = spark.sql(
+      """SELECT minhash_sigs(array('x', cast(NULL AS string)), 1)[0]
+        |     = least(md5('0|x'), md5(concat_ws('|', '0', cast(NULL AS string))))""".stripMargin)
+      .head().getBoolean(0)
+    assert(ok)
   }
 }
