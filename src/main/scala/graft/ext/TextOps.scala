@@ -469,7 +469,10 @@ object TextOps {
       // df as a window over tf (one row per doc-term) — avoids a second
       // aggregation pipeline + re-join of the same subtree
       val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
-      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      // doc_id is the table's key: count(*) == count(distinct doc_id)
+      // without the distinct-expand exchange (the oracle keeps the
+      // DISTINCT spelling; the values are identical)
+      val n = docs.select(count(lit(1)).as("n_docs"))
       tf.withColumn("df", count(lit(1)).over(wTok)).crossJoin(broadcast(n))
         .withColumn("weight",
           col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))

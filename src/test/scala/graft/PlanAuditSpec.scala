@@ -62,7 +62,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q19_simhash" -> 1,     // expression-computed signature: sort only
       "q36_simhash_pairs" -> 2,
       "q23_tumbling_windows" -> 2,
-      "q30_sessionize" -> 2, "q34_tfidf" -> 5,
+      "q30_sessionize" -> 2, "q34_tfidf" -> 4,
       "q41_asof_native" -> 3, "q48_ann_ivf" -> 4, "q50_funnel" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
