@@ -466,14 +466,22 @@ object TextOps {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      // df as a window over tf (one row per doc-term) — avoids a second
-      // aggregation pipeline + re-join of the same subtree
-      val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      // df as groupBy(tok) + join back, NOT a Window.partitionBy(tok):
+      // the window form shuffles AND SORTS the full (doc, tok, tf) set by
+      // token, and a stopword-grade token puts ~n_docs rows into a single
+      // window partition — unsplittable skew. The aggregate is map-side
+      // combined (one row per token per partition in flight) and the join
+      // back is AQE-skew-splittable.
       // doc_id is the table's key: count(*) == count(distinct doc_id)
       // without the distinct-expand exchange (the oracle keeps the
       // DISTINCT spelling; the values are identical)
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
-      tf.withColumn("df", count(lit(1)).over(wTok)).crossJoin(broadcast(n))
+      // df is one row per distinct token (vocab-bounded, zipf-flattened by
+      // the combine) — broadcast it back so tf is never reshuffled by the
+      // skewed token key. For an unbounded vocab drop the hint and let
+      // AQE pick shuffle-vs-broadcast at runtime.
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
         .withColumn("weight",
           col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("weight"))

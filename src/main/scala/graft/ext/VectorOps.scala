@@ -16,8 +16,9 @@ import graft.tables.Tables
   *
   * Scale design: brute-force top-k (q21) broadcasts the small *query*
   * side and streams the corpus — one pass, no shuffle of the big side;
-  * per-query top-k is a window over a (n_queries × k)-bounded set after
-  * aggregation. The LSH path (q22) buckets by sign-random-projection so
+  * per-query top-k is the bounded map-side-combinable TopK aggregator
+  * (≤k rows per partition in flight, never a global per-query sort).
+  * The LSH path (q22) buckets by sign-random-projection so
   * candidate generation is bucket-local (the 100 TB path); its buckets
   * depend on engine-specific hashing of hyperplanes, hence rows-only
   * oracle. Near-dup (q25) blocks pairs by label.
@@ -39,7 +40,16 @@ object VectorOps {
   private def duckNorm2(a: String): String =
     s"list_reduce(list_transform($a, x -> cast(x AS double) * cast(x AS double)), (x, y) -> x + y)"
 
-  /** Brute-force cosine top-10 for query vectors (vec_id < 5). */
+  /** Brute-force cosine top-10 for query vectors (vec_id < 5).
+    *
+    * Top-k extraction is the bounded [[graft.functions.TopK]] Aggregator
+    * grouped by `q_id` — each partition keeps ≤k candidates per query and
+    * the shuffle moves (partitions × queries × k) rows, NOT a `row_number`
+    * window that would funnel the entire |corpus| × |queries| scored set
+    * through n_queries reducers. At 100 TB the window form is a handful of
+    * tasks each sorting the whole corpus's scores; this form is a
+    * map-side-combined aggregate.
+    */
   val q21CosineTopK: QuerySpec = QuerySpec(
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -49,11 +59,12 @@ object VectorOps {
       val scored = c.crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("c_id"), col("cosine"), col("rank"))
+      val topk = udaf(new graft.functions.TopK(10))
+      scored.groupBy(col("q_id"))
+        .agg(topk(col("cosine"), col("c_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._1").as("cosine"),
+          (col("pos") + 1).cast("integer").as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -119,13 +130,14 @@ object VectorOps {
       val q = sig.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
       val c = sig.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket").as("bucket_c"))
-      val scored = c.join(broadcast(q), col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
+      val topk = udaf(new graft.functions.TopKCarry(10))
+      c.join(broadcast(q), col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
         .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("c_id"), col("bucket"), col("cosine"), col("rank"))
+        .groupBy(col("q_id"))
+        .agg(topk(col("cosine"), col("c_id"), col("bucket_c")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._3").as("bucket"),
+          col("col._1").as("cosine"), (col("pos") + 1).cast("integer").as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
     oracle = None)
@@ -182,14 +194,19 @@ object VectorOps {
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= IvfProbes)
         .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      // rerank via the bounded TopKCarry aggregator (list_id rides along
+      // as the carried payload) — ≤k candidates per partition per query,
+      // no row_number window funneling the probed-lists set into
+      // n_queries reducers
+      val topk = udaf(new graft.functions.TopKCarry(10))
       assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
         .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
         .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("c_id"), col("list_id"), col("cosine"), col("rank"))
+        .groupBy(col("q_id"))
+        .agg(topk(col("cosine"), col("c_id"), col("list_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._3").as("list_id"),
+          col("col._1").as("cosine"), (col("pos") + 1).cast("integer").as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
     s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE ${duckNorm2("embedding")} > 0),

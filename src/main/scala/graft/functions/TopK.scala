@@ -39,3 +39,33 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
+
+/** [[TopK]] with one extra carried Long column (score, id, payload):
+  * top-k extraction where the winner rows need a rider attribute (e.g.
+  * the IVF list a candidate came from). Ordering is identical —
+  * (score desc, id asc) — the payload never participates in ranking, it
+  * just survives the per-partition trim and the k+k merges.
+  */
+class TopKCarry(k: Int)
+    extends Aggregator[(Double, Long, Long), Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] {
+
+  override def zero: Seq[(Double, Long, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long, Long)], in: (Double, Long, Long)): Seq[(Double, Long, Long)] =
+    trim(buf :+ in)
+
+  override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
+    trim(a ++ b)
+
+  private def trim(xs: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
+    xs.sortBy { case (score, id, _) => (-score, id) }.take(k)
+
+  override def finish(buf: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
+    buf.sortBy { case (score, id, _) => (-score, id) }
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()
+}

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-shape regression suite: locks the physical-plan properties the
   * engine is designed around (broadcast joins for dim sides, parquet
@@ -52,6 +53,18 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plan(n).toString.contains("PushedFilters: ["), s"no pushdown in $n")
   }
 
+  test("similarity top-k is aggregator-bounded, not a window funnel") {
+    // The scored (|corpus| × n_queries) subtree must be reduced by the
+    // bounded TopK aggregator (map-side combine, ≤k rows per partition),
+    // never a row_number window that funnels everything into n_queries
+    // reducers. q48 keeps exactly one window — probe selection over the
+    // (n_queries × K)-bounded centroid set, which never grows with data.
+    for (n <- Seq("q21_cosine_topk", "q22_ann_lsh"))
+      assert(count(plan(n)) { case _: WindowExec => } == 0, s"window funnel in $n")
+    assert(count(plan("q48_ann_ivf")) { case _: WindowExec => } <= 1,
+      "q48 rerank regressed to a window funnel")
+  }
+
   test("shuffle budgets hold for headline plans") {
     // Upper bounds from the audited round-2 plans (graft.Explain all);
     // an increase means a new exchange crept into the hot path.
@@ -62,7 +75,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "q19_simhash" -> 1,     // expression-computed signature: sort only
       "q36_simhash_pairs" -> 2,
       "q23_tumbling_windows" -> 2,
-      "q30_sessionize" -> 2, "q34_tfidf" -> 4,
+      "q21_cosine_topk" -> 2, // topk agg + output sort; corpus side never shuffles
+      "q30_sessionize" -> 2,
+      // 5 exchanges but every one is map-side-combined or broadcast-feeding
+      // (tf agg; df-side dedupe+agg, vocab-bounded; scalar n_docs; output
+      // sort) — the r2 form was 4 but shuffled AND SORTED the full
+      // (doc,tok,tf) set by the zipf-skewed token key in a window
+      "q34_tfidf" -> 5,
+
       "q41_asof_native" -> 3, "q48_ann_ivf" -> 4, "q50_funnel" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
