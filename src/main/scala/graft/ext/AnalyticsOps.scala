@@ -147,9 +147,72 @@ object AnalyticsOps {
       |      FROM orders)
       |GROUP BY decile ORDER BY decile""".stripMargin)
 
+  /** Exact deciles WITHOUT an unpartitioned window — the 100 TB form of
+    * q62, same oracle (ntile SQL). Distributed ranking:
+    *
+    *  1. range-repartition by the total order (o_totalprice, o_orderkey)
+    *     — Spark's parallel sort machinery, every task holds a
+    *     contiguous, locally-sorted slice;
+    *  2. per-slice row counts (one tiny row per task) → cumulative
+    *     offsets via a window over ≤numPartitions rows (bounded — never
+    *     grows with data);
+    *  3. local row_number per slice + broadcast-joined offset = exact
+    *     global rank, computed with no stage ever seeing more than one
+    *     slice;
+    *  4. ntile's bucket arithmetic applied to (rank, N) directly —
+    *     first (N mod 10) buckets get ceil(N/10) rows, the rest get
+    *     floor(N/10), which is bit-for-bit ntile(10) semantics.
+    *
+    * Trade: one extra full-data exchange vs q62's single-task sort —
+    * the right trade everywhere past one machine. q62 stays as the
+    * exact-small-data variant.
+    */
+  val q62bDecilesDist: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val slices = base
+        .repartitionByRange(nPart, col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      // per-slice counts: ≤ nPart rows; the offset window's single
+      // reducer sees nPart rows, not N
+      val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = slices.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .withColumn("n_total", sum(col("cnt")).over())
+        .select(col("pid"), col("off"), col("n_total"))
+      val wLoc = Window.partitionBy(col("pid"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val ranked = slices.withColumn("lrn", row_number().over(wLoc))
+        .join(broadcast(offs), "pid")
+        .withColumn("rn", col("lrn").cast("long") + col("off"))
+      // ntile(10): the first (N mod 10) buckets get floor(N/10)+1 rows,
+      // the rest floor(N/10) — `div` keeps the arithmetic integral, and
+      // the b=0 branch (N<10: every row lands in the `when`) is never
+      // evaluated thanks to CaseWhen's lazy per-row branching
+      ranked
+        .withColumn("b", expr("n_total div 10"))
+        .withColumn("r", col("n_total") % 10)
+        .withColumn("decile",
+          (when(col("rn") <= col("r") * (col("b") + 1), expr("(rn - 1) div (b + 1)"))
+            .otherwise(expr("r + (rn - r * (b + 1) - 1) div b"))
+            .cast("int") + 1))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("decile"))
+    },
+    // identical oracle to q62: the plan changed, the semantics didn't
+    """SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (SELECT o_orderkey, o_totalprice,
+      |        cast(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS integer) AS decile
+      |      FROM orders)
+      |GROUP BY decile ORDER BY decile""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,
     "q57_histogram" -> q57Histogram,
-    "q62_deciles" -> q62Deciles)
+    "q62_deciles" -> q62Deciles,
+    "q62b_deciles_dist" -> q62bDecilesDist)
 }

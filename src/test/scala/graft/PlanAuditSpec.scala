@@ -65,6 +65,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "q48 rerank regressed to a window funnel")
   }
 
+  test("q62b deciles: single-partition stages only ever see bounded data") {
+    // The scale-safe decile plan may use single-partition exchanges ONLY
+    // above an aggregation (the ≤numPartitions slice-count rows), never
+    // over the raw orders scan — that would be q62's global-ntile funnel
+    // sneaking back in. Also require the distributed range sort to exist.
+    import org.apache.spark.sql.catalyst.plans.physical.{RangePartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val p = plan("q62b_deciles_dist")
+    val singles = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    singles.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        "single-partition exchange over unaggregated data in q62b")
+    }
+    assert(p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }.nonEmpty, "q62b lost its distributed range sort")
+  }
+
   test("shuffle budgets hold for headline plans") {
     // Upper bounds from the audited round-2 plans (graft.Explain all);
     // an increase means a new exchange crept into the hot path.
