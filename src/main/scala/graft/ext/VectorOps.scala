@@ -229,9 +229,139 @@ object VectorOps {
        |FROM (SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS integer) AS rank FROM scored)
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
 
+  private val KmRounds = 2          // fixed Lloyd iterations (unrolled)
+  private val KmScale = "1048576.0" // 2^20 quantization step
+
+  /** Element-wise integer-quantized copy of a float vector. Training
+    * arithmetic happens on these: integer sums are exact and
+    * partition-order independent (a double mean would drift between
+    * engines AND between runs), which is what keeps a k-means that runs
+    * as distributed DataFrame jobs oracle-checkable end to end.
+    */
+  private def quantize(a: String): Column =
+    expr(s"transform($a, x -> cast(round(cast(x AS double) * $KmScale) AS bigint))")
+
+  private def duckQuantize(a: String): String =
+    s"list_transform($a, x -> cast(round(cast(x AS double) * $KmScale) AS bigint))"
+
+  /** Squared L2 distance between two quantized (bigint) vectors —
+    * sequential integer fold, bit-exact in both engines.
+    */
+  private def l2q(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), cast(0 AS bigint), (acc, v) -> acc + v)")
+
+  private def duckL2q(a: String, b: String): String =
+    s"list_reduce(list_prepend(cast(0 AS bigint), list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
+
+  /** IVF ANN with TRAINED centroids: q48's seed set refined by
+    * [[KmRounds]] unrolled Lloyd iterations, every step a DataFrame job —
+    * no driver-side training loop state beyond the plan itself.
+    *
+    * Exactness contract (what makes *training* oracle-checkable):
+    *   - vectors are quantized to bigint at 2^20 (above), so the
+    *     per-cluster sums that feed each centroid update are exact
+    *     integers — no float accumulation order anywhere in training;
+    *   - assignment is argmin of squared L2 on the quantized vectors
+    *     (min over a (dist, cent_id) struct = tie-break on cent_id);
+    *   - the centroid mean is floor(sum/count) per dimension, written as
+    *     the identical double-floor expression in both engines (counts
+    *     and sums stay well under 2^53);
+    *   - the final probe + rerank is q48's: probe the 2 nearest lists,
+    *     exact double-cosine rerank via the bounded TopKCarry aggregator.
+    *
+    * Scale design: per round, assignment is one broadcast pass over the
+    * corpus (K tiny centroid rows broadcast) feeding a map-side-combined
+    * argmin; the update explodes dims and aggregates (K × dims) rows —
+    * both shuffle only combined aggregates, never raw corpus. Empty
+    * clusters simply drop out (both engines identically).
+    */
+  val q64AnnIvfKmeans: QuerySpec = {
+    val run = (s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
+        .select(col("vec_id"), col("embedding"), quantize("embedding").as("qv"))
+      var cents = emb.filter(col("vec_id") < IvfK)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cqv"))
+      for (_ <- 1 to KmRounds) {
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("dist", l2q("qv", "cqv"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cent_id"))).as("m"), first(col("qv")).as("qv"))
+          .select(col("m.cent_id").as("list_id"), col("qv"))
+        cents = assigned
+          .select(col("list_id"), posexplode(col("qv")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
+          .withColumn("mv",
+            floor(col("sv").cast("double") / col("nv").cast("double")).cast("bigint"))
+          .groupBy(col("list_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cqv"))
+          .select(col("list_id").as("cent_id"), col("cqv"))
+      }
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dist", l2q("qv", "cqv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("m"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("m.cent_id").as("list_id"), col("embedding"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("dist"), col("cent_id"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv_f"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", l2q("qv", "cqv"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbes)
+        .select(col("q_id"), col("qv_f"), col("cent_id").as("probe_list"))
+      val topk = udaf(new graft.functions.TopKCarry(10))
+      assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
+        .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
+        .withColumn("cosine", dot("qv_f", "cv") / (sqrt(norm2("qv_f")) * sqrt(norm2("cv"))))
+        .groupBy(col("q_id"))
+        .agg(topk(col("cosine"), col("c_id"), col("list_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._3").as("list_id"),
+          col("col._1").as("cosine"), (col("pos") + 1).cast("integer").as("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+    // the oracle unrolls the same Lloyd rounds as chained CTEs
+    val rounds = (1 to KmRounds).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""a$t AS (SELECT vec_id, cent_id AS list_id, qv FROM (
+         |  SELECT e.vec_id, c.cent_id, e.qv,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS rn
+         |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
+         |u$t AS (SELECT list_id, dim,
+         |    cast(floor(cast(sum(qv[dim]) AS double) / cast(count(*) AS double)) AS bigint) AS mv
+         |  FROM a$t CROSS JOIN dims GROUP BY 1, 2),
+         |c$t AS (SELECT list_id AS cent_id, list(mv ORDER BY dim) AS cqv FROM u$t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val cFinal = s"c$KmRounds"
+    QuerySpec(run,
+      s"""WITH emb AS (SELECT vec_id, embedding, ${duckQuantize("embedding")} AS qv
+         |  FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
+         |dims AS (SELECT unnest(range(1, len((SELECT embedding FROM emb LIMIT 1)) + 1)) AS dim),
+         |c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM emb WHERE vec_id < $IvfK),
+         |$rounds,
+         |assigned AS (SELECT vec_id, cent_id AS list_id, embedding FROM (
+         |  SELECT e.vec_id, c.cent_id, e.embedding,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS rn
+         |  FROM emb e CROSS JOIN $cFinal c) WHERE rn = 1),
+         |probes AS (SELECT q_id, qv_f, cent_id AS probe_list FROM (
+         |  SELECT e.vec_id AS q_id, e.embedding AS qv_f, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS prn
+         |  FROM emb e CROSS JOIN $cFinal c WHERE e.vec_id < 5) WHERE prn <= $IvfProbes),
+         |scored AS (SELECT p.q_id, a.vec_id AS c_id, a.list_id,
+         |    ${duckDot("p.qv_f", "a.embedding")} / (sqrt(${duckNorm2("p.qv_f")}) * sqrt(${duckNorm2("a.embedding")})) AS cosine
+         |  FROM assigned a JOIN probes p ON a.list_id = p.probe_list AND p.q_id <> a.vec_id)
+         |SELECT q_id, c_id, list_id, cosine, rank
+         |FROM (SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS integer) AS rank FROM scored)
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+  }
+
   val all: Map[String, QuerySpec] = Map(
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q25_embedding_neardup" -> q25EmbeddingNearDup,
-    "q48_ann_ivf" -> q48AnnIvf)
+    "q48_ann_ivf" -> q48AnnIvf,
+    "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans)
 }

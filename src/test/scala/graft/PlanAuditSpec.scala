@@ -63,6 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(count(plan(n)) { case _: WindowExec => } == 0, s"window funnel in $n")
     assert(count(plan("q48_ann_ivf")) { case _: WindowExec => } <= 1,
       "q48 rerank regressed to a window funnel")
+    assert(count(plan("q64_ann_ivf_kmeans")) { case _: WindowExec => } <= 1,
+      "q64 rerank regressed to a window funnel")
   }
 
   test("q62b deciles: single-partition stages only ever see bounded data") {

@@ -35,6 +35,23 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-IVF recall@10 is usable and never below the seed-set IVF") {
+    def recallOf(q: graft.QuerySpec): Map[Long, Double] =
+      q.run(spark, sfDir).select(col("q_id"), col("c_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (qid, rows) =>
+          qid -> (rows.map(_.getLong(1)).toSet intersect exact(qid)).size / 10.0
+        }
+    val trained = recallOf(VectorOps.q64AnnIvfKmeans)
+    val seed = recallOf(VectorOps.q48AnnIvf)
+    assert(trained.keySet == exact.keySet, "trained IVF lost whole queries")
+    trained.foreach { case (q, r) => assert(r >= 0.5, s"trained recall@10 for $q = $r") }
+    // aggregate, not per-query: Lloyd rounds can shift an individual
+    // query's probed lists, but on the whole training must not hurt
+    assert(trained.values.sum >= seed.values.sum - 0.1,
+      s"training degraded recall: trained=${trained.values.sum} seed=${seed.values.sum}")
+  }
+
   test("LSH ANN returns only true-positive-checkable candidates with sane scores") {
     val rows = VectorOps.q22AnnLsh.run(spark, sfDir)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rank")).collect()
