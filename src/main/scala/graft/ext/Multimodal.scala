@@ -39,10 +39,13 @@ object Multimodal {
     StructField("meta", metaType)))
 
   /** Demo corpus: documents' text bytes as opaque payloads (stands in for
-    * `spark.read.format("binaryFile")` over an object store).
+    * `spark.read.format("binaryFile")` over an object store). `riders`
+    * names extra document columns to carry alongside the media schema
+    * (e.g. `source`), so downstream accounting never needs a
+    * corpus-sized join back to recover them.
     */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+  def mediaFromDocuments(docs: DataFrame, riders: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
       col("text").cast(BinaryType).as("payload"),
@@ -50,7 +53,8 @@ object Multimodal {
         lit(null).cast(IntegerType).as("width"),
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(StringType).as("format"),
-        length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta"))
+        length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta")) ++
+      riders.map(col): _*)
 
   /** STUB decode: deterministic fake "header parse" — derives
     * width/height/format from byte statistics instead of a real codec.
@@ -103,7 +107,9 @@ object Multimodal {
 
   /** Frame sampling: split a payload into fixed-size "frames" and explode
     * one row per frame — the video→frames batch shape. Pure expression
-    * (binary `substring` slices), no UDF.
+    * (binary `substring` slices), no UDF. Rider columns on the input
+    * survive; only the wide `payload`/`meta` are dropped from the output
+    * (frame rows must stay narrow — they fan out maxFrames×).
     */
   def sampledFrames(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
     // NULL or empty payloads yield ZERO frames (least/greatest skip NULL
@@ -120,6 +126,54 @@ object Multimodal {
       // binary slice payload[idx*frameBytes : +frameBytes] (1-based)
       .withColumn("frame",
         expr(s"substring(payload, cast(frame_idx AS int) * $frameBytes + 1, $frameBytes)"))
-      .select(col("media_id"), col("kind"), col("frame_idx"), col("frame"))
+      .drop("payload", "meta")
   }
+
+  private val FrameBytes = 256
+  private val MaxFrames = 8
+
+  /** Frames accounting per source: media count, frame count, total frame
+    * bytes, deepest sampled index — the multimodal plumbing (payload
+    * staging, meta derivation, bounded frame explode, binary slicing)
+    * under the oracle gate. Every step is expression-only, so DuckDB
+    * reproduces it byte-for-byte over the same documents (`encode(text)`
+    * = the payload staging; `substring` on BLOB = the frame slice).
+    *
+    * Scale: the explode fans out ≤ MaxFrames narrow rows per media (the
+    * payload itself is dropped before any shuffle); the aggregation is
+    * map-side combined per source.
+    */
+  val q65FramesAccounting: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      val docs = graft.tables.Tables.documents(s, dir)
+      val media = mediaFromDocuments(docs, riders = Seq("source"))
+      sampledFrames(media, FrameBytes, MaxFrames)
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast(LongType)).as("total_frame_bytes"),
+          max(col("frame_idx")).as("max_frame_idx"))
+        .orderBy(col("source"))
+    },
+    s"""WITH m AS (SELECT doc_id AS media_id, source,
+       |             octet_length(encode(text)) AS n_bytes FROM documents),
+       |f AS (SELECT media_id, source, n_bytes,
+       |        unnest(range(0, CASE WHEN n_bytes IS NULL OR n_bytes <= 0 THEN 0
+       |                             ELSE least(cast(ceil(cast(n_bytes AS double) / $FrameBytes.0) AS bigint),
+       |                                        $MaxFrames) END)) AS frame_idx
+       |      FROM m),
+       |-- DuckDB's substring doesn't take BLOB: the slice length is
+       |-- recovered arithmetically (payload length == n_bytes, so the
+       |-- last frame holds the remainder, every other frame is full)
+       |fr AS (SELECT media_id, source, frame_idx,
+       |         least($FrameBytes, n_bytes - frame_idx * $FrameBytes) AS frame_len
+       |       FROM f)
+       |SELECT source, count(DISTINCT media_id) AS n_media, count(*) AS n_frames,
+       |       cast(sum(frame_len) AS bigint) AS total_frame_bytes,
+       |       cast(max(frame_idx) AS int) AS max_frame_idx
+       |FROM fr GROUP BY source ORDER BY source""".stripMargin)
+
+  val all: Map[String, graft.QuerySpec] = Map(
+    "q65_frames_accounting" -> q65FramesAccounting)
 }
