@@ -382,16 +382,35 @@ object TextOps {
     (s, dir) => simhashSig(Tables.documents(s, dir)).orderBy(col("doc_id")),
     simhashSigSql + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id")
 
+  /** Shingles whose within-source document frequency exceeds this cap are
+    * excluded from q20's Jaccard universe (intersection AND set sizes) —
+    * standard frequency filtering: a boilerplate header shared by m docs
+    * would otherwise emit O(m²) candidate pairs in its bucket. With the
+    * cap, every surviving (source, shingle) bucket joins ≤ cap docs, so
+    * candidate generation is O(cap²) per shingle regardless of corpus
+    * size. Near-dup pairs keep their rare shingles, so their capped
+    * Jaccard stays high; LSH (q18/q46) remains the recall-oriented route.
+    */
+  val JaccardDfCap = 50
+
   /** n-gram Jaccard near-dup pairs, blocked by source: |A∩B| / |A∪B| over
-    * distinct word 3-shingles; only same-source pairs are candidates.
+    * distinct word 3-shingles in the df-capped universe (see
+    * [[JaccardDfCap]]); only same-source pairs are candidates. df is
+    * computed with a map-side-combinable groupBy, never a window over the
+    * skewed shingle key.
     */
   val q20JaccardPairs: QuerySpec = QuerySpec(
     (s, dir) => {
+      val shd = shingles(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("sh")).distinct()
+      val rare = shd.groupBy(col("source"), col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= JaccardDfCap)
+        .select(col("source"), col("sh"))
       // set sizes ride along as a window count BEFORE the self-join —
       // no separate sizes aggregation + two re-join passes
       val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val sh = shingles(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), col("sh")).distinct()
+      val sh = shd.join(rare, Seq("source", "sh"))
         .withColumn("n_sh", count(lit(1)).over(wDoc))
       val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"), col("n_sh").as("n_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"), col("n_sh").as("n_b"))
@@ -406,10 +425,13 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     shSql + "\n" +
-      """, shd AS (SELECT DISTINCT doc_id, source, sh FROM shx),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      s""", shd AS (SELECT DISTINCT doc_id, source, sh FROM shx),
+        |rare AS (SELECT source, sh FROM shd GROUP BY source, sh HAVING count(*) <= $JaccardDfCap),
+        |kept AS (SELECT shd.doc_id, shd.source, shd.sh
+        |         FROM shd JOIN rare ON shd.source = rare.source AND shd.sh = rare.sh),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
         |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |       FROM shd a JOIN shd b
+        |       FROM kept a JOIN kept b
         |         ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
         |       GROUP BY 1, 2)
         |SELECT doc_a, doc_b, cast(n_common AS bigint) AS n_common,

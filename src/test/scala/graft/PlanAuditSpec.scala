@@ -67,6 +67,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "q64 rerank regressed to a window funnel")
   }
 
+  test("q20 jaccard candidates are df-capped before the self-join") {
+    // Without the cap, a shingle shared by m docs emits O(m²) pair rows
+    // in its bucket (boilerplate headers at 100× scale). The plan must
+    // contain the frequency filter (df <= JaccardDfCap) over the
+    // map-side-combinable (source, sh) aggregate feeding the self-join.
+    import org.apache.spark.sql.execution.FilterExec
+    val p = plan("q20_jaccard_pairs")
+    val capFilters = p.collect {
+      case f: FilterExec if f.condition.references.exists(_.name == "df") => f
+    }
+    assert(capFilters.nonEmpty, "df-cap filter missing from q20 plan")
+    assert(capFilters.exists(_.condition.toString.contains(graft.ext.TextOps.JaccardDfCap.toString)),
+      "df-cap filter does not use JaccardDfCap")
+  }
+
   test("q62b deciles: single-partition stages only ever see bounded data") {
     // The scale-safe decile plan may use single-partition exchanges ONLY
     // above an aggregation (the ≤numPartitions slice-count rows), never
