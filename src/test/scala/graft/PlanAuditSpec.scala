@@ -102,6 +102,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }.nonEmpty, "q62b lost its distributed range sort")
   }
 
+  test("q62b offsets and ranks read ONE materialization of the range shuffle") {
+    // Exact ranks require the per-slice counts (offs) and the local
+    // row_numbers (ranked) to see identical range boundaries and pids.
+    // That must come from exchange reuse — one materialized shuffle both
+    // subtrees read — not from two executions that happen to sample the
+    // same boundaries. Exactly one range exchange over the full data may
+    // exist; the second reference must be a ReusedExchange (the final
+    // decile output sort is also range partitioning, but over ≤10
+    // aggregated rows — identified by its sub-partition-count input).
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val p = plan("q62b_deciles_dist")
+    val fullDataRange = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+          e.outputPartitioning.asInstanceOf[RangePartitioning].ordering.size == 2 => e
+    }
+    assert(fullDataRange.size == 1,
+      s"expected 1 shared full-data range exchange, got ${fullDataRange.size}")
+    assert(count(p) { case _: ReusedExchangeExec => } >= 1,
+      "q62b's second range-shuffle reference is not a ReusedExchange")
+  }
+
   test("shuffle budgets hold for headline plans") {
     // Upper bounds from the audited round-2 plans (graft.Explain all);
     // an increase means a new exchange crept into the hot path.
