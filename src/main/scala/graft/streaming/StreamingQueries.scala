@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
@@ -37,30 +36,42 @@ object StreamingQueries {
       val batch = Tables.events(s, dir)
         .select(col("event_type"), col("ts"), col("event_id"), col("value"))
       // stage the stream input as multiple files => multiple micro-batches
-      val replayDir = Files.createTempDirectory("graft-q66-replay").toString
-      batch.repartition(ReplayFiles).write.mode("overwrite").parquet(replayDir)
-      val stream = s.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1") // one file per micro-batch: a real replay
-        .parquet(replayDir)
-        .as[StreamingTopK.Ev]
+      val replayDir = Files.createTempDirectory("graft-q66-replay")
       // unique sink name: the query may run more than once per session
       val sink = "q66_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val job = StreamingTopK.topK(stream, k = TopN).toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update")
-        .start()
-      job.processAllAvailable()
-      job.stop()
-      // update mode re-emits a key's top list every batch that touches
-      // it — keep each key's LAST emission (the converged state)
-      val wLatest = Window.partitionBy(col("event_type")).orderBy(col("_emit").desc)
-      s.table(sink)
-        .withColumn("_emit", monotonically_increasing_id())
-        .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
-        .select(col("event_type"), posexplode(col("top")))
-        .select(col("event_type"), col("col.event_id").as("event_id"),
-          col("col.value").as("value"), (col("pos") + 1).cast("integer").as("rank"))
-        .orderBy(col("event_type"), col("rank"))
+      try {
+        batch.repartition(ReplayFiles).write.mode("overwrite")
+          .parquet(replayDir.toString)
+        val stream = s.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1") // one file per micro-batch: a real replay
+          .parquet(replayDir.toString)
+          .as[StreamingTopK.Ev]
+        val job = StreamingTopK.topK(stream, k = TopN).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .start()
+        job.processAllAvailable()
+        job.stop()
+        // update mode re-emits a key's top list every batch that touches
+        // it — keep each key's LAST emission (the converged state),
+        // identified by the per-key batch counter the state function
+        // emits (`seq`): no reliance on sink scan order or id
+        // monotonicity. The view name is dropped in the finally block —
+        // safe, because s.table() resolves the plan eagerly and the
+        // returned Dataset keeps the bound memory relation.
+        s.table(sink).groupBy(col("event_type"))
+          .agg(max_by(col("top"), col("seq")).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), col("col.event_id").as("event_id"),
+            col("col.value").as("value"), (col("pos") + 1).cast("integer").as("rank"))
+          .orderBy(col("event_type"), col("rank"))
+      } finally {
+        s.catalog.dropTempView(sink)
+        // the replay staging dir is consumed once the job has stopped
+        import scala.jdk.CollectionConverters._
+        Files.walk(replayDir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
     },
     s"""SELECT event_type, event_id, value, rank
        |FROM (SELECT event_type, event_id, value,

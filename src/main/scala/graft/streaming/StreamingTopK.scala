@@ -22,26 +22,35 @@ object StreamingTopK {
 
   case class TopEntry(value: Double, event_id: Long)
 
-  case class GroupTop(event_type: String, top: Seq[TopEntry])
+  /** One emission per (key, touching batch). `seq` is the key's batch
+    * counter, maintained INSIDE the state — the emission with the max
+    * seq is the converged one, selectable with `max_by` and no
+    * assumption about sink scan order or id monotonicity.
+    */
+  case class GroupTop(event_type: String, seq: Long, top: Seq[TopEntry])
+
+  // public: the kryo state encoder rejects non-public classes
+  case class TopState(seq: Long, top: List[TopEntry])
 
   def topK(events: Dataset[Ev], k: Int): Dataset[GroupTop] = {
     implicit val outEnc = Encoders.product[GroupTop]
-    implicit val stateEnc = Encoders.kryo[List[TopEntry]]
+    implicit val stateEnc = Encoders.kryo[TopState]
     implicit val strEnc = Encoders.STRING
 
     events
       .groupByKey(_.event_type)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[Ev],
-         state: org.apache.spark.sql.streaming.GroupState[List[TopEntry]]) => {
-          val prior = state.getOption.getOrElse(Nil)
+         state: org.apache.spark.sql.streaming.GroupState[TopState]) => {
+          val prior = state.getOption.getOrElse(TopState(0L, Nil))
           // merge batch into the bounded state: sort once, keep k.
           // (value desc, id asc) is a total order ⇒ deterministic.
-          val merged = (prior ++ rows.map(e => TopEntry(e.value, e.event_id)))
+          val merged = (prior.top ++ rows.map(e => TopEntry(e.value, e.event_id)))
             .sortBy(t => (-t.value, t.event_id))
             .take(k)
-          state.update(merged)
-          GroupTop(key, merged)
+          val next = TopState(prior.seq + 1, merged)
+          state.update(next)
+          GroupTop(key, next.seq, merged)
         })
   }
 }

@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
 
 import graft.TestSpark
 
+/** Batch-parity spec for the streaming funnel — deliberately NOT a judged
+  * query like q66. The funnel state machine is order-SENSITIVE: a user's
+  * stage depends on the order events arrive, and the file-source replay
+  * guarantees order only WITHIN a micro-batch, not across file listing
+  * order. Promoting it to the oracle gate would make the result depend on
+  * scheduler behavior. q66's bounded top-k qualifies because it is a
+  * semilattice merge (max-k of a union — batch-boundary- and
+  * order-independent); the funnel does not. Here the whole table is one
+  * file ⇒ one micro-batch ⇒ in-batch ts sort is total, so parity holds.
+  */
 class StreamingFunnelSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 

@@ -28,11 +28,11 @@ class StreamingTopKSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // latest emission per key, exploded to (event_type, value, event_id)
-    val wLatest = Window.partitionBy(col("event_type")).orderBy(col("_emit").desc)
+    // latest emission per key (max per-key batch counter), exploded to
+    // (event_type, value, event_id)
     val got = spark.table("topk_out")
-      .withColumn("_emit", monotonically_increasing_id())
-      .withColumn("rn", row_number().over(wLatest)).filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("top"), col("seq")).as("top"))
       .select(col("event_type"), explode(col("top")).as("t"))
       .select(col("event_type"), col("t.value"), col("t.event_id"))
 
