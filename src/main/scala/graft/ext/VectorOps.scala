@@ -263,9 +263,10 @@ object VectorOps {
     *     integers — no float accumulation order anywhere in training;
     *   - assignment is argmin of squared L2 on the quantized vectors
     *     (min over a (dist, cent_id) struct = tie-break on cent_id);
-    *   - the centroid mean is floor(sum/count) per dimension, written as
-    *     the identical double-floor expression in both engines (counts
-    *     and sums stay well under 2^53);
+    *   - the centroid mean is floor(sum/count) per dimension in PURE
+    *     bigint arithmetic (subtract the mathematical mod, then exact
+    *     integer division) — no double round-trip, so it stays exact
+    *     even when a giant cluster's sum passes 2^53;
     *   - the final probe + rerank is q48's: probe the 2 nearest lists,
     *     exact double-cosine rerank via the bounded TopKCarry aggregator.
     *
@@ -291,8 +292,10 @@ object VectorOps {
           .select(col("list_id"), posexplode(col("qv")))
           .groupBy(col("list_id"), col("pos"))
           .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
-          .withColumn("mv",
-            floor(col("sv").cast("double") / col("nv").cast("double")).cast("bigint"))
+          // floor(sv/nv) in pure bigint: subtract the mathematical mod
+          // (always >= 0) so the division is exact — no double round-trip
+          // that would silently diverge once a cluster's sum passes 2^53
+          .withColumn("mv", expr("(sv - (((sv % nv) + nv) % nv)) div nv"))
           .groupBy(col("list_id"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cqv"))
           .select(col("list_id").as("cent_id"), col("cqv"))
@@ -331,8 +334,9 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS rn
          |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
          |u$t AS (SELECT list_id, dim,
-         |    cast(floor(cast(sum(qv[dim]) AS double) / cast(count(*) AS double)) AS bigint) AS mv
-         |  FROM a$t CROSS JOIN dims GROUP BY 1, 2),
+         |    cast((sv - (((sv % nv) + nv) % nv)) // nv AS bigint) AS mv
+         |  FROM (SELECT list_id, dim, sum(qv[dim]) AS sv, cast(count(*) AS bigint) AS nv
+         |        FROM a$t CROSS JOIN dims GROUP BY 1, 2)),
          |c$t AS (SELECT list_id AS cent_id, list(mv ORDER BY dim) AS cqv FROM u$t GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     val cFinal = s"c$KmRounds"

@@ -19,11 +19,18 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
+  // Invariant: every buffer trim() produced is sorted by (score desc,
+  // id asc), so buf.last is the current kth. The hot path — a full
+  // buffer seeing a row no better than the kth — is a single compare,
+  // not an O(k log k) re-sort per corpus row.
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ in)
+    if (buf.size >= k && !beats(in, buf.last)) buf else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
+
+  private def beats(x: (Double, Long), y: (Double, Long)): Boolean =
+    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
 
   // ordering summoned statically per call (a captured Ordering field does
   // not survive the aggregator's closure-serialization round trip)
@@ -51,11 +58,15 @@ class TopKCarry(k: Int)
 
   override def zero: Seq[(Double, Long, Long)] = Vector.empty
 
+  // same sorted-buffer invariant + O(1) hot-path compare as TopK.reduce
   override def reduce(buf: Seq[(Double, Long, Long)], in: (Double, Long, Long)): Seq[(Double, Long, Long)] =
-    trim(buf :+ in)
+    if (buf.size >= k && !beats(in, buf.last)) buf else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
     trim(a ++ b)
+
+  private def beats(x: (Double, Long, Long), y: (Double, Long, Long)): Boolean =
+    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
 
   private def trim(xs: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
     xs.sortBy { case (score, id, _) => (-score, id) }.take(k)
