@@ -509,7 +509,40 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 
+  /** Runtime-filter (Bloom) join pruning: q01's aggregate-before-join
+    * shape with a selective dimension predicate. Catalyst's
+    * InjectRuntimeFilter builds a Bloom filter from the filtered dim's
+    * join keys at runtime and applies `might_contain(xxhash64(
+    * l_partkey))` above the lineitem scan, so ~24/25 of the fact rows
+    * die BEFORE the pre-join aggregation shuffle instead of riding
+    * through it to be discarded by the join. At production scale the
+    * 10 GB application-side threshold gates this automatically; the
+    * engine's sessions lower it so the plan property is demonstrated
+    * (and PlanAuditSpec-locked) at test scale. Semantics are
+    * unchanged — the oracle is the plain join.
+    */
+  val q67BloomPrunedJoin: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#12")
+      val agg = li.groupBy(col("l_partkey"))
+        .agg(
+          sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+          sum(col("l_quantity")).as("total_qty"))
+      agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("total_revenue"), col("total_qty"))
+        .orderBy(col("total_revenue").desc, col("p_partkey"))
+    },
+    """SELECT p_partkey, p_name,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS total_revenue,
+      |  sum(l_quantity) AS total_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#12'
+      |GROUP BY p_partkey, p_name
+      |ORDER BY total_revenue DESC, p_partkey""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q67_bloom_pruned_join" -> q67BloomPrunedJoin,
     "q60_salted_join" -> q60SaltedJoin,
     "q44_above_customer_avg" -> q44AboveCustomerAvg,
     "q45_fuzzy_names" -> q45FuzzyNames,

@@ -67,6 +67,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "q64 rerank regressed to a window funnel")
   }
 
+  test("q67 fact scan is pruned by an injected runtime Bloom filter") {
+    // The selective dim predicate (p_brand = ...) must produce a
+    // might_contain(xxhash64(l_partkey)) filter on the fact side, so
+    // non-matching lineitem rows die before the join shuffle. This is
+    // the 100 TB fact-join story: the filter is built from the filtered
+    // dimension's keys at runtime, not authored in the query.
+    val p = plan("q67_bloom_pruned_join")
+    assert(p.toString.contains("might_contain"),
+      "no runtime bloom filter injected into q67's fact side")
+  }
+
   test("q20 jaccard candidates are df-capped before the self-join") {
     // Without the cap, a shingle shared by m docs emits O(m²) pair rows
     // in its bucket (boilerplate headers at 100× scale). The plan must
@@ -143,7 +154,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // (doc,tok,tf) set by the zipf-skewed token key in a window
       "q34_tfidf" -> 5,
 
-      "q41_asof_native" -> 3, "q48_ann_ivf" -> 4, "q50_funnel" -> 4)
+      "q41_asof_native" -> 3, "q48_ann_ivf" -> 4,
+      // 5 since runtime Bloom filters: each funnel stage's scan is now
+      // pruned by might_contain over the prior stage's user set (the
+      // right 100 TB shape — stage scans shrink instead of shuffling
+      // non-survivors); the differing injected filters change subtree
+      // canonical forms, costing one exchange reuse at test scale
+      "q50_funnel" -> 5)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
