@@ -146,10 +146,16 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"alternating connected components did not converge in $maxIter rounds")
     // Converged edge set is a collection of stars centered at component
-    // minima: label(u) = its (unique) parent pointer; centers and
-    // singletons label themselves.
-    vertices.select(col("id"))
-      .join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left_outer")
-      .groupBy(col("id")).agg(coalesce(min(col("lbl")), first(col("id"))).as("label"))
+    // minima — but a center can be an id that appears only in `edges`
+    // (it conducts connectivity while being outside the output domain),
+    // and the contract (same as [[components]]) is label = min VERTEX
+    // id. So: resolve each vertex's star representative, then relabel
+    // every component by the minimum vertex id it contains (one bounded
+    // groupBy + join over the vertex set, not the edge list).
+    val rep = vertices.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("ptr")), Seq("id"), "left_outer")
+      .groupBy(col("id")).agg(coalesce(min(col("ptr")), first(col("id"))).as("rep"))
+    val minVertex = rep.groupBy(col("rep")).agg(min(col("id")).as("label"))
+    rep.join(minVertex, Seq("rep")).select(col("id"), col("label"))
   }
 }
