@@ -160,30 +160,51 @@ object VectorOps {
     * Scale design: assignment is ONE broadcast pass over the corpus (K
     * centroid vectors broadcast; no shuffle of the big side); at rest the
     * corpus is written partitioned by `list_id`, so a probe reads
-    * IvfProbes/K of the data via partition pruning. The probe set is
-    * (n_queries × IvfProbes) rows — broadcast to the corpus side, so
-    * search is also shuffle-free on the corpus.
+    * IvfProbes/K of the data via partition pruning — demonstrated by
+    * `VectorOpsSpec`, which writes [[ivfAssignments]] partitioned and
+    * asserts the probe scan's PartitionFilters select exactly the probed
+    * lists. The probe set is (n_queries × IvfProbes) rows — broadcast to
+    * the corpus side, so search is also shuffle-free on the corpus.
     */
+  /** The IVF corpus: zero-norm vectors can't rank by cosine and would
+    * make the division throw under ANSI mode — excluded identically in
+    * the oracle (none exist in the corpus; the guard is for the
+    * contract).
+    */
+  private def ivfCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
+
+  /** Seed-set coarse quantizer (first K corpus vectors). */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+
+  /** q48's corpus→inverted-list assignment — exposed so
+    * `VectorOpsSpec` can materialize the lists partitioned by `list_id`
+    * at rest and prove probe-time partition pruning.
+    *
+    * argmax(cent_cos, tie-break min cent_id) as max(struct(cos, -id))
+    * rather than a row_number window: the aggregate is map-side
+    * combined, so the shuffle moves ONE row per vector instead of K
+    * window-input copies — the corpus is never amplified K× in flight.
+    */
+  def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+    val e = ivfCorpus(s, dir)
+    e.crossJoin(broadcast(ivfCentroids(e)))
+      .withColumn("cent_cos",
+        dot("embedding", "centv") / (sqrt(norm2("embedding")) * sqrt(norm2("centv"))))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"),
+        col("embedding"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_cent")).as("list_id"),
+        col("m.embedding").as("embedding"))
+  }
+
   val q48AnnIvf: QuerySpec = QuerySpec(
     (s, dir) => {
-      // zero-norm vectors can't rank by cosine and would make the
-      // division throw under ANSI mode — excluded identically in the
-      // oracle (none exist in the corpus; the guard is for the contract)
-      val e = Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
-      val cents = e.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
-      // argmax(cent_cos, tie-break min cent_id) as max(struct(cos, -id))
-      // rather than a row_number window: the aggregate is map-side
-      // combined, so the shuffle moves ONE row per vector instead of K
-      // window-input copies — the corpus is never amplified K× in flight.
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          dot("embedding", "centv") / (sqrt(norm2("embedding")) * sqrt(norm2("centv"))))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"),
-          col("embedding"))).as("m"))
-        .select(col("vec_id"), (-col("m.neg_cent")).as("list_id"),
-          col("m.embedding").as("embedding"))
+      val e = ivfCorpus(s, dir)
+      val cents = ivfCentroids(e)
+      val assigned = ivfAssignments(s, dir)
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
       val probes = e.filter(col("vec_id") < 5)

@@ -52,6 +52,35 @@ class VectorOpsSpec extends AnyFunSuite {
       s"training degraded recall: trained=${trained.values.sum} seed=${seed.values.sum}")
   }
 
+  test("IVF lists partitioned at rest are partition-pruned at probe time") {
+    // The q48/q64 scaladoc claim made concrete: materialize the
+    // corpus→list assignment partitioned by list_id, read it back with a
+    // probe predicate, and prove the scan selects exactly IvfProbes of
+    // the K partition directories — i.e. a probe reads IvfProbes/K of
+    // the data, not a filtered full scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lists")
+    try {
+      VectorOps.ivfAssignments(spark, sfDir)
+        .write.partitionBy("list_id").mode("overwrite").parquet(dir.toString)
+      val lists = spark.read.parquet(dir.toString)
+      val nLists = lists.select("list_id").distinct().count()
+      assert(nLists > 2, s"corpus collapsed into $nLists lists; pruning proves nothing")
+      val probed = lists.filter(col("list_id").isin(0, 1)) // an IvfProbes-sized probe
+      val scan = probed.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scan.nonEmpty, "probe read did not plan a file scan")
+      assert(scan.head.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+        "probe predicate did not become a partition filter")
+      assert(scan.head.selectedPartitions.partitionCount == 2,
+        s"probe scanned ${scan.head.selectedPartitions.partitionCount} partitions, wanted 2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("LSH ANN returns only true-positive-checkable candidates with sane scores") {
     val rows = VectorOps.q22AnnLsh.run(spark, sfDir)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rank")).collect()
