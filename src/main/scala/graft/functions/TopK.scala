@@ -29,8 +29,14 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
 
-  private def beats(x: (Double, Long), y: (Double, Long)): Boolean =
-    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+  // MUST agree with trim's sort key exactly — including NaN and signed
+  // zero, where IEEE `>` and the total order disagree (a NaN kth entry
+  // under IEEE compare would permanently reject every better row). Uses
+  // the identical negated-score total-order compare as sortBy.
+  private def beats(x: (Double, Long), y: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(-x._1, -y._1)
+    c < 0 || (c == 0 && x._2 < y._2)
+  }
 
   // ordering summoned statically per call (a captured Ordering field does
   // not survive the aggregator's closure-serialization round trip)
@@ -65,8 +71,11 @@ class TopKCarry(k: Int)
   override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
     trim(a ++ b)
 
-  private def beats(x: (Double, Long, Long), y: (Double, Long, Long)): Boolean =
-    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+  // total-order compare, identical to trim's sort key (see TopK.beats)
+  private def beats(x: (Double, Long, Long), y: (Double, Long, Long)): Boolean = {
+    val c = java.lang.Double.compare(-x._1, -y._1)
+    c < 0 || (c == 0 && x._2 < y._2)
+  }
 
   private def trim(xs: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
     xs.sortBy { case (score, id, _) => (-score, id) }.take(k)

@@ -45,6 +45,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** True iff every row-producing path into `p` goes through an
+    * aggregation before reaching a leaf — i.e. the operator above `p`
+    * sees aggregate-bounded data, not raw scans. Walks the actual input
+    * path: unary nodes pass through, a broadcast join follows its
+    * STREAMED side (the build side never dominates output cardinality),
+    * any other multi-child node requires all inputs bounded. A
+    * collectFirst over the whole subtree would be fooled by a bounded
+    * build side hanging off an unbounded probe.
+    */
+  private def aggregateBounded(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    p match {
+      case _: BaseAggregateExec => true
+      case j: BroadcastHashJoinExec =>
+        aggregateBounded(if (j.buildSide == BuildRight) j.left else j.right)
+      case j: BroadcastNestedLoopJoinExec =>
+        aggregateBounded(if (j.buildSide == BuildRight) j.left else j.right)
+      case u if u.children.size == 1 => aggregateBounded(u.children.head)
+      case other if other.children.nonEmpty => other.children.forall(aggregateBounded)
+      case _ => false // a leaf scan: raw data
+    }
+  }
+
   test("registry-wide: no unpartitioned window over unaggregated data") {
     // An ORDER BY window with no PARTITION BY funnels its entire input
     // through one task. That is only tolerable when the input is already
@@ -52,12 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // <=numPartitions count rows); over raw data it is the q62-naive
     // scale-killer, banned for every judged query so a new entry can't
     // regress silently.
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     SparkEntry.queries.keys.foreach { n =>
       plan(n).foreach {
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          assert(w.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
-            s"unpartitioned full-data window in $n")
+          assert(aggregateBounded(w.child), s"unpartitioned full-data window in $n")
         case _ => ()
       }
     }
@@ -68,13 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle into ONE partition may only ever carry already-aggregated
     // (bounded) data, never a raw scan.
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     SparkEntry.queries.keys.foreach { n =>
       plan(n).collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
       }.foreach { e =>
-        assert(e.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
-          s"single-partition exchange over unaggregated data in $n")
+        assert(aggregateBounded(e.child), s"single-partition exchange over unaggregated data in $n")
       }
     }
   }

@@ -75,9 +75,12 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(scan.head.selectedPartitions.partitionCount == 2,
         s"probe scanned ${scan.head.selectedPartitions.partitionCount} partitions, wanted 2")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walked = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walked.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walked.close()
     }
   }
 

@@ -37,6 +37,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((9.0, 2L), (9.0, 4L), (7.0, 5L)))
   }
 
+  test("TopK short-circuit survives NaN and signed-zero kth entries") {
+    // The full-buffer fast path compares against the kth entry; with an
+    // IEEE compare a NaN kth would reject every subsequent better row
+    // (NaN poisoning) and 0.0 vs -0.0 would tie where the buffer's total
+    // order doesn't. reduce() must rank exactly like trim's sort key.
+    val agg = new TopK(2)
+    // fill the buffer with NaNs first, then feed real scores
+    val poisoned = Seq(Double.NaN, Double.NaN, 5.0, 7.0).zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }
+      .foldLeft(agg.zero)(agg.reduce)
+    // total order ranks any real score above NaN
+    assert(agg.finish(poisoned) == Seq((7.0, 3L), (5.0, 2L)))
+    val zeros = Seq((-0.0, 10L), (1.0, 11L), (0.0, 12L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // 0.0 outranks -0.0 in the total order, so it must displace it
+    assert(agg.finish(zeros) == Seq((1.0, 11L), (0.0, 12L)))
+  }
+
   test("camelToSnake properties (scalacheck)") {
     val lower = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val camel = for {
