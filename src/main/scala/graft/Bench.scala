@@ -111,8 +111,10 @@ object Bench {
     // still shows: extra runs of slow code stay slow).
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val base = (1 to 3).flatMap(_ => timeOnce(name))
+      // retime only slow-but-SUCCESSFUL runs: a query that failed all
+      // three times can never produce a time, so extra runs are waste
       val needRetime = reference.get(name).exists(ref =>
-        base.minOption.forall(_ > NoiseFactor * ref))
+        base.nonEmpty && base.min > NoiseFactor * ref)
       val times =
         if (!needRetime) base
         else base ++ (1 to ExtraRuns).flatMap(_ => timeOnce(name))

@@ -222,15 +222,9 @@ object StateTable {
   /** Internal monotone sequence column (persisted). */
   val SeqCol = "_seq"
 
-  /** Files.list with the stream closed (it holds a directory fd). */
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val s = Files.list(p)
-    try s.iterator.asScala.toSeq
-    finally s.close()
-  }
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    graft.core.Fs.listDir(p)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.core.Fs.deleteRecursively(p)
 }

@@ -49,17 +49,14 @@ object StreamingQueries {
       s.table(sink)
     } finally {
       // stop FIRST (also on the failure path — a live query must not
-      // see its source dir deleted under it); cleanup failures are
-      // swallowed so they never mask the try block's real exception
-      try {
-        job.foreach(_.stop())
-        s.catalog.dropTempView(sink)
-        val walked = Files.walk(replayDir)
-        try {
-          import scala.jdk.CollectionConverters._
-          walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
-        } finally walked.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      // see its source dir deleted under it); each cleanup step swallows
+      // its own failure so one failing step neither masks the try
+      // block's real exception nor skips the remaining teardown
+      def swallow(step: => Unit): Unit =
+        try step catch { case scala.util.control.NonFatal(_) => () }
+      swallow(job.foreach(_.stop()))
+      swallow(s.catalog.dropTempView(sink))
+      swallow(graft.core.Fs.deleteRecursively(replayDir))
     }
   }
 

@@ -58,8 +58,13 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.{ExpandExec, GenerateExec}
     p match {
       case _: BaseAggregateExec => true
+      // row-amplifying operators undo an aggregation's bound (e.g.
+      // agg(collect_list) -> explode re-creates the raw set): anything
+      // above them sees unbounded data again
+      case _: GenerateExec | _: ExpandExec => false
       case j: BroadcastHashJoinExec =>
         aggregateBounded(if (j.buildSide == BuildRight) j.left else j.right)
       case j: BroadcastNestedLoopJoinExec =>

@@ -74,14 +74,7 @@ class VectorOpsSpec extends AnyFunSuite {
         "probe predicate did not become a partition filter")
       assert(scan.head.selectedPartitions.partitionCount == 2,
         s"probe scanned ${scan.head.selectedPartitions.partitionCount} partitions, wanted 2")
-    } finally {
-      val walked = java.nio.file.Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        walked.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walked.close()
-    }
+    } finally graft.core.Fs.deleteRecursively(dir)
   }
 
   test("LSH ANN returns only true-positive-checkable candidates with sane scores") {

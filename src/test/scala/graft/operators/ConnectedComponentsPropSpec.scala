@@ -36,7 +36,12 @@ class ConnectedComponentsPropSpec extends AnyFunSuite {
     import spark.implicits._
     val v = vertices.toDF("id")
     val e = edges.toDF("a", "b")
-    impl(v, e, 50).as[(Long, Long)].collect().toMap
+    val rows = impl(v, e, 50).as[(Long, Long)].collect()
+    // toMap would silently collapse conflicting duplicate (id, label)
+    // rows — exactly a bug class this spec exists to catch
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"duplicate per-vertex labels: ${rows.toSeq.sortBy(identity)}")
+    rows.toMap
   }
 
   private def checkGraph(vertices: Seq[Long], edges: Seq[(Long, Long)]): Unit = {
