@@ -97,6 +97,78 @@ object VectorOps {
        |SELECT id_a, id_b, label, cosine FROM p
        |WHERE cosine >= cast(0.35 AS double) ORDER BY id_a, id_b""".stripMargin)
 
+  /** Per-vector max-|x| — the scalar-quantization scale. */
+  private def maxAbs(a: String): Column =
+    expr(s"aggregate($a, cast(0 AS double), (m, x) -> greatest(m, abs(cast(x AS double))))")
+
+  private def duckMaxAbs(a: String): String =
+    s"list_reduce(list_prepend(cast(0 AS double), list_transform($a, x -> abs(cast(x AS double)))), (m, x) -> greatest(m, x))"
+
+  /** int8 symmetric quantization against the per-vector scale column
+    * `ma`: q_i = round(x_i * 127 / max|x|) ∈ [-127, 127]. Cosine is
+    * invariant to per-vector positive scaling, so per-vector scales need
+    * no global stats pass (and quantized cosine approximates the float
+    * one). round() parity with DuckDB is the q64-validated pattern.
+    */
+  private def quantize8(a: String, ma: String): Column =
+    expr(s"transform($a, x -> cast(round((cast(x AS double) * cast(127 AS double)) / $ma) AS bigint))")
+
+  private def duckQuantize8(a: String, ma: String): String =
+    s"list_transform($a, x -> cast(round((cast(x AS double) * cast(127 AS double)) / $ma) AS bigint))"
+
+  /** Integer dot / squared-norm folds over quantized vectors — exact and
+    * association-order-free in both engines.
+    */
+  private def dotq(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)")
+
+  private def duckDotq(a: String, b: String): String =
+    s"list_reduce(list_prepend(cast(0 AS bigint), list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** int8-quantized brute-force cosine top-10 — the memory-bandwidth
+    * scale path of q21: at 100 TB the rerank scan reads 8-bit ints (4×
+    * less data than float32, 8× less than the doubles q21 casts to)
+    * while ranking stays engine-exact because ALL accumulation is
+    * integer; only the final normalization touches floats (identical
+    * expression shape both engines ⇒ bit-exact). The judged query is
+    * the quantized rank itself; `VectorOpsSpec` pins its recall against
+    * the exact q21 ranking.
+    */
+  val q69Int8Cosine: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
+        .withColumn("ma", maxAbs("embedding"))
+        .withColumn("q8", quantize8("embedding", "ma"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q8").as("qa"))
+      val c = e.select(col("vec_id").as("c_id"), col("q8").as("qb"))
+      val topk = udaf(new graft.functions.TopK(10))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("qcos",
+          dotq("qa", "qb").cast("double") /
+            (sqrt(dotq("qa", "qa").cast("double")) * sqrt(dotq("qb", "qb").cast("double"))))
+        .groupBy(col("q_id"))
+        .agg(topk(col("qcos"), col("c_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._1").as("qcos"),
+          (col("pos") + 1).cast("integer").as("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    s"""WITH e AS (SELECT vec_id, embedding, ${duckMaxAbs("embedding")} AS ma
+       |  FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
+       |e8 AS (SELECT vec_id, ${duckQuantize8("embedding", "ma")} AS q8 FROM e),
+       |q AS (SELECT vec_id AS q_id, q8 AS qa FROM e8 WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, q8 AS qb FROM e8),
+       |p AS (SELECT q_id, c_id,
+       |        cast(${duckDotq("qa", "qb")} AS double) /
+       |          (sqrt(cast(${duckDotq("qa", "qa")} AS double)) * sqrt(cast(${duckDotq("qb", "qb")} AS double))) AS qcos
+       |      FROM c, q WHERE q_id <> c_id),
+       |r AS (SELECT q_id, c_id, qcos,
+       |        cast(row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS integer) AS rank
+       |      FROM p)
+       |SELECT q_id, c_id, qcos, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+
   private val AnnBits = 12
 
   /** IVF/LSH-style ANN: sign-random-projection signature (deterministic
@@ -388,5 +460,6 @@ object VectorOps {
     "q22_ann_lsh" -> q22AnnLsh,
     "q25_embedding_neardup" -> q25EmbeddingNearDup,
     "q48_ann_ivf" -> q48AnnIvf,
-    "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans)
+    "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans,
+    "q69_int8_cosine" -> q69Int8Cosine)
 }

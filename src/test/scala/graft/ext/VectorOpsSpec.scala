@@ -52,6 +52,19 @@ class VectorOpsSpec extends AnyFunSuite {
       s"training degraded recall: trained=${trained.values.sum} seed=${seed.values.sum}")
   }
 
+  test("int8-quantized cosine top-10 recalls the exact float ranking") {
+    // quantization to 8 bits perturbs cosines by ~1/254 per component;
+    // on this corpus the top-10 sets should survive nearly intact
+    val got = VectorOps.q69Int8Cosine.run(spark, sfDir)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    assert(got.keySet == exact.keySet, "int8 path lost whole queries")
+    val recalls = got.map { case (q, ids) => (ids intersect exact(q)).size / 10.0 }
+    recalls.foreach(r => assert(r >= 0.7, s"int8 recall@10 = $r"))
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean int8 recall@10 = ${recalls.sum / recalls.size}")
+  }
+
   test("IVF lists partitioned at rest are partition-pruned at probe time") {
     // The q48/q64 scaladoc claim made concrete: materialize the
     // corpus→list assignment partitioned by list_id, read it back with a
