@@ -125,7 +125,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // never a row_number window that funnels everything into n_queries
     // reducers. q48 keeps exactly one window — probe selection over the
     // (n_queries × K)-bounded centroid set, which never grows with data.
-    for (n <- Seq("q21_cosine_topk", "q22_ann_lsh"))
+    for (n <- Seq("q21_cosine_topk", "q22_ann_lsh", "q69_int8_cosine"))
       assert(count(plan(n)) { case _: WindowExec => } == 0, s"window funnel in $n")
     assert(count(plan("q48_ann_ivf")) { case _: WindowExec => } <= 1,
       "q48 rerank regressed to a window funnel")
