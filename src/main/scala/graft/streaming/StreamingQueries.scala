@@ -142,7 +142,44 @@ object StreamingQueries {
       |WHERE date_diff('day', cohort_date, act_date) <= 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Hourly tumbling-window counts/sums (q23's report) computed by
+    * Spark's NATIVE stateful streaming aggregation — the third
+    * streaming-judged route, exercising the built-in incremental-agg
+    * operator rather than `mapGroupsWithState`. Complete output mode
+    * truncates and rewrites the memory sink every micro-batch, so after
+    * convergence the sink IS the converged result — no last-emission
+    * selection at all. State is additive (count + EXACT decimal sum), so
+    * the result is batch-boundary- and order-independent; a float sum
+    * here would drift with the replay's accumulation order and fail the
+    * oracle hash intermittently.
+    */
+  val q70StreamingWindows: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val batch = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      replayToSink(s, batch, "q70") { (stream, sink) =>
+        stream
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .start()
+      }
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    // identical to q23's oracle: same semantics, streaming-computed
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+      |       event_type, count(*) AS n_events,
+      |       cast(sum(cast(value AS decimal(12,2))) AS double) AS total_value
+      |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q66_streaming_topk" -> q66StreamingTopK,
-    "q68_streaming_retention" -> q68StreamingRetention)
+    "q68_streaming_retention" -> q68StreamingRetention,
+    "q70_streaming_windows" -> q70StreamingWindows)
 }
