@@ -398,6 +398,18 @@ object TextOps {
     * [[JaccardDfCap]]); only same-source pairs are candidates. df is
     * computed with a map-side-combinable groupBy, never a window over the
     * skewed shingle key.
+    *
+    * Exchange discipline: at scale (rare exceeds broadcast range) the
+    * df-join shuffle leaves `kept` hash-partitioned on (source, sh) —
+    * exactly the self-join's keys — so candidate generation adds ZERO
+    * further full-data exchanges (the second branch reuses the same
+    * shuffle). At test scale AQE broadcasts `rare` instead and lets the
+    * self-join shuffle — its call, both correct. Set sizes are
+    * aggregated separately and joined to the (cap-bounded)
+    * candidate-pair aggregate afterward; the earlier form attached
+    * sizes via a doc-window BEFORE the self-join, which re-shuffled the
+    * full shingle set unconditionally — window + two join branches —
+    * at every scale.
     */
   val q20JaccardPairs: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -407,17 +419,17 @@ object TextOps {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= JaccardDfCap)
         .select(col("source"), col("sh"))
-      // set sizes ride along as a window count BEFORE the self-join —
-      // no separate sizes aggregation + two re-join passes
-      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val sh = shd.join(rare, Seq("source", "sh"))
-        .withColumn("n_sh", count(lit(1)).over(wDoc))
-      val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"), col("n_sh").as("n_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"), col("n_sh").as("n_b"))
-      a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
+      val kept = shd.join(rare, Seq("source", "sh"))
+      val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+      val b = kept.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
           && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      pairs
+        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
         .withColumn("jaccard",
           col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
         .filter(col("jaccard") >= 0.5)
