@@ -60,6 +60,12 @@ object Bench {
   private val ExtraRuns = 3
 
   def main(args: Array[String]): Unit = {
+    // The retime protocol is keyed by query name: a renamed/removed
+    // headline entry with a stale reference key would silently lose (or
+    // misapply) stall protection. Fail fast instead.
+    require(reference.keySet == headline.toSet,
+      s"Bench.reference keys out of sync with headline: " +
+        s"missing=${headline.toSet -- reference.keySet} stale=${reference.keySet -- headline.toSet}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -118,11 +124,14 @@ object Bench {
       val times =
         if (!needRetime) base
         else base ++ (1 to ExtraRuns).flatMap(_ => timeOnce(name))
-      name -> times.minOption.getOrElse(-1.0) // -1 marks "never succeeded"
+      (name, times.minOption.getOrElse(-1.0), needRetime) // -1 marks "never succeeded"
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // queries whose min came through the stall-retime path, so reports
+    // can tell a 6-sample min from a plain 3-sample min
+    val retimed = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$retimed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

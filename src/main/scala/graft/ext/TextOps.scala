@@ -411,31 +411,38 @@ object TextOps {
     * full shingle set unconditionally — window + two join branches —
     * at every scale.
     */
+  /** The q20 plan with an explicit df cap — `cap = Int.MaxValue` is the
+    * exact (uncapped) Jaccard, kept callable so `TextOpsSpec` can
+    * cross-check the judged capped form against brute-force exact
+    * Jaccard on a small corpus. Judged q20 always runs [[JaccardDfCap]].
+    */
+  def jaccardPairs(docs: DataFrame, cap: Int): DataFrame = {
+    val shd = shingles(docs)
+      .select(col("doc_id"), col("source"), col("sh")).distinct()
+    val rare = shd.groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select(col("source"), col("sh"))
+    val kept = shd.join(rare, Seq("source", "sh"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
+        && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val q20JaccardPairs: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val shd = shingles(Tables.documents(s, dir))
-        .select(col("doc_id"), col("source"), col("sh")).distinct()
-      val rare = shd.groupBy(col("source"), col("sh"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= JaccardDfCap)
-        .select(col("source"), col("sh"))
-      val kept = shd.join(rare, Seq("source", "sh"))
-      val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
-      val b = kept.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
-      val pairs = a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
-          && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      pairs
-        .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-        .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => jaccardPairs(Tables.documents(s, dir), JaccardDfCap),
     shSql + "\n" +
       s""", shd AS (SELECT DISTINCT doc_id, source, sh FROM shx),
         |rare AS (SELECT source, sh FROM shd GROUP BY source, sh HAVING count(*) <= $JaccardDfCap),

@@ -3,6 +3,36 @@ package graft.functions
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
+/** Single source of truth for the (score desc, id asc) TOTAL order both
+  * aggregators rank by. `java.lang.Double.compare`, never IEEE `<`: under
+  * IEEE compare a NaN in the kth slot would permanently reject every
+  * better row (NaN compares false against everything), silently freezing
+  * the buffer. Keeping the comparator in one place makes the
+  * sort-key/short-circuit agreement structural — an `Ordering.Double
+  * .IeeeOrdering` import near a sortBy can no longer diverge them.
+  */
+object TopKOrder {
+  /** < 0 iff (xs, xi) ranks strictly before (ys, yi). The NEGATED-score
+    * compare, not compare(ys, xs): negation keeps NaN as NaN, so NaN
+    * ranks LAST (a NaN score is a worst candidate, never a best one),
+    * where compare(ys, xs) would rank it first and let a NaN hijack the
+    * top slot.
+    */
+  def cmp(xs: Double, xi: Long, ys: Double, yi: Long): Int = {
+    val c = java.lang.Double.compare(-xs, -ys) // score desc, NaN last
+    if (c != 0) c else java.lang.Long.compare(xi, yi) // id asc
+  }
+
+  // Orderings live on this (static) object: a captured Ordering field
+  // would not survive the aggregator's closure-serialization round trip.
+  val pair: Ordering[(Double, Long)] =
+    (x: (Double, Long), y: (Double, Long)) => cmp(x._1, x._2, y._1, y._2)
+
+  /** Same order over (score, id, payload) — the payload never ranks. */
+  val carry: Ordering[(Double, Long, Long)] =
+    (x: (Double, Long, Long), y: (Double, Long, Long)) => cmp(x._1, x._2, y._1, y._2)
+}
+
 /** Bounded top-k aggregator over (score, id) pairs.
   *
   * Replaces `ORDER BY score DESC LIMIT k` for top-k extraction: each
@@ -13,38 +43,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * (numPartitions × k) rows.
   *
   * Ordering is total — (score desc, id asc) — so results are
-  * deterministic and oracle-comparable.
+  * deterministic and oracle-comparable; see [[TopKOrder]].
   */
 class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
-  // Invariant: every buffer trim() produced is sorted by (score desc,
-  // id asc), so buf.last is the current kth. The hot path — a full
-  // buffer seeing a row no better than the kth — is a single compare,
-  // not an O(k log k) re-sort per corpus row.
+  // Invariant: every buffer trim() produced is sorted by TopKOrder.pair,
+  // so buf.last is the current kth. The hot path — a full buffer seeing
+  // a row no better than the kth — is a single compare, not an
+  // O(k log k) re-sort per corpus row.
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    if (buf.size >= k && !beats(in, buf.last)) buf else trim(buf :+ in)
+    if (buf.size >= k && TopKOrder.pair.compare(in, buf.last) >= 0) buf else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
 
-  // MUST agree with trim's sort key exactly — including NaN and signed
-  // zero, where IEEE `>` and the total order disagree (a NaN kth entry
-  // under IEEE compare would permanently reject every better row). Uses
-  // the identical negated-score total-order compare as sortBy.
-  private def beats(x: (Double, Long), y: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(-x._1, -y._1)
-    c < 0 || (c == 0 && x._2 < y._2)
-  }
-
-  // ordering summoned statically per call (a captured Ordering field does
-  // not survive the aggregator's closure-serialization round trip)
   private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    xs.sortBy { case (score, id) => (-score, id) }.take(k)
+    xs.sorted(TopKOrder.pair).take(k)
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    buf.sortBy { case (score, id) => (-score, id) }
+    buf.sorted(TopKOrder.pair)
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
@@ -56,8 +75,8 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
 /** [[TopK]] with one extra carried Long column (score, id, payload):
   * top-k extraction where the winner rows need a rider attribute (e.g.
   * the IVF list a candidate came from). Ordering is identical —
-  * (score desc, id asc) — the payload never participates in ranking, it
-  * just survives the per-partition trim and the k+k merges.
+  * [[TopKOrder]] over (score, id) — the payload never participates in
+  * ranking, it just survives the per-partition trim and the k+k merges.
   */
 class TopKCarry(k: Int)
     extends Aggregator[(Double, Long, Long), Seq[(Double, Long, Long)], Seq[(Double, Long, Long)]] {
@@ -66,22 +85,16 @@ class TopKCarry(k: Int)
 
   // same sorted-buffer invariant + O(1) hot-path compare as TopK.reduce
   override def reduce(buf: Seq[(Double, Long, Long)], in: (Double, Long, Long)): Seq[(Double, Long, Long)] =
-    if (buf.size >= k && !beats(in, buf.last)) buf else trim(buf :+ in)
+    if (buf.size >= k && TopKOrder.carry.compare(in, buf.last) >= 0) buf else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long, Long)], b: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
     trim(a ++ b)
 
-  // total-order compare, identical to trim's sort key (see TopK.beats)
-  private def beats(x: (Double, Long, Long), y: (Double, Long, Long)): Boolean = {
-    val c = java.lang.Double.compare(-x._1, -y._1)
-    c < 0 || (c == 0 && x._2 < y._2)
-  }
-
   private def trim(xs: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
-    xs.sortBy { case (score, id, _) => (-score, id) }.take(k)
+    xs.sorted(TopKOrder.carry).take(k)
 
   override def finish(buf: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
-    buf.sortBy { case (score, id, _) => (-score, id) }
+    buf.sorted(TopKOrder.carry)
 
   override def bufferEncoder: Encoder[Seq[(Double, Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Long)]]()

@@ -51,12 +51,17 @@ object StreamingQueries {
       // stop FIRST (also on the failure path — a live query must not
       // see its source dir deleted under it); each cleanup step swallows
       // its own failure so one failing step neither masks the try
-      // block's real exception nor skips the remaining teardown
-      def swallow(step: => Unit): Unit =
-        try step catch { case scala.util.control.NonFatal(_) => () }
-      swallow(job.foreach(_.stop()))
-      swallow(s.catalog.dropTempView(sink))
-      swallow(graft.core.Fs.deleteRecursively(replayDir))
+      // block's real exception nor skips the remaining teardown — but
+      // logs it, so a leaked sink/temp dir is observable, not silent
+      def swallow(what: String)(step: => Unit): Unit =
+        try step catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] $tag replay teardown: '$what' failed (possible leak): $e")
+        }
+      swallow("stop streaming job")(job.foreach(_.stop()))
+      swallow(s"drop memory sink view $sink")(s.catalog.dropTempView(sink))
+      swallow(s"delete replay dir $replayDir")(graft.core.Fs.deleteRecursively(replayDir))
     }
   }
 

@@ -139,9 +139,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // non-matching lineitem rows die before the join shuffle. This is
     // the 100 TB fact-join story: the filter is built from the filtered
     // dimension's keys at runtime, not authored in the query.
+    // Structural, not string-matching: find FilterExec nodes whose
+    // condition tree actually contains a BloomFilterMightContain, and
+    // require one of them to filter the fact key (l_partkey) — a bloom
+    // on the dimension side, or a pretty-print rename, can't fake this.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.FilterExec
     val p = plan("q67_bloom_pruned_join")
-    assert(p.toString.contains("might_contain"),
-      "no runtime bloom filter injected into q67's fact side")
+    val bloomFilters = p.collect {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.exists(_.condition.references.exists(_.name == "l_partkey")),
+      "no runtime bloom filter over l_partkey injected into q67's fact side")
   }
 
   test("q20 jaccard candidates are df-capped before the self-join") {
