@@ -45,10 +45,10 @@ object Bench {
     "q00_pricing_summary" -> 1.10, "q01_revenue_per_product" -> 2.34,
     "q02_orders_monthly" -> 1.54, "q04_stock_status" -> 0.75,
     "q11_upsert_lww" -> 1.69, "q17_minhash_sig" -> 1.68,
-    // q20's reference reflects its round-4 df-capped plan (the extra
-    // map-side-combined df aggregate + join-back is the price of
-    // bounding hot-shingle buckets; the round-3 uncapped plan ran 1.94)
-    "q19_simhash" -> 0.42, "q20_jaccard_pairs" -> 3.30,
+    // q20's reference reflects its round-5 bounded-set bucket plan (one
+    // full-data shuffle: BoundedDistinct buckets + explode² pairs; the
+    // round-4 df-join form ran 3.30)
+    "q19_simhash" -> 0.42, "q20_jaccard_pairs" -> 1.88,
     "q21_cosine_topk" -> 0.66, "q23_tumbling_windows" -> 0.36,
     "q30_sessionize" -> 0.74, "q33_topk_global" -> 1.33,
     "q34_tfidf" -> 1.11, "q36_simhash_pairs" -> 0.91,
@@ -86,9 +86,12 @@ object Bench {
     // JVM JIT + codegen warmup: run every headline query once on the
     // smallest corpus (excluded from timing) so measurements reflect
     // steady-state executor throughput, not first-call compilation.
+    // optional args = subset of headline names to time (local iteration
+    // aid; the driver always runs the full list)
+    val wanted = if (args.isEmpty) headline else headline.filter(args.contains)
     val warmDir = "/root/testdata/sf0.001"
     val warmup = if (new java.io.File(warmDir).exists()) warmDir else sfDir
-    headline.filter(SparkEntry.queries.contains).foreach { name =>
+    wanted.filter(SparkEntry.queries.contains).foreach { name =>
       try SparkEntry.queries(name)(spark, warmup).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
@@ -115,7 +118,7 @@ object Bench {
     // with up to ExtraRuns more iterations before the min is taken, so a
     // transient stall doesn't report as a regression (a REAL regression
     // still shows: extra runs of slow code stay slow).
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = wanted.filter(SparkEntry.queries.contains).map { name =>
       val base = (1 to 3).flatMap(_ => timeOnce(name))
       // retime only slow-but-SUCCESSFUL runs: a query that failed all
       // three times can never produce a time, so extra runs are waste

@@ -415,22 +415,37 @@ object TextOps {
     * exact (uncapped) Jaccard, kept callable so `TextOpsSpec` can
     * cross-check the judged capped form against brute-force exact
     * Jaccard on a small corpus. Judged q20 always runs [[JaccardDfCap]].
+    *
+    * Shape: ONE full-data shuffle. Each (source, shingle) bucket's
+    * distinct doc set is collected by the size-bounded
+    * [[graft.functions.BoundedDistinct]] aggregator (map-side
+    * combinable; a hot boilerplate shingle saturates at cap+1 elements
+    * instead of materializing its full posting list), buckets over the
+    * cap are dropped — exactly the df filter, since sub-cap buckets are
+    * collected exactly — and candidate pairs come from a double explode
+    * of the ≤cap-element arrays (≤ cap² narrow rows per bucket, no
+    * self-join at all). The earlier form spent three full-data shuffles
+    * here: distinct, the df groupBy, and the join back.
     */
   def jaccardPairs(docs: DataFrame, cap: Int): DataFrame = {
-    val shd = shingles(docs)
-      .select(col("doc_id"), col("source"), col("sh")).distinct()
-    val rare = shd.groupBy(col("source"), col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
-      .select(col("source"), col("sh"))
-    val kept = shd.join(rare, Seq("source", "sh"))
-    val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, col("sh") === col("sh_b") && col("source") === col("source_b")
-        && col("doc_a") < col("doc_b"))
+    val bound = if (cap == Int.MaxValue) Int.MaxValue else cap + 1
+    val bdistinct = udaf(new graft.functions.BoundedDistinct(bound))
+    val buckets = shingles(docs)
+      .groupBy(col("source"), col("sh"))
+      .agg(bdistinct(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= cap)
+      .select(col("docs"))
+    // pairs and sizes both read `buckets`: the scan + shingle + partial
+    // aggregation + shuffle write happen ONCE (ReusedExchange dedups the
+    // bucket shuffle); only the cheap final agg + explode run per branch
+    val pairs = buckets
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val sz = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sz = buckets.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     pairs
       .join(sz.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))

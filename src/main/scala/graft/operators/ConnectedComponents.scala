@@ -49,22 +49,37 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint() // candidate generation (LSH etc.) runs ONCE, not per round
 
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    // Loop state carries THREE columns: (id, label, old) where old is the
+    // id's label at the start of the round (null if the id just entered
+    // via an edge-only neighbor). That makes the convergence probe a
+    // filter over the already-checkpointed round result — the earlier
+    // form re-joined next⋈labels per round, a full extra shuffle that
+    // existed only to answer "did anything change".
+    var labels = vertices.select(col("id"), col("id").as("label"),
+      col("id").as("old"))
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val msgs = sym.join(labels, sym("u") === labels("id"))
-        .select(col("v").as("id"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // Frontier messaging: only ids whose label CHANGED last round (or
+      // just appeared) send. A vertex with a stable label already sent
+      // that label to every neighbor the round it acquired it, so
+      // re-sending is pure waste; on shallow near-dup graphs the
+      // frontier collapses after round one and AQE broadcasts it,
+      // turning later rounds into scan-only passes over the edge list.
+      val frontier =
+        if (round == 0) labels.select(col("id"), col("label"))
+        else labels.where(col("old").isNull || col("label") < col("old"))
+          .select(col("id"), col("label"))
+      val msgs = sym.join(frontier, sym("u") === frontier("id"))
+        .select(col("v").as("id"), col("label"), lit(null).cast(labels.schema("old").dataType).as("old"))
+      // one id contributes exactly one "old" row (labels has unique ids),
+      // so min(old) recovers it; null-only groups are new ids
+      val next = labels.select(col("id"), col("label"), col("label").as("old"))
+        .union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .localCheckpoint()
-      // changed = any label decreased OR an edge-only id entered the
-      // label set (an inner join would drop the latter and declare
-      // convergence a round early)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"), "left_outer")
-        .where(col("o.id").isNull || col("n.label") < col("o.label"))
-        .isEmpty
+      converged = next.where(col("old").isNull || col("label") < col("old")).isEmpty
       labels = next
       round += 1
     }
@@ -74,7 +89,8 @@ object ConnectedComponents {
           "raise maxIter or use componentsAlternating for deep graphs")
     // restrict to the declared vertex domain (edge-only ids conducted
     // labels above but are not part of the output contract)
-    labels.join(vertices.select(col("id")), Seq("id"), "left_semi")
+    labels.select(col("id"), col("label"))
+      .join(vertices.select(col("id")), Seq("id"), "left_semi")
   }
 
   /** Same contract as [[components]], but via alternating large-star /

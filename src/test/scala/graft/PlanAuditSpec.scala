@@ -153,19 +153,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "no runtime bloom filter over l_partkey injected into q67's fact side")
   }
 
-  test("q20 jaccard candidates are df-capped before the self-join") {
+  test("q20 jaccard candidates are df-capped and the bucket shuffle is reused") {
     // Without the cap, a shingle shared by m docs emits O(m²) pair rows
     // in its bucket (boilerplate headers at 100× scale). The plan must
-    // contain the frequency filter (df <= JaccardDfCap) over the
-    // map-side-combinable (source, sh) aggregate feeding the self-join.
+    // (a) size-filter the BoundedDistinct bucket arrays by JaccardDfCap
+    // before any pair generation, and (b) compute the bucket shuffle
+    // ONCE — the pairs branch and both size-join branches must read
+    // ReusedExchanges of it, or candidate generation re-scans and
+    // re-shingles the corpus per branch.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Size}
     import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val p = plan("q20_jaccard_pairs")
     val capFilters = p.collect {
-      case f: FilterExec if f.condition.references.exists(_.name == "df") => f
+      case f: FilterExec
+        if f.condition.exists(_.isInstanceOf[Size]) &&
+          f.condition.exists {
+            case Literal(v, _) => v == graft.ext.TextOps.JaccardDfCap
+            case _ => false
+          } => f
     }
-    assert(capFilters.nonEmpty, "df-cap filter missing from q20 plan")
-    assert(capFilters.exists(_.condition.toString.contains(graft.ext.TextOps.JaccardDfCap.toString)),
-      "df-cap filter does not use JaccardDfCap")
+    assert(capFilters.nonEmpty, "size-bounded df-cap filter missing from q20 plan")
+    assert(count(p) { case _: ReusedExchangeExec => } >= 2,
+      "q20's bucket shuffle is not reused across the pairs/sizes branches")
   }
 
   test("q62b deciles: single-partition stages only ever see bounded data") {
