@@ -726,7 +726,67 @@ object TextOps {
        |       cast(sum(len(string_split_regex(trim(text), '\\s+'))) AS bigint) AS total_tokens
        |FROM sampled GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Benchmark decontamination: training docs sharing any word 3-shingle
+    * with the held-out eval slice (here: doc_id ≡ 0 mod 50 — a
+    * deterministic stand-in for an external benchmark suite), with the
+    * count of distinct overlapping shingles. The core 100 TB shape:
+    * the EVAL side's distinct shingle set is small (benchmarks are KBs,
+    * corpora are TBs), so it broadcasts, the corpus side's shingling
+    * fuses into the scan, and the only shuffle is the per-doc overlap
+    * count over MATCHED rows — the full corpus is never shuffled at all.
+    */
+  val q71Decontaminate: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val sh = shingles(Tables.documents(s, dir))
+      val ev = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    },
+    shSql + "\n" +
+      """, ev AS (SELECT DISTINCT sh FROM shx WHERE doc_id % 50 = 0)
+        |SELECT t.doc_id, cast(count(DISTINCT t.sh) AS bigint) AS n_overlap
+        |FROM shx t JOIN ev ON t.sh = ev.sh
+        |WHERE t.doc_id % 50 <> 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+
+  /** Per-document repetition scores (the Gopher-style repetition gates):
+    * duplicate word-bigram fraction and most-frequent-bigram mass.
+    * Two map-side-combinable aggregations — (doc, bigram) counts, then
+    * per-doc rollup; no windows, no skew (a doc's bigram multiset is
+    * bounded by its own length, and the (doc_id, g) key is near-unique).
+    * Fractions are double divisions of exact integer counts, so they are
+    * bit-identical in both engines.
+    */
+  val q72Repetition: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val bg = toks(Tables.documents(s, dir))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+      bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("nd"), max(col("c")).as("top"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ((col("n_bigrams") - col("nd")).cast("double") / col("n_bigrams").cast("double")).as("dup_frac"),
+          (col("top").cast("double") / col("n_bigrams").cast("double")).as("top_frac"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |       FROM t WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+      |SELECT doc_id, cast(sum(c) AS bigint) AS n_bigrams,
+      |  cast(sum(c) - count(*) AS double) / cast(sum(c) AS double) AS dup_frac,
+      |  cast(max(c) AS double) / cast(sum(c) AS double) AS top_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q71_decontaminate" -> q71Decontaminate,
+    "q72_repetition" -> q72Repetition,
     "q59_pipeline_e2e" -> q59PipelineE2e,
     "q49_countmin_hh" -> q49CountMinHh,
     "q46_dedup_clusters" -> q46DedupClusters,

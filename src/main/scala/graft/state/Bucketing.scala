@@ -18,10 +18,21 @@ object Bucketing {
       df: DataFrame,
       tableName: String,
       buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // A previous SESSION's table data can survive in the warehouse dir
+    // while being absent from this session's in-memory catalog — then
+    // saveAsTable treats the write as a CREATE and refuses the existing
+    // location. Drop the catalog entry if present AND remove any
+    // orphaned location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, tableName.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) graft.core.Fs.deleteRecursively(loc)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)
+  }
 }

@@ -178,6 +178,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "q20's bucket shuffle is not reused across the pairs/sizes branches")
   }
 
+  test("q73 bucketed join is co-located: no exchange below the join") {
+    // Both sides are written bucketed by the join key, so the sort-merge
+    // join must run directly over the bucketed scans — an Exchange below
+    // it means the bucket layout was ignored and the fact tables are
+    // being re-shuffled per query, the exact cost bucketing exists to
+    // amortize away.
+    val p = plan("q73_bucketed_join")
+    val smjs = p.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "q73 lost its sort-merge bucket join")
+    smjs.foreach { j =>
+      assert(j.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "exchange below q73's bucketed join — bucket co-location not used")
+    }
+  }
+
   test("q62b deciles: single-partition stages only ever see bounded data") {
     // The scale-safe decile plan may use single-partition exchanges ONLY
     // above an aggregation (the ≤numPartitions slice-count rows), never
