@@ -87,7 +87,10 @@ object Bench {
     // smallest corpus (excluded from timing) so measurements reflect
     // steady-state executor throughput, not first-call compilation.
     // optional args = subset of headline names to time (local iteration
-    // aid; the driver always runs the full list)
+    // aid; the driver always runs the full list). Unknown names fail
+    // fast — silently dropping a typo would print a bogus 0-second run.
+    require(args.forall(headline.contains),
+      s"unknown headline queries: ${args.filterNot(headline.contains).mkString(", ")}")
     val wanted = if (args.isEmpty) headline else headline.filter(args.contains)
     val warmDir = "/root/testdata/sf0.001"
     val warmup = if (new java.io.File(warmDir).exists()) warmDir else sfDir

@@ -26,9 +26,17 @@ object Bucketing {
     // location. Drop the catalog entry if present AND remove any
     // orphaned location before writing.
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, tableName.toLowerCase)
-    if (java.nio.file.Files.exists(loc)) graft.core.Fs.deleteRecursively(loc)
+    val whRaw = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath: Option[java.nio.file.Path] =
+      if (whRaw.startsWith("file:"))
+        // Paths.get(URI) decodes percent-encoding (a raw stripPrefix
+        // would keep %20 etc. and silently miss the stale dir)
+        scala.util.Try(java.nio.file.Paths.get(new java.net.URI(whRaw))).toOption
+      else if (!whRaw.contains(":")) Some(java.nio.file.Paths.get(whRaw))
+      else None // non-local warehouse: nothing to clean on the local fs
+    whPath.map(_.resolve(tableName.toLowerCase))
+      .filter(java.nio.file.Files.exists(_))
+      .foreach(graft.core.Fs.deleteRecursively)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)

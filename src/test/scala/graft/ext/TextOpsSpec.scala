@@ -19,29 +19,42 @@ class TextOpsSpec extends AnyFunSuite {
   // for a 500²-pair in-memory brute force
   private val sfDir = TestSpark.testdata("0.01")
 
-  test("uncapped jaccardPairs matches brute-force exact Jaccard") {
-    val docs = Tables.documents(spark, sfDir)
-
-    // brute force: same trigram scheme (whitespace tokens, word
-    // 3-shingles, docs with <3 tokens excluded), every same-source pair
-    val sets = docs.select("doc_id", "source", "text").collect().toSeq
+  // Brute-force ground truth, shared by both tests: same trigram scheme
+  // as the engine (whitespace tokens, word 3-shingles, docs with <3
+  // tokens excluded).
+  private lazy val sets: Seq[(Long, String, Set[String])] =
+    Tables.documents(spark, sfDir).select("doc_id", "source", "text").collect().toSeq
       .map { r =>
         val w = r.getString(2).trim.split("\\s+")
         val sh = (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
         (r.getLong(0), r.getString(1), sh)
       }
       .filter(_._3.nonEmpty)
-    val expected = (for {
+
+  /** Exact intersection size for every same-source pair that shares at
+    * least one shingle — deliberately UNFILTERED by any similarity
+    * threshold, so capped results can be checked against it even for
+    * pairs whose exact jaccard is low.
+    */
+  private lazy val exactIntersections: Map[(Long, Long), Long] =
+    (for {
       (ida, srca, sa) <- sets
       (idb, srcb, sb) <- sets
       if srca == srcb && ida < idb
       inter = (sa & sb).size
       if inter > 0
-      jac = inter.toDouble / (sa.size + sb.size - inter).toDouble
-      if jac >= 0.5
-    } yield (ida, idb, inter.toLong, jac)).toSet
+    } yield (ida, idb) -> inter.toLong).toMap
 
-    val got = TextOps.jaccardPairs(docs, Int.MaxValue).collect()
+  test("uncapped jaccardPairs matches brute-force exact Jaccard") {
+    val bySize = sets.map { case (id, _, sh) => id -> sh.size }.toMap
+    val expected = exactIntersections.collect {
+      case ((ida, idb), inter)
+        if inter.toDouble / (bySize(ida) + bySize(idb) - inter).toDouble >= 0.5 =>
+        (ida, idb, inter,
+          inter.toDouble / (bySize(ida) + bySize(idb) - inter).toDouble)
+    }.toSet
+
+    val got = TextOps.jaccardPairs(Tables.documents(spark, sfDir), Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
 
     assert(expected.nonEmpty, "corpus produced no exact near-dup pairs; test is vacuous")
@@ -52,18 +65,17 @@ class TextOpsSpec extends AnyFunSuite {
     // The judged cap only REMOVES shingles from the universe, so every
     // capped pair's n_common is bounded by its exact intersection — the
     // invariant that makes "capped jaccard high ⇒ genuinely similar
-    // modulo boilerplate" sound.
-    val docs = Tables.documents(spark, sfDir)
-    val exact = TextOps.jaccardPairs(docs, Int.MaxValue)
+    // modulo boilerplate" sound. exactIntersections is threshold-free,
+    // so the bound is asserted even for pairs the cap PROMOTED above
+    // 0.5 (the case where a violation would actually hide).
+    val capped = TextOps.jaccardPairs(Tables.documents(spark, sfDir), TextOps.JaccardDfCap)
       .select("doc_a", "doc_b", "n_common").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val capped = TextOps.jaccardPairs(docs, TextOps.JaccardDfCap)
-      .select("doc_a", "doc_b", "n_common").collect()
-    assert(capped.nonEmpty, "capped q20 produced no pairs at sf0.001; test is vacuous")
+    assert(capped.nonEmpty, "capped q20 produced no pairs at sf0.01; test is vacuous")
     capped.foreach { r =>
       val k = (r.getLong(0), r.getLong(1))
-      exact.get(k).foreach(n =>
-        assert(r.getLong(2) <= n, s"pair $k grew its intersection under the cap"))
+      val exact = exactIntersections.getOrElse(k,
+        fail(s"capped pair $k does not exist in the exact universe"))
+      assert(r.getLong(2) <= exact, s"pair $k grew its intersection under the cap")
     }
   }
 }
