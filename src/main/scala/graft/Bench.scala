@@ -33,7 +33,9 @@ object Bench {
     "q46_dedup_clusters",
     "q48_ann_ivf",
     "q56_gapfill",
-    "q59_pipeline_e2e")
+    "q59_pipeline_e2e",
+    "q71_decontaminate",
+    "q72_repetition")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]) from
     * the last verified round — min of the round-3 report and the judge's
@@ -54,7 +56,9 @@ object Bench {
     "q34_tfidf" -> 1.11, "q36_simhash_pairs" -> 0.91,
     "q38_asof_attribution" -> 0.59, "q41_asof_native" -> 0.67,
     "q46_dedup_clusters" -> 3.42, "q48_ann_ivf" -> 1.23,
-    "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.66)
+    "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.66,
+    // round-5 additions, steady-state measured at introduction
+    "q71_decontaminate" -> 1.11, "q72_repetition" -> 1.14)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -304,7 +304,41 @@ object EventOps {
       |FROM sess GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start""".stripMargin)
 
+  /** Date-partitioned event store, queried with partition pruning: the
+    * events table is written `partitionBy(event_date)` — the layout a
+    * 100 TB event archive actually uses — and the report reads a 7-day
+    * window back through the partition filter, so the scan touches 7 of
+    * the 30 day-directories and the other 23 days cost ZERO I/O
+    * (`PlanAuditSpec` locks the selected-partition count). The oracle
+    * computes the identical window from the raw table: partitioning is
+    * pure layout, never semantics.
+    */
+  val q74PartitionedEvents: QuerySpec = QuerySpec(
+    (s, dir) => {
+      // staging keyed by the source dir's leaf so sf0.001/sf0.01 runs in
+      // different sessions never read each other's store; overwrite
+      // keeps repeated runs idempotent (no unbounded tmp growth)
+      val store = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q74_events_" + new java.io.File(dir).getName).toString
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(store)
+      s.read.parquet(store)
+        .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_date").cast("timestamp").as("day"), col("event_type"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    """SELECT cast(cast(ts AS date) AS timestamp) AS day, event_type,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q74_partitioned_events" -> q74PartitionedEvents,
     "q63_asof_forward" -> q63AsofForward,
     "q61_session_window" -> q61SessionWindowNative,
     "q50_funnel" -> q50Funnel,

@@ -193,6 +193,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q74 reads only the queried day-partitions of the event store") {
+    // The 7-day window predicate must become a PARTITION filter over the
+    // date-partitioned store — 7 of the 30 day-directories scanned, the
+    // rest zero I/O. A dataFilter-only plan (filtered full scan) is the
+    // regression this locks out.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = plan("q74_partitioned_events")
+    val scans = p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_q74_events")) => f
+    }
+    assert(scans.nonEmpty, "q74 did not plan a scan over the partitioned store")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "event_date")),
+        "q74's day window did not become a partition filter")
+      assert(f.selectedPartitions.partitionCount == 7,
+        s"q74 scanned ${f.selectedPartitions.partitionCount} day-partitions, wanted 7")
+    }
+  }
+
   test("q62b deciles: single-partition stages only ever see bounded data") {
     // The scale-safe decile plan may use single-partition exchanges ONLY
     // above an aggregation (the ≤numPartitions slice-count rows), never
