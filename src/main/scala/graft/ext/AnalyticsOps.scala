@@ -210,7 +210,65 @@ object AnalyticsOps {
       |      FROM orders)
       |GROUP BY decile ORDER BY decile""".stripMargin)
 
+  /** Token budget per output shard (tokens, not bytes: training-data
+    * shards are sized in tokens). ~4k gives a dozen shards at sf0.01 and
+    * ~10× that at sf0.1 — enough structure for the oracle to bite.
+    */
+  val ShardTokens = 4096
+
+  /** Deterministic token-budget shard packing — the step that turns a
+    * curated corpus into ~equal-token training shards. Docs are packed
+    * in doc_id order; a doc belongs to shard `floor(prior_tokens / B)`
+    * where prior_tokens is the EXCLUSIVE prefix sum of token counts in
+    * that order (a boundary-spanning doc goes wholly to the shard it
+    * starts in). Output is per-shard accounting: doc count, token
+    * count, id range.
+    *
+    * The prefix sum uses q62b's distributed ranking machinery — range
+    * repartition by doc_id, per-slice sums, bounded offset window,
+    * local window + broadcast offsets — so no stage ever sees more
+    * than one slice and the only full-data shuffle is the range sort
+    * (reused by both branches; plan-locked). The oracle computes the
+    * same packing with a naive global window, which DuckDB can afford
+    * single-node.
+    */
+  val q75ShardPacking: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val slices = base.repartitionByRange(nPart, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = slices.groupBy(col("pid")).agg(sum(col("toks")).as("scnt"))
+        .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      slices
+        .withColumn("lprior", coalesce(sum(col("toks")).over(wLoc), lit(0L)))
+        .join(broadcast(offs), "pid")
+        .withColumn("shard", expr(s"cast((lprior + off) div $ShardTokens AS int)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    },
+    s"""WITH t AS (SELECT doc_id,
+       |            cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS toks
+       |          FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |        cast(coalesce(sum(toks) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS prior
+       |      FROM t)
+       |SELECT cast(prior // $ShardTokens AS integer) AS shard,
+       |       count(*) AS n_docs, cast(sum(toks) AS bigint) AS total_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q75_shard_packing" -> q75ShardPacking,
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,
     "q57_histogram" -> q57Histogram,

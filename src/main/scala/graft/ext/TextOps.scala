@@ -53,8 +53,8 @@ object TextOps {
   /** Whitespace-normalized lowercase text — the shared fingerprint
     * normalization (q16, q31, q39, q59).
     */
-  private def normCol: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private[graft] def normCol: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private[graft] val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
   /** The q15 linear quality score (length/punct/stopword components, no
     * transcendentals) — shared by q15 and the e2e pipeline gate (q59).
@@ -784,7 +784,39 @@ object TextOps {
       |  cast(max(c) AS double) / cast(sum(c) AS double) AS top_frac
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** Cross-source near-dup overlap matrix — the corpus-curation signal
+    * "how much does source X republish source Y": MinHash-LSH candidate
+    * pairs over the WHOLE corpus (the same banded scheme as q18/q46 —
+    * bucket-local, never all-pairs), rolled up to unordered
+    * (source_a, source_b) pair counts. The pair set is LSH-bounded, so
+    * the source join and the rollup run over candidates, not the
+    * corpus; at 100 TB the output is a |sources|² matrix regardless of
+    * data size.
+    */
+  val q76SourceOverlap: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val src = docs.select(col("doc_id"), col("source"))
+      lshPairs(docs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    shSql + minhashSigSql + "\n" + lshPairsSql + "\n" +
+      """SELECT least(sa.source, sb.source) AS source_a,
+        |       greatest(sa.source, sb.source) AS source_b,
+        |       count(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents sa ON pairs.doc_a = sa.doc_id
+        |JOIN documents sb ON pairs.doc_b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q76_source_overlap" -> q76SourceOverlap,
     "q71_decontaminate" -> q71Decontaminate,
     "q72_repetition" -> q72Repetition,
     "q59_pipeline_e2e" -> q59PipelineE2e,

@@ -183,8 +183,42 @@ object StreamingQueries {
       |       cast(sum(cast(value AS decimal(12,2))) AS double) AS total_value
       |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin)
 
+  /** Per-source unique-document counts where the DEDUP ITSELF runs on
+    * the streaming path: documents are replayed as micro-batches through
+    * `dropDuplicates(source, fp)` — Spark's stateful streaming
+    * deduplication, one state row per distinct key — and the append-mode
+    * sink receives each first-seen (source, fingerprint) exactly once.
+    * The batch side merely counts the sink. The fingerprint is q16's
+    * normalization (one definition, `TextOps.normCol`, so the schemes
+    * cannot drift).
+    *
+    * Order independence: which PHYSICAL row survives dedup depends on
+    * replay order, but the judged result only depends on the distinct
+    * (source, fp) SET — a union semilattice. (Keying dedup by source AND
+    * fp matters: global fp dedup would attribute a fingerprint shared
+    * across sources to whichever arrived first.) Production pairs this
+    * with `dropDuplicatesWithinWatermark` for bounded state — covered
+    * by the streaming-dedup spec; the judged replay is finite.
+    */
+  val q77StreamingDedup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val batch = Tables.documents(s, dir)
+        .select(col("source"), md5(graft.ext.TextOps.normCol).as("fp"))
+      replayToSink(s, batch, "q77") { (stream, sink) =>
+        stream.dropDuplicates("source", "fp")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .start()
+      }
+        .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("source"))
+    },
+    s"""SELECT source, count(DISTINCT md5(${graft.ext.TextOps.normSql})) AS n_unique
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q66_streaming_topk" -> q66StreamingTopK,
     "q68_streaming_retention" -> q68StreamingRetention,
-    "q70_streaming_windows" -> q70StreamingWindows)
+    "q70_streaming_windows" -> q70StreamingWindows,
+    "q77_streaming_dedup" -> q77StreamingDedup)
 }

@@ -213,6 +213,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 shard packing reads ONE materialization of the range shuffle") {
+    // Same exchange-reuse property as q62b, for the shard packer: the
+    // per-slice sums and the local prefix windows must read the SAME
+    // materialized range shuffle (one full-data range exchange, second
+    // reference a ReusedExchange) — two independent range sorts could
+    // sample different boundaries and split a slice across pids.
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val p = plan("q75_shard_packing")
+    val fullDataRange = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+          !aggregateBounded(e.child) => e
+    }
+    assert(fullDataRange.size == 1,
+      s"expected 1 shared full-data range exchange in q75, got ${fullDataRange.size}")
+    assert(count(p) { case _: ReusedExchangeExec => } >= 1,
+      "q75's second range-shuffle reference is not a ReusedExchange")
+  }
+
   test("q62b deciles: single-partition stages only ever see bounded data") {
     // The scale-safe decile plan may use single-partition exchanges ONLY
     // above an aggregation (the ≤numPartitions slice-count rows), never
