@@ -11,6 +11,33 @@ import graft.tables.Tables
   */
 object AnalyticsOps {
 
+  /** Range-partitioned, locally-sorted slices with a derived slice id
+    * (`pid`) and 1-based local row number (`lrn`) — the shared staging
+    * for the distributed prefix/rank queries (q62b deciles, q75 shard
+    * packing).
+    *
+    * pid/lrn come from `monotonically_increasing_id` (partition id in
+    * the upper 31 bits, within-partition position in the lower 33), NOT
+    * from `Window.partitionBy(pid)`: a pid-partitioned window demands
+    * ClusteredDistribution(pid), which RangePartitioning does not
+    * satisfy, so Spark would insert a SECOND full-data hash exchange
+    * right after the range sort — doubling the op's network cost for
+    * nothing. The id is deterministic here because the explicit
+    * sortWithinPartitions fixes each partition's iteration order (and
+    * being non-deterministic-flagged, the projection cannot be
+    * reordered below the sort by the optimizer).
+    */
+  private def rangeSlices(
+      df: org.apache.spark.sql.DataFrame,
+      nPart: Int,
+      ordering: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+    df.repartitionByRange(nPart, ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .withColumn("lrn", col("mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("mid")
+
   /** Arbitrary GROUPING SETS (finer than rollup/cube: an explicit
     * lattice subset) with grouping() disambiguators — one shuffle, the
     * expand happens map-side.
@@ -151,30 +178,31 @@ object AnalyticsOps {
     *
     *  1. range-repartition by the total order (o_totalprice, o_orderkey)
     *     — Spark's parallel sort machinery, every task holds a
-    *     contiguous, locally-sorted slice;
-    *  2. per-slice row counts (one tiny row per task) → cumulative
-    *     offsets via a window over ≤numPartitions rows (bounded — never
-    *     grows with data);
-    *  3. local row_number per slice + broadcast-joined offset = exact
-    *     global rank, computed with no stage ever seeing more than one
-    *     slice;
+    *     contiguous, locally-sorted slice — with slice id + local row
+    *     number derived arithmetically ([[rangeSlices]]: no
+    *     pid-partitioned window, which would cost a second full-data
+    *     exchange);
+    *  2. per-slice row counts (map-side combined to one tiny row per
+    *     slice) → cumulative offsets via a window over ≤numPartitions
+    *     rows (bounded — never grows with data);
+    *  3. local row number + broadcast-joined offset = exact global
+    *     rank, computed with no stage ever seeing more than one slice;
     *  4. ntile's bucket arithmetic applied to (rank, N) directly —
     *     first (N mod 10) buckets get ceil(N/10) rows, the rest get
     *     floor(N/10), which is bit-for-bit ntile(10) semantics.
     *
-    * Trade: one extra full-data exchange vs the naive single-task sort —
-    * the right trade everywhere past one machine. Determinism: `offs` and
-    * `ranked` both hang off the same range exchange; Spark's exchange
-    * reuse (asserted in PlanAuditSpec) materializes it once, so pids and
-    * offsets come from one shuffle, not two coincidentally-equal runs.
+    * The ONLY full-data exchange is the range sort — the per-slice
+    * count exchange carries ≤numPartitions pre-aggregated rows.
+    * Determinism: `offs` and `ranked` both hang off the same range
+    * exchange; Spark's exchange reuse (asserted in PlanAuditSpec)
+    * materializes it once, so pids and offsets come from one shuffle,
+    * not two coincidentally-equal runs.
     */
   val q62bDecilesDist: QuerySpec = QuerySpec(
     (s, dir) => {
       val base = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val slices = base
-        .repartitionByRange(nPart, col("o_totalprice"), col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
+      val slices = rangeSlices(base, nPart, Seq(col("o_totalprice"), col("o_orderkey")))
       // per-slice counts: ≤ nPart rows; the offset window's single
       // reducer sees nPart rows, not N
       val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
@@ -182,11 +210,9 @@ object AnalyticsOps {
         .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
         .withColumn("n_total", sum(col("cnt")).over())
         .select(col("pid"), col("off"), col("n_total"))
-      val wLoc = Window.partitionBy(col("pid"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val ranked = slices.withColumn("lrn", row_number().over(wLoc))
+      val ranked = slices
         .join(broadcast(offs), "pid")
-        .withColumn("rn", col("lrn").cast("long") + col("off"))
+        .withColumn("rn", col("lrn") + col("off"))
       // ntile(10): the first (N mod 10) buckets get floor(N/10)+1 rows,
       // the rest floor(N/10) — `div` keeps the arithmetic integral, and
       // the b=0 branch (N<10: every row lands in the `when`) is never
@@ -224,30 +250,43 @@ object AnalyticsOps {
     * starts in). Output is per-shard accounting: doc count, token
     * count, id range.
     *
-    * The prefix sum uses q62b's distributed ranking machinery — range
-    * repartition by doc_id, per-slice sums, bounded offset window,
-    * local window + broadcast offsets — so no stage ever sees more
-    * than one slice and the only full-data shuffle is the range sort
-    * (reused by both branches; plan-locked). The oracle computes the
-    * same packing with a naive global window, which DuckDB can afford
-    * single-node.
+    * The prefix sum uses the q62b slicing scheme — range repartition by
+    * doc_id, per-slice sums (map-side combined), bounded offset window,
+    * broadcast offsets — so no stage ever sees more than one slice and
+    * the ONLY full-data shuffle is the range sort (reused by both
+    * branches; plan-locked). The within-slice running sum is one
+    * sequential pass over each sorted slice via typed `mapPartitions` —
+    * the documented last-resort drop out of the declarative API, used
+    * here because the declarative alternative (`Window.partitionBy(pid)`)
+    * would re-shuffle the ENTIRE data set by pid right after the range
+    * sort (see [[rangeSlices]]), and a running sum has no
+    * window-free expression form. The oracle computes the same packing
+    * with a naive global window, which DuckDB can afford single-node.
     */
   val q75ShardPacking: QuerySpec = QuerySpec(
     (s, dir) => {
+      import s.implicits._
       val base = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val slices = base.repartitionByRange(nPart, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
+      val local = base
+        .repartitionByRange(nPart, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var run = 0L
+          it.map { case (docId, toks) =>
+            val prior = run; run += toks; (docId, toks, pid, prior)
+          }
+        }
+        .toDF("doc_id", "toks", "pid", "lprior")
       val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-      val offs = slices.groupBy(col("pid")).agg(sum(col("toks")).as("scnt"))
+      val offs = local.groupBy(col("pid")).agg(sum(col("toks")).as("scnt"))
         .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
         .select(col("pid"), col("off"))
-      val wLoc = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      slices
-        .withColumn("lprior", coalesce(sum(col("toks")).over(wLoc), lit(0L)))
+      local
         .join(broadcast(offs), "pid")
         .withColumn("shard", expr(s"cast((lprior + off) div $ShardTokens AS int)"))
         .groupBy(col("shard"))

@@ -315,11 +315,14 @@ object EventOps {
     */
   val q74PartitionedEvents: QuerySpec = QuerySpec(
     (s, dir) => {
-      // staging keyed by the source dir's leaf so sf0.001/sf0.01 runs in
-      // different sessions never read each other's store; overwrite
-      // keeps repeated runs idempotent (no unbounded tmp growth)
+      // staging keyed by the source dir's leaf (sf0.001/sf0.01 sessions
+      // never read each other's store) AND the JVM pid (two concurrent
+      // processes on the same sf must not overwrite each other's store
+      // mid-scan); overwrite keeps repeated runs within a process
+      // idempotent, so tmp growth is bounded by process count
       val store = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_q74_events_" + new java.io.File(dir).getName).toString
+        "graft_q74_events_" + new java.io.File(dir).getName +
+          "_" + ProcessHandle.current().pid()).toString
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(store)

@@ -30,8 +30,11 @@ object Bucketing {
     val whPath: Option[java.nio.file.Path] =
       if (whRaw.startsWith("file:"))
         // Paths.get(URI) decodes percent-encoding (a raw stripPrefix
-        // would keep %20 etc. and silently miss the stale dir)
+        // would keep %20 etc. and miss the stale dir); a user-set conf
+        // may hold a RAW path after "file:" (spaces, lone %) that URI
+        // rejects — fall back to the literal path for those
         scala.util.Try(java.nio.file.Paths.get(new java.net.URI(whRaw))).toOption
+          .orElse(Some(java.nio.file.Paths.get(whRaw.stripPrefix("file:"))))
       else if (!whRaw.contains(":")) Some(java.nio.file.Paths.get(whRaw))
       else None // non-local warehouse: nothing to clean on the local fs
     whPath.map(_.resolve(tableName.toLowerCase))

@@ -204,6 +204,10 @@ object StreamingQueries {
     (s, dir) => {
       val batch = Tables.documents(s, dir)
         .select(col("source"), md5(graft.ext.TextOps.normCol).as("fp"))
+        // NULL-text docs have fp = NULL; the oracle's count(DISTINCT)
+        // ignores NULLs, but dropDuplicates treats NULL as a key value
+        // and would emit (source, NULL) once — drop them for parity
+        .filter(col("fp").isNotNull)
       replayToSink(s, batch, "q77") { (stream, sink) =>
         stream.dropDuplicates("source", "fp")
           .writeStream.format("memory").queryName(sink)

@@ -233,6 +233,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "q75's second range-shuffle reference is not a ReusedExchange")
   }
 
+  test("prefix/rank queries hash-shuffle only aggregated data (range sort is the one full pass)") {
+    // The slice id comes from monotonically_increasing_id arithmetic,
+    // NOT Window.partitionBy(pid): the window form forces a SECOND
+    // full-data hashpartitioning(pid) exchange right after the range
+    // sort (ClusteredDistribution(pid) is not satisfied by
+    // RangePartitioning) — the regression this test locks out. Every
+    // hash exchange left must carry pre-aggregated (bounded) rows.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    for (n <- Seq("q62_deciles", "q62b_deciles_dist", "q75_shard_packing")) {
+      plan(n).collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }.foreach { e =>
+        assert(aggregateBounded(e.child), s"full-data hash exchange in $n")
+      }
+    }
+  }
+
   test("q62b deciles: single-partition stages only ever see bounded data") {
     // The scale-safe decile plan may use single-partition exchanges ONLY
     // above an aggregation (the ≤numPartitions slice-count rows), never
