@@ -340,7 +340,57 @@ object EventOps {
       |WHERE cast(ts AS date) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
 
+  /** Pure-RANGE join (no natural equi key), decomposed for scale: the
+    * 10 busiest users' 90-minute windows [first_ts, first_ts+90min)
+    * joined against ALL events whose ts falls inside any window —
+    * whoever's they are.
+    *
+    * A naive ts-range join plans a nested-loop over the full event
+    * stream. The scalable decomposition: both sides key by coarse HOUR
+    * buckets — each interval explodes into the ≤3 buckets it covers,
+    * each event into exactly its own — turning the join into an
+    * EQUI-join on bucket with the range predicate as a residual. An
+    * event's single bucket appears once per covering interval, so no
+    * dedup pass is needed. The interval side is tiny (top-k windows)
+    * and broadcasts; the busiest-user selection itself is
+    * TakeOrderedAndProject (per-partition heap top-10, no global
+    * sort). PlanAuditSpec locks the no-nested-loop property.
+    */
+  val q78RangeJoinBuckets: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val HourMicros = 3600L * 1000 * 1000
+      val owners = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("w_start"))
+        .orderBy(col("n").desc, col("user_id")).limit(10)
+        .select(col("user_id").as("owner"), col("w_start"),
+          (col("w_start") + expr("INTERVAL 90 MINUTE")).as("w_end"))
+      val intervals = owners.withColumn("b",
+        explode(sequence(
+          expr(s"unix_micros(w_start) div $HourMicros"),
+          expr(s"(unix_micros(w_end) - 1) div $HourMicros"))))
+      val bucketed = ev.withColumn("b", expr(s"unix_micros(ts) div $HourMicros"))
+      bucketed.join(broadcast(intervals),
+          bucketed("b") === intervals("b")
+            && col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy(col("owner"), col("w_start"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .select(col("owner"), col("w_start").as("window_start"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("owner"))
+    },
+    """WITH owners AS (
+      |  SELECT user_id AS owner, min(ts) AS w_start,
+      |         min(ts) + INTERVAL 90 MINUTE AS w_end
+      |  FROM events GROUP BY user_id
+      |  ORDER BY count(*) DESC, user_id LIMIT 10)
+      |SELECT owner, cast(w_start AS timestamp) AS window_start,
+      |       count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+      |FROM owners o JOIN events e ON e.ts >= o.w_start AND e.ts < o.w_end
+      |GROUP BY 1, 2 ORDER BY owner""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q78_range_join_buckets" -> q78RangeJoinBuckets,
     "q74_partitioned_events" -> q74PartitionedEvents,
     "q63_asof_forward" -> q63AsofForward,
     "q61_session_window" -> q61SessionWindowNative,

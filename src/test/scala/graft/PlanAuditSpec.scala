@@ -233,6 +233,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "q75's second range-shuffle reference is not a ReusedExchange")
   }
 
+  test("q78 range join runs as a bucket equi-join, never a nested loop") {
+    // The hour-bucket decomposition must surface as an equi hash join
+    // (broadcast at this scale) with the ts-range predicate as a
+    // residual; a BroadcastNestedLoopJoin means the range predicate is
+    // being evaluated against every (event, interval) pair — the exact
+    // plan the decomposition exists to prevent. The busiest-user top-10
+    // must be TakeOrderedAndProject, not a full global sort.
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan("q78_range_join_buckets")
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => } == 0,
+      "q78's range join degraded to a nested loop")
+    assert(count(p) { case _: BroadcastHashJoinExec => } >= 1,
+      "q78 lost its bucket equi-join")
+    assert(count(p) { case _: TakeOrderedAndProjectExec => } >= 1,
+      "q78's top-10 owners is not a bounded TakeOrderedAndProject")
+  }
+
   test("prefix/rank queries hash-shuffle only aggregated data (range sort is the one full pass)") {
     // The slice id comes from monotonically_increasing_id arithmetic,
     // NOT Window.partitionBy(pid): the window form forces a SECOND
