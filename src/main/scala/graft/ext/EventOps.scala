@@ -389,7 +389,47 @@ object EventOps {
       |FROM owners o JOIN events e ON e.ts >= o.w_start AND e.ts < o.w_end
       |GROUP BY 1, 2 ORDER BY owner""".stripMargin)
 
+  /** q83: SCD-2 dimension history — track each user's event_type as a
+    * slowly-changing "status" attribute: one row per status CHANGE,
+    * carrying [valid_from, valid_to) and an is_current flag. This is the
+    * standard warehouse pattern for reconstructing a dimension's history
+    * from an event log (point-in-time joins then become `valid_from <= t
+    * AND (t < valid_to OR valid_to IS NULL)` probes).
+    *
+    * Plan: both windows (the change-detection lag and the valid_to lead)
+    * partition by user_id with a (ts, event_id) total order, and the
+    * filter between them preserves the partitioning — so the whole query
+    * is ONE exchange on user_id, then per-partition sorts. No global
+    * window, no join; scales with the number of users, and a skewed
+    * user's history is bounded by that user's own event count.
+    */
+  val q83Scd2History: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changed = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changed
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    """WITH marked AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, ts FROM marked
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS status, ts AS valid_from,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes ORDER BY user_id, valid_from""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q83_scd2_history" -> q83Scd2History,
     "q78_range_join_buckets" -> q78RangeJoinBuckets,
     "q74_partitioned_events" -> q74PartitionedEvents,
     "q63_asof_forward" -> q63AsofForward,

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavioral cross-checks for the corpus-curation operators (q79–q82) —
+  * brute-force replays in local Scala over sf0.001, independent of the
+  * DuckDB oracle gate (which proves engine parity; these prove the
+  * operators mean what they claim).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = TestSpark.testdata("0.001")
+
+  private lazy val docs: Array[(Long, String, String, String, Long)] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+  test("q79 split assignment partitions the corpus, ~80/10/10, stable across runs") {
+    val out = CorpusOps.q79SplitAssign.run(spark, sfDir).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total == docs.length, "every document lands in exactly one (source, split) cell")
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac far from 0.8")
+    // determinism: the assignment is a pure function of doc_id
+    val again = CorpusOps.q79SplitAssign.run(spark, sfDir).collect()
+    assert(out.sameElements(again))
+  }
+
+  test("q80 mixture resample keeps everything for unlisted langs, downsamples en") {
+    val out = CorpusOps.q80MixtureResample.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.foreach { case (lang, (total, kept)) =>
+      assert(kept <= total, s"$lang kept > total")
+      if (lang == "de" || lang == "fr") assert(kept == total, s"$lang should keep all docs")
+    }
+    val (enTotal, enKept) = out("en")
+    val enFrac = enKept.toDouble / enTotal
+    assert(enFrac > 0.25 && enFrac < 0.75, s"en keep rate $enFrac far from 0.5")
+  }
+
+  test("q81 chunks tile every document: stride offsets, full token coverage") {
+    val out = CorpusOps.q81Chunking.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nToks = docs.map { case (id, text, _, _, _) =>
+      id -> text.trim.split("\\s+").length.toLong
+    }.toMap
+    assert(out.keySet == nToks.keySet, "every document produces chunks")
+    out.foreach { case (id, chunks) =>
+      val n = nToks(id)
+      val sorted = chunks.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, idx, start, toks), i) =>
+        assert(idx == i && start == i * 30L, s"doc $id chunk $i offset")
+        assert(toks == math.min(40L, n - start), s"doc $id chunk $i length")
+        assert(toks > 0, s"doc $id empty chunk")
+      }
+      val last = sorted.last
+      assert(last._3 + last._4 == n, s"doc $id tokens uncovered past the last chunk")
+    }
+  }
+
+  test("q82 OOV rates match a local brute-force vocabulary") {
+    val tokenCounts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text, _, _, _) =>
+      text.trim.split("\\s+").foreach(w => tokenCounts(w) = tokenCounts.getOrElse(w, 0L) + 1)
+    }
+    val vocab = tokenCounts.toSeq.sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val expected = docs.map { case (id, text, _, _, _) =>
+      val ws = text.trim.split("\\s+")
+      id -> ((ws.length.toLong, ws.count(w => !vocab.contains(w)).toLong))
+    }.toMap
+    val out = CorpusOps.q82OovRate.run(spark, sfDir).collect()
+    assert(out.length == docs.length)
+    out.foreach { case Row(id: Long, nToks: Long, nOov: Long, frac: Double) =>
+      val (expToks, expOov) = expected(id)
+      assert(nToks == expToks, s"doc $id token count")
+      assert(nOov == expOov, s"doc $id OOV count")
+      assert(math.abs(frac - nOov.toDouble / nToks) < 1e-12)
+    }
+  }
+
+  test("q83 SCD2 history matches a per-user replay") {
+    val out = EventOps.q83Scd2History.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val raw = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+    val replay = raw
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val expected = replay.toSeq.flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      val changes = ordered.foldLeft(Vector.empty[(String, java.sql.Timestamp)]) {
+        case (acc, (_, ts, _, et)) =>
+          if (acc.isEmpty || acc.last._1 != et) acc :+ (et -> ts) else acc
+      }
+      changes.zipWithIndex.map { case ((status, from), i) =>
+        val to = if (i + 1 < changes.length) Some(changes(i + 1)._2) else None
+        (uid, status, from, to, to.isEmpty)
+      }
+    }.sortBy(e => (e._1, e._3.getTime, e._3.getNanos))
+    assert(out.length == expected.length, s"${out.length} vs ${expected.length} SCD2 rows")
+    out.zip(expected).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    assert(raw.length > out.length, "history is compressed vs the raw log")
+  }
+}
