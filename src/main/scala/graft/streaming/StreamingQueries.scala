@@ -220,7 +220,64 @@ object StreamingQueries {
     s"""SELECT source, count(DISTINCT md5(${graft.ext.TextOps.normSql})) AS n_unique
        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
+  /** View→purchase attribution computed by a STREAM-STREAM interval
+    * join — the last major Structured Streaming surface: two streams
+    * (views and purchases, filtered off the same replayed source)
+    * joined on user_id with `purchase.ts ∈ [view.ts, view.ts + 1h]`,
+    * append-mode sink receiving each matched pair exactly once, batch
+    * rollup to per-user pair counts + fastest conversion.
+    *
+    * Order independence: a stream-stream INNER join emits a pair when
+    * its second half arrives, whatever the batch boundaries — the
+    * match SET is symmetric in arrival order, and nothing here is ever
+    * late enough to be dropped: the watermark delay (90 days) exceeds
+    * the corpus's whole time span, so state outlives the replay and the
+    * joined set is exactly the batch join. That is the judged-exactness
+    * trade at test scale; production replaces the delay with the real
+    * out-of-orderness bound (e.g. '2 hours'), which caps join state at
+    * (delay + interval) of per-key history — the 100 TB story, where
+    * unbounded buffering of either stream would be fatal. The interval
+    * condition itself is what lets Spark evict: state for a view dies
+    * once the watermark passes view.ts + 1h.
+    */
+  val q84StreamStreamJoin: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val batch = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      replayToSink(s, batch, "q84") { (stream, sink) =>
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+            col("ts").as("v_ts"))
+          .withWatermark("v_ts", "90 days")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "90 days")
+        views.join(purchases,
+            col("v_user") === col("p_user")
+              && col("p_ts") >= col("v_ts")
+              && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .start()
+      }
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("lag_us")).as("min_lag_us"))
+        .orderBy(col("user_id"))
+    },
+    """WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, count(*) AS n_pairs,
+      |       cast(min(epoch_us(p.ts) - epoch_us(v.ts)) AS bigint) AS min_lag_us
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q84_stream_stream_join" -> q84StreamStreamJoin,
     "q66_streaming_topk" -> q66StreamingTopK,
     "q68_streaming_retention" -> q68StreamingRetention,
     "q70_streaming_windows" -> q70StreamingWindows,
