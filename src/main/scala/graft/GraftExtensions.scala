@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSigs, RollingHash, SimHashSig}
+import graft.functions.{MinHashSigs, RollingHash, SimHashSig, VecDot}
 
 /** Session extensions: installs graft's native functions into any session
   * built with `.withExtensions(new GraftExtensions)` or
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       SimHashSig.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      VecDot.builder _))
   }
 }

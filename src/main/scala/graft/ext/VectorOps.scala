@@ -25,14 +25,20 @@ import graft.tables.Tables
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two double-cast float arrays.
+  /** Sequential-fold dot product of two double-cast float arrays, as the
+    * native codegen [[graft.functions.VecDot]] expression — bit-exact
+    * with the `aggregate(zip_with(...))` HOF form it replaced (identical
+    * left-to-right double accumulation) but a single allocation-free
+    * loop inside whole-stage codegen instead of an interpreted lambda
+    * pair plus an intermediate products array per row.
     * (private[ext]: Multimodal feature columns reuse the same cosine.)
     */
-  private[ext] def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+  private[ext] def dot(a: String, b: String): Column = {
+    graft.functions.VecDot.register(org.apache.spark.sql.SparkSession.active)
+    expr(s"vec_dot($a, $b)")
+  }
 
-  private[ext] def norm2(a: String): Column =
-    expr(s"aggregate(transform($a, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v)")
+  private[ext] def norm2(a: String): Column = dot(a, a)
 
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> cast($a[i] AS double) * cast($b[i] AS double)), (x, y) -> x + y)"
