@@ -815,7 +815,41 @@ object TextOps {
         |JOIN documents sb ON pairs.doc_b = sb.doc_id
         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
 
+  /** q85: per-source top-half quality filtering — the "keep the best p%
+    * of every source" curation gate (filtering globally would let one
+    * high-quality source crowd out the rest of the mixture). `ntile(2)`
+    * over (quality DESC, doc_id) per source: a PARTITIONED window — the
+    * per-source sort shards across the cluster and a skewed source is
+    * bounded by its own row count; the (quality, doc_id) total order
+    * makes the kept set deterministic in both engines. Reports the
+    * per-source survivor count, admission threshold (min kept score),
+    * and kept char mass.
+    */
+  val q85QualityTopP: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySource = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"), qualityCol.as("quality"))
+        .withColumn("half", ntile(2).over(bySource))
+        .filter(col("half") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("quality")).as("threshold"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+    s"""WITH q AS (SELECT source, doc_id, n_chars, $qualitySql AS quality FROM documents),
+       |h AS (SELECT source, doc_id, n_chars, quality,
+       |        ntile(2) OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS half
+       |      FROM q)
+       |SELECT source, count(*) AS n_kept, min(quality) AS threshold,
+       |       sum(n_chars) AS chars_kept
+       |FROM h WHERE half = 1 GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q85_quality_topp" -> q85QualityTopP,
     "q76_source_overlap" -> q76SourceOverlap,
     "q71_decontaminate" -> q71Decontaminate,
     "q72_repetition" -> q72Repetition,
