@@ -39,4 +39,33 @@ object Money {
   /** Exact revenue aggregate as double. */
   def sumRevenue(price: Column, discount: Column): Column =
     sum(discPrice(price, discount)).cast(DoubleType)
+
+  /** Per-row revenue in 1e-4 currency units as a primitive long:
+    * round(price*100) * (100 - round(discount*100)). Both factors are
+    * exact integers (the inputs carry exactly 2 decimal places), so the
+    * product is the exact scaled revenue — the same rational value
+    * [[discPrice]] computes, in a long-backed column.
+    */
+  def revenueUnits(price: Column, discount: Column): Column =
+    round(price * lit(100)).cast("long") * (lit(100L) - round(discount * lit(100)).cast("long"))
+
+  /** Exact revenue aggregate as double via the scaled-long fast path.
+    *
+    * Semantically identical to [[sumRevenue]]: the long sum is exact, it
+    * converts to double losslessly while below 2^53 (≈9.2e14 scaled units
+    * = 9.2e10 currency — far above any per-group revenue at 100 TB; NOT
+    * safe for one global ungrouped total at extreme scale, use
+    * [[sumRevenue]] there), and the single division by 1e4 is the same
+    * correctly-rounded IEEE result as casting the exact decimal sum.
+    * Verified value-identical to the decimal path on every sf0.1 group.
+    *
+    * Why it exists: sum(decimal) above 18 digits of precision keeps its
+    * aggregation buffer as a JVM object, so every partial-agg update
+    * allocates. Through a count-distinct expand (q01: per-(part, order)
+    * partials) that is an allocation storm — observed 10×+ wall-clock
+    * and multi-second GC pauses at sf0.1. The long buffer stays primitive
+    * through whole-stage codegen in both the expand and final stages.
+    */
+  def sumRevenueFast(price: Column, discount: Column): Column =
+    (sum(revenueUnits(price, discount)).cast(DoubleType) / lit(10000.0))
 }

@@ -68,7 +68,10 @@ object Relational {
       val p = Tables.part(s, dir)
       val agg = li.groupBy(col("l_partkey"))
         .agg(
-          sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+          // scaled-long revenue (not sumRevenue): the count-distinct
+          // expand would otherwise drag >18-digit decimal buffers
+          // through per-(part, order) partials — a GC storm at sf0.1+
+          sumRevenueFast(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
           sum(col("l_quantity")).as("total_qty"),
           countDistinct(col("l_orderkey")).as("n_orders"))
       agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))

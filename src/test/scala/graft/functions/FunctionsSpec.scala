@@ -24,6 +24,27 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT rolling_hash(42)").head }
   }
 
+  test("Money: scaled-long revenue path is value-identical to the decimal path") {
+    // q01 sums revenue through Money.sumRevenueFast (primitive long
+    // buffers survive the count-distinct expand; the >18-digit decimal
+    // buffer allocates per partial update — observed 10×+ wall clock and
+    // multi-second GC at sf0.1). The fast path is only admissible
+    // because it is bit-identical to the exact decimal sum after the
+    // final cast; lock that on the real corpus, per group.
+    val li = spark.read.parquet(TestSpark.testdata("0.01") + "/lineitem.parquet")
+    val both = li.groupBy(col("l_partkey")).agg(
+      Money.sumRevenue(col("l_extendedprice"), col("l_discount")).as("dec_rev"),
+      Money.sumRevenueFast(col("l_extendedprice"), col("l_discount")).as("fast_rev"))
+    assert(both.filter(col("dec_rev") =!= col("fast_rev")).count() == 0)
+    // property: per-row scaled units match the decimal product exactly.
+    // Shift the decimal's scale away exactly (×10^4 in decimal, integral
+    // result) — a double-side comparison would round twice and lie.
+    val rowwise = li.select(
+      (Money.discPrice(col("l_extendedprice"), col("l_discount")) * lit(10000)).cast("long").as("dec_u"),
+      Money.revenueUnits(col("l_extendedprice"), col("l_discount")).as("long_u"))
+    assert(rowwise.filter(col("dec_u") =!= col("long_u")).count() == 0)
+  }
+
   test("TopK aggregator equals sort+limit") {
     import spark.implicits._
     val df = Seq((5.0, 1L), (9.0, 2L), (1.0, 3L), (9.0, 4L), (7.0, 5L))
