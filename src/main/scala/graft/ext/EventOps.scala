@@ -428,7 +428,51 @@ object EventOps {
       |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       |FROM changes ORDER BY user_id, valid_from""".stripMargin)
 
+  /** q88: event-rate anomaly detection — hours whose per-type event count
+    * spikes ≥ 2 sample standard deviations above that type's hourly mean.
+    * The moments (n, Σc, Σc²) are exact BIGINT sums per event type — a
+    * tiny map-side-combined rollup of the hourly-count relation — so the
+    * z-score is one double expression tree over exact integers, written
+    * identically in both engines (divisions and the IEEE-exact sqrt are
+    * correctly rounded, so the comparison against 2.0 cannot disagree).
+    * Plan: two chained aggregations (hourly counts, then per-type
+    * moments) + a broadcast join back; the only full-data shuffle keys on
+    * (event_type, hour). stddev_samp() itself would NOT be portable —
+    * its running-merge accumulation is partition-order dependent.
+    */
+  val q88RateAnomaly: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val m = h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      val z = (col("c").cast("double") - col("s").cast("double") / col("n").cast("double")) /
+        sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0)))
+      h.join(broadcast(m), Seq("event_type"))
+        .withColumn("z", z)
+        .filter(col("z") >= 2.0)
+        .select(col("event_type"), col("hr"), col("c"), col("z"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c*c) AS ss
+      |      FROM h GROUP BY 1)
+      |SELECT h.event_type AS event_type, h.hr AS hr, cast(h.c AS bigint) AS c,
+      |  (CAST(h.c AS double) - CAST(m.s AS double) / CAST(m.n AS double))
+      |    / sqrt((CAST(m.ss AS double) - CAST(m.s AS double) * CAST(m.s AS double) / CAST(m.n AS double))
+      |           / (CAST(m.n AS double) - 1.0)) AS z
+      |FROM h JOIN m ON h.event_type = m.event_type
+      |WHERE (CAST(h.c AS double) - CAST(m.s AS double) / CAST(m.n AS double))
+      |    / sqrt((CAST(m.ss AS double) - CAST(m.s AS double) * CAST(m.s AS double) / CAST(m.n AS double))
+      |           / (CAST(m.n AS double) - 1.0)) >= 2.0
+      |ORDER BY event_type, hr""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q88_rate_anomaly" -> q88RateAnomaly,
     "q83_scd2_history" -> q83Scd2History,
     "q78_range_join_buckets" -> q78RangeJoinBuckets,
     "q74_partitioned_events" -> q74PartitionedEvents,

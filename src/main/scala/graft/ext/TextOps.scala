@@ -848,7 +848,110 @@ object TextOps {
        |       sum(n_chars) AS chars_kept
        |FROM h WHERE half = 1 GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q86: inverted index over word trigrams with df-capped postings —
+    * the search-side companion of the dedup family: term → sorted
+    * posting list. Built scale-honest in two phases: (1) per-term
+    * document frequency as a map-side-combinable count over the distinct
+    * (doc, term) relation, (2) postings collected ONLY for terms that
+    * pass the df band (2 ≤ df ≤ 8) — the same positional-filtering idea
+    * as q20's df-cap. A single-pass collect_list would buffer a
+    * stopword-like term's full corpus-sized posting list in one
+    * aggregation state; here the cap bounds every collected list BEFORE
+    * the collect, so per-key state is ≤ df_max postings by construction.
+    * The df aggregate, the filter join and the final collect all key on
+    * the term, so the join-back reuses the df shuffle's partitioning.
+    * Postings serialize as a comma-joined string (numeric sort order)
+    * to keep the driver's column-hash compare engine-portable.
+    */
+  val q86InvertedIndex: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ds = shingles(Tables.documents(s, dir))
+        .select(col("doc_id"), col("sh")).distinct()
+      val df = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 8))
+      ds.join(df, Seq("sh"))
+        .groupBy(col("sh"), col("df"))
+        .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',')")
+          .as("postings"))
+        .orderBy(col("sh"))
+    },
+    shSql + "\n" +
+      """, ds AS (SELECT DISTINCT doc_id, sh FROM shx),
+        |df AS (SELECT sh, count(*) AS df FROM ds GROUP BY sh
+        |       HAVING count(*) BETWEEN 2 AND 8)
+        |SELECT ds.sh AS sh, cast(df.df AS bigint) AS df,
+        |       string_agg(CAST(ds.doc_id AS varchar), ',' ORDER BY ds.doc_id) AS postings
+        |FROM ds JOIN df ON ds.sh = df.sh
+        |GROUP BY ds.sh, df.df ORDER BY sh""".stripMargin)
+
+  /** q87: bigram collocation lift — cxy·N / (cx·cy), the PMI signal
+    * without the log (transcendentals round differently across engines;
+    * the lift RATIO of exact integer counts is one IEEE multiply/divide
+    * tree, bit-identical in both). Three map-side-combinable counts
+    * (unigrams, bigrams, total) and two joins against the unigram table —
+    * which is vocabulary-sized, so both probes broadcast at any corpus
+    * scale; the corpus-sized bigram relation is never re-shuffled after
+    * its own count. The N scalar rides a 1-row broadcast cross join.
+    */
+  val q87CollocationLift: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val t = toks(Tables.documents(s, dir))
+      val un = t.select(explode(col("w")).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+      val tot = un.agg(sum(col("cx")).as("n"))
+      val bc = t.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS x, w[i+1] AS y))")).as("p"))
+        .select(col("p.x"), col("p.y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      bc.join(broadcast(un.select(col("x"), col("cx"))), Seq("x"))
+        .join(broadcast(un.select(col("x").as("y"), col("cx").as("cy"))), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+          ((col("cxy").cast("double") * col("n").cast("double"))
+            / (col("cx").cast("double") * col("cy").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("x"), col("y"))
+    },
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS x FROM t),
+      |un AS (SELECT x, count(*) AS cx FROM uni GROUP BY x),
+      |tot AS (SELECT cast(sum(cx) AS bigint) AS n FROM un),
+      |bg AS (SELECT unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS p
+      |       FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT p[1] AS x, p[2] AS y, count(*) AS cxy FROM bg GROUP BY 1, 2)
+      |SELECT bc.x AS x, bc.y AS y, cast(bc.cxy AS bigint) AS cxy,
+      |       cast(ux.cx AS bigint) AS cx, cast(uy.cx AS bigint) AS cy,
+      |       (CAST(bc.cxy AS double) * CAST(tot.n AS double))
+      |         / (CAST(ux.cx AS double) * CAST(uy.cx AS double)) AS lift
+      |FROM bc JOIN un ux ON bc.x = ux.x JOIN un uy ON bc.y = uy.x CROSS JOIN tot
+      |ORDER BY lift DESC, x, y""".stripMargin)
+
+  /** q89: near-dup graph degree histogram — how connected is the
+    * candidate-pair graph (a spot check on LSH band tuning: a fat tail
+    * here means a band is bucketing too coarsely). Reuses [[lshPairs]]
+    * (bucket-local, never all-pairs); both rollups are map-side-
+    * combinable counts, and the histogram is at most max-degree rows.
+    */
+  val q89DegreeHistogram: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val deg = lshPairs(Tables.documents(s, dir))
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("degree"))
+    },
+    shSql + minhashSigSql + "\n" + lshPairsSql + "\n" +
+      """, deg AS (SELECT doc_id, count(*) AS degree
+        |          FROM (SELECT doc_a AS doc_id FROM pairs
+        |                UNION ALL SELECT doc_b FROM pairs)
+        |          GROUP BY doc_id)
+        |SELECT cast(degree AS bigint) AS degree, cast(count(*) AS bigint) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q86_inverted_index" -> q86InvertedIndex,
+    "q87_collocation_lift" -> q87CollocationLift,
+    "q89_degree_histogram" -> q89DegreeHistogram,
     "q85_quality_topp" -> q85QualityTopP,
     "q76_source_overlap" -> q76SourceOverlap,
     "q71_decontaminate" -> q71Decontaminate,
