@@ -948,7 +948,80 @@ object TextOps {
         |SELECT cast(degree AS bigint) AS degree, cast(count(*) AS bigint) AS n_docs
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin)
 
+  /** q91: PageRank over the near-dup candidate graph (2 unrolled
+    * iterations, damping 0.85) — graph authority as a curation signal:
+    * a document LSH-linked to many well-linked documents is template/
+    * boilerplate mass. Ranks are INTEGER-QUANTIZED (q = rank·1e12 as
+    * bigint, the q64 k-means trick): every per-iteration step — the
+    * uniform init 1e12 div N, each contribution q div deg, the damped
+    * update (15·B) div 100 + (85·Σ) div 100 — is integer arithmetic, so
+    * contribution sums are order-independent and the judged result is
+    * bit-identical on any partitioning, any cluster size, and in the
+    * DuckDB oracle. (Double-valued PageRank would be partition-order
+    * dependent and unjudgeable.) Dangling mass is dropped (standard
+    * simplification); isolated docs keep the damping floor.
+    *
+    * Plan per iteration: edges ⋈ ranks co-partitioned on src, then a
+    * map-side-combinable contribution sum keyed on dst — the canonical
+    * distributed PageRank step. At scale the edge relation is
+    * pre-partitioned by src ONCE and every iteration reuses that
+    * exchange; ranks (one row per node) are the only moving data.
+    */
+  val q91PageRank: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nodes = docs.select(col("doc_id"))
+      val pr = lshPairs(docs)
+      val edges = pr.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pr.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val n = nodes.agg(count(lit(1)).as("n_docs"))
+      val r0 = nodes.crossJoin(broadcast(n))
+        .select(col("doc_id"), expr("CAST(1000000000000 AS bigint) div n_docs").as("q"))
+      def iterate(r: DataFrame): DataFrame = {
+        val c = edges.join(r.select(col("doc_id").as("src"), col("q")), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), expr("q div d").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        nodes.join(c, col("doc_id") === col("dst"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"),
+            (expr("(15 * (CAST(1000000000000 AS bigint) div n_docs)) div 100") +
+              expr("(85 * coalesce(s, CAST(0 AS bigint))) div 100")).as("q"))
+      }
+      iterate(iterate(r0))
+        .select(col("doc_id"), col("q").as("rank_q"),
+          (col("q").cast("double") / lit(1000000000000.0)).as("rank"))
+        .orderBy(col("rank_q").desc, col("doc_id"))
+    },
+    shSql + minhashSigSql + "\n" + lshPairsSql + "\n" +
+      """, nodes AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n_docs FROM nodes),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT doc_id,
+        |         CAST(1000000000000 // (SELECT n_docs FROM nn) AS bigint) AS q
+        |       FROM nodes),
+        |c0 AS (SELECT e.dst AS dst, CAST(sum(r.q // g.d) AS bigint) AS s
+        |       FROM edges e JOIN r0 r ON e.src = r.doc_id
+        |       JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.doc_id,
+        |         CAST((15 * (1000000000000 // (SELECT n_docs FROM nn))) // 100
+        |           + (85 * coalesce(c.s, 0)) // 100 AS bigint) AS q
+        |       FROM nodes n LEFT JOIN c0 c ON n.doc_id = c.dst),
+        |c1 AS (SELECT e.dst AS dst, CAST(sum(r.q // g.d) AS bigint) AS s
+        |       FROM edges e JOIN r1 r ON e.src = r.doc_id
+        |       JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.doc_id,
+        |         CAST((15 * (1000000000000 // (SELECT n_docs FROM nn))) // 100
+        |           + (85 * coalesce(c.s, 0)) // 100 AS bigint) AS q
+        |       FROM nodes n LEFT JOIN c1 c ON n.doc_id = c.dst)
+        |SELECT doc_id, q AS rank_q, CAST(q AS double) / 1000000000000.0 AS rank
+        |FROM r2 ORDER BY rank_q DESC, doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q91_pagerank" -> q91PageRank,
     "q86_inverted_index" -> q86InvertedIndex,
     "q87_collocation_lift" -> q87CollocationLift,
     "q89_degree_histogram" -> q89DegreeHistogram,

@@ -544,7 +544,45 @@ object Relational {
       |GROUP BY p_partkey, p_name
       |ORDER BY total_revenue DESC, p_partkey""".stripMargin)
 
+  /** q90: incremental aggregate maintenance — the "never recompute
+    * history" pattern that makes 100 TB aggregation sustainable: revenue
+    * per part is maintained as mergeable PARTIALS (scaled-long revenue
+    * units + item counts), so advancing the watermark only aggregates
+    * the new slice and merges it with the stored state. Here both the
+    * base (shipdate < 2000-01-01, standing in for yesterday's state
+    * table) and the delta are computed from the corpus and merged; the
+    * judged result must equal the oracle's one-shot full aggregation —
+    * which is exactly the claim that makes incremental maintenance
+    * sound: long-unit partials are associative and exact, so
+    * merge(agg(base), agg(delta)) ≡ agg(base ∪ delta) bit-for-bit
+    * (a double-sum partial would NOT satisfy this). In production the
+    * base partials live in a table bucketed by part, making the merge a
+    * delta-sized co-located shuffle.
+    */
+  val q90IncrementalAgg: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def partials(slice: org.apache.spark.sql.DataFrame) =
+        slice.groupBy(col("l_partkey"))
+          .agg(sum(revenueUnits(col("l_extendedprice"), col("l_discount"))).as("rev_units"),
+            count(lit(1)).as("n_items"))
+      val base = partials(li.filter(col("l_shipdate") < lit("2000-01-01")))
+      val delta = partials(li.filter(col("l_shipdate") >= lit("2000-01-01")))
+      base.unionByName(delta)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("rev_units")).as("rev_units"), sum(col("n_items")).as("n_items"))
+        .select(col("l_partkey"),
+          (col("rev_units").cast("double") / lit(10000.0)).as("total_revenue"),
+          col("n_items"))
+        .orderBy(col("l_partkey"))
+    },
+    """SELECT l_partkey,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS total_revenue,
+      |  count(*) AS n_items
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q90_incremental_agg" -> q90IncrementalAgg,
     "q67_bloom_pruned_join" -> q67BloomPrunedJoin,
     "q60_salted_join" -> q60SaltedJoin,
     "q44_above_customer_avg" -> q44AboveCustomerAvg,
