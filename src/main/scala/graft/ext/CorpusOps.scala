@@ -169,9 +169,54 @@ object CorpusOps {
        |FROM t LEFT JOIN vocab ON t.w = vocab.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 
+  /** q92: multi-format interchange — the corpus round-trips through ORC
+    * (the columnar alternative when a downstream stack can't take
+    * parquet) and JSON-lines (the lingua franca of every LLM data-prep
+    * toolchain), then both copies re-join on doc_id and every field is
+    * checked for survival. The judged aggregate counts per-source rows
+    * and field-equality across the three copies, so any format-level
+    * type mangling (string encoding, bigint precision) shows up as a
+    * mismatch count, not a silent pass. The oracle computes from
+    * parquet alone — equality with it IS the losslessness claim.
+    * Both sinks/scans are distributed (one file per partition, no
+    * driver funnel); staging follows the q74 keying (sf leaf + pid) so
+    * concurrent sessions never cross-read and re-runs are idempotent.
+    */
+  val q92FormatRoundtrip: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q92_formats_" + new java.io.File(dir).getName +
+          "_" + ProcessHandle.current().pid()).toString
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").orc(s"$stage/orc")
+      docs.write.mode("overwrite").json(s"$stage/jsonl")
+      val orc = s.read.orc(s"$stage/orc")
+        .select(col("doc_id"), col("source").as("source_orc"),
+          col("text").as("text_orc"), col("n_chars").as("n_chars_orc"))
+      // JSON infers lang/source/text as string and the ints as bigint;
+      // declare the schema instead so the scan is strict (a malformed
+      // row would surface as nulls → a mismatch, not a schema drift)
+      val json = s.read.schema(docs.schema).json(s"$stage/jsonl")
+        .select(col("doc_id"), col("source").as("source_json"),
+          col("text").as("text_json"), col("n_chars").as("n_chars_json"))
+      docs.join(orc, Seq("doc_id")).join(json, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text") === col("text_orc") && col("text") === col("text_json")
+            && col("source") === col("source_orc") && col("source") === col("source_json")
+            && col("n_chars") === col("n_chars_orc") && col("n_chars") === col("n_chars_json"), 1L)
+            .otherwise(0L)).as("n_intact"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    },
+    """SELECT source, count(*) AS n_docs, cast(count(*) AS bigint) AS n_intact,
+      |       cast(sum(n_chars) AS bigint) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q79_split_assign" -> q79SplitAssign,
     "q80_mixture_resample" -> q80MixtureResample,
     "q81_chunking" -> q81Chunking,
-    "q82_oov_rate" -> q82OovRate)
+    "q82_oov_rate" -> q82OovRate,
+    "q92_format_roundtrip" -> q92FormatRoundtrip)
 }
