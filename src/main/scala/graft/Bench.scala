@@ -35,7 +35,11 @@ object Bench {
     "q56_gapfill",
     "q59_pipeline_e2e",
     "q71_decontaminate",
-    "q72_repetition")
+    "q72_repetition",
+    "q86_inverted_index",
+    "q88_rate_anomaly",
+    "q90_incremental_agg",
+    "q91_pagerank")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]) from
     * the last verified round — min of the round-3 report and the judge's
@@ -57,8 +61,11 @@ object Bench {
     "q38_asof_attribution" -> 0.59, "q41_asof_native" -> 0.67,
     "q46_dedup_clusters" -> 3.42, "q48_ann_ivf" -> 1.23,
     "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.66,
-    // round-5 additions, steady-state measured at introduction
-    "q71_decontaminate" -> 1.11, "q72_repetition" -> 1.14)
+    // round-5 additions, steady-state measured at introduction (quiet
+    // window, post-regen corpus, shared-JVM full-headline run)
+    "q71_decontaminate" -> 1.11, "q72_repetition" -> 1.14,
+    "q86_inverted_index" -> 1.70, "q88_rate_anomaly" -> 0.33,
+    "q90_incremental_agg" -> 0.82, "q91_pagerank" -> 2.08)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
