@@ -963,9 +963,15 @@ object TextOps {
     *
     * Plan per iteration: edges ⋈ ranks co-partitioned on src, then a
     * map-side-combinable contribution sum keyed on dst — the canonical
-    * distributed PageRank step. At scale the edge relation is
-    * pre-partitioned by src ONCE and every iteration reuses that
-    * exchange; ranks (one row per node) are the only moving data.
+    * distributed PageRank step. The edge relation (an LSH pipeline —
+    * shingles → signatures → band join) is materialized ONCE,
+    * pre-partitioned by src, via the same localCheckpoint device as
+    * [[graft.operators.ConnectedComponents]]: without it every
+    * iteration AND the degree count re-derive the candidate pairs from
+    * scratch (3× the LSH work), and the checkpoint's preserved
+    * src-partitioning lets both iterations' join + the degree aggregate
+    * consume it without re-exchanging. Ranks (one row per node) are the
+    * only per-iteration moving data.
     */
   val q91PageRank: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -974,6 +980,8 @@ object TextOps {
       val pr = lshPairs(docs)
       val edges = pr.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pr.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val n = nodes.agg(count(lit(1)).as("n_docs"))
       val r0 = nodes.crossJoin(broadcast(n))
