@@ -471,7 +471,45 @@ object EventOps {
       |           / (CAST(m.n AS double) - 1.0)) >= 2.0
       |ORDER BY event_type, hr""".stripMargin)
 
+  /** q93: event-type transition matrix — first-order Markov transitions
+    * over each user's journey (prev_type → next_type counts and row-
+    * normalized probabilities), the sequence-modeling summary behind
+    * "what do users do after an error". The sequencing window partitions
+    * by user with the (ts, event_id) total order — per-user work, skew
+    * bounded by a user's own event count, same shape as q83's SCD2 —
+    * and everything after it is two tiny map-side-combinable aggregates
+    * over at most |types|² rows. Probabilities are double ratios of
+    * exact bigint counts: engine-portable, unlike any windowed float
+    * accumulation. The per-prev totals join is broadcast (|types| rows).
+    */
+  val q93TransitionMatrix: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tc = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+      val tot = tc.groupBy(col("prev")).agg(sum(col("c")).as("t"))
+      tc.join(broadcast(tot), Seq("prev"))
+        .select(col("prev"), col("next"), col("c"),
+          (col("c").cast("double") / col("t").cast("double")).as("p"))
+        .orderBy(col("prev"), col("next"))
+    },
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |tc AS (SELECT prev, event_type AS next, count(*) AS c
+      |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, sum(c) AS t FROM tc GROUP BY prev)
+      |SELECT tc.prev AS prev, tc.next AS next, cast(tc.c AS bigint) AS c,
+      |       CAST(tc.c AS double) / CAST(tot.t AS double) AS p
+      |FROM tc JOIN tot ON tc.prev = tot.prev
+      |ORDER BY prev, next""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q93_transition_matrix" -> q93TransitionMatrix,
     "q88_rate_anomaly" -> q88RateAnomaly,
     "q83_scd2_history" -> q83Scd2History,
     "q78_range_join_buckets" -> q78RangeJoinBuckets,
