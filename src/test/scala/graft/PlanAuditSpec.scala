@@ -330,6 +330,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q34_tfidf" -> 5,
 
       "q41_asof_native" -> 3, "q48_ann_ivf" -> 4,
+      // round-5 additions, audited at introduction (Explain all):
+      // every exchange is map-side-combined, group-sized, or the
+      // output sort; q91's six are the checkpointed-edge graph rounds
+      "q71_decontaminate" -> 4, "q72_repetition" -> 3,
+      "q85_quality_topp" -> 2, "q86_inverted_index" -> 4,
+      "q87_collocation_lift" -> 4, "q88_rate_anomaly" -> 3,
+      "q89_degree_histogram" -> 4, "q90_incremental_agg" -> 3,
+      "q91_pagerank" -> 6, "q92_format_roundtrip" -> 2,
+      "q93_transition_matrix" -> 4,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
