@@ -86,6 +86,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 formats survive adversarial strings the corpus doesn't contain") {
+    // The judged q92 proves losslessness on the real corpus (word-soup
+    // ASCII); this pins the formats on what production text actually
+    // carries: newlines, tabs, JSON-breaking quotes/backslashes, unicode
+    // (including astral-plane emoji), leading/trailing whitespace, and
+    // the empty string.
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line1\nline2\r\nline3"),
+      (2L, "quote\" backslash\\ brace{ } bracket[ ]"),
+      (3L, "tab\there — déjà vu 日本語 🚀"),
+      (4L, "  leading and trailing  "),
+      (5L, ""),
+      (6L, "control chars: \u0001 and \u0007 bell"))
+      .toDF("doc_id", "text")
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q92_spec")
+    val stage = stagePath.toString
+    nasty.write.mode("overwrite").orc(s"$stage/orc")
+    nasty.write.mode("overwrite").json(s"$stage/jsonl")
+    val orc = spark.read.orc(s"$stage/orc").withColumnRenamed("text", "t_orc")
+    val json = spark.read.schema(nasty.schema).json(s"$stage/jsonl")
+      .withColumnRenamed("text", "t_json")
+    val joined = nasty.join(orc, "doc_id").join(json, "doc_id").collect()
+    assert(joined.length == 6)
+    joined.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"ORC mangled doc ${r.getLong(0)}")
+      assert(r.getString(1) == r.getString(3), s"JSON mangled doc ${r.getLong(0)}")
+    }
+    graft.core.Fs.deleteRecursively(stagePath)
+  }
+
   test("q83 SCD2 history matches a per-user replay") {
     val out = EventOps.q83Scd2History.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
