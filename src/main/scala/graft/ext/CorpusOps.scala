@@ -184,26 +184,27 @@ object CorpusOps {
     */
   val q92FormatRoundtrip: QuerySpec = QuerySpec(
     (s, dir) => {
-      val stage = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_q92_formats_" + new java.io.File(dir).getName +
-          "_" + ProcessHandle.current().pid()).toString
+      val stage = graft.core.Staging.dir("graft_q92_formats", dir)
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").orc(s"$stage/orc")
       docs.write.mode("overwrite").json(s"$stage/jsonl")
       val orc = s.read.orc(s"$stage/orc")
         .select(col("doc_id"), col("source").as("source_orc"),
-          col("text").as("text_orc"), col("n_chars").as("n_chars_orc"))
+          col("text").as("text_orc"), col("lang").as("lang_orc"),
+          col("n_chars").as("n_chars_orc"))
       // JSON infers lang/source/text as string and the ints as bigint;
       // declare the schema instead so the scan is strict (a malformed
       // row would surface as nulls → a mismatch, not a schema drift)
       val json = s.read.schema(docs.schema).json(s"$stage/jsonl")
         .select(col("doc_id"), col("source").as("source_json"),
-          col("text").as("text_json"), col("n_chars").as("n_chars_json"))
+          col("text").as("text_json"), col("lang").as("lang_json"),
+          col("n_chars").as("n_chars_json"))
       docs.join(orc, Seq("doc_id")).join(json, Seq("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("text") === col("text_orc") && col("text") === col("text_json")
             && col("source") === col("source_orc") && col("source") === col("source_json")
+            && col("lang") === col("lang_orc") && col("lang") === col("lang_json")
             && col("n_chars") === col("n_chars_orc") && col("n_chars") === col("n_chars_json"), 1L)
             .otherwise(0L)).as("n_intact"),
           sum(col("n_chars")).as("total_chars"))

@@ -315,14 +315,7 @@ object EventOps {
     */
   val q74PartitionedEvents: QuerySpec = QuerySpec(
     (s, dir) => {
-      // staging keyed by the source dir's leaf (sf0.001/sf0.01 sessions
-      // never read each other's store) AND the JVM pid (two concurrent
-      // processes on the same sf must not overwrite each other's store
-      // mid-scan); overwrite keeps repeated runs within a process
-      // idempotent, so tmp growth is bounded by process count
-      val store = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_q74_events_" + new java.io.File(dir).getName +
-          "_" + ProcessHandle.current().pid()).toString
+      val store = graft.core.Staging.dir("graft_q74_events", dir)
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(store)
@@ -448,10 +441,21 @@ object EventOps {
       val m = h.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
           sum(col("c") * col("c")).as("ss"))
+      // variance numerator, kept as its own column so the degenerate
+      // guard and z's divisor are the SAME double value: a type seen in
+      // one hour (n=1) or with constant counts (zero variance) has no
+      // z-score — without the guard Spark's default ANSI mode throws
+      // DIVIDE_BY_ZERO while DuckDB yields NULL (gate divergence), and
+      // a catastrophically-cancelled negative numerator would make
+      // DuckDB's sqrt raise where Spark returns NaN
+      val varNum = col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
       val z = (col("c").cast("double") - col("s").cast("double") / col("n").cast("double")) /
-        sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
-          / (col("n").cast("double") - lit(1.0)))
+        sqrt(varNum / (col("n").cast("double") - lit(1.0)))
       h.join(broadcast(m), Seq("event_type"))
+        .filter(col("n") > 1)
+        .withColumn("vn", varNum)
+        .filter(col("vn") > 0.0)
         .withColumn("z", z)
         .filter(col("z") >= 2.0)
         .select(col("event_type"), col("hr"), col("c"), col("z"))
@@ -460,15 +464,17 @@ object EventOps {
     """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
       |           FROM events GROUP BY 1, 2),
       |m AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c*c) AS ss
-      |      FROM h GROUP BY 1)
-      |SELECT h.event_type AS event_type, h.hr AS hr, cast(h.c AS bigint) AS c,
-      |  (CAST(h.c AS double) - CAST(m.s AS double) / CAST(m.n AS double))
-      |    / sqrt((CAST(m.ss AS double) - CAST(m.s AS double) * CAST(m.s AS double) / CAST(m.n AS double))
-      |           / (CAST(m.n AS double) - 1.0)) AS z
-      |FROM h JOIN m ON h.event_type = m.event_type
-      |WHERE (CAST(h.c AS double) - CAST(m.s AS double) / CAST(m.n AS double))
-      |    / sqrt((CAST(m.ss AS double) - CAST(m.s AS double) * CAST(m.s AS double) / CAST(m.n AS double))
-      |           / (CAST(m.n AS double) - 1.0)) >= 2.0
+      |      FROM h GROUP BY 1),
+      |j AS (SELECT h.event_type AS event_type, h.hr AS hr, h.c AS c, m.n AS n, m.s AS s,
+      |        CAST(m.ss AS double) - CAST(m.s AS double) * CAST(m.s AS double) / CAST(m.n AS double) AS vn
+      |      FROM h JOIN m ON h.event_type = m.event_type
+      |      WHERE m.n > 1),
+      |g AS (SELECT *,
+      |        (CAST(c AS double) - CAST(s AS double) / CAST(n AS double))
+      |          / sqrt(vn / (CAST(n AS double) - 1.0)) AS z
+      |      FROM j WHERE vn > 0.0)
+      |SELECT event_type, hr, cast(c AS bigint) AS c, z
+      |FROM g WHERE z >= 2.0
       |ORDER BY event_type, hr""".stripMargin)
 
   /** q93: event-type transition matrix — first-order Markov transitions

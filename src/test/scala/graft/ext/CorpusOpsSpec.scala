@@ -103,18 +103,48 @@ class CorpusOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val stagePath = java.nio.file.Files.createTempDirectory("graft_q92_spec")
     val stage = stagePath.toString
-    nasty.write.mode("overwrite").orc(s"$stage/orc")
-    nasty.write.mode("overwrite").json(s"$stage/jsonl")
-    val orc = spark.read.orc(s"$stage/orc").withColumnRenamed("text", "t_orc")
-    val json = spark.read.schema(nasty.schema).json(s"$stage/jsonl")
-      .withColumnRenamed("text", "t_json")
-    val joined = nasty.join(orc, "doc_id").join(json, "doc_id").collect()
-    assert(joined.length == 6)
-    joined.foreach { r =>
-      assert(r.getString(1) == r.getString(2), s"ORC mangled doc ${r.getLong(0)}")
-      assert(r.getString(1) == r.getString(3), s"JSON mangled doc ${r.getLong(0)}")
-    }
-    graft.core.Fs.deleteRecursively(stagePath)
+    try {
+      nasty.write.mode("overwrite").orc(s"$stage/orc")
+      nasty.write.mode("overwrite").json(s"$stage/jsonl")
+      val orc = spark.read.orc(s"$stage/orc").withColumnRenamed("text", "t_orc")
+      val json = spark.read.schema(nasty.schema).json(s"$stage/jsonl")
+        .withColumnRenamed("text", "t_json")
+      val joined = nasty.join(orc, "doc_id").join(json, "doc_id").collect()
+      assert(joined.length == 6)
+      joined.foreach { r =>
+        assert(r.getString(1) == r.getString(2), s"ORC mangled doc ${r.getLong(0)}")
+        assert(r.getString(1) == r.getString(3), s"JSON mangled doc ${r.getLong(0)}")
+      }
+    } finally graft.core.Fs.deleteRecursively(stagePath)
+  }
+
+  test("q88 guards degenerate types: single hour and zero variance emit no z-score") {
+    // A type observed in ONE hour has no sample variance (n-1 = 0: ANSI
+    // Spark would throw DIVIDE_BY_ZERO, DuckDB would yield NULL — gate
+    // divergence); a constant-rate type has variance exactly 0 (sqrt(0)
+    // divisor). Both must be excluded by the guard, while a genuinely
+    // spiky type still reports. Events are written in the corpus's
+    // physical shape (nano ts as int64) so Tables.events reads them.
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000 // one hour in nanos
+    def ev(id: Long, hour: Long, n: Int, typ: String) =
+      (0 until n).map(i => (id * 1000 + hour * 100 + i, hour * h + i * 1000000L, id, typ, 1.0, "{}"))
+    val rows =
+      ev(1, 0, 3, "lonely") ++                       // single populated hour: n=1
+      (0L until 4L).flatMap(k => ev(2, k, 5, "heartbeat")) ++ // constant rate: variance 0
+      ((0L until 9L).flatMap(k => ev(3, k, 1, "spiky")) ++
+        ev(3, 9, 30, "spiky"))  // genuine spike: z = (30-3.9)/9.17 ≈ 2.85
+    val stagePath = java.nio.file.Files.createTempDirectory("graft_q88_spec")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$stagePath/events.parquet")
+      val out = EventOps.q88RateAnomaly.run(spark, stagePath.toString).collect()
+      val types = out.map(_.getString(0)).toSet
+      assert(!types.contains("lonely"), "single-hour type must have no z-score")
+      assert(!types.contains("heartbeat"), "zero-variance type must have no z-score")
+      assert(types == Set("spiky") && out.length == 1, "the genuine spike must report")
+      assert(out.head.getLong(2) == 30L)
+    } finally graft.core.Fs.deleteRecursively(stagePath)
   }
 
   test("q83 SCD2 history matches a per-user replay") {
