@@ -48,7 +48,9 @@ object Bench {
     * never reported.
     */
   val reference: Map[String, Double] = Map(
-    "q00_pricing_summary" -> 1.10, "q01_revenue_per_product" -> 2.34,
+    // q01 re-based after the round-5 two-phase rewrite (no distinct
+    // expand, scaled-long partials)
+    "q00_pricing_summary" -> 1.10, "q01_revenue_per_product" -> 1.23,
     "q02_orders_monthly" -> 1.54, "q04_stock_status" -> 0.75,
     "q11_upsert_lww" -> 1.69, "q17_minhash_sig" -> 1.68,
     // q20's reference reflects its round-5 bounded-set bucket plan (one

@@ -66,14 +66,21 @@ object Relational {
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
-      val agg = li.groupBy(col("l_partkey"))
-        .agg(
-          // scaled-long revenue (not sumRevenue): the count-distinct
-          // expand would otherwise drag >18-digit decimal buffers
-          // through per-(part, order) partials — a GC storm at sf0.1+
-          sumRevenueFast(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
-          sum(col("l_quantity")).as("total_qty"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
+      // Two-phase aggregation instead of countDistinct: the distinct-
+      // expand rewrite would DOUBLE the rows through the first shuffle
+      // (one copy per aggregate family) and, with decimal revenue
+      // buffers, allocate per partial update (the round-5 GC storm —
+      // see Money.sumRevenueFast). Pre-aggregating per (part, order)
+      // carries each group once with primitive long buffers; the order
+      // count is then a plain count of pre-agg rows. Quantity sums stay
+      // exact through both phases (integer-valued doubles).
+      val agg = li.groupBy(col("l_partkey"), col("l_orderkey"))
+        .agg(sum(revenueUnits(col("l_extendedprice"), col("l_discount"))).as("u"),
+          sum(col("l_quantity")).as("q"))
+        .groupBy(col("l_partkey"))
+        .agg((sum(col("u")).cast("double") / lit(10000.0)).as("total_revenue"),
+          sum(col("q")).as("total_qty"),
+          count(lit(1)).as("n_orders"))
       agg.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("p_name"), col("total_revenue"),
           col("total_qty"), col("n_orders"))
