@@ -214,7 +214,39 @@ object CorpusOps {
       |       cast(sum(n_chars) AS bigint) AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q94: exact-quota deterministic sampling — exactly min(25, |source|)
+    * documents per source, the eval-set carving gate (q53's Bernoulli
+    * gate gives a RATE, not a count; a 25-doc-per-source eval suite
+    * needs the count). Selection is by hash PRIORITY: the 25 smallest
+    * salted md5 buckets win, doc_id breaking ties — a pure function of
+    * the ids, so the sample is reproducible across runs, partitionings,
+    * cluster sizes and engines, and a grown corpus only swaps members
+    * whose priority beats an incumbent's. One source-partitioned window
+    * (skew bounded by each source's own rows — same shape as q85) over
+    * a column the scan computes; no joins, no global ordering.
+    */
+  val q94QuotaSample: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("priority"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), bucket("quota").as("priority"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("source"), col("doc_id"), col("priority"))
+        .orderBy(col("source"), col("priority"), col("doc_id"))
+    },
+    s"""WITH p AS (SELECT source, doc_id,
+       |             cast(${bucketSql("quota")} AS integer) AS priority
+       |           FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+       |      FROM p)
+       |SELECT source, doc_id, priority FROM r WHERE rn <= 25
+       |ORDER BY source, priority, doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q94_quota_sample" -> q94QuotaSample,
     "q79_split_assign" -> q79SplitAssign,
     "q80_mixture_resample" -> q80MixtureResample,
     "q81_chunking" -> q81Chunking,
