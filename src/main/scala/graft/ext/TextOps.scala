@@ -456,23 +456,30 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Oracle twin of [[jaccardPairs]] at [[JaccardDfCap]] as a `truth`
+    * CTE (appends to [[shSql]]); shared by q20 and the q95 audit so the
+    * ground-truth definition cannot drift between them.
+    */
+  private val jaccardTruthSql: String =
+    s""", shd AS (SELECT DISTINCT doc_id, source, sh FROM shx),
+      |rare AS (SELECT source, sh FROM shd GROUP BY source, sh HAVING count(*) <= $JaccardDfCap),
+      |kept AS (SELECT shd.doc_id, shd.source, shd.sh
+      |         FROM shd JOIN rare ON shd.source = rare.source AND shd.sh = rare.sh),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+      |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |       FROM kept a JOIN kept b
+      |         ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT doc_a, doc_b, cast(n_common AS bigint) AS n_common,
+      |         cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) AS jaccard
+      |  FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id
+      |  WHERE cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) >= cast(0.5 AS double))""".stripMargin
+
   val q20JaccardPairs: QuerySpec = QuerySpec(
     (s, dir) => jaccardPairs(Tables.documents(s, dir), JaccardDfCap),
-    shSql + "\n" +
-      s""", shd AS (SELECT DISTINCT doc_id, source, sh FROM shx),
-        |rare AS (SELECT source, sh FROM shd GROUP BY source, sh HAVING count(*) <= $JaccardDfCap),
-        |kept AS (SELECT shd.doc_id, shd.source, shd.sh
-        |         FROM shd JOIN rare ON shd.source = rare.source AND shd.sh = rare.sh),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
-        |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |       FROM kept a JOIN kept b
-        |         ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, cast(n_common AS bigint) AS n_common,
-        |       cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) AS jaccard
-        |FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id
-        |WHERE cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) >= cast(0.5 AS double)
-        |ORDER BY doc_a, doc_b""".stripMargin)
+    shSql + "\n" + jaccardTruthSql +
+      "\nSELECT doc_a, doc_b, n_common, jaccard FROM truth ORDER BY doc_a, doc_b")
 
   /** Rolling-hash fingerprint via the native codegen'd
     * [[graft.functions.RollingHash]] Catalyst expression; the oracle
@@ -1028,7 +1035,62 @@ object TextOps {
         |SELECT doc_id, q AS rank_q, CAST(q AS double) / 1000000000000.0 AS rank
         |FROM r2 ORDER BY rank_q DESC, doc_id""".stripMargin)
 
+  /** q95: LSH tuning audit — candidate quality of the banded MinHash
+    * scheme (q18) against exact df-capped Jaccard ≥ 0.5 ground truth
+    * (q20's definition, shared via one CTE/helper so the two can't
+    * drift). Restricted to same-source candidate pairs — the truth is
+    * source-blocked by construction, so cross-source candidates are
+    * out of scope rather than false positives. The full-outer join of
+    * two LSH/cap-bounded pair sets is candidate-sized, never
+    * corpus-sized; precision/recall are guarded double ratios of exact
+    * counts. This is the query an operator runs before committing band
+    * parameters for a 100 TB dedup pass.
+    */
+  val q95LshAudit: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = jaccardPairs(docs, JaccardDfCap)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+      val src = docs.select(col("doc_id"), col("source"))
+      val cand = lshPairs(docs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .filter(col("sa") === col("sb"))
+        .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L)), lit(0L)).as("tp"),
+          coalesce(sum(when(col("t").isNotNull && col("c").isNull, 1L).otherwise(0L)), lit(0L)).as("fn"),
+          coalesce(sum(when(col("t").isNull && col("c").isNotNull, 1L).otherwise(0L)), lit(0L)).as("fp"))
+        .select(col("tp"), col("fn"), col("fp"),
+          when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("recall"))
+    },
+    shSql + minhashSigSql + "\n" + lshPairsSql + "\n" + jaccardTruthSql +
+      """, src AS (SELECT doc_id, source FROM documents),
+        |candss AS (SELECT p.doc_a, p.doc_b FROM pairs p
+        |           JOIN src a ON p.doc_a = a.doc_id
+        |           JOIN src b ON p.doc_b = b.doc_id
+        |           WHERE a.source = b.source),
+        |m AS (SELECT
+        |        CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+        |        CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NULL THEN 1 ELSE 0 END AS is_fn,
+        |        CASE WHEN t.doc_a IS NULL AND c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_fp
+        |      FROM truth t FULL OUTER JOIN candss c
+        |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        |agg AS (SELECT cast(coalesce(sum(is_tp), 0) AS bigint) AS tp,
+        |               cast(coalesce(sum(is_fn), 0) AS bigint) AS fn,
+        |               cast(coalesce(sum(is_fp), 0) AS bigint) AS fp
+        |        FROM m)
+        |SELECT tp, fn, fp,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS double) / CAST(tp + fp AS double) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS double) / CAST(tp + fn AS double) END AS recall
+        |FROM agg""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q95_lsh_audit" -> q95LshAudit,
     "q91_pagerank" -> q91PageRank,
     "q86_inverted_index" -> q86InvertedIndex,
     "q87_collocation_lift" -> q87CollocationLift,
