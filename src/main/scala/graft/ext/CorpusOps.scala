@@ -60,7 +60,7 @@ object CorpusOps {
        |       CASE WHEN bkt < ${(Buckets * 8) / 10} THEN 'train'
        |            WHEN bkt < ${(Buckets * 9) / 10} THEN 'val'
        |            ELSE 'test' END AS split,
-       |       count(*) AS n_docs, sum(n_chars) AS n_chars
+       |       count(*) AS n_docs, ${OracleSql.bigSum("n_chars")} AS n_chars
        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
 
   /** Per-language keep rates (numerator over 4096): downsample the
@@ -96,8 +96,8 @@ object CorpusOps {
        |    CASE ${MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")} ELSE $Buckets END
        |  THEN 1 ELSE 0 END AS kept
        |  FROM documents)
-       |SELECT lang, count(*) AS n_total, sum(kept) AS n_kept,
-       |       sum(n_chars * kept) AS chars_kept
+       |SELECT lang, count(*) AS n_total, ${OracleSql.bigSum("kept")} AS n_kept,
+       |       ${OracleSql.bigSum("n_chars * kept")} AS chars_kept
        |FROM b GROUP BY lang ORDER BY lang""".stripMargin)
 
   private val ChunkLen = 40

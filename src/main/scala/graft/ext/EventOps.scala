@@ -82,8 +82,8 @@ object EventOps {
       |             THEN 1 ELSE 0 END AS new_session
       |           FROM events),
       |sess AS (SELECT user_id, event_id, ts, value,
-      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |           cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_seq
       |         FROM g)
       |SELECT user_id, cast(session_seq AS bigint) AS session_seq,
       |       min(ts) AS session_start, max(ts) AS session_end,
@@ -295,8 +295,8 @@ object EventOps {
       |             THEN 1 ELSE 0 END AS new_session
       |           FROM events),
       |sess AS (SELECT user_id, ts, value,
-      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |           cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_seq
       |         FROM g)
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
       |       count(*) AS n_events,
@@ -463,7 +463,7 @@ object EventOps {
     },
     """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
       |           FROM events GROUP BY 1, 2),
-      |m AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c*c) AS ss
+      |m AS (SELECT event_type, count(*) AS n, cast(sum(c) AS bigint) AS s, cast(sum(c*c) AS bigint) AS ss
       |      FROM h GROUP BY 1),
       |j AS (SELECT h.event_type AS event_type, h.hr AS hr, h.c AS c, m.n AS n, m.s AS s,
       |        CAST(m.ss AS double) - CAST(m.s AS double) * CAST(m.s AS double) / CAST(m.n AS double) AS vn
@@ -508,7 +508,7 @@ object EventOps {
       |  FROM events),
       |tc AS (SELECT prev, event_type AS next, count(*) AS c
       |       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
-      |tot AS (SELECT prev, sum(c) AS t FROM tc GROUP BY prev)
+      |tot AS (SELECT prev, cast(sum(c) AS bigint) AS t FROM tc GROUP BY prev)
       |SELECT tc.prev AS prev, tc.next AS next, cast(tc.c AS bigint) AS c,
       |       CAST(tc.c AS double) / CAST(tot.t AS double) AS p
       |FROM tc JOIN tot ON tc.prev = tot.prev

@@ -22,3 +22,17 @@ private[graft] object PortableHash {
       s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * ${math.pow(16, hexChars - 1 - i).toLong}")
       .mkString(" + ")
 }
+
+/** Shared oracle-SQL fragments that keep the DuckDB twin's types aligned
+  * with Spark's. DuckDB widens `sum(INTEGER/BIGINT)` to HUGEINT, which the
+  * driver's comparison frame surfaces as float64 against Spark's int64 —
+  * `rows_match`/`schema_match` pass but `hash_match` fails (the r5 verdict
+  * adjudicated q79/q80/q85 exactly this way). Every integer sum in an
+  * oracle string MUST go through [[OracleSql.bigSum]]; `OracleLintSpec`
+  * scans the registry for violations.
+  */
+private[graft] object OracleSql {
+
+  /** `cast(sum(e) AS bigint)` — the HUGEINT-proof integer sum. */
+  def bigSum(e: String): String = s"cast(sum($e) AS bigint)"
+}

@@ -852,7 +852,7 @@ object TextOps {
        |        ntile(2) OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS half
        |      FROM q)
        |SELECT source, count(*) AS n_kept, min(quality) AS threshold,
-       |       sum(n_chars) AS chars_kept
+       |       ${OracleSql.bigSum("n_chars")} AS chars_kept
        |FROM h WHERE half = 1 GROUP BY source ORDER BY source""".stripMargin)
 
   /** q86: inverted index over word trigrams with df-capped postings —

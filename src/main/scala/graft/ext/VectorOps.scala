@@ -434,7 +434,7 @@ object VectorOps {
          |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
          |u$t AS (SELECT list_id, dim,
          |    cast((sv - (((sv % nv) + nv) % nv)) // nv AS bigint) AS mv
-         |  FROM (SELECT list_id, dim, sum(qv[dim]) AS sv, cast(count(*) AS bigint) AS nv
+         |  FROM (SELECT list_id, dim, cast(sum(qv[dim]) AS bigint) AS sv, cast(count(*) AS bigint) AS nv
          |        FROM a$t CROSS JOIN dims GROUP BY 1, 2)),
          |c$t AS (SELECT list_id AS cent_id, list(mv ORDER BY dim) AS cqv FROM u$t GROUP BY 1)""".stripMargin
     }.mkString(",\n")
