@@ -857,29 +857,34 @@ object TextOps {
 
   /** q86: inverted index over word trigrams with df-capped postings —
     * the search-side companion of the dedup family: term → sorted
-    * posting list. Built scale-honest in two phases: (1) per-term
-    * document frequency as a map-side-combinable count over the distinct
-    * (doc, term) relation, (2) postings collected ONLY for terms that
-    * pass the df band (2 ≤ df ≤ 8) — the same positional-filtering idea
-    * as q20's df-cap. A single-pass collect_list would buffer a
-    * stopword-like term's full corpus-sized posting list in one
-    * aggregation state; here the cap bounds every collected list BEFORE
-    * the collect, so per-key state is ≤ df_max postings by construction.
-    * The df aggregate, the filter join and the final collect all key on
-    * the term, so the join-back reuses the df shuffle's partitioning.
+    * posting list, kept only for terms in the df band (2 ≤ df ≤ 8).
+    *
+    * Shape: ONE full-data shuffle, the q20 bucket pattern. A single
+    * `groupBy(sh)` collects each term's distinct doc set through the
+    * size-bounded [[graft.functions.BoundedDistinct]] aggregator with
+    * bound = df_max+1: a term whose true df ≤ df_max is collected
+    * EXACTLY (every partial is a subset of a set smaller than the
+    * bound, so truncation never fires), while a stopword-like term
+    * saturates at df_max+1 elements — its buffer never grows past 9
+    * postings no matter how many millions of docs contain it — and the
+    * post-agg size filter discards it, which IS the df-band filter.
+    * The earlier two-phase form spent three keyed exchanges (distinct,
+    * df groupBy, join-back + final collect) to guarantee the same
+    * bounded-state property; the aggregator gives it in one.
     * Postings serialize as a comma-joined string (numeric sort order)
     * to keep the driver's column-hash compare engine-portable.
     */
   val q86InvertedIndex: QuerySpec = QuerySpec(
     (s, dir) => {
-      val ds = shingles(Tables.documents(s, dir))
-        .select(col("doc_id"), col("sh")).distinct()
-      val df = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 8))
-      ds.join(df, Seq("sh"))
-        .groupBy(col("sh"), col("df"))
-        .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x AS string)), ',')")
-          .as("postings"))
+      val bdistinct = udaf(new graft.functions.BoundedDistinct(9)) // df_max + 1
+      shingles(Tables.documents(s, dir))
+        .groupBy(col("sh"))
+        .agg(bdistinct(col("doc_id")).as("docs"))
+        .filter(size(col("docs")).between(2, 8))
+        .select(col("sh"),
+          size(col("docs")).cast("long").as("df"),
+          expr("array_join(transform(docs, x -> cast(x AS string)), ',')")
+            .as("postings"))
         .orderBy(col("sh"))
     },
     shSql + "\n" +

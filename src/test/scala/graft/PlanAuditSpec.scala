@@ -334,7 +334,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // every exchange is map-side-combined, group-sized, or the
       // output sort; q91's six are the checkpointed-edge graph rounds
       "q71_decontaminate" -> 4, "q72_repetition" -> 3,
-      "q85_quality_topp" -> 2, "q86_inverted_index" -> 4,
+      // q86: round-6 single-pass BoundedDistinct rewrite — one full-data
+      // hash exchange (the bucket groupBy) + the output sort
+      "q85_quality_topp" -> 2, "q86_inverted_index" -> 2,
       "q87_collocation_lift" -> 4, "q88_rate_anomaly" -> 3,
       "q89_degree_histogram" -> 4, "q90_incremental_agg" -> 3,
       "q91_pagerank" -> 6, "q92_format_roundtrip" -> 2,
