@@ -977,8 +977,9 @@ object TextOps {
     * map-side-combinable contribution sum keyed on dst — the canonical
     * distributed PageRank step. The edge relation (an LSH pipeline —
     * shingles → signatures → band join) is materialized ONCE,
-    * pre-partitioned by src, via the same localCheckpoint device as
-    * [[graft.operators.ConnectedComponents]]: without it every
+    * pre-partitioned by src, via the same [[graft.core.Checkpoints]]
+    * pin as [[graft.operators.ConnectedComponents]] (reliable-dir mode
+    * available through `spark.graft.checkpointDir`): without it every
     * iteration AND the degree count re-derive the candidate pairs from
     * scratch (3× the LSH work), and the checkpoint's preserved
     * src-partitioning lets both iterations' join + the degree aggregate
@@ -993,7 +994,7 @@ object TextOps {
       val edges = pr.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pr.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .repartition(col("src"))
-        .localCheckpoint()
+        .transform(graft.core.Checkpoints.pin)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val n = nodes.agg(count(lit(1)).as("n_docs"))
       val r0 = nodes.crossJoin(broadcast(n))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
 
 /** Distributed connected components by iterative min-label propagation —
   * the step that turns near-duplicate candidate PAIRS (MinHash/SimHash
@@ -23,8 +24,12 @@ import org.apache.spark.sql.functions._
   *    one min-aggregate — both hash-partitioned on vertex id, so at
   *    1000 executors each round is a single co-partitioned pass over the
   *    edge list. No adjacency lists are ever materialized per-vertex.
-  *  - `localCheckpoint` after every round truncates lineage; without it
-  *    the plan doubles per iteration and the job DAG explodes.
+  *  - [[graft.core.Checkpoints.pin]] after every round truncates
+  *    lineage; without it the plan doubles per iteration and the job DAG
+  *    explodes. Local (executor-memory) by default; set
+  *    `spark.graft.checkpointDir` to a reliable directory for
+  *    fault-tolerant multi-hour runs — both modes are bit-identical
+  *    (`CheckpointModeSpec`).
   *  - The convergence probe is a driver-side `isEmpty` on the changed-set
   *    (bounded: stops at the first changed row) — the only driver action,
   *    once per round.
@@ -47,7 +52,7 @@ object ConnectedComponents {
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
       .distinct()
-      .localCheckpoint() // candidate generation (LSH etc.) runs ONCE, not per round
+      .transform(Checkpoints.pin) // candidate generation (LSH etc.) runs ONCE, not per round
 
     // Loop state carries THREE columns: (id, label, old) where old is the
     // id's label at the start of the round (null if the id just entered
@@ -78,7 +83,7 @@ object ConnectedComponents {
         .union(msgs)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
-        .localCheckpoint()
+        .transform(Checkpoints.pin)
       converged = next.where(col("old").isNull || col("label") < col("old")).isEmpty
       labels = next
       round += 1
@@ -115,7 +120,7 @@ object ConnectedComponents {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
 
     // large-star(u): m = min(N(u) ∪ {u}); re-link every neighbor v > u to
     // m. Join-based (per-center min, then join back) — a hot center never
@@ -150,7 +155,7 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Checkpoints.pin(smallStar(largeStar(e)))
       // both sides are distinct sets ⇒ equality = same size + one-sided
       // empty difference (one count + one bounded anti-join probe, not
       // two full exceptAll jobs per round)
