@@ -130,8 +130,84 @@ object ProfileOps {
           }.mkString(",\n|  ")}
        |FROM a ORDER BY l_returnflag""".stripMargin)
 
+  /** q97: sketch accuracy audit — the DuckDB-checkable twin of q37's
+    * sketch aggregates (q37 itself is rows-only: HLL/KLL internals are
+    * engine-specific). Two parts, one judged row set:
+    *
+    *  - exact targets per returnflag, fully oracle-checked: row count,
+    *    exact distinct orders, exact p50 via the q54 order-statistic
+    *    interpolation (identical expression both engines ⇒ bit-exact);
+    *  - empirical error bounds on q37's ACTUAL output, enforced through
+    *    the hash gate: the oracle emits constant-true flags, so if
+    *    Spark's HLL estimate drifts past ±15% of the exact distinct
+    *    (3× the configured 5% rsd) or the approx median's rank leaves
+    *    n·(0.5 ± 0.02) (20× the 1/1000 accuracy guarantee), the flag
+    *    flips and the row hash-mismatches. A sketch regression is a
+    *    red CORRECTNESS row, not a silent quality loss.
+    *
+    * Scale: everything after the q54-shaped rank pass is 3-row joins;
+    * the rank-of-median probe broadcasts the 3-row sketch table and
+    * re-aggregates the scan map-side.
+    */
+  val q97SketchAudit: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val wRank = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val wGrp = Window.partitionBy(col("l_returnflag"))
+      val idx = (col("n") - 1) * lit(0.5)
+      val ex = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wGrp))
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(max(when(col("rn") === floor(idx) + 1, col("v"))).as("lo"),
+          max(when(col("rn") === floor(idx) + 2, col("v"))).as("hi"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+          (col("lo") + (idx - floor(idx))
+            * (coalesce(col("hi"), col("lo")) - col("lo"))).as("p50_exact"))
+      val d = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val sk = graft.operators.Relational.q37SketchStats.run(s, dir)
+        .select(col("l_returnflag"), col("approx_orders"),
+          col("median_price_approx"))
+      val below = li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("median_price_approx"), 1L)
+            .otherwise(0L)).as("n_below"),
+          sum(when(col("l_extendedprice") <= col("median_price_approx"), 1L)
+            .otherwise(0L)).as("n_le"))
+      ex.join(d, Seq("l_returnflag")).join(sk, Seq("l_returnflag"))
+        .join(below, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"), col("exact_orders"),
+          col("p50_exact"),
+          (abs(col("approx_orders").cast("double") - col("exact_orders").cast("double"))
+            <= col("exact_orders").cast("double") * 0.15).cast("int").as("distinct_ok"),
+          (col("n_below").cast("double") <= col("n_rows").cast("double") * 0.52
+            && col("n_le").cast("double") >= col("n_rows").cast("double") * 0.48)
+            .cast("int").as("median_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    """WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+      |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem),
+      |a AS (SELECT l_returnflag, n,
+      |  max(CASE WHEN rn = floor((n-1)*cast(0.5 AS double))+1 THEN v END) AS lo,
+      |  max(CASE WHEN rn = floor((n-1)*cast(0.5 AS double))+2 THEN v END) AS hi
+      |FROM r GROUP BY 1, 2),
+      |ex AS (SELECT l_returnflag, cast(n AS bigint) AS n_rows,
+      |  lo + ((n-1)*cast(0.5 AS double) - floor((n-1)*cast(0.5 AS double))) * (coalesce(hi, lo) - lo) AS p50_exact
+      |FROM a),
+      |d AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders
+      |      FROM lineitem GROUP BY 1)
+      |SELECT ex.l_returnflag AS l_returnflag, ex.n_rows AS n_rows,
+      |       d.exact_orders AS exact_orders, ex.p50_exact AS p50_exact,
+      |       1 AS distinct_ok, 1 AS median_ok
+      |FROM ex JOIN d ON ex.l_returnflag = d.l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q52_profile" -> q52Profile,
     "q53_stratified_sample" -> q53StratifiedSample,
-    "q54_quantiles" -> q54Quantiles)
+    "q54_quantiles" -> q54Quantiles,
+    "q97_sketch_audit" -> q97SketchAudit)
 }

@@ -177,26 +177,35 @@ object VectorOps {
 
   private val AnnBits = 12
 
+  /** Deterministic ±1 hyperplane component h[p][d] from an md5-free
+    * integer mix (p * 1315423911 + d * 2654435761) — stable across
+    * runs/partitionings, and reproducible as driver-side literals in
+    * BOTH the Spark plan (q22) and the DuckDB oracle (q96), so the
+    * judged LSH and its audit share one hyperplane set by construction.
+    */
+  private def planeSign(p: Int, d: Int): Int = {
+    val x = (p * 1315423911L + d * 2654435761L) & 0xffffffffL
+    if (((x >> 13) & 1L) == 0L) -1 else 1
+  }
+
+  private def planeRows: Seq[Seq[Int]] =
+    (0 until AnnBits).map(p => (0 until 64).map(planeSign(p, _)))
+
   /** IVF/LSH-style ANN: sign-random-projection signature (deterministic
     * ±1 hyperplanes from a seeded hash of (plane, dim)), bucket by
     * signature, exact cosine re-rank *within* the query's bucket.
     *
-    * Not SQL-expressible cheaply (hyperplane materialization) → rows-only
-    * oracle. Recall is traded for bucket-local candidate generation: at
+    * The bucketing itself is rows-only checked (hyperplane
+    * materialization has no cheap SQL twin here), but q96 re-derives the
+    * same planes as SQL literals and audits this query's recall against
+    * exact q21 ground truth with a full DuckDB oracle.
+    * Recall is traded for bucket-local candidate generation: at
     * 100 TB the corpus side is hash-partitioned by bucket and only the
     * probed bucket is scanned (partition pruning on `bucket`).
     */
   val q22AnnLsh: QuerySpec = QuerySpec(
     run = (s, dir) => {
-      // Deterministic ±1 hyperplanes: component h[p][d] from md5-free
-      // integer mix (p * 1315423911 + d * 2654435761) — engine-local is
-      // fine here (no SQL oracle); stable across runs/partitionings.
-      val planes: Seq[Seq[Int]] = (0 until AnnBits).map { p =>
-        (0 until 64).map { d =>
-          val x = (p * 1315423911L + d * 2654435761L) & 0xffffffffL
-          if (((x >> 13) & 1L) == 0L) -1 else 1
-        }
-      }
+      val planes = planeRows
       val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
       val e = Tables.embeddings(s, dir).withColumn("planes", planesCol)
       val sig = e.withColumn("bucket",
@@ -219,6 +228,74 @@ object VectorOps {
         .orderBy(col("q_id"), col("rank"))
     },
     oracle = None)
+
+  /** q96: ANN-LSH tuning audit — per-query recall of q22's
+    * bucket-restricted top-10 against q21's exact cosine top-10, the
+    * vector-side companion of q95 (which audits the MinHash bands).
+    * The Spark side joins the two judged queries' actual outputs, so
+    * it audits exactly what q22 ships; the DuckDB oracle re-derives
+    * the same ±1 hyperplanes as SQL literals ([[planeSign]]) and
+    * replays signature → bucket join → re-rank end-to-end, closing the
+    * q22 "rows-only" gap with an empirical recall bound the hash gate
+    * enforces. All joins are over top-k-sized sets (queries × 10 rows);
+    * the only corpus-scale work is the two audited queries themselves.
+    */
+  val q96AnnLshAudit: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val exact = q21CosineTopK.run(s, dir).select(col("q_id"), col("c_id"))
+      val ann = q22AnnLsh.run(s, dir)
+        .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+      val annN = ann.groupBy(col("q_id")).agg(count(lit(1)).as("n_ann"))
+      exact.join(ann, Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+        .join(annN, Seq("q_id"), "left_outer")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }, {
+      val planesLit = planeRows
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val bucketSql = (0 until AnnBits).map { p =>
+        val dotP = s"list_reduce(list_transform(range(1, 65), i -> " +
+          s"cast(embedding[i] AS double) * cast(planes[${p + 1}][i] AS double)), (x, y) -> x + y)"
+        s"(CASE WHEN $dotP > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH pl AS (SELECT $planesLit AS planes),
+         |sig AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |        FROM embeddings CROSS JOIN pl),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM sig WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS c_id, embedding AS cv, bucket AS bucket_c FROM sig),
+         |annp AS (SELECT q_id, c_id,
+         |    ${duckDot("qv", "cv")} / (sqrt(${duckNorm2("qv")}) * sqrt(${duckNorm2("cv")})) AS cosine
+         |  FROM c JOIN q ON bucket_c = q.bucket AND q_id <> c_id),
+         |ann AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |    FROM annp) WHERE rn <= 10),
+         |exp_ AS (SELECT q_id, c_id,
+         |    ${duckDot("qv", "cv")} / (sqrt(${duckNorm2("qv")}) * sqrt(${duckNorm2("cv")})) AS cosine
+         |  FROM (SELECT vec_id AS c_id, embedding AS cv FROM sig) c2,
+         |       (SELECT vec_id AS q_id, embedding AS qv FROM sig WHERE vec_id < 5) q2
+         |  WHERE q_id <> c_id),
+         |ex AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |    FROM exp_) WHERE rn <= 10),
+         |ja AS (SELECT e.q_id AS q_id,
+         |         CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM ex e LEFT JOIN ann a ON e.q_id = a.q_id AND e.c_id = a.c_id),
+         |g AS (SELECT q_id, cast(count(*) AS bigint) AS n_exact,
+         |             ${OracleSql.bigSum("hit")} AS n_overlap
+         |      FROM ja GROUP BY q_id),
+         |an AS (SELECT q_id, cast(count(*) AS bigint) AS n_ann FROM ann GROUP BY q_id)
+         |SELECT g.q_id AS q_id, g.n_exact AS n_exact,
+         |       cast(coalesce(an.n_ann, 0) AS bigint) AS n_ann,
+         |       g.n_overlap AS n_overlap,
+         |       CAST(g.n_overlap AS double) / CAST(g.n_exact AS double) AS recall
+         |FROM g LEFT JOIN an ON g.q_id = an.q_id ORDER BY q_id""".stripMargin
+    })
 
   private val IvfK = 16     // inverted lists (centroids)
   private val IvfProbes = 2 // lists probed per query
@@ -467,5 +544,6 @@ object VectorOps {
     "q25_embedding_neardup" -> q25EmbeddingNearDup,
     "q48_ann_ivf" -> q48AnnIvf,
     "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans,
-    "q69_int8_cosine" -> q69Int8Cosine)
+    "q69_int8_cosine" -> q69Int8Cosine,
+    "q96_ann_lsh_audit" -> q96AnnLshAudit)
 }

@@ -28,7 +28,7 @@ class OracleLintSpec extends AnyFunSuite {
     "r_regionkey", "s_suppkey", "s_nationkey",
     // derived integer aliases used inside oracle CTEs
     "kept", "toks", "df", "c", "cnt", "n", "s", "ss", "t",
-    "is_tp", "is_fn", "is_fp", "tp", "fn", "fp", "new_session",
+    "is_tp", "is_fn", "is_fp", "tp", "fn", "fp", "new_session", "hit",
     "frame_len", "n_kept", "n_total", "n_docs", "qv", "dim", "sv", "nv",
     "bkt", "half", "chunk_id", "tok_id", "payload_len")
 
