@@ -56,6 +56,78 @@ object Multimodal {
         length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta")) ++
       riders.map(col): _*)
 
+  /** Stages the documents corpus as one REAL binary file per document
+    * (`src=<source>/<doc_id>.bin`, UTF-8 payload bytes) so the judged
+    * multimodal path exercises `spark.read.format("binaryFile")` —
+    * S3-style object ingestion with hive-partitioned layout, split
+    * packing (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`
+    * bound how many small blobs share an input split), and
+    * opaque-payload discipline — end-to-end, not a parquet stand-in.
+    *
+    * The write is distributed (`foreachPartition`, executor-side file
+    * IO): in-sandbox that lands on the shared local tmp FS, standing in
+    * for the object store a real cluster would target; the driver never
+    * materializes a payload. Staged once per (scale, process) under the
+    * [[graft.core.Staging]] contract; the `_STAGED` marker makes
+    * repeated runs within one process free. Judged queries run
+    * single-threaded per process (Staging's documented contract), so the
+    * synchronized block only guards re-entry, not cross-process races —
+    * the pid in the staging key handles those.
+    */
+  def stagedMediaDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val stage = graft.core.Staging.dir("graft_q65_media", dir)
+    this.synchronized {
+      val marker = java.nio.file.Paths.get(stage, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        val root = new java.io.File(stage)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        if (root.exists()) rm(root) // partial previous attempt
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+        val stagePath = stage
+        graft.tables.Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              val d = java.nio.file.Paths.get(stagePath, s"src=${r.getAs[String]("source")}")
+              java.nio.file.Files.createDirectories(d)
+              val bytes = Option(r.getAs[String]("text")).getOrElse("")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              java.nio.file.Files.write(d.resolve(s"${r.getAs[Long]("doc_id")}.bin"), bytes): Unit
+            }
+          }
+        java.nio.file.Files.createFile(marker): Unit
+      }
+    }
+    stage
+  }
+
+  /** The real ingestion path: `binaryFile` scan over the staged object
+    * layout. Partition discovery recovers `src` from the hive-style
+    * directory (pruning works: a `WHERE source = ...` never opens other
+    * sources' files); `media_id` comes from the filename. `content`
+    * stays an opaque [[BinaryType]] payload; `length` feeds `n_bytes`
+    * without touching the bytes.
+    */
+  def mediaFromBinaryFiles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val staged = stagedMediaDir(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(staged)
+      .select(
+        regexp_extract(col("path"), "/(\\d+)\\.bin$", 1).cast(LongType).as("media_id"),
+        lit("image").as("kind"),
+        col("content").as("payload"),
+        struct(
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(StringType).as("format"),
+          col("length").as("n_bytes")).as("meta"),
+        col("src").cast(StringType).as("source"))
+  }
+
   /** STUB decode: deterministic fake "header parse" — derives
     * width/height/format from byte statistics instead of a real codec.
     */
@@ -133,20 +205,22 @@ object Multimodal {
   private val MaxFrames = 8
 
   /** Frames accounting per source: media count, frame count, total frame
-    * bytes, deepest sampled index — the multimodal plumbing (payload
-    * staging, meta derivation, bounded frame explode, binary slicing)
-    * under the oracle gate. Every step is expression-only, so DuckDB
-    * reproduces it byte-for-byte over the same documents (`encode(text)`
-    * = the payload staging; `substring` on BLOB = the frame slice).
+    * bytes, deepest sampled index — the multimodal plumbing (REAL
+    * `binaryFile` ingestion over per-document staged blobs, meta
+    * derivation, bounded frame explode, binary slicing) under the oracle
+    * gate. Every transform is expression-only and the staged payload is
+    * exactly the document's UTF-8 bytes, so DuckDB reproduces the result
+    * byte-for-byte from the parquet corpus (`encode(text)` = the staged
+    * payload; arithmetic slice lengths = the frame slices).
     *
     * Scale: the explode fans out ≤ MaxFrames narrow rows per media (the
-    * payload itself is dropped before any shuffle); the aggregation is
-    * map-side combined per source.
+    * payload itself is dropped before any shuffle — `MultimodalSpec`
+    * asserts no exchange in this plan carries a binary column); the
+    * aggregation is map-side combined per source.
     */
   val q65FramesAccounting: graft.QuerySpec = graft.QuerySpec(
     (s, dir) => {
-      val docs = graft.tables.Tables.documents(s, dir)
-      val media = mediaFromDocuments(docs, riders = Seq("source"))
+      val media = mediaFromBinaryFiles(s, dir)
       sampledFrames(media, FrameBytes, MaxFrames)
         .groupBy(col("source"))
         .agg(

@@ -2,6 +2,8 @@ package graft.ext
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,7 +12,74 @@ import graft.tables.Tables
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  // static plan (AQE off) so collect() sees the real operator tree, not
+  // an AdaptiveSparkPlanExec wrapper — same approach as PlanAuditSpec
+  private def staticPlan(df: => org.apache.spark.sql.DataFrame): SparkPlan = {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("binaryFile ingestion reproduces the corpus byte-for-byte") {
+    val media = Multimodal.mediaFromBinaryFiles(spark, sfDir)
+      .select(col("media_id"), md5(col("payload")).as("h_bin"),
+        col("source").as("src_bin"), col("meta.n_bytes").as("nb"))
+    val fromDocs = docs.select(col("doc_id").as("media_id"),
+      md5(col("text").cast(BinaryType)).as("h_doc"), col("source"),
+      length(col("text").cast(BinaryType)).cast(LongType).as("len"))
+    val j = media.join(fromDocs, Seq("media_id"), "full_outer").cache()
+    try {
+      assert(j.filter(col("h_bin").isNull || col("h_doc").isNull).count() == 0,
+        "binaryFile corpus and documents disagree on the id set")
+      assert(j.filter(col("h_bin") =!= col("h_doc")).count() == 0, "payload bytes differ")
+      assert(j.filter(col("src_bin") =!= col("source")).count() == 0, "source rider differs")
+      assert(j.filter(col("nb") =!= col("len")).count() == 0, "n_bytes differs")
+    } finally j.unpersist()
+  }
+
+  test("small blobs pack into bounded input splits (maxPartitionBytes)") {
+    val nFiles = docs.count()
+    val before = (spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (32 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      val n = Multimodal.mediaFromBinaryFiles(spark, sfDir).rdd.getNumPartitions
+      // distributed (not one giant split) AND packed (not one tiny file
+      // per split — the many-small-objects failure mode at 100 TB)
+      assert(n > 1, s"all $nFiles blobs landed in one split")
+      assert(n < nFiles, s"$nFiles blobs got $n splits — no packing")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", before._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", before._2)
+    }
+  }
+
+  test("source predicate prunes staged partitions at the binaryFile scan") {
+    val p = staticPlan(Multimodal.mediaFromBinaryFiles(spark, sfDir)
+      .filter(col("source") === "src0"))
+    val scan = p.collectFirst { case f: FileSourceScanExec => f }.get
+    // the filter on the renamed rider column must reach the hive layout
+    // as a partition filter (never opens other sources' files)
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "src")),
+      s"no partition filter on src: ${scan.partitionFilters}")
+  }
+
+  test("q65 plan reads binaryFile and no shuffle carries a payload") {
+    val p = staticPlan(Multimodal.q65FramesAccounting.run(spark, sfDir))
+    assert(p.collect {
+      case f: FileSourceScanExec
+        if f.relation.fileFormat.getClass.getSimpleName == "BinaryFileFormat" => f
+    }.nonEmpty, "q65 no longer scans binaryFile")
+    val leaks = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
+  }
 
   test("media table has the declared multimodal schema") {
     val media = Multimodal.mediaFromDocuments(docs)
