@@ -9,6 +9,12 @@ package graft.core
   *    overwrite each other's store mid-scan.
   * Callers write with mode("overwrite"), so repeated runs within one
   * process are idempotent and tmp growth is bounded by process count.
+  *
+  * CONTRACT: judged queries run single-threaded per process (Verify and
+  * Bench are both sequential mains). Two concurrent executions of the
+  * same query inside ONE process would share a key and could clobber
+  * each other's store mid-scan — a threaded driver must add its own
+  * per-invocation token to `prefix`.
   */
 object Staging {
   def dir(prefix: String, sfDir: String): String =

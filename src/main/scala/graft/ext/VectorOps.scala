@@ -32,13 +32,18 @@ object VectorOps {
     * loop inside whole-stage codegen instead of an interpreted lambda
     * pair plus an intermediate products array per row.
     * (private[ext]: Multimodal feature columns reuse the same cosine.)
+    *
+    * The OWNING session is threaded in explicitly: registering on
+    * `SparkSession.active` instead would bind the function to whichever
+    * session happens to be thread-active at Column-construction time —
+    * wrong registry (or analysis failure) in a multi-session JVM.
     */
-  private[ext] def dot(a: String, b: String): Column = {
-    graft.functions.VecDot.register(org.apache.spark.sql.SparkSession.active)
+  private[ext] def dot(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.VecDot.register(s)
     expr(s"vec_dot($a, $b)")
   }
 
-  private[ext] def norm2(a: String): Column = dot(a, a)
+  private[ext] def norm2(s: SparkSession, a: String): Column = dot(s, a, a)
 
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> cast($a[i] AS double) * cast($b[i] AS double)), (x, y) -> x + y)"
@@ -64,7 +69,7 @@ object VectorOps {
       val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       val scored = c.crossJoin(broadcast(q))
         .filter(col("q_id") =!= col("c_id"))
-        .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
+        .withColumn("cosine", dot(s, "qv", "cv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "cv"))))
       val topk = udaf(new graft.functions.TopK(10))
       scored.groupBy(col("q_id"))
         .agg(topk(col("cosine"), col("c_id")).as("top"))
@@ -90,7 +95,7 @@ object VectorOps {
       val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
       a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("cosine", dot("va", "vb") / (sqrt(norm2("va")) * sqrt(norm2("vb"))))
+        .withColumn("cosine", dot(s, "va", "vb") / (sqrt(norm2(s, "va")) * sqrt(norm2(s, "vb"))))
         .filter(col("cosine") >= 0.35)
         .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
@@ -142,7 +147,7 @@ object VectorOps {
     */
   val q69Int8Cosine: QuerySpec = QuerySpec(
     (s, dir) => {
-      val e = Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
+      val e = Tables.embeddings(s, dir).filter(norm2(s, "embedding") > 0.0)
         .withColumn("ma", maxAbs("embedding"))
         .withColumn("q8", quantize8("embedding", "ma"))
       val q = e.filter(col("vec_id") < 5)
@@ -219,7 +224,7 @@ object VectorOps {
       val c = sig.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket").as("bucket_c"))
       val topk = udaf(new graft.functions.TopKCarry(10))
       c.join(broadcast(q), col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
-        .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
+        .withColumn("cosine", dot(s, "qv", "cv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "cv"))))
         .groupBy(col("q_id"))
         .agg(topk(col("cosine"), col("c_id"), col("bucket_c")).as("top"))
         .select(col("q_id"), posexplode(col("top")))
@@ -327,7 +332,7 @@ object VectorOps {
     * contract).
     */
   private def ivfCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
+    Tables.embeddings(s, dir).filter(norm2(s, "embedding") > 0.0)
 
   /** Seed-set coarse quantizer (first K corpus vectors). */
   private def ivfCentroids(e: DataFrame): DataFrame =
@@ -347,7 +352,7 @@ object VectorOps {
     val e = ivfCorpus(s, dir)
     e.crossJoin(broadcast(ivfCentroids(e)))
       .withColumn("cent_cos",
-        dot("embedding", "centv") / (sqrt(norm2("embedding")) * sqrt(norm2("centv"))))
+        dot(s, "embedding", "centv") / (sqrt(norm2(s, "embedding")) * sqrt(norm2(s, "centv"))))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cent_cos"), (-col("cent_id")).as("neg_cent"),
         col("embedding"))).as("m"))
@@ -366,7 +371,7 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         .crossJoin(broadcast(cents))
         .withColumn("cent_cos",
-          dot("qv", "centv") / (sqrt(norm2("qv")) * sqrt(norm2("centv"))))
+          dot(s, "qv", "centv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "centv"))))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= IvfProbes)
         .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
@@ -377,7 +382,7 @@ object VectorOps {
       val topk = udaf(new graft.functions.TopKCarry(10))
       assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
         .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
-        .withColumn("cosine", dot("qv", "cv") / (sqrt(norm2("qv")) * sqrt(norm2("cv"))))
+        .withColumn("cosine", dot(s, "qv", "cv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "cv"))))
         .groupBy(col("q_id"))
         .agg(topk(col("cosine"), col("c_id"), col("list_id")).as("top"))
         .select(col("q_id"), posexplode(col("top")))
@@ -454,7 +459,7 @@ object VectorOps {
     */
   val q64AnnIvfKmeans: QuerySpec = {
     val run = (s: org.apache.spark.sql.SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir).filter(norm2("embedding") > 0.0)
+      val emb = Tables.embeddings(s, dir).filter(norm2(s, "embedding") > 0.0)
         .select(col("vec_id"), col("embedding"), quantize("embedding").as("qv"))
       var cents = emb.filter(col("vec_id") < IvfK)
         .select(col("vec_id").as("cent_id"), col("qv").as("cqv"))
@@ -494,7 +499,7 @@ object VectorOps {
       val topk = udaf(new graft.functions.TopKCarry(10))
       assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
         .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
-        .withColumn("cosine", dot("qv_f", "cv") / (sqrt(norm2("qv_f")) * sqrt(norm2("cv"))))
+        .withColumn("cosine", dot(s, "qv_f", "cv") / (sqrt(norm2(s, "qv_f")) * sqrt(norm2(s, "cv"))))
         .groupBy(col("q_id"))
         .agg(topk(col("cosine"), col("c_id"), col("list_id")).as("top"))
         .select(col("q_id"), posexplode(col("top")))

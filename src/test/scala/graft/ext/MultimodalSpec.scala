@@ -118,7 +118,7 @@ class MultimodalSpec extends AnyFunSuite {
     // the REAL VectorOps expressions, not a copy — this is the contract
     val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
-        VectorOps.dot("qv", "cv") / (sqrt(VectorOps.norm2("qv")) * sqrt(VectorOps.norm2("cv"))))
+        VectorOps.dot(spark, "qv", "cv") / (sqrt(VectorOps.norm2(spark, "qv")) * sqrt(VectorOps.norm2(spark, "cv"))))
     val top = scored.groupBy("q_id")
       .agg(max(col("cosine")).as("best"))
       .collect()
