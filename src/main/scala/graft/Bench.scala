@@ -41,35 +41,27 @@ object Bench {
     "q90_incremental_agg",
     "q91_pagerank")
 
-  /** Steady-state per-query reference times (sec, sf0.1, local[32]) from
-    * the last verified round — min of the round-3 report and the judge's
-    * quiet-window re-timings (q30/q38/q41 re-timed far below their
-    * stall-affected reports). Drives the stall-retime protocol only;
-    * never reported.
+  /** Steady-state per-query reference times (sec, sf0.1, local[32]):
+    * the per-query MIN across all verified quiet-window rounds, last
+    * re-based on the round-6 full-headline run (16.2 s total, one
+    * benign retime) — the best-known steady state, so the 2× stall
+    * trigger is as tight as the evidence allows. Drives the
+    * stall-retime protocol only; never reported.
     */
   val reference: Map[String, Double] = Map(
-    // q01 re-based after the round-5 two-phase rewrite (no distinct
-    // expand, scaled-long partials)
-    "q00_pricing_summary" -> 1.10, "q01_revenue_per_product" -> 1.23,
-    "q02_orders_monthly" -> 1.54, "q04_stock_status" -> 0.75,
-    "q11_upsert_lww" -> 1.69, "q17_minhash_sig" -> 1.68,
-    // q20's reference reflects its round-5 bounded-set bucket plan (one
-    // full-data shuffle: BoundedDistinct buckets + explode² pairs; the
-    // round-4 df-join form ran 3.30)
-    "q19_simhash" -> 0.42, "q20_jaccard_pairs" -> 1.88,
-    "q21_cosine_topk" -> 0.66, "q23_tumbling_windows" -> 0.36,
-    "q30_sessionize" -> 0.74, "q33_topk_global" -> 1.33,
-    "q34_tfidf" -> 1.11, "q36_simhash_pairs" -> 0.91,
-    "q38_asof_attribution" -> 0.59, "q41_asof_native" -> 0.67,
-    "q46_dedup_clusters" -> 3.42, "q48_ann_ivf" -> 1.23,
-    "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.66,
-    // round-5 additions, steady-state measured at introduction (quiet
-    // window, post-regen corpus, shared-JVM full-headline run)
-    "q71_decontaminate" -> 1.11, "q72_repetition" -> 1.14,
-    // q86 re-based after the round-6 single-pass rewrite (one
-    // BoundedDistinct bucket exchange; quiet-window min-of-3)
-    "q86_inverted_index" -> 1.01, "q88_rate_anomaly" -> 0.33,
-    "q90_incremental_agg" -> 0.82, "q91_pagerank" -> 2.08)
+    "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
+    "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.30,
+    "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
+    "q19_simhash" -> 0.35, "q20_jaccard_pairs" -> 1.00,
+    "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
+    "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.98,
+    "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
+    "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
+    "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
+    "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.26,
+    "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
+    "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
+    "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
