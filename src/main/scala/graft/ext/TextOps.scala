@@ -1095,7 +1095,65 @@ object TextOps {
         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS double) / CAST(tp + fn AS double) END AS recall
         |FROM agg""".stripMargin)
 
+  private val DedupChunkToks = 16
+
+  /** q98: chunk-level first-occurrence dedup — the C4/RefinedWeb "line
+    * dedup" shape at sub-document granularity (this corpus is
+    * single-line, so the dedup unit is a [[DedupChunkToks]]-token
+    * chunk): each distinct chunk survives only at its first occurrence
+    * in corpus order (doc_id, chunk_id); later repeats are dropped and
+    * every document is reassembled from its surviving chunks in
+    * original order (md5 of the reassembled text is judged, so the
+    * ordered rebuild — not just the counts — is under the hash gate).
+    *
+    * Scale: chunking is expression-only (array slices of the token
+    * split — no token explode, ≤ n_chunks narrow rows per doc).
+    * First-occurrence selection is `row_number` PARTITIONED BY the
+    * chunk text: key cardinality ≈ corpus chunk count and per-key rows
+    * = that chunk's duplicate count, so there is no hot reducer (this
+    * is NOT a global window funnel). Reassembly groups by doc, state
+    * bounded by the doc's own chunk list. Two keyed exchanges total —
+    * the global chunk key and the doc key — both inherent to the
+    * semantics.
+    */
+  val q98ChunkDedup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk")).orderBy(col("doc_id"), col("chunk_id"))
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          split(trim(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(t) / $DedupChunkToks.0) AS int) - 1), " +
+            s"i -> array_join(slice(t, i * $DedupChunkToks + 1, $DedupChunkToks), ' '))")))
+        .select(col("doc_id"), col("source"),
+          col("pos").cast("long").as("chunk_id"), col("col").as("chunk"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          md5(expr("cast(array_join(transform(array_sort(" +
+            "collect_list(CASE WHEN rn = 1 THEN named_struct('chunk_id', chunk_id, 'chunk', chunk) END)" +
+            "), x -> x.chunk), ' ') AS binary)")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+       |           FROM documents WHERE text IS NOT NULL),
+       |ch0 AS (SELECT doc_id, source,
+       |          unnest(range(0, cast(ceil(len(t) / $DedupChunkToks.0) AS bigint))) AS chunk_id, t
+       |        FROM d),
+       |ch AS (SELECT doc_id, source, chunk_id,
+       |         array_to_string(t[chunk_id * $DedupChunkToks + 1 : (chunk_id + 1) * $DedupChunkToks], ' ') AS chunk
+       |       FROM ch0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn FROM ch)
+       |SELECT doc_id, source, cast(count(*) AS bigint) AS n_chunks,
+       |       ${OracleSql.bigSum("CASE WHEN rn = 1 THEN 1 ELSE 0 END")} AS n_kept,
+       |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id), '')) AS kept_md5
+       |FROM r GROUP BY doc_id, source ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q98_chunk_dedup" -> q98ChunkDedup,
     "q95_lsh_audit" -> q95LshAudit,
     "q91_pagerank" -> q91PageRank,
     "q86_inverted_index" -> q86InvertedIndex,

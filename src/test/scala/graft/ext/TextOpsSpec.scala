@@ -78,4 +78,47 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) <= exact, s"pair $k grew its intersection under the cap")
     }
   }
+
+  test("chunk dedup keeps each distinct chunk exactly once, at its first occurrence") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.q98ChunkDedup.run(spark, sfDir).cache()
+    try {
+      // global invariant: the surviving chunk multiset IS the distinct
+      // chunk set — sum(n_kept) equals the corpus's distinct chunk count
+      val kept = out.agg(sum("n_kept")).head.getLong(0)
+      val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+      val distinctChunks = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .select(explode(expr(
+          "transform(sequence(0, cast(ceil(size(t) / 16.0) AS int) - 1), " +
+            "i -> array_join(slice(t, i * 16 + 1, 16), ' '))")).as("chunk"))
+        .distinct().count()
+      assert(kept == distinctChunks, s"kept $kept != distinct $distinctChunks")
+
+      // differential check vs an independent plain-Scala implementation:
+      // chunk every doc, keep each chunk at its (doc_id, chunk_id)-min
+      // occurrence, and compare n_chunks/n_kept/kept_md5 for EVERY doc
+      val corpus = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toSeq
+      val chunked = corpus.map { case (id, t) =>
+        id -> t.grouped(16).map(_.mkString(" ")).toVector
+      }
+      val firstAt: Map[String, (Long, Int)] = chunked
+        .flatMap { case (id, cs) => cs.zipWithIndex.map { case (c, i) => (c, (id, i)) } }
+        .groupMapReduce(_._1)(_._2)((a, b) => if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = chunked.map { case (id, cs) =>
+        val keptChunks = cs.zipWithIndex.collect { case (c, i) if firstAt(c) == (id, i) => c }
+        id -> ((cs.size.toLong, keptChunks.size.toLong, md5hex(keptChunks.mkString(" "))))
+      }.toMap
+      assert(expected.exists { case (id, (n, k, _)) => k < n },
+        "no doc lost a chunk — differential test is vacuous")
+      val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"), r.getAs[String]("kept_md5")))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (id, g) => assert(g == expected(id), s"doc $id: got $g, want ${expected(id)}") }
+    } finally out.unpersist()
+  }
 }
