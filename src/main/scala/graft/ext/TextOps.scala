@@ -256,14 +256,20 @@ object TextOps {
     * Shared by q18 (the pair listing) and q46/q47 (dedup clustering) so
     * the candidate scheme cannot drift between them.
     */
-  private[graft] def lshPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs)
-    // one posexplode pass — NOT a 4-way union, which would recompute
-    // the whole signature aggregation once per band
-    val bands = sig.select(col("doc_id"), posexplode(array(
+  /** (doc_id, band_id, bucket) band rows — one posexplode pass over the
+    * signature frame (NOT a 4-way union, which would recompute the whole
+    * signature aggregation once per band). Shared by [[lshPairs]] and
+    * the streaming near-dup operator (q99), so the banding scheme cannot
+    * drift between batch and streaming.
+    */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame =
+    minhashSig(docs).select(col("doc_id"), posexplode(array(
         (0 until NumHashes / 2).map(b =>
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("bucket"))
+
+  private[graft] def lshPairs(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bucket"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bucket").as("bucket_b"))
     a.join(b, col("band_id") === col("band_id_b") && col("bucket") === col("bucket_b")
@@ -281,10 +287,16 @@ object TextOps {
        |          FROM bands a JOIN bands b
        |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The full shingle → signature → bands → candidate-pairs oracle
+    * chain; q18 selects the pairs, q99's oracle derives its flagged set
+    * (`DISTINCT doc_b`) from the same CTEs.
+    */
+  private[graft] val lshChainSql: String =
+    shSql + minhashSigSql + "\n" + lshPairsSql
+
   val q18LshPairs: QuerySpec = QuerySpec(
     (s, dir) => lshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b")),
-    shSql + minhashSigSql + "\n" + lshPairsSql +
-      "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b")
+    lshChainSql + "\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b")
 
   /** Per-document cluster labels (doc_id, cluster_id) from LSH candidate
     * pairs via [[graft.operators.ConnectedComponents]] min-label

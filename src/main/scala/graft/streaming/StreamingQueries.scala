@@ -276,7 +276,49 @@ object StreamingQueries {
       |              AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)
 
+  /** q99: STREAMING near-duplicate detection — documents' MinHash LSH
+    * band rows replayed as micro-batches through [[StreamingNearDup]]
+    * (O(1) min-doc_id state per bucket), flagged docs rolled up per
+    * source against the full corpus. The oracle is the BATCH LSH
+    * candidate chain (q18's CTEs): streaming must flag exactly the
+    * docs that share a band bucket with a smaller doc_id.
+    *
+    * Order independence: the final flagged set is "bucket members
+    * except the bucket's global min", which [[StreamingNearDup]]'s
+    * supersession protocol reaches under any arrival order or batch
+    * boundaries — the state is a meet-semilattice (running min) and
+    * every non-min member is emitted exactly when first dominated.
+    */
+  val q99StreamingNearDup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bandBatch = graft.ext.TextOps.minhashBands(docs)
+        .select(col("doc_id"), col("band_id").cast("integer").as("band_id"),
+          col("bucket"))
+      val flaggedDf = replayToSink(s, bandBatch, "q99") { (stream, sink) =>
+        StreamingNearDup.flagged(stream.as[StreamingNearDup.BandRow]).toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .start()
+      }
+      docs.join(
+          flaggedDf.select(col("doc_id")).distinct().withColumn("f", lit(1L)),
+          Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("f")).as("n_neardup"))
+        .orderBy(col("source"))
+    },
+    graft.ext.TextOps.lshChainSql +
+      """
+        |, flagged AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+        |SELECT d.source AS source, cast(count(*) AS bigint) AS n_docs,
+        |       cast(count(f.doc_id) AS bigint) AS n_neardup
+        |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q99_streaming_neardup" -> q99StreamingNearDup,
     "q84_stream_stream_join" -> q84StreamStreamJoin,
     "q66_streaming_topk" -> q66StreamingTopK,
     "q68_streaming_retention" -> q68StreamingRetention,
