@@ -543,6 +543,114 @@ object VectorOps {
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
   }
 
+  private val PqM = 4      // subspaces
+  private val PqDsub = 16  // dims per subspace (PqM * PqDsub = 64)
+  private val PqK = 16     // codebook entries per subspace
+  private val Dim = 64
+
+  /** q100: product-quantization ANN — the memory-bounded vector-search
+    * path at 100 TB: each 64-dim float vector (256 B) is encoded as
+    * [[PqM]] codebook codes (4 B), so the searchable index is 64×
+    * smaller than the raw embeddings and fits executor memory at corpus
+    * sizes where raw vectors cannot. Codebooks are seed-set (the first
+    * [[PqK]] corpus vectors' sub-slices — the q48 coarse-quantizer
+    * convention), broadcast as a single-row frame.
+    *
+    * Encoding is a PER-ROW expression (argmin over PqK centroids per
+    * subspace via `array_min` of (dist, code) structs — lexicographic
+    * struct order makes the code tie-break deterministic): zero
+    * shuffles, no K× row amplification. Scoring uses the
+    * reconstruction identity — because subspaces partition the dims,
+    * the classic ADC table-lookup distance IS the exact L2² between
+    * the query and the decoded reconstruction — so both engines
+    * compute one 64-dim left fold and stay bit-identical. Top-k is the
+    * bounded [[graft.functions.TopK]] aggregator on negated distance
+    * (distance asc, id asc — q21's shape, no window funnel); recall of
+    * the PQ top-10 against the exact-L2 top-10 is judged per query, so
+    * a quantization-quality regression is a red CORRECTNESS row.
+    */
+  val q100PqAnn: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents1 = e.filter(col("vec_id") < PqK)
+        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+          .as("cents"))
+      val sq = (v: String, c: String) => s"($v - $c) * ($v - $c)"
+      val subDist =
+        s"""aggregate(sequence(0, ${PqDsub - 1}), cast(0 AS double), (acc, d) -> acc +
+           |  ${sq(s"cast(element_at(embedding, m * $PqDsub + d + 1) AS double)",
+                  s"cast(element_at(element_at(cents, c + 1), m * $PqDsub + d + 1) AS double)")})""".stripMargin
+      val coded = e.crossJoin(broadcast(cents1))
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${PqM - 1}), m ->
+             |  array_min(transform(sequence(0, ${PqK - 1}), c ->
+             |    named_struct('d', $subDist, 'c', c))).c)""".stripMargin))
+        .withColumn("recon", expr(
+          s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
+             |  slice(element_at(cents, element_at(codes, m + 1) + 1), m * $PqDsub + 1, $PqDsub)))""".stripMargin))
+        .select(col("vec_id").as("c_id"), col("recon"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      def l2(a: String, b: String) =
+        s"""aggregate(sequence(0, ${Dim - 1}), cast(0 AS double), (acc, d) -> acc +
+           |  ${sq(s"cast(element_at($a, d + 1) AS double)", s"cast(element_at($b, d + 1) AS double)")})""".stripMargin
+      val topk = udaf(new graft.functions.TopK(10))
+      def top10(scored: DataFrame): DataFrame = scored
+        .groupBy(col("q_id")).agg(topk(col("neg"), col("c_id")).as("top"))
+        .select(col("q_id"), explode(expr("transform(top, x -> x._2)")).as("c_id"))
+      val ann = top10(coded.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), (-expr(l2("qvec", "recon"))).as("neg")))
+      val exact = top10(e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"), (-expr(l2("qvec", "cv"))).as("neg")))
+      exact.join(ann.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+        .select(col("q_id"), col("n_exact"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_exact").cast("double")).as("recall"))
+        .orderBy(col("q_id"))
+    }, {
+      def sq(v: String): String = s"($v) * ($v)"
+      val subDist =
+        s"""list_reduce(list_transform(range(0, $PqDsub), d ->
+           |  ${sq(s"cast(embedding[m * $PqDsub + d + 1] AS double) - cast(cents[c + 1][m * $PqDsub + d + 1] AS double)")}),
+           |  (x, y) -> x + y)""".stripMargin
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_transform(range(0, $Dim), d ->
+           |  ${sq(s"cast($a[d + 1] AS double) - cast($b[d + 1] AS double)")}),
+           |  (x, y) -> x + y)""".stripMargin
+      s"""WITH ce AS (SELECT list(embedding ORDER BY vec_id) AS cents
+         |            FROM embeddings WHERE vec_id < $PqK),
+         |cd AS (SELECT vec_id, embedding, cents,
+         |         list_transform(range(0, $PqM), m ->
+         |           list_aggregate(list_transform(range(0, $PqK), c ->
+         |             {'d': $subDist, 'c': c}), 'min').c) AS codes
+         |       FROM embeddings CROSS JOIN ce),
+         |rc AS (SELECT vec_id AS c_id,
+         |         flatten(list_transform(range(0, $PqM), m ->
+         |           cents[codes[m + 1] + 1][m * $PqDsub + 1 : (m + 1) * $PqDsub])) AS recon
+         |       FROM cd),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |ap AS (SELECT q_id, c_id, ${l2("qvec", "recon")} AS ad
+         |       FROM rc, qs WHERE c_id <> q_id),
+         |annk AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rn
+         |    FROM ap) WHERE rn <= 10),
+         |ep AS (SELECT q_id, vec_id AS c_id, ${l2("qvec", "embedding")} AS ed
+         |       FROM embeddings, qs WHERE vec_id <> q_id),
+         |exk AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY ed, c_id) AS rn
+         |    FROM ep) WHERE rn <= 10),
+         |ja AS (SELECT e.q_id AS q_id,
+         |         CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM exk e LEFT JOIN annk a ON e.q_id = a.q_id AND e.c_id = a.c_id)
+         |SELECT q_id, cast(count(*) AS bigint) AS n_exact,
+         |       ${OracleSql.bigSum("hit")} AS n_overlap,
+         |       CAST(${OracleSql.bigSum("hit")} AS double) / CAST(count(*) AS double) AS recall
+         |FROM ja GROUP BY q_id ORDER BY q_id""".stripMargin
+    })
+
   val all: Map[String, QuerySpec] = Map(
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
@@ -550,5 +658,6 @@ object VectorOps {
     "q48_ann_ivf" -> q48AnnIvf,
     "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans,
     "q69_int8_cosine" -> q69Int8Cosine,
-    "q96_ann_lsh_audit" -> q96AnnLshAudit)
+    "q96_ann_lsh_audit" -> q96AnnLshAudit,
+    "q100_pq_ann" -> q100PqAnn)
 }

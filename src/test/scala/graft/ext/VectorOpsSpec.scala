@@ -111,4 +111,18 @@ class VectorOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PQ ANN recall is non-degenerate and bounded") {
+    val rows = VectorOps.q100PqAnn.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("n_exact") == 10L)
+    }
+    // seed-set codebooks must beat a no-signal quantizer on aggregate:
+    // random top-10 from ~500 candidates has expected recall ~0.02
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean > 0.1, s"mean PQ recall $mean — quantizer carries no signal")
+  }
 }
