@@ -1107,6 +1107,71 @@ object TextOps {
         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS double) / CAST(tp + fn AS double) END AS recall
         |FROM agg""".stripMargin)
 
+  /** q101: incremental near-dup admission — the continuous-ingestion
+    * dedup pattern: a new shard (the top 20% of doc_ids, a stand-in for
+    * "today's crawl") is admitted against the accumulated corpus. Each
+    * incoming doc is classified:
+    *
+    *  - `dup_of_corpus`: shares a MinHash band bucket with ANY existing
+    *    doc — would be dropped by a dedup-at-ingest gate;
+    *  - `dup_in_batch`: clean against the corpus but shares a bucket
+    *    with a smaller-id doc in the SAME shard;
+    *  - `new`: neither (docs too short to shingle are trivially new).
+    *
+    * Scale shape (the q71 decontamination asymmetry): the shard is
+    * small and the corpus is not, so the shard's band rows BROADCAST
+    * and the corpus-side band index streams against them — the
+    * accumulated corpus never shuffles, and at 100 TB the existing
+    * index lives bucketed by (band, bucket) at rest so the probe is a
+    * local lookup. Within-batch dedup is a window over the shard's own
+    * band rows (shard-sized). The 80% threshold derives from
+    * max(doc_id) via a broadcast single-row aggregate, so one query
+    * text serves every scale.
+    */
+  val q101IncrementalNearDup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("t"))
+      val bands = minhashBands(docs).crossJoin(broadcast(thr))
+      val incB = bands.filter(col("doc_id") >= col("t"))
+        .select(col("doc_id"), col("band_id"), col("bucket"))
+      val dupOfCorpus = bands.filter(col("doc_id") < col("t"))
+        .join(broadcast(incB.select(col("band_id").as("bi"), col("bucket").as("bu"),
+          col("doc_id").as("inc_id"))),
+          col("band_id") === col("bi") && col("bucket") === col("bu"))
+        .select(col("inc_id").as("doc_id")).distinct()
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("bucket")).orderBy(col("doc_id"))
+      val dupInBatch = incB.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") > 1).select(col("doc_id")).distinct()
+      docs.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("t"))
+        .join(broadcast(dupOfCorpus.withColumn("dc", lit(1))), Seq("doc_id"), "left_outer")
+        .join(broadcast(dupInBatch.withColumn("db", lit(1))), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          when(col("dc").isNotNull, "dup_of_corpus")
+            .when(col("db").isNotNull, "dup_in_batch")
+            .otherwise("new").as("status"))
+        .orderBy(col("doc_id"))
+    },
+    lshChainSql +
+      """
+        |, thr AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) AS bigint) AS t FROM documents),
+        |incb AS (SELECT doc_id, band_id, bucket FROM bands CROSS JOIN thr WHERE doc_id >= t),
+        |dc AS (SELECT DISTINCT i.doc_id FROM bands b CROSS JOIN thr
+        |       JOIN incb i ON b.band_id = i.band_id AND b.bucket = i.bucket
+        |       WHERE b.doc_id < t),
+        |db AS (SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY band_id, bucket ORDER BY doc_id) AS rn
+        |    FROM incb) WHERE rn > 1)
+        |SELECT d.doc_id AS doc_id, d.source AS source,
+        |       CASE WHEN dc.doc_id IS NOT NULL THEN 'dup_of_corpus'
+        |            WHEN db.doc_id IS NOT NULL THEN 'dup_in_batch'
+        |            ELSE 'new' END AS status
+        |FROM documents d CROSS JOIN thr
+        |LEFT JOIN dc ON d.doc_id = dc.doc_id
+        |LEFT JOIN db ON d.doc_id = db.doc_id
+        |WHERE d.doc_id >= t ORDER BY d.doc_id""".stripMargin)
+
   private val DedupChunkToks = 16
 
   /** q98: chunk-level first-occurrence dedup — the C4/RefinedWeb "line
@@ -1166,6 +1231,7 @@ object TextOps {
 
   val all: Map[String, QuerySpec] = Map(
     "q98_chunk_dedup" -> q98ChunkDedup,
+    "q101_incremental_neardup" -> q101IncrementalNearDup,
     "q95_lsh_audit" -> q95LshAudit,
     "q91_pagerank" -> q91PageRank,
     "q86_inverted_index" -> q86InvertedIndex,
