@@ -341,6 +341,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "q89_degree_histogram" -> 4, "q90_incremental_agg" -> 3,
       "q91_pagerank" -> 6, "q92_format_roundtrip" -> 2,
       "q93_transition_matrix" -> 4,
+      // round-6 additions, audited at introduction (Explain all):
+      // q102 = chunk-key window + doc reassembly + output sort; q103's
+      // judged merge plan = rest-artifact sort + delta index groupBy +
+      // full-outer SMJ + output sort (the at-rest build is a separate
+      // staged job, not in the judged plan)
+      // q101's 8 count 4 single-row scalar aggs (the split threshold,
+      // recomputed per branch — 2-row exchanges, not data movement)
+      "q98_chunk_dedup" -> 3, "q101_incremental_neardup" -> 8,
+      "q102_boilerplate" -> 3, "q103_incremental_index" -> 4,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
