@@ -39,7 +39,13 @@ object Bench {
     "q86_inverted_index",
     "q88_rate_anomaly",
     "q90_incremental_agg",
-    "q91_pagerank")
+    "q91_pagerank",
+    "q98_chunk_dedup",
+    "q99_streaming_neardup",
+    "q100_pq_ann",
+    "q101_incremental_neardup",
+    "q102_boilerplate",
+    "q103_incremental_index")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -61,7 +67,14 @@ object Bench {
     "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
-    "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50)
+    "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
+    // round-6 additions: per-query min of two matching sf0.1 runs at
+    // introduction (q99's 6.5 s is the replay harness — staging the
+    // band relation to parquet + 8 stateful micro-batches — not data
+    // volume)
+    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 6.19,
+    "q100_pq_ann" -> 3.72, "q101_incremental_neardup" -> 1.25,
+    "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
