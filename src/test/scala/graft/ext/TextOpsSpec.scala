@@ -121,4 +121,64 @@ class TextOpsSpec extends AnyFunSuite {
       got.foreach { case (id, g) => assert(g == expected(id), s"doc $id: got $g, want ${expected(id)}") }
     } finally out.unpersist()
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** In-memory 16-token chunking of the corpus, shared by the q102
+    * differential check (same scheme as the q98 test above).
+    */
+  private lazy val chunkedCorpus: Seq[(Long, Vector[String])] =
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect().toSeq
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").grouped(16).map(_.mkString(" ")).toVector)
+
+  test("boilerplate removal drops EVERY occurrence of a corpus-frequent chunk") {
+    val out = TextOps.q102Boilerplate.run(spark, sfDir).cache()
+    try {
+      // independent in-memory filter: total occurrence count per chunk,
+      // drop all occurrences of chunks at count >= 3, compare
+      // n_chunks/n_boiler/kept_md5 for EVERY doc
+      val freq: Map[String, Int] = chunkedCorpus.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val expected = chunkedCorpus.map { case (id, cs) =>
+        val kept = cs.filter(freq(_) < 3)
+        id -> ((cs.size.toLong, (cs.size - kept.size).toLong, md5hex(kept.mkString(" "))))
+      }.toMap
+      // non-vacuous: the policy must differ from q98's keep-first on this
+      // corpus — some chunk is dropped at its FIRST occurrence too
+      assert(expected.exists { case (_, (_, b, _)) => b > 0 },
+        "no boilerplate in corpus — differential test is vacuous")
+      val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boiler"), r.getAs[String]("kept_md5")))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (id, g) => assert(g == expected(id), s"doc $id: got $g, want ${expected(id)}") }
+    } finally out.unpersist()
+  }
+
+  test("incremental index merge equals the full-corpus index, with true origins") {
+    val out = TextOps.q103IncrementalIndex.run(spark, sfDir).cache()
+    try {
+      // independent full recompute from the in-memory shingle sets: the
+      // UNCAPPED per-term distinct doc set, band-filtered 2..8 — the
+      // engine's bounded-set merge must reproduce it exactly
+      // the engine's split threshold, over the FULL corpus (sets excludes
+      // <3-token docs, which still count toward max(doc_id))
+      val t = math.floor((chunkedCorpus.map(_._1).max + 1) * 0.8).toLong
+      val byTerm: Map[String, Seq[Long]] = sets
+        .flatMap { case (id, _, sh) => sh.map(_ -> id) }
+        .groupMap(_._1)(_._2).view.mapValues(_.distinct.sorted).toMap
+      val expected = byTerm.collect { case (sh, ids) if ids.size >= 2 && ids.size <= 8 =>
+        val (rest, delta) = ids.partition(_ < t)
+        val origin = if (delta.isEmpty) "rest" else if (rest.isEmpty) "delta" else "both"
+        sh -> ((ids.size.toLong, origin, ids.mkString(",")))
+      }
+      // the merge structure must actually be exercised: all three origins
+      assert(Set("rest", "delta", "both").subsetOf(expected.values.map(_._2).toSet),
+        "corpus split produced a degenerate origin mix — merge test is weak")
+      val got = out.collect().map(r => r.getAs[String]("sh") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("origin"), r.getAs[String]("postings")))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (sh, g) => assert(g == expected(sh), s"term '$sh': got $g, want ${expected(sh)}") }
+    } finally out.unpersist()
+  }
 }
