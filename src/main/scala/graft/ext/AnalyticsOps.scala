@@ -306,7 +306,75 @@ object AnalyticsOps {
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)
 
+  private val ZBits = 8
+
+  /** Morton (Z-order) interleave of two [[ZBits]]-bit non-negative
+    * integer expressions as ONE arithmetic string, generated for both
+    * dialects from the same skeleton (only the integer-division token
+    * differs: Spark `div`, DuckDB `//`; for non-negative operands the
+    * two are identical). Bit j of x lands at position 2j+1, bit j of y
+    * at 2j — pure div/mod/multiply, so the key is engine-portable,
+    * codegen-friendly, and needs no bitwise builtins.
+    */
+  private def zInterleave(x: String, y: String, intDiv: String): String =
+    (0 until ZBits).map { j =>
+      s"((($x) $intDiv ${1L << j}) % 2) * ${1L << (2 * j + 1)}" +
+        s" + ((($y) $intDiv ${1L << j}) % 2) * ${1L << (2 * j)}"
+    }.mkString(" + ")
+
+  /** q104: Z-order layout clustering — the write-side data-layout
+    * optimization that makes MULTI-dimensional predicate skipping work
+    * at 100 TB: sorting a table by a Morton key before writing means
+    * each parquet file covers a small RECTANGLE of the
+    * (customer, price) plane, so footer min/max stats prune scans for
+    * predicates on EITHER dimension (a plain sort clusters one
+    * dimension and shreds the other). The judged result is the
+    * per-cell skipping index itself: orders are normalized to a
+    * [[ZBits]]-bit grid (integer arithmetic off a broadcast 1-row
+    * min/max scalar — floor() not cast() on the double, Spark
+    * truncates where DuckDB rounds), z-keyed, and rolled up per
+    * top-6-bit bucket (an 8×8 grid cell) with the raw dimension
+    * extents that a scan planner would consult. The spec locks the
+    * rectangle property (both extents of every bucket normalize into
+    * one cell) — equality alone would pass even if bucketing were
+    * semantically scrambled.
+    *
+    * Scale: one map-side-combinable groupBy on a 64-value key + the
+    * scalar broadcast; at 100 TB the same z expression feeds
+    * `repartitionByRange(zkey)` + `sortWithinPartitions` ahead of the
+    * writer, and the rollup is the layout-audit query you run after.
+    */
+  val q104ZorderLayout: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("x"),
+        floor(col("o_totalprice")).cast("long").as("y"))
+      val b = o.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+        min(col("y")).as("mny"), max(col("y")).as("mxy"))
+      val grid = 1L << ZBits
+      o.crossJoin(broadcast(b))
+        .withColumn("xi", expr(s"((x - mnx) * $grid) div (mxx - mnx + 1)"))
+        .withColumn("yi", expr(s"((y - mny) * $grid) div (mxy - mny + 1)"))
+        .withColumn("bucket", expr(s"(${zInterleave("xi", "yi", "div")}) div ${1L << (2 * ZBits - 6)}"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+          min(col("y")).as("min_price"), max(col("y")).as("max_price"))
+        .orderBy(col("bucket"))
+    },
+    s"""WITH o AS (SELECT o_custkey AS x, cast(floor(o_totalprice) AS bigint) AS y FROM orders),
+       |b AS (SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy FROM o),
+       |n AS (SELECT x, y,
+       |        ((x - mnx) * ${1L << ZBits}) // (mxx - mnx + 1) AS xi,
+       |        ((y - mny) * ${1L << ZBits}) // (mxy - mny + 1) AS yi
+       |      FROM o CROSS JOIN b)
+       |SELECT (${zInterleave("xi", "yi", "//")}) // ${1L << (2 * ZBits - 6)} AS bucket,
+       |       cast(count(*) AS bigint) AS n_rows,
+       |       min(x) AS min_cust, max(x) AS max_cust,
+       |       min(y) AS min_price, max(y) AS max_price
+       |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q104_zorder_layout" -> q104ZorderLayout,
     "q75_shard_packing" -> q75ShardPacking,
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,

@@ -350,6 +350,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // recomputed per branch — 2-row exchanges, not data movement)
       "q98_chunk_dedup" -> 3, "q101_incremental_neardup" -> 8,
       "q102_boilerplate" -> 3, "q103_incremental_index" -> 4,
+      // q104 = scalar min/max agg + 64-key rollup + output sort
+      "q104_zorder_layout" -> 3,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

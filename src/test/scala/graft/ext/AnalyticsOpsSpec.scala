@@ -21,4 +21,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(dist.length == 10 && naive.length == 10)
     dist.zip(naive).foreach { case (d, n) => assert(d == n, s"decile mismatch: $d vs $n") }
   }
+
+  test("z-order buckets are rectangles: every bucket's extents share one grid cell") {
+    // The data-skipping claim behind q104: a bucket (top-3-bits of each
+    // interleaved dimension) must cover ONE 8×8 grid cell, so its
+    // min/max extents — what a scan planner reads — bound both
+    // dimensions tightly. Oracle equality alone wouldn't catch a
+    // semantically scrambled bucketing (both engines would scramble
+    // identically), so the property is locked here from first
+    // principles, recomputing the normalization off the raw table.
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val out = AnalyticsOps.q104ZorderLayout.run(spark, sfDir).collect()
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("x"), floor(col("o_totalprice")).cast("long").as("y"))
+    val Array(mnx, mxx, mny, mxy) =
+      o.agg(min("x"), max("x"), min("y"), max("y")).head.toSeq.map(_.asInstanceOf[Long]).toArray
+    def cell(v: Long, mn: Long, mx: Long): Long = ((v - mn) * 256) / (mx - mn + 1) / 32
+    assert(out.length > 1, "single bucket — rectangle test is vacuous")
+    out.foreach { r =>
+      val (bucket, minC, maxC) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_cust"), r.getAs[Long]("max_cust"))
+      val (minP, maxP) = (r.getAs[Long]("min_price"), r.getAs[Long]("max_price"))
+      assert(cell(minC, mnx, mxx) == cell(maxC, mnx, mxx),
+        s"bucket $bucket spans x-cells ${cell(minC, mnx, mxx)}..${cell(maxC, mnx, mxx)}")
+      assert(cell(minP, mny, mxy) == cell(maxP, mny, mxy),
+        s"bucket $bucket spans y-cells ${cell(minP, mny, mxy)}..${cell(maxP, mny, mxy)}")
+      // and the bucket id IS the interleave of its cell coordinates'
+      // top bits: 3 x-bits at odd positions, 3 y-bits at even
+      val (cx, cy) = (cell(minC, mnx, mxx), cell(minP, mny, mxy))
+      val expected = (0 until 3).map(j => ((cx >> j) & 1) << (2 * j + 1) | ((cy >> j) & 1) << (2 * j)).sum
+      assert(bucket == expected, s"bucket $bucket != interleave($cx,$cy)=$expected")
+    }
+  }
 }
