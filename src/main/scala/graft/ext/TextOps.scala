@@ -1359,7 +1359,60 @@ object TextOps {
          |GROUP BY ds.sh, g.df, g.df_d, g.df_r
          |ORDER BY sh""".stripMargin)
 
+  /** q105: shard novelty scoring — for each document of an incoming
+    * shard (doc_id ≥ t, the q101 80% split), the fraction of its
+    * distinct trigrams never seen in the at-rest corpus. The third leg
+    * of the incremental-ingestion family: q101 answers "is this doc a
+    * near-dup", q103 maintains the searchable index, q105 scores how
+    * much NEW material a shard actually contributes — the curation
+    * signal for weighting (or rejecting) a crawl source whose shards
+    * stop adding information. Novelty 0 means every trigram is already
+    * in the corpus (a q101 'new' verdict can still carry nothing new —
+    * LSH admission and n-gram novelty measure different things).
+    *
+    * Scale: the at-rest trigram set is built by a map-side-combinable
+    * distinct keyed on the trigram, and the probe is a trigram-keyed
+    * left join against the DELTA's (doc, trigram) pairs — both sides
+    * arrive hash-partitioned on the same key from their own distincts,
+    * so the join adds no exchange (AQE reuses the partitioning). The
+    * per-doc rollup is delta-sized. The exact join is the judged path;
+    * at 100 TB a Bloom filter over the at-rest set (the q67 machinery)
+    * can pre-drop definitely-novel probes to cut the join's build side,
+    * trading nothing — false positives only send a probe to the exact
+    * join, never flip a verdict. The novelty ratio is one IEEE divide
+    * of exact integer counts — bit-identical in both engines.
+    */
+  val q105ShardNovelty: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("t"))
+      val sh = shingles(docs).crossJoin(broadcast(thr))
+      val rest = sh.filter(col("doc_id") < col("t"))
+        .select(col("sh")).distinct().withColumn("seen", lit(1L))
+      sh.filter(col("doc_id") >= col("t"))
+        .select(col("doc_id"), col("sh")).distinct()
+        .join(rest, Seq("sh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          (count(lit(1)) - count(col("seen"))).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    shSql +
+      """
+        |, thr AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) AS bigint) AS t FROM documents),
+        |rest AS (SELECT DISTINCT sh FROM shx CROSS JOIN thr WHERE doc_id < t),
+        |inc AS (SELECT DISTINCT doc_id, sh FROM shx CROSS JOIN thr WHERE doc_id >= t)
+        |SELECT i.doc_id AS doc_id,
+        |       cast(count(*) AS bigint) AS n_shingles,
+        |       cast(count(*) - count(r.sh) AS bigint) AS n_novel,
+        |       cast(count(*) - count(r.sh) AS double) / cast(count(*) AS double) AS novelty
+        |FROM inc i LEFT JOIN rest r ON i.sh = r.sh
+        |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q105_shard_novelty" -> q105ShardNovelty,
     "q102_boilerplate" -> q102Boilerplate,
     "q103_incremental_index" -> q103IncrementalIndex,
     "q98_chunk_dedup" -> q98ChunkDedup,

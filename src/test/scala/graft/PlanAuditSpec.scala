@@ -352,6 +352,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q102_boilerplate" -> 3, "q103_incremental_index" -> 4,
       // q104 = scalar min/max agg + 64-key rollup + output sort
       "q104_zorder_layout" -> 3,
+      // q105 = 2 scalar threshold aggs + rest/delta distincts + doc
+      // rollup + output sort; the probe join itself adds none (broadcast
+      // at test scale, co-partitioned SMJ at cluster scale)
+      "q105_shard_novelty" -> 6,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

@@ -181,4 +181,23 @@ class TextOpsSpec extends AnyFunSuite {
       got.foreach { case (sh, g) => assert(g == expected(sh), s"term '$sh': got $g, want ${expected(sh)}") }
     } finally out.unpersist()
   }
+
+  test("shard novelty matches the in-memory set difference, bit-exact ratios included") {
+    val out = TextOps.q105ShardNovelty.run(spark, sfDir).cache()
+    try {
+      val t = math.floor((chunkedCorpus.map(_._1).max + 1) * 0.8).toLong
+      val restSet: Set[String] = sets.collect { case (id, _, sh) if id < t => sh }.flatten.toSet
+      val expected = sets.collect { case (id, _, sh) if id >= t =>
+        val novel = (sh -- restSet).size.toLong
+        id -> ((sh.size.toLong, novel, novel.toDouble / sh.size.toDouble))
+      }.toMap
+      // non-degenerate: the split must produce both seen and novel trigrams
+      assert(expected.values.exists(_._2 > 0) && expected.values.exists(v => v._2 < v._1),
+        "novelty is all-or-nothing on this corpus — test is weak")
+      val got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (id, g) => assert(g == expected(id), s"doc $id: got $g, want ${expected(id)}") }
+    } finally out.unpersist()
+  }
 }
