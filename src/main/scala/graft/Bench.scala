@@ -45,7 +45,9 @@ object Bench {
     "q100_pq_ann",
     "q101_incremental_neardup",
     "q102_boilerplate",
-    "q103_incremental_index")
+    "q103_incremental_index",
+    "q104_zorder_layout",
+    "q105_shard_novelty")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -74,7 +76,8 @@ object Bench {
     // volume)
     "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 6.19,
     "q100_pq_ann" -> 3.72, "q101_incremental_neardup" -> 1.25,
-    "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15)
+    "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
+    "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
