@@ -373,7 +373,95 @@ object AnalyticsOps {
        |       min(y) AS min_price, max(y) AS max_price
        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin)
 
+  /** q106: vocabulary coverage curve — for each coverage target
+    * (50/75/90/99% of all token occurrences), the minimum vocabulary
+    * size when tokens are admitted by descending corpus frequency, plus
+    * the exact occurrences covered and the boundary token admitted
+    * last. The tokenizer-design query: it answers "how large must a
+    * frequency-built vocabulary be before OOV drops below x%" (q82
+    * measures OOV for one fixed vocab size; this is the whole curve).
+    *
+    * Scale: token counts are a map-side-combinable groupBy (output is
+    * VOCAB-sized, not corpus-sized). The cumulative curve needs a
+    * global order over that vocabulary by (count desc, token) — at
+    * 100 TB the vocabulary is still tens of millions of rows, so this
+    * is the q75/q62b distributed prefix-sum shape, NOT a global
+    * window: range-repartition on the sort key, per-partition running
+    * totals and local ranks from one `mapPartitions` sweep (iteration
+    * order fixed by the explicit sortWithinPartitions), then a
+    * broadcast of ≤ nPart per-slice offsets makes both the global
+    * rank and the global running total exact. Threshold selection is
+    * integer arithmetic (`cum·100 ≥ pct·total` — no float
+    * comparisons anywhere), a 4-row broadcast cross join, and a
+    * map-side-combined min. The ranked vocabulary is pinned once
+    * ([[graft.core.Checkpoints]], the q91 machinery) because four
+    * consumers read it — slice offsets, the total, threshold
+    * selection, the boundary lookup — and each would otherwise re-run
+    * the corpus-sized token count from scratch.
+    */
+  val q106VocabCoverage: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val cnt = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // pin the ranked vocabulary once: FOUR consumers below (slice
+      // offsets, total, threshold selection, boundary lookup) would
+      // otherwise each re-run the corpus-sized token explode + count
+      val local = graft.core.Checkpoints.pin(cnt
+        .repartitionByRange(nPart, col("c").desc, col("w"))
+        .sortWithinPartitions(col("c").desc, col("w"))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var run = 0L
+          var rn = 0L
+          it.map { case (w, c) =>
+            val prior = run; run += c; rn += 1; (w, c, pid, prior, rn)
+          }
+        }
+        .toDF("w", "c", "pid", "lprior", "lrn"))
+      val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsBase = local.groupBy(col("pid"))
+        .agg(sum(col("c")).as("scnt"), count(lit(1)).as("srows"))
+      val offs = offsBase
+        .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+        .withColumn("roff", coalesce(sum(col("srows")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"), col("roff"))
+      val total = offsBase.agg(sum(col("scnt")).as("n"))
+      val ranks = local.join(broadcast(offs), "pid")
+        .select(col("w"), col("c"),
+          (col("lprior") + col("off") + col("c")).as("cum"),
+          (col("roff") + col("lrn")).as("rank"))
+      val thrs = Seq(50, 75, 90, 99).toDF("coverage_pct")
+      val sel = ranks.crossJoin(broadcast(total)).crossJoin(broadcast(thrs))
+        .filter(col("cum") * 100 >= col("coverage_pct") * col("n"))
+        .groupBy(col("coverage_pct")).agg(min(col("rank")).as("vocab_size"))
+      ranks.join(broadcast(sel), col("rank") === col("vocab_size"))
+        .select(col("coverage_pct"), col("vocab_size"),
+          col("cum").as("covered_occurrences"), col("w").as("boundary_token"))
+        .orderBy(col("coverage_pct"))
+    },
+    """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+      |tot AS (SELECT cast(sum(c) AS bigint) AS n FROM cnt),
+      |r AS (SELECT w, c,
+      |        cast(row_number() OVER (ORDER BY c DESC, w) AS bigint) AS rnk,
+      |        cast(sum(c) OVER (ORDER BY c DESC, w
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum
+      |      FROM cnt),
+      |thr AS (SELECT unnest([50, 75, 90, 99]) AS coverage_pct),
+      |sel AS (SELECT coverage_pct, min(rnk) AS vocab_size
+      |        FROM r CROSS JOIN tot CROSS JOIN thr
+      |        WHERE cum * 100 >= coverage_pct * n GROUP BY coverage_pct)
+      |SELECT s.coverage_pct AS coverage_pct, s.vocab_size AS vocab_size,
+      |       r.cum AS covered_occurrences, r.w AS boundary_token
+      |FROM sel s JOIN r ON r.rnk = s.vocab_size
+      |ORDER BY coverage_pct""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q106_vocab_coverage" -> q106VocabCoverage,
     "q104_zorder_layout" -> q104ZorderLayout,
     "q75_shard_packing" -> q75ShardPacking,
     "q55_grouping_sets" -> q55GroupingSets,

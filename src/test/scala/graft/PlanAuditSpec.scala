@@ -356,6 +356,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // rollup + output sort; the probe join itself adds none (broadcast
       // at test scale, co-partitioned SMJ at cluster scale)
       "q105_shard_novelty" -> 6,
+      // q106 = token count + the pinned range shuffle, then only
+      // vocab-sized/nPart-sized exchanges (offsets, windows, selection,
+      // output sort) — the corpus-sized count runs exactly once
+      "q106_vocab_coverage" -> 8,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

@@ -53,4 +53,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(bucket == expected, s"bucket $bucket != interleave($cx,$cy)=$expected")
     }
   }
+
+  test("vocab coverage curve matches the in-memory frequency walk") {
+    // The distributed prefix-sum (range slices + offsets) must equal a
+    // single-threaded walk down the frequency-sorted vocabulary.
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val out = AnalyticsOps.q106VocabCoverage.run(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("coverage_pct") ->
+        ((r.getAs[Long]("vocab_size"), r.getAs[Long]("covered_occurrences"), r.getAs[String]("boundary_token"))))
+      .toMap
+    val counts = Tables.documents(spark, sfDir).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val totalOcc = counts.map(_._2).sum
+    val expected = Seq(50, 75, 90, 99).map { pct =>
+      var cum = 0L; var rank = 0L; var boundary = ""
+      val it = counts.iterator
+      while (cum * 100 < pct * totalOcc && it.hasNext) {
+        val (w, c) = it.next(); cum += c; rank += 1; boundary = w
+      }
+      pct -> ((rank, cum, boundary))
+    }.toMap
+    // non-trivial curve: the 99% vocab must be strictly larger than the 50% one
+    assert(expected(99)._1 > expected(50)._1, "degenerate frequency distribution")
+    assert(out == expected, s"got $out, want $expected")
+  }
 }
