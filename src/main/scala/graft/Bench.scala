@@ -47,7 +47,8 @@ object Bench {
     "q102_boilerplate",
     "q103_incremental_index",
     "q104_zorder_layout",
-    "q105_shard_novelty")
+    "q105_shard_novelty",
+    "q106_vocab_coverage")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -77,7 +78,8 @@ object Bench {
     "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 6.19,
     "q100_pq_ann" -> 3.72, "q101_incremental_neardup" -> 1.25,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
-    "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54)
+    "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
+    "q106_vocab_coverage" -> 0.42)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
