@@ -651,7 +651,62 @@ object VectorOps {
          |FROM ja GROUP BY q_id ORDER BY q_id""".stripMargin
     })
 
+  /** q107: embedding outlier audit — the top-5 vectors farthest (squared
+    * L2) from their own label's centroid, per label: the curation pass
+    * that surfaces mislabeled or noise documents before training (a
+    * vector far from every same-label neighbor is the thing a
+    * class-conditioned sampler silently amplifies). All arithmetic is
+    * the q64 exactness contract: vectors bigint-quantized at 2^20, the
+    * centroid mean computed per dimension in PURE integer arithmetic
+    * (subtract the mathematical mod, then exact division — no double
+    * round-trip), and the judged distance is the exact integer L2 fold,
+    * so the ranking is bit-identical in both engines (the aggregator's
+    * double sort key is exact too: distances stay far below 2^53).
+    *
+    * Scale: the centroid pass is a map-side-combined (label, dim)
+    * aggregate — shuffle rows = labels × dims, never corpus-sized; the
+    * label-count centroid table broadcasts; and per-label top-5 goes
+    * through the bounded [[graft.functions.TopKCarry]] aggregator, NOT
+    * a label-partitioned window — with a handful of labels over a
+    * 100 TB corpus a per-label window is a textbook hot reducer, while
+    * the aggregator's partials are 5-row buffers merged map-side.
+    */
+  val q107EmbeddingOutliers: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), quantize("embedding").as("qv"))
+      val cents = emb
+        .select(col("label"), posexplode(col("qv")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
+        .withColumn("mv", expr("(sv - (((sv % nv) + nv) % nv)) div nv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cqv"))
+      val topk = udaf(new graft.functions.TopKCarry(5))
+      emb.join(broadcast(cents), Seq("label"))
+        .withColumn("dist", l2q("qv", "cqv"))
+        .groupBy(col("label"))
+        .agg(topk(col("dist").cast("double"), col("vec_id"), col("dist")).as("top"))
+        .select(col("label"), posexplode(col("top")))
+        .select(col("label"), (col("pos") + 1).cast("integer").as("rank"),
+          col("col._2").as("vec_id"), col("col._3").as("dist"))
+        .orderBy(col("label"), col("rank"))
+    },
+    s"""WITH emb AS (SELECT vec_id, label, ${duckQuantize("embedding")} AS qv FROM embeddings),
+       |dims AS (SELECT unnest(range(1, len((SELECT embedding FROM embeddings LIMIT 1)) + 1)) AS dim),
+       |u AS (SELECT label, dim, cast((sv - (((sv % nv) + nv) % nv)) // nv AS bigint) AS mv
+       |      FROM (SELECT label, dim, cast(sum(qv[dim]) AS bigint) AS sv,
+       |              cast(count(*) AS bigint) AS nv
+       |            FROM emb CROSS JOIN dims GROUP BY 1, 2)),
+       |c AS (SELECT label, list(mv ORDER BY dim) AS cqv FROM u GROUP BY 1),
+       |d AS (SELECT e.label, e.vec_id, ${duckL2q("e.qv", "c.cqv")} AS dist
+       |      FROM emb e JOIN c ON e.label = c.label)
+       |SELECT label, cast(rn AS integer) AS rank, vec_id, dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn FROM d)
+       |WHERE rn <= 5 ORDER BY label, rank""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q107_embedding_outliers" -> q107EmbeddingOutliers,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q25_embedding_neardup" -> q25EmbeddingNearDup,

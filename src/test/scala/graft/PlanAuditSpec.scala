@@ -360,6 +360,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // vocab-sized/nPart-sized exchanges (offsets, windows, selection,
       // output sort) — the corpus-sized count runs exactly once
       "q106_vocab_coverage" -> 8,
+      // q107 = (label,dim) centroid agg + per-label collect + bounded
+      // top-5 agg + output sort; the corpus side joins broadcast
+      "q107_embedding_outliers" -> 4,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

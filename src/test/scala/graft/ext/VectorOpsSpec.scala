@@ -125,4 +125,33 @@ class VectorOpsSpec extends AnyFunSuite {
     val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
     assert(mean > 0.1, s"mean PQ recall $mean — quantizer carries no signal")
   }
+
+  test("embedding outliers match an in-memory integer-centroid recompute") {
+    // Differential check of q107's whole integer contract: quantize at
+    // 2^20, floor-division centroid per label, exact integer L2, top-5
+    // by (dist desc, vec_id) — recomputed single-threaded from raw rows.
+    val out = VectorOps.q107EmbeddingOutliers.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Long]("dist")))).toMap
+    val raw = graft.tables.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map { x =>
+        // SQL round() is HALF_UP (away from zero); math.round is not
+        val v = x.toDouble * 1048576.0
+        (math.signum(v) * math.floor(math.abs(v) + 0.5)).toLong
+      }.toArray))
+    def floorDiv(a: Long, b: Long): Long = (a - (((a % b) + b) % b)) / b
+    val expected = raw.groupBy(_._2).flatMap { case (label, vs) =>
+      val dims = vs.head._3.length
+      val cent = Array.tabulate(dims)(d => floorDiv(vs.map(_._3(d)).sum, vs.length.toLong))
+      vs.map { case (id, _, q) =>
+        val dist = q.zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum
+        (label, id, dist)
+      }.sortBy { case (_, id, dist) => (-dist, id) }.take(5).zipWithIndex
+        .map { case ((l, id, dist), i) => (l, i + 1) -> ((id, dist)) }.toSeq
+    }.toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, g) => assert(g == expected(k), s"$k: got $g, want ${expected(k)}") }
+  }
 }
