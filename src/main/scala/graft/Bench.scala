@@ -48,7 +48,8 @@ object Bench {
     "q103_incremental_index",
     "q104_zorder_layout",
     "q105_shard_novelty",
-    "q106_vocab_coverage")
+    "q106_vocab_coverage",
+    "q107_embedding_outliers")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -79,7 +80,7 @@ object Bench {
     "q100_pq_ann" -> 3.72, "q101_incremental_neardup" -> 1.25,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42)
+    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.64)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
