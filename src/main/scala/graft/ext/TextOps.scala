@@ -1118,15 +1118,21 @@ object TextOps {
     *    with a smaller-id doc in the SAME shard;
     *  - `new`: neither (docs too short to shingle are trivially new).
     *
-    * Scale shape (the q71 decontamination asymmetry): the shard is
-    * small and the corpus is not, so the shard's band rows BROADCAST
-    * and the corpus-side band index streams against them — the
-    * accumulated corpus never shuffles, and at 100 TB the existing
-    * index lives bucketed by (band, bucket) at rest so the probe is a
-    * local lookup. Within-batch dedup is a window over the shard's own
-    * band rows (shard-sized). The 80% threshold derives from
-    * max(doc_id) via a broadcast single-row aggregate, so one query
-    * text serves every scale.
+    * Scale shape (the q71 decontamination asymmetry): the probe-side
+    * strategy is ADAPTIVE, not hinted. A real daily shard is tiny
+    * relative to the corpus and AQE (or static size estimation) will
+    * broadcast its band rows so the accumulated corpus never shuffles;
+    * but the shard is corpus-proportional BY CONSTRUCTION here (20% of
+    * doc_ids), so forcing that broadcast would be a driver OOM at
+    * 100 TB — the planner must be free to fall back to a
+    * (band, bucket)-keyed shuffle join when the delta is large. At
+    * rest the corpus index lives bucketed by (band, bucket), so the
+    * large-delta join is co-located, not a full re-shuffle.
+    * Within-batch dedup is a window over the shard's own band rows
+    * (shard-sized keys). The only `broadcast` hints left are the
+    * 80%-threshold scalar aggregate (exactly 1 row at any scale) —
+    * `PlanAuditSpec` lints that no shard-derived frame is ever
+    * broadcast-hinted again.
     */
   val q101IncrementalNearDup: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -1136,8 +1142,8 @@ object TextOps {
       val incB = bands.filter(col("doc_id") >= col("t"))
         .select(col("doc_id"), col("band_id"), col("bucket"))
       val dupOfCorpus = bands.filter(col("doc_id") < col("t"))
-        .join(broadcast(incB.select(col("band_id").as("bi"), col("bucket").as("bu"),
-          col("doc_id").as("inc_id"))),
+        .join(incB.select(col("band_id").as("bi"), col("bucket").as("bu"),
+          col("doc_id").as("inc_id")),
           col("band_id") === col("bi") && col("bucket") === col("bu"))
         .select(col("inc_id").as("doc_id")).distinct()
       val wb = org.apache.spark.sql.expressions.Window
@@ -1145,8 +1151,8 @@ object TextOps {
       val dupInBatch = incB.withColumn("rn", row_number().over(wb))
         .filter(col("rn") > 1).select(col("doc_id")).distinct()
       docs.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("t"))
-        .join(broadcast(dupOfCorpus.withColumn("dc", lit(1))), Seq("doc_id"), "left_outer")
-        .join(broadcast(dupInBatch.withColumn("db", lit(1))), Seq("doc_id"), "left_outer")
+        .join(dupOfCorpus.withColumn("dc", lit(1)), Seq("doc_id"), "left_outer")
+        .join(dupInBatch.withColumn("db", lit(1)), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("source"),
           when(col("dc").isNotNull, "dup_of_corpus")
             .when(col("db").isNotNull, "dup_in_batch")

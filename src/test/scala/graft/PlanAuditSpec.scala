@@ -251,6 +251,37 @@ class PlanAuditSpec extends AnyFunSuite {
       "q78's top-10 owners is not a bounded TakeOrderedAndProject")
   }
 
+  test("q101 never broadcast-hints a shard-derived (corpus-proportional) frame") {
+    // The incoming shard is DEFINED as 20% of doc_ids — corpus-
+    // proportional, not fixed-size — so a forced broadcast of its band
+    // rows (or of the dup sets derived from them) is a driver OOM at
+    // 100 TB. The join strategy for those frames must be left to the
+    // planner (AQE / size estimation picks broadcast only when the
+    // delta actually fits). The ONLY broadcast hints allowed are the
+    // split-threshold scalar aggregates: groupingExpressions.isEmpty ⇒
+    // exactly one row at any scale. Checked on the optimized logical
+    // plan, where EliminateResolvedHint has attached every surviving
+    // hint to its Join node — a hint anywhere else cannot hide.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    def scalarAgg(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case u if u.children.size == 1 => scalarAgg(u.children.head)
+      case _ => false
+    }
+    val lp = SparkEntry.queries("q101_incremental_neardup")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    lp.foreach {
+      case j: Join =>
+        def broadcastHinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+          h.exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+        if (broadcastHinted(j.hint.leftHint))
+          assert(scalarAgg(j.left), "broadcast hint on a non-scalar left side in q101")
+        if (broadcastHinted(j.hint.rightHint))
+          assert(scalarAgg(j.right), "broadcast hint on a non-scalar right side in q101")
+      case _ => ()
+    }
+  }
+
   test("prefix/rank queries hash-shuffle only aggregated data (range sort is the one full pass)") {
     // The slice id comes from monotonically_increasing_id arithmetic,
     // NOT Window.partitionBy(pid): the window form forces a SECOND
