@@ -1,28 +1,33 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
-  * typed metadata, plus decode / feature-extraction / resize /
+  * typed metadata, plus REAL decode / feature-extraction / resize /
   * frame-sampling plumbing.
   *
-  * ── STUB BOUNDARY ────────────────────────────────────────────────────
-  * This container ships no image/audio codecs, so the *decoders* below
-  * are deterministic fakes over raw bytes (clearly marked). Everything
-  * around them is the real production plumbing: schemas, partitioning,
-  * batch shapes, explode semantics. In production the fake bodies are
-  * replaced by a vectorized decode (Arrow batches → native codec via
-  * `mapInArrow`, or a JNI codec inside `mapPartitions`) with identical
-  * signatures — callers do not change.
+  * ── CODEC BOUNDARY ───────────────────────────────────────────────────
+  * Image decode/encode is REAL: `javax.imageio` (ships in the JDK, no
+  * external dependency) reads and writes PNG/BMP/GIF. Codecs are
+  * imperative byte-level work no Catalyst expression can express, so
+  * they live behind the repo's sanctioned `mapPartitions` last-resort
+  * boundary ([[JdkCodec]] + [[imageAudit]]): payloads are decoded
+  * executor-side, per partition, and only narrow integer statistics
+  * ever leave the scan partition. The generic column helper
+  * ([[withDecodedMeta]]) wraps the same codec as a per-row UDF for
+  * payloads of unknown provenance — a payload no installed reader
+  * claims (e.g. q65's raw text blobs) keeps NULL dims/format while
+  * `n_bytes` still comes from the bytes themselves.
   * ─────────────────────────────────────────────────────────────────────
   *
   * Scale notes: payloads stay opaque end-to-end (no driver materialize);
-  * per-record work is embarrassingly parallel, so the only knobs that
-  * matter are input-split size (`maxPartitionBytes` for many small blobs)
-  * and avoiding wide rows in shuffles — features are extracted *before*
-  * any join/groupBy so shuffles move small vectors, never payloads.
+  * per-record codec work is embarrassingly parallel, so the only knobs
+  * that matter are input-split size (`maxPartitionBytes` /
+  * `openCostInBytes` for many small blobs) and avoiding wide rows in
+  * shuffles — statistics/features are extracted *before* any
+  * join/groupBy so shuffles move small vectors, never payloads.
   */
 object Multimodal {
 
@@ -56,26 +61,19 @@ object Multimodal {
         length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta")) ++
       riders.map(col): _*)
 
-  /** Stages the documents corpus as one REAL binary file per document
-    * (`src=<source>/<doc_id>.bin`, UTF-8 payload bytes) so the judged
-    * multimodal path exercises `spark.read.format("binaryFile")` —
-    * S3-style object ingestion with hive-partitioned layout, split
-    * packing (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`
-    * bound how many small blobs share an input split), and
-    * opaque-payload discipline — end-to-end, not a parquet stand-in.
-    *
-    * The write is distributed (`foreachPartition`, executor-side file
-    * IO): in-sandbox that lands on the shared local tmp FS, standing in
-    * for the object store a real cluster would target; the driver never
-    * materializes a payload. Staged once per (scale, process) under the
-    * [[graft.core.Staging]] contract; the `_STAGED` marker makes
-    * repeated runs within one process free. Judged queries run
-    * single-threaded per process (Staging's documented contract), so the
-    * synchronized block only guards re-entry, not cross-process races —
-    * the pid in the staging key handles those.
+  /** Stages a per-document blob corpus once per (scale, process) under
+    * the [[graft.core.Staging]] contract, with hive-style `src=<source>`
+    * partition dirs. The write is distributed (`foreachPartition`,
+    * executor-side file IO); the driver never materializes a payload.
+    * The `_STAGED` marker makes repeated runs within one process free.
+    * Judged queries run single-threaded per process (Staging's
+    * documented contract), so the synchronized block only guards
+    * re-entry, not cross-process races — the pid in the staging key
+    * handles those.
     */
-  def stagedMediaDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val stage = graft.core.Staging.dir("graft_q65_media", dir)
+  private def stageBlobsOnce(s: SparkSession, dir: String, stageKey: String, ext: String)(
+      payloadOf: (Long, String) => Array[Byte]): String = {
+    val stage = graft.core.Staging.dir(stageKey, dir)
     this.synchronized {
       val marker = java.nio.file.Paths.get(stage, "_STAGED")
       if (!java.nio.file.Files.exists(marker)) {
@@ -93,9 +91,10 @@ object Multimodal {
             rows.foreach { r =>
               val d = java.nio.file.Paths.get(stagePath, s"src=${r.getAs[String]("source")}")
               java.nio.file.Files.createDirectories(d)
-              val bytes = Option(r.getAs[String]("text")).getOrElse("")
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              java.nio.file.Files.write(d.resolve(s"${r.getAs[Long]("doc_id")}.bin"), bytes): Unit
+              val bytes = payloadOf(r.getAs[Long]("doc_id"),
+                Option(r.getAs[String]("text")).getOrElse(""))
+              java.nio.file.Files.write(
+                d.resolve(s"${r.getAs[Long]("doc_id")}.$ext"), bytes): Unit
             }
           }
         java.nio.file.Files.createFile(marker): Unit
@@ -104,6 +103,28 @@ object Multimodal {
     stage
   }
 
+  /** Stages the documents corpus as one REAL binary file per document
+    * (`src=<source>/<doc_id>.bin`, UTF-8 payload bytes) so the judged
+    * multimodal path exercises `spark.read.format("binaryFile")` —
+    * S3-style object ingestion with hive-partitioned layout, split
+    * packing (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`
+    * bound how many small blobs share an input split), and
+    * opaque-payload discipline — end-to-end, not a parquet stand-in.
+    */
+  def stagedMediaDir(s: SparkSession, dir: String): String =
+    stageBlobsOnce(s, dir, "graft_q65_media", "bin")((_, text) =>
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Stages one REAL PNG per document (`src=<source>/<doc_id>.png`),
+    * encoded executor-side by `javax.imageio`. Pixel content is a pure
+    * integer function of `doc_id` ([[ImageGen]]) shared verbatim with
+    * the DuckDB oracle — but the judged q108 path never sees that
+    * function: it sees only bytes, and must recover every number
+    * through a real codec round-trip.
+    */
+  def stagedImageDir(s: SparkSession, dir: String): String =
+    stageBlobsOnce(s, dir, "graft_q108_png", "png")((docId, _) => ImageGen.png(docId))
+
   /** The real ingestion path: `binaryFile` scan over the staged object
     * layout. Partition discovery recovers `src` from the hive-style
     * directory (pruning works: a `WHERE source = ...` never opens other
@@ -111,7 +132,7 @@ object Multimodal {
     * stays an opaque [[BinaryType]] payload; `length` feeds `n_bytes`
     * without touching the bytes.
     */
-  def mediaFromBinaryFiles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def mediaFromBinaryFiles(s: SparkSession, dir: String): DataFrame = {
     val staged = stagedMediaDir(s, dir)
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
@@ -128,31 +149,44 @@ object Multimodal {
         col("src").cast(StringType).as("source"))
   }
 
-  /** STUB decode: deterministic fake "header parse" — derives
-    * width/height/format from byte statistics instead of a real codec.
+  /** `binaryFile` scan over the staged PNG corpus: (media_id, payload,
+    * source). Same object-store semantics as [[mediaFromBinaryFiles]].
     */
-  private val decodeStub = udf { (payload: Array[Byte]) =>
-    if (payload == null) null
-    else {
-      val n = payload.length
-      // fake dimensions: stable function of content length + first bytes
-      val w = 16 + (math.abs(payload.headOption.getOrElse(0: Byte).toInt) % 16) * 16
-      val h = 16 + (math.abs(if (n > 1) payload(1).toInt else 0) % 16) * 16
-      val fmt = if (n % 2 == 0) "png" else "jpeg"
-      (w, h, fmt, n.toLong)
+  def imagesFromBinaryFiles(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedImageDir(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(staged)
+      .select(
+        regexp_extract(col("path"), "/(\\d+)\\.png$", 1).cast(LongType).as("media_id"),
+        col("content").as("payload"),
+        col("src").cast(StringType).as("source"))
+  }
+
+  /** Real JDK decode of typed metadata. Header-only probe — the reader
+    * reports (width, height, format) without decoding pixel data, the
+    * cheap path when only dims gate downstream work. Undecodable
+    * payloads keep NULL dims/format; `n_bytes` is always real.
+    */
+  private val decodeMetaUdf = udf { (payload: Array[Byte]) =>
+    Option(payload).map { p =>
+      val probed = JdkCodec.probe(p)
+      (probed.map(_._1), probed.map(_._2), probed.map(_._3), p.length.toLong)
     }
-  }.withName("decode_image_meta_stub")
+  }.withName("decode_image_meta")
 
   def withDecodedMeta(media: DataFrame): DataFrame =
     media.withColumn("meta",
-      decodeStub(col("payload")).cast(metaType))
+      decodeMetaUdf(col("payload")).cast(metaType))
 
-  /** STUB feature extraction: 16-bin byte histogram, L1-normalized —
-    * deterministic, shaped exactly like a real embedding column
-    * (`array<float>`), so downstream similarity operators (VectorOps)
-    * compose unchanged.
+  /** Payload-level feature: 16-bin byte histogram, L1-normalized. This is
+    * a REAL content feature (not a decode): it operates on the bytes of
+    * any modality, which is exactly what opaque-payload near-dup
+    * screening wants, and it is shaped like an embedding column
+    * (`array<float>`) so the similarity operators (VectorOps) compose
+    * unchanged.
     */
-  private val featureStub = udf { (payload: Array[Byte]) =>
+  private val byteHistogramUdf = udf { (payload: Array[Byte]) =>
     if (payload == null) null
     else {
       val bins = new Array[Float](16)
@@ -160,22 +194,55 @@ object Multimodal {
       val total = math.max(1f, payload.length.toFloat)
       bins.map(_ / total)
     }
-  }.withName("byte_histogram_stub")
+  }.withName("byte_histogram")
 
   def withFeatures(media: DataFrame): DataFrame =
-    media.withColumn("features", featureStub(col("payload")))
+    media.withColumn("features", byteHistogramUdf(col("payload")))
 
-  /** STUB resize: truncate/pad payload to `targetBytes` (a real resize
-    * re-encodes; the *shape* — payload in, payload out, meta updated — is
-    * the contract).
+  /** One decoded image + its resized round-trip, all recovered from
+    * bytes through the real codec — the narrow row shape that crosses
+    * the first (and only) shuffle in q108.
     */
-  def resized(media: DataFrame, targetBytes: Int): DataFrame =
-    media
-      .withColumn("payload",
-        substring(col("payload"), 1, targetBytes))
-      .withColumn("meta", struct(
-        col("meta.width"), col("meta.height"), col("meta.format"),
-        least(col("meta.n_bytes"), lit(targetBytes.toLong)).as("n_bytes")))
+  final case class ImageAudit(
+      media_id: Long, source: String,
+      width: Int, height: Int, format: String,
+      r_sum: Long, g_sum: Long, b_sum: Long,
+      half_width: Int, half_height: Int,
+      half_r_sum: Long, half_g_sum: Long, half_b_sum: Long)
+
+  /** The codec boundary: per-partition REAL `javax.imageio` work —
+    * decode the PNG payload, sum RGB channels exactly (integers), then
+    * nearest-neighbor downsample by 2, RE-ENCODE to PNG, RE-DECODE the
+    * produced bytes, and sum channels again. The resized numbers are
+    * deliberately taken from the re-decoded bytes, not the in-memory
+    * raster, so the judged row certifies the full decode → transform →
+    * encode → decode loop (PNG is lossless, so exact integer parity
+    * with the oracle's arithmetic is required, not hoped for).
+    *
+    * Scale: `mapPartitions` (documented last-resort case — a codec) on
+    * the scan partition itself; one reader per image, no shared state,
+    * no shuffle sees a payload. Output rows are 13 scalars.
+    */
+  def imageAudit(s: SparkSession, media: DataFrame): Dataset[ImageAudit] = {
+    import s.implicits._
+    media.select(col("media_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, payload) =>
+          val fmt = JdkCodec.probe(payload).map(_._3).orNull
+          val img = JdkCodec.decode(payload).getOrElse(
+            throw new IllegalStateException(s"undecodable staged image $id"))
+          val (r, g, b) = JdkCodec.channelSums(img)
+          val half = JdkCodec.decode(JdkCodec.encodePng(JdkCodec.nnHalf(img))).get
+          val (hr, hg, hb) = JdkCodec.channelSums(half)
+          ImageAudit(id, src, img.getWidth, img.getHeight, fmt, r, g, b,
+            half.getWidth, half.getHeight, hr, hg, hb)
+        }
+      }
+  }
+
+  private val FrameBytes = 256
+  private val MaxFrames = 8
 
   /** Frame sampling: split a payload into fixed-size "frames" and explode
     * one row per frame — the video→frames batch shape. Pure expression
@@ -200,9 +267,6 @@ object Multimodal {
         expr(s"substring(payload, cast(frame_idx AS int) * $frameBytes + 1, $frameBytes)"))
       .drop("payload", "meta")
   }
-
-  private val FrameBytes = 256
-  private val MaxFrames = 8
 
   /** Frames accounting per source: media count, frame count, total frame
     * bytes, deepest sampled index — the multimodal plumbing (REAL
@@ -248,6 +312,196 @@ object Multimodal {
        |       cast(max(frame_idx) AS int) AS max_frame_idx
        |FROM fr GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q108: REAL image decode audit. Stage one real PNG per document
+    * (encoded by `javax.imageio` executor-side), ingest through
+    * `binaryFile`, and recover — through the real codec only — each
+    * image's dimensions, format, exact RGB channel sums, and the channel
+    * sums of a nearest-neighbor half-resize after a full PNG re-encode /
+    * re-decode round trip; then aggregate per source.
+    *
+    * The oracle never touches a codec: pixel content is a pure integer
+    * function of `doc_id` ([[ImageGen]]), so DuckDB recomputes every
+    * judged number arithmetically (unnest over the pixel grid; the
+    * half-resize is the even-coordinate sub-grid below 2·⌊dim/2⌋).
+    * PNG losslessness is the bridge: if any byte of the encode, decode,
+    * or resize were wrong, integer channel sums over ≥64k pixels would
+    * hash-mismatch.
+    *
+    * Scale: decode is per-split, embarrassingly parallel; the only
+    * exchanges are the 20-group rollup and the output sort. At 100 TB
+    * the same plan holds — split sizing governs parallelism and no
+    * payload ever crosses a shuffle.
+    */
+  val q108ImageDecode: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      val audited = imageAudit(s, imagesFromBinaryFiles(s, dir))
+      audited.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"),
+          sum(col("width").cast(LongType)).as("sum_width"),
+          sum(col("height").cast(LongType)).as("sum_height"),
+          sum((col("width") * col("height")).cast(LongType)).as("total_pixels"),
+          sum(col("r_sum")).as("r_sum"),
+          sum(col("g_sum")).as("g_sum"),
+          sum(col("b_sum")).as("b_sum"),
+          sum((col("half_width") * col("half_height")).cast(LongType)).as("half_pixels"),
+          sum(col("half_r_sum")).as("half_r_sum"),
+          sum(col("half_g_sum")).as("half_g_sum"),
+          sum(col("half_b_sum")).as("half_b_sum"))
+        .orderBy(col("source"))
+    },
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         8 + (doc_id % 9) AS w,
+      |         8 + ((doc_id // 9) % 9) AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, source, w, h, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, source, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |ch AS (SELECT doc_id, source, w, h, x, y,
+      |         (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |         (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+      |         (doc_id * 23 + x * 5 + y * 19) % 256 AS b
+      |       FROM px),
+      |-- the half-resize keeps even coordinates below 2*floor(dim/2):
+      |-- exactly the nearest-neighbor sub-grid the engine re-encodes
+      |img AS (SELECT doc_id, source, max(w) AS w, max(h) AS h,
+      |          sum(r) AS r_sum, sum(g) AS g_sum, sum(b) AS b_sum,
+      |          sum(CASE WHEN x % 2 = 0 AND y % 2 = 0
+      |                    AND x < (w // 2) * 2 AND y < (h // 2) * 2
+      |                   THEN r ELSE 0 END) AS hr,
+      |          sum(CASE WHEN x % 2 = 0 AND y % 2 = 0
+      |                    AND x < (w // 2) * 2 AND y < (h // 2) * 2
+      |                   THEN g ELSE 0 END) AS hg,
+      |          sum(CASE WHEN x % 2 = 0 AND y % 2 = 0
+      |                    AND x < (w // 2) * 2 AND y < (h // 2) * 2
+      |                   THEN b ELSE 0 END) AS hb
+      |        FROM ch GROUP BY doc_id, source)
+      |SELECT source,
+      |  cast(count(*) AS bigint) AS n_images,
+      |  cast(count(*) AS bigint) AS n_png,
+      |  cast(sum(w) AS bigint) AS sum_width,
+      |  cast(sum(h) AS bigint) AS sum_height,
+      |  cast(sum(w * h) AS bigint) AS total_pixels,
+      |  cast(sum(r_sum) AS bigint) AS r_sum,
+      |  cast(sum(g_sum) AS bigint) AS g_sum,
+      |  cast(sum(b_sum) AS bigint) AS b_sum,
+      |  cast(sum((w // 2) * (h // 2)) AS bigint) AS half_pixels,
+      |  cast(sum(hr) AS bigint) AS half_r_sum,
+      |  cast(sum(hg) AS bigint) AS half_g_sum,
+      |  cast(sum(hb) AS bigint) AS half_b_sum
+      |FROM img GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, graft.QuerySpec] = Map(
-    "q65_frames_accounting" -> q65FramesAccounting)
+    "q65_frames_accounting" -> q65FramesAccounting,
+    "q108_image_decode" -> q108ImageDecode)
+}
+
+/** Deterministic synthetic image: a pure integer function of `doc_id`,
+  * shared verbatim by the staging writer (JVM) and the DuckDB oracle
+  * (SQL). The judged decode path never calls this — it sees only the
+  * PNG bytes the writer produced.
+  */
+private[ext] object ImageGen {
+  def width(d: Long): Int = (8 + d % 9).toInt
+  def height(d: Long): Int = (8 + (d / 9) % 9).toInt
+  def r(d: Long, x: Int, y: Int): Int = ((d * 31 + x * 7 + y * 13) % 256).toInt
+  def g(d: Long, x: Int, y: Int): Int = ((d * 17 + x * 11 + y * 3) % 256).toInt
+  def b(d: Long, x: Int, y: Int): Int = ((d * 23 + x * 5 + y * 19) % 256).toInt
+
+  /** Encode the doc's image as real PNG bytes via `javax.imageio`. */
+  def png(d: Long): Array[Byte] = {
+    val w = width(d); val h = height(d)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (r(d, x, y) << 16) | (g(d, x, y) << 8) | b(d, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    JdkCodec.encodePng(img)
+  }
+}
+
+/** Thin, allocation-conscious wrappers over `javax.imageio` — the REAL
+  * JDK codec (PNG/BMP/GIF decode, PNG encode), no external dependency.
+  * All streams are in-memory (`ImageIO.setUseCache(false)`), so executor
+  * threads never contend on a disk cache.
+  */
+private[ext] object JdkCodec {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Header-only probe: (width, height, format) from the registered
+    * reader WITHOUT decoding pixel data. None when no installed codec
+    * claims the bytes (e.g. raw text payloads).
+    */
+  def probe(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  /** Full pixel decode; None when undecodable. */
+  def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Exact per-channel integer sums over the sRGB raster. */
+  def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs)
+  }
+
+  /** REAL resize: nearest-neighbor downsample by 2 (source pixel
+    * (2x, 2y)), floor dims. Deterministic by construction — unlike
+    * interpolating scalers, every output pixel is a source pixel, which
+    * is what makes the resized channel sums oracle-exact.
+    */
+  def nnHalf(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val w = math.max(1, img.getWidth / 2)
+    val h = math.max(1, img.getHeight / 2)
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * 2, y * 2))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -394,6 +394,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // q107 = (label,dim) centroid agg + per-label collect + bounded
       // top-5 agg + output sort; the corpus side joins broadcast
       "q107_embedding_outliers" -> 4,
+      // q108 = codec mapPartitions on the scan partition, then one
+      // 20-group rollup + output sort; payloads never cross an exchange
+      "q108_image_decode" -> 2,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

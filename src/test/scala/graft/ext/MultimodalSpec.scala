@@ -88,15 +88,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.count() == docs.count())
   }
 
-  test("stub decode fills typed metadata deterministically") {
+  test("real JDK decode fills typed metadata from PNG headers") {
+    val media = Multimodal.imagesFromBinaryFiles(spark, sfDir)
+    val decoded = Multimodal.withDecodedMeta(
+      media.withColumn("kind", lit("image"))).cache()
+    try {
+      assert(decoded.count() == docs.count())
+      assert(decoded.filter(col("meta.width").isNull).count() == 0)
+      assert(decoded.filter(col("meta.format") =!= "png").count() == 0)
+      // header dims are the generator's dims (8..16 by construction)
+      assert(decoded.filter(
+        col("meta.width") < 8 || col("meta.width") > 16 ||
+          col("meta.height") < 8 || col("meta.height") > 16).count() == 0)
+    } finally decoded.unpersist()
+  }
+
+  test("undecodable payloads keep NULL dims but real n_bytes") {
     val decoded = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs)).cache()
-    assert(decoded.filter(col("meta.width").isNull).count() == 0)
-    assert(decoded.filter(!col("meta.format").isin("png", "jpeg")).count() == 0)
-    // deterministic: same input -> same meta on recompute
-    val a = decoded.select("media_id", "meta.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val b = Multimodal.withDecodedMeta(Multimodal.mediaFromDocuments(docs))
-      .select("media_id", "meta.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(a == b)
+    try {
+      // raw text bytes: no installed reader claims them
+      assert(decoded.filter(col("meta.width").isNotNull).count() == 0)
+      assert(decoded.filter(col("meta.format").isNotNull).count() == 0)
+      assert(decoded.filter(col("meta.n_bytes") =!=
+        length(col("payload"))).count() == 0)
+    } finally decoded.unpersist()
+  }
+
+  test("image audit recovers the generator's pixels through the codec alone") {
+    // differential: every per-image number the mapPartitions codec path
+    // reports must equal a direct JVM recompute from ImageGen arithmetic
+    // (decode, channel sums, nn-half resize, and the PNG re-encode /
+    // re-decode round trip all exact — PNG is lossless)
+    val audited = Multimodal.imageAudit(spark, Multimodal.imagesFromBinaryFiles(spark, sfDir))
+      .collect().map(a => a.media_id -> a).toMap
+    assert(audited.size == docs.count())
+    audited.values.foreach { a =>
+      val d = a.media_id
+      val (w, h) = (ImageGen.width(d), ImageGen.height(d))
+      assert(a.width == w && a.height == h && a.format == "png", s"dims/format for $d")
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        rs += ImageGen.r(d, x, y); gs += ImageGen.g(d, x, y); bs += ImageGen.b(d, x, y)
+      }
+      assert((a.r_sum, a.g_sum, a.b_sum) == ((rs, gs, bs)), s"channel sums for $d")
+      val (w2, h2) = (w / 2, h / 2)
+      var (hrs, hgs, hbs) = (0L, 0L, 0L)
+      for (x <- 0 until w2; y <- 0 until h2) {
+        hrs += ImageGen.r(d, 2 * x, 2 * y); hgs += ImageGen.g(d, 2 * x, 2 * y)
+        hbs += ImageGen.b(d, 2 * x, 2 * y)
+      }
+      assert(a.half_width == w2 && a.half_height == h2, s"half dims for $d")
+      assert((a.half_r_sum, a.half_g_sum, a.half_b_sum) == ((hrs, hgs, hbs)),
+        s"half channel sums for $d")
+    }
+  }
+
+  test("q108 plan reads binaryFile and no shuffle carries a payload") {
+    val p = staticPlan(Multimodal.q108ImageDecode.run(spark, sfDir))
+    assert(p.collect {
+      case f: FileSourceScanExec
+        if f.relation.fileFormat.getClass.getSimpleName == "BinaryFileFormat" => f
+    }.nonEmpty, "q108 no longer scans binaryFile")
+    val leaks = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
   }
 
   test("feature extraction yields normalized fixed-width float vectors") {
