@@ -346,14 +346,7 @@ object AnalyticsOps {
     */
   val q104ZorderLayout: QuerySpec = QuerySpec(
     (s, dir) => {
-      val o = Tables.orders(s, dir).select(col("o_custkey").as("x"),
-        floor(col("o_totalprice")).cast("long").as("y"))
-      val b = o.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
-        min(col("y")).as("mny"), max(col("y")).as("mxy"))
-      val grid = 1L << ZBits
-      o.crossJoin(broadcast(b))
-        .withColumn("xi", expr(s"((x - mnx) * $grid) div (mxx - mnx + 1)"))
-        .withColumn("yi", expr(s"((y - mny) * $grid) div (mxy - mny + 1)"))
+      normalizedGrid(s, dir)
         .withColumn("bucket", expr(s"(${zInterleave("xi", "yi", "div")}) div ${1L << (2 * ZBits - 6)}"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
@@ -372,6 +365,165 @@ object AnalyticsOps {
        |       min(x) AS min_cust, max(x) AS max_cust,
        |       min(y) AS min_price, max(y) AS max_price
        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin)
+
+  /** The normalized (xi, yi) grid q104 rolls up — factored out so the
+    * q109 staged layouts and q104 share one normalization (floor() not
+    * cast() on the double: Spark truncates where DuckDB rounds).
+    */
+  private def normalizedGrid(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("x"),
+      floor(col("o_totalprice")).cast("long").as("y"))
+    val b = o.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    val grid = 1L << ZBits
+    o.crossJoin(broadcast(b))
+      .withColumn("xi", expr(s"((x - mnx) * $grid) div (mxx - mnx + 1)"))
+      .withColumn("yi", expr(s"((y - mny) * $grid) div (mxy - mny + 1)"))
+  }
+
+  /** q109 probe rectangles on the normalized [0, 2^ZBits) grid:
+    * customer-only strips, price-only strips (the case a linear
+    * customer sort cannot prune), true rectangles, a near-point probe,
+    * and the full-range sanity row.
+    */
+  private[ext] val PruneProbes: Seq[(Int, Int, Int, Int, Int)] = {
+    val m = (1 << ZBits) - 1 // 255
+    Seq(
+      (1, 0, 31, 0, m),      // customer strip: both layouts prune
+      (2, 0, m, 0, 31),      // price strip: linear layout reads EVERYTHING
+      (3, 64, 127, 128, 191),// rectangle
+      (4, 200, 207, 8, 15),  // near-point
+      (5, 0, m, 100, 140),   // wide price band
+      (6, 0, m, 0, m))       // full range: both layouts read everything
+  }
+
+  /** Stages the two physical layouts of the normalized orders grid plus
+    * their skipping indexes, once per (scale, process) under the
+    * [[graft.core.Staging]] contract:
+    *  - `z/`      — partitioned by the Z-order cell (q104's top-6-bit
+    *                Morton bucket): each file covers a small RECTANGLE
+    *                of the (customer, price) plane;
+    *  - `linear/` — partitioned by equal-width customer strips (what a
+    *                plain ORDER BY customer write produces): each file
+    *                covers ALL prices;
+    *  - `z_index/`, `l_index/` — per-file min/max extents of both
+    *                dimensions, collected by scanning the WRITTEN files
+    *                (parquet-footer semantics: stats of what is actually
+    *                in each file, not of what was intended).
+    * `repartition(bucket)` before `partitionBy(bucket)` gives exactly
+    * one file per bucket (each bucket's rows land in one task), so
+    * "files touched" and "buckets surviving the index" coincide —
+    * `AnalyticsOpsSpec` asserts that equivalence on the written layout.
+    */
+  private[ext] def zorderStage(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val stage = graft.core.Staging.dir("graft_q109_layout", dir)
+    this.synchronized {
+      val marker = java.nio.file.Paths.get(stage, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        val g = normalizedGrid(s, dir)
+          .withColumn("zbucket",
+            expr(s"(${zInterleave("xi", "yi", "div")}) div ${1L << (2 * ZBits - 6)}").cast("int"))
+          .withColumn("lbucket", expr(s"xi div ${1L << (ZBits - 6)}").cast("int"))
+        g.select(col("xi"), col("yi"), col("zbucket"))
+          .repartition(col("zbucket"))
+          .write.mode("overwrite").partitionBy("zbucket").parquet(s"$stage/z")
+        g.select(col("xi"), col("yi"), col("lbucket"))
+          .repartition(col("lbucket"))
+          .write.mode("overwrite").partitionBy("lbucket").parquet(s"$stage/linear")
+        def writeIndex(sub: String, bucket: String, out: String): Unit =
+          s.read.parquet(s"$stage/$sub").groupBy(col(bucket))
+            .agg(min(col("xi")).as("mnxi"), max(col("xi")).as("mxxi"),
+              min(col("yi")).as("mnyi"), max(col("yi")).as("mxyi"))
+            .write.mode("overwrite").parquet(s"$stage/$out")
+        writeIndex("z", "zbucket", "z_index")
+        writeIndex("linear", "lbucket", "l_index")
+        java.nio.file.Files.createFile(marker): Unit
+      }
+    }
+    stage
+  }
+
+  /** q109: Z-order pruning PROOF — q104 judges the skipping index; this
+    * judges that the index over a physically WRITTEN z-layout actually
+    * skips. Both layouts are staged as real parquet (one file per
+    * bucket), their per-file extent indexes are collected from the
+    * written files, and each probe rectangle reports:
+    *  - `files_z` / `files_lin`: files whose actual extent box
+    *    intersects the probe — what a scan planner consulting footer
+    *    stats would open under each layout (price-only probes: the
+    *    linear layout reads all 64 files, the z layout ~8);
+    *  - `rows_matched`: the probe answered THROUGH the pruned path —
+    *    only surviving z files are joined, then the rectangle filter
+    *    applies. The oracle recomputes it by direct scan of `orders`,
+    *    so equality proves pruning lost no rows AND the write/read
+    *    round trip preserved the grid.
+    *
+    * Scale: at 100 TB the index is the table format's file-stats
+    * artifact (64 rows per 64 files here; ~N_files rows in general —
+    * always ≪ data), probes are query predicates, and the pruned join
+    * is the planned scan: the spec demonstrates the physical half
+    * (index-selected buckets → partition-pruned scan opening strictly
+    * fewer files). Everything here is integer arithmetic shared with
+    * q104's normalization, so the oracle is exact.
+    */
+  val q109ZorderPrune: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val stage = zorderStage(s, dir)
+      val zIdx = s.read.parquet(s"$stage/z_index")
+      val lIdx = s.read.parquet(s"$stage/l_index")
+      val z = s.read.parquet(s"$stage/z")
+      val p = PruneProbes.toDF("probe_id", "x1", "x2", "y1", "y2")
+      def hits(idx: org.apache.spark.sql.DataFrame) = idx.crossJoin(broadcast(p))
+        .filter(col("mnxi") <= col("x2") && col("mxxi") >= col("x1") &&
+          col("mnyi") <= col("y2") && col("mxyi") >= col("y1"))
+      val fz = hits(zIdx).groupBy(col("probe_id")).agg(count(lit(1)).as("files_z"))
+      val fl = hits(lIdx).groupBy(col("probe_id")).agg(count(lit(1)).as("files_lin"))
+      val surv = hits(zIdx).select(col("zbucket"), col("probe_id"),
+        col("x1"), col("x2"), col("y1"), col("y2"))
+      val rows = z.join(broadcast(surv), Seq("zbucket"))
+        .filter(col("xi").between(col("x1"), col("x2")) &&
+          col("yi").between(col("y1"), col("y2")))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("rows_matched"))
+      p.select(col("probe_id"))
+        .join(fz, Seq("probe_id"), "left_outer")
+        .join(fl, Seq("probe_id"), "left_outer")
+        .join(rows, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"),
+          coalesce(col("files_z"), lit(0L)).as("files_z"),
+          coalesce(col("files_lin"), lit(0L)).as("files_lin"),
+          coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
+        .orderBy(col("probe_id"))
+    },
+    s"""WITH o AS (SELECT o_custkey AS x, cast(floor(o_totalprice) AS bigint) AS y FROM orders),
+       |b AS (SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy FROM o),
+       |n AS (SELECT ((x - mnx) * ${1L << ZBits}) // (mxx - mnx + 1) AS xi,
+       |             ((y - mny) * ${1L << ZBits}) // (mxy - mny + 1) AS yi
+       |      FROM o CROSS JOIN b),
+       |z AS (SELECT xi, yi,
+       |        (${zInterleave("xi", "yi", "//")}) // ${1L << (2 * ZBits - 6)} AS zbucket,
+       |        xi // ${1L << (ZBits - 6)} AS lbucket FROM n),
+       |zext AS (SELECT zbucket, min(xi) AS mnxi, max(xi) AS mxxi,
+       |                min(yi) AS mnyi, max(yi) AS mxyi FROM z GROUP BY 1),
+       |lext AS (SELECT lbucket, min(xi) AS mnxi, max(xi) AS mxxi,
+       |                min(yi) AS mnyi, max(yi) AS mxyi FROM z GROUP BY 1),
+       |p AS (SELECT * FROM (VALUES ${PruneProbes.map(t => s"(${t._1}, ${t._2}, ${t._3}, ${t._4}, ${t._5})").mkString(", ")})
+       |        AS t(probe_id, x1, x2, y1, y2)),
+       |fz AS (SELECT probe_id, count(*) AS files_z FROM zext, p
+       |       WHERE mnxi <= x2 AND mxxi >= x1 AND mnyi <= y2 AND mxyi >= y1 GROUP BY 1),
+       |fl AS (SELECT probe_id, count(*) AS files_lin FROM lext, p
+       |       WHERE mnxi <= x2 AND mxxi >= x1 AND mnyi <= y2 AND mxyi >= y1 GROUP BY 1),
+       |r AS (SELECT probe_id, count(*) AS rows_matched FROM z, p
+       |      WHERE xi BETWEEN x1 AND x2 AND yi BETWEEN y1 AND y2 GROUP BY 1)
+       |SELECT p.probe_id,
+       |  cast(coalesce(files_z, 0) AS bigint) AS files_z,
+       |  cast(coalesce(files_lin, 0) AS bigint) AS files_lin,
+       |  cast(coalesce(rows_matched, 0) AS bigint) AS rows_matched
+       |FROM p LEFT JOIN fz USING (probe_id) LEFT JOIN fl USING (probe_id)
+       |       LEFT JOIN r USING (probe_id)
+       |ORDER BY probe_id""".stripMargin)
 
   /** q106: vocabulary coverage curve — for each coverage target
     * (50/75/90/99% of all token occurrences), the minimum vocabulary
@@ -463,6 +615,7 @@ object AnalyticsOps {
   val all: Map[String, QuerySpec] = Map(
     "q106_vocab_coverage" -> q106VocabCoverage,
     "q104_zorder_layout" -> q104ZorderLayout,
+    "q109_zorder_prune" -> q109ZorderPrune,
     "q75_shard_packing" -> q75ShardPacking,
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,

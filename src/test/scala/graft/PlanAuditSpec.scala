@@ -397,6 +397,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q108 = codec mapPartitions on the scan partition, then one
       // 20-group rollup + output sort; payloads never cross an exchange
       "q108_image_decode" -> 2,
+      // q109 = three probe-grouped rollups over index/pruned reads (the
+      // indexes are 64 rows; the data join is broadcast) + the 6-row
+      // result assembly + output sort — all exchanges bounded or tiny
+      "q109_zorder_prune" -> 6,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
