@@ -25,6 +25,17 @@ import org.apache.spark.sql.DataFrame
   * convergence probes that follow read materialized state either way —
   * results are bit-identical across modes, which `CheckpointModeSpec`
   * asserts.
+  *
+  * RETENTION (reliable mode): Spark never deletes reliable checkpoint
+  * files on its own — each pin() of an iterative loop leaves its round's
+  * state under the dir for the life of the application unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set (a
+  * STATIC conf: it must be on the SparkConf before the context is
+  * built, so this object cannot retrofit it). For multi-hour 100 TB
+  * runs either set that conf at submit time, or provision the
+  * checkpoint dir for rounds × state-size and clean it after the job —
+  * the state pinned per round is the aggregated loop state (labels,
+  * ranks), so the per-round footprint is vertex-set-, not corpus-sized.
   */
 object Checkpoints {
 
@@ -36,12 +47,20 @@ object Checkpoints {
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir stores a fully-qualified URI with a
-        // per-SparkContext UUID subdir appended, so compare by path
-        // substring and set only when unset or pointed elsewhere
+        // per-SparkContext UUID subdir appended. Recover the configured
+        // root by stripping the scheme and the UUID leaf, then compare
+        // paths for EQUALITY — substring matching kept checkpointing to
+        // a stale dir whenever the new root was a prefix/substring of
+        // the old one (/data/ckpt after /data/ckpt-old).
         val sc = spark.sparkContext
-        val path = dir.stripSuffix("/").replaceFirst("^[a-z0-9+.-]+:(//)?", "")
-        if (!sc.getCheckpointDir.exists(_.contains(path)))
-          sc.setCheckpointDir(dir)
+        def norm(p: String) =
+          p.replaceFirst("^[a-z0-9+.-]+:(//)?", "").stripSuffix("/")
+        val want = norm(dir)
+        val currentRoot = sc.getCheckpointDir.map(norm).map { d =>
+          val cut = d.lastIndexOf('/')
+          if (cut > 0) d.substring(0, cut) else d
+        }
+        if (!currentRoot.contains(want)) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

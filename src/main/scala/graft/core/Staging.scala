@@ -1,24 +1,56 @@
 package graft.core
 
 /** Per-process tmp staging for judged queries that materialize an
-  * intermediate store (q74 partitioned event store, q92 format
-  * roundtrip). The key carries two invariants:
-  *  - the source dir's LEAF (sf0.001/sf0.01/sf0.1), so sessions on
-  *    different scales never read each other's store;
-  *  - the JVM pid, so two concurrent processes on the same scale can't
-  *    overwrite each other's store mid-scan.
-  * Callers write with mode("overwrite"), so repeated runs within one
-  * process are idempotent and tmp growth is bounded by process count.
+  * intermediate store. Two key shapes, one per caller class:
   *
-  * CONTRACT: judged queries run single-threaded per process (Verify and
-  * Bench are both sequential mains). Two concurrent executions of the
-  * same query inside ONE process would share a key and could clobber
-  * each other's store mid-scan — a threaded driver must add its own
-  * per-invocation token to `prefix`.
+  *  - [[sharedDir]] — stable per (prefix, scale, pid). For MEMOIZED
+  *    stages whose content is a pure function of the source scale
+  *    (blob corpora, physical layouts): the caller owns a `_STAGED`
+  *    marker + `synchronized` block, so concurrent executions in one
+  *    process converge on one build instead of clobbering.
+  *  - [[invocationDir]] — the stable key plus a process-unique token,
+  *    fresh per call. For OVERWRITE-AND-READ stages that are part of
+  *    the measured operator (q74 event store, q92 format roundtrip,
+  *    q103 index build): two concurrent executions of the same query
+  *    in one process now write DISJOINT dirs, so neither can clobber
+  *    the other's store mid-scan. Growth is bounded by a shutdown
+  *    hook that removes every invocation dir this process created.
+  *
+  * Both embed the source dir's LEAF (sf0.001/sf0.01/sf0.1) so sessions
+  * on different scales never read each other's store, and the JVM pid
+  * so concurrent PROCESSES never collide.
   */
 object Staging {
-  def dir(prefix: String, sfDir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      prefix + "_" + new java.io.File(sfDir).getName +
-        "_" + ProcessHandle.current().pid()).toString
+
+  private val tokens = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val createdInvocationDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    sys.addShutdownHook {
+      createdInvocationDirs.forEach { d =>
+        try Fs.deleteRecursively(java.nio.file.Paths.get(d))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }: Unit
+  }
+
+  private def base(prefix: String, sfDir: String): String =
+    prefix + "_" + new java.io.File(sfDir).getName +
+      "_" + ProcessHandle.current().pid()
+
+  /** Stable per (prefix, scale, process): for memoized stages only —
+    * the caller must guard the build with a marker + synchronization.
+    */
+  def sharedDir(prefix: String, sfDir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), base(prefix, sfDir)).toString
+
+  /** Fresh per call: concurrent executions of one query in one process
+    * get disjoint stores. Removed by the process-exit hook.
+    */
+  def invocationDir(prefix: String, sfDir: String): String = {
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      base(prefix, sfDir) + "_i" + tokens.incrementAndGet()).toString
+    createdInvocationDirs.add(d)
+    d
+  }
 }

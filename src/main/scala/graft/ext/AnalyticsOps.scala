@@ -418,7 +418,7 @@ object AnalyticsOps {
     */
   private[ext] def zorderStage(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val stage = graft.core.Staging.dir("graft_q109_layout", dir)
+    val stage = graft.core.Staging.sharedDir("graft_q109_layout", dir)
     this.synchronized {
       val marker = java.nio.file.Paths.get(stage, "_STAGED")
       if (!java.nio.file.Files.exists(marker)) {

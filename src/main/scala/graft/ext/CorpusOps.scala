@@ -179,12 +179,13 @@ object CorpusOps {
     * mismatch count, not a silent pass. The oracle computes from
     * parquet alone — equality with it IS the losslessness claim.
     * Both sinks/scans are distributed (one file per partition, no
-    * driver funnel); staging follows the q74 keying (sf leaf + pid) so
-    * concurrent sessions never cross-read and re-runs are idempotent.
+    * driver funnel); staging follows the q74 keying (sf leaf + pid +
+    * per-invocation token) so concurrent sessions never cross-read and
+    * concurrent in-process executions write disjoint stores.
     */
   val q92FormatRoundtrip: QuerySpec = QuerySpec(
     (s, dir) => {
-      val stage = graft.core.Staging.dir("graft_q92_formats", dir)
+      val stage = graft.core.Staging.invocationDir("graft_q92_formats", dir)
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").orc(s"$stage/orc")
       docs.write.mode("overwrite").json(s"$stage/jsonl")

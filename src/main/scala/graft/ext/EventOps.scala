@@ -315,7 +315,7 @@ object EventOps {
     */
   val q74PartitionedEvents: QuerySpec = QuerySpec(
     (s, dir) => {
-      val store = graft.core.Staging.dir("graft_q74_events", dir)
+      val store = graft.core.Staging.invocationDir("graft_q74_events", dir)
       Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(store)

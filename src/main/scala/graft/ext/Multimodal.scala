@@ -66,14 +66,14 @@ object Multimodal {
     * partition dirs. The write is distributed (`foreachPartition`,
     * executor-side file IO); the driver never materializes a payload.
     * The `_STAGED` marker makes repeated runs within one process free.
-    * Judged queries run single-threaded per process (Staging's
-    * documented contract), so the synchronized block only guards
-    * re-entry, not cross-process races — the pid in the staging key
-    * handles those.
+    * The synchronized block makes concurrent in-process callers
+    * converge on one build ([[graft.core.Staging.sharedDir]]'s
+    * memoized-stage contract); the pid in the staging key handles
+    * cross-process races.
     */
   private def stageBlobsOnce(s: SparkSession, dir: String, stageKey: String, ext: String)(
       payloadOf: (Long, String) => Array[Byte]): String = {
-    val stage = graft.core.Staging.dir(stageKey, dir)
+    val stage = graft.core.Staging.sharedDir(stageKey, dir)
     this.synchronized {
       val marker = java.nio.file.Paths.get(stage, "_STAGED")
       if (!java.nio.file.Files.exists(marker)) {

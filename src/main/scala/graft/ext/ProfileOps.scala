@@ -148,6 +148,22 @@ object ProfileOps {
     * Scale: everything after the q54-shaped rank pass is 3-row joins;
     * the rank-of-median probe broadcasts the 3-row sketch table and
     * re-aggregates the scan map-side.
+    *
+    * RE-BASELINING: the ±15% / ±2% bounds are deliberately far outside
+    * the sketches' configured accuracy (3× and 20×), so a flag flip is
+    * overwhelmingly a real regression — but they remain EMPIRICAL: a
+    * corpus regeneration or a Spark upgrade that legally re-tunes
+    * HLL/KLL internals can move an estimate without anything being
+    * wrong. Triage procedure when this row goes red with every other
+    * query green: (1) run q37 and compare `approx_orders` /
+    * `median_price_approx` against `exact_orders` / `p50_exact` from
+    * this query's exact columns; (2) if the observed relative error is
+    * under the sketch's published worst case (rsd·3 ≈ 15% for HLL at
+    * 5% rsd; rank error 1/1000·n for approx_percentile at accuracy
+    * 1000) the engine is healthy — widen the flag bound to cover the
+    * new observation and note the new margin here; (3) only if the
+    * error exceeds the published guarantee is it a correctness bug.
+    * Tuning, not corruption, is the default diagnosis.
     */
   val q97SketchAudit: QuerySpec = QuerySpec(
     (s, dir) => {

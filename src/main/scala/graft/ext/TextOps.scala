@@ -1327,7 +1327,7 @@ object TextOps {
       val docs = Tables.documents(s, dir)
       val thr = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("t"))
       val sh = shingles(docs).crossJoin(broadcast(thr))
-      val stage = graft.core.Staging.dir("graft_q103_index", dir)
+      val stage = graft.core.Staging.invocationDir("graft_q103_index", dir)
       sh.filter(col("doc_id") < col("t"))
         .groupBy(col("sh")).agg(bdistinct(col("doc_id")).as("docs_r"))
         .write.mode("overwrite").parquet(stage)

@@ -2,16 +2,36 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Registry-wide lint over `SparkEntry.oracleSql`: DuckDB widens
-  * `sum(INTEGER/BIGINT)` to HUGEINT, which surfaces as float64 in the
-  * driver's comparison frame against Spark's int64 — `hash_match=false`
-  * with rows/schema green (the round-5 q79/q80/q85 failure mode). The rule
-  * this enforces: every `sum(...)` whose argument is integer-valued must
-  * be wrapped as `cast(sum(...) AS bigint)` (optionally through a
-  * `coalesce`), i.e. built with `OracleSql.bigSum`. Sums over double
-  * columns (l_quantity, o_totalprice, value, ...) or over expressions
-  * already widened via an inner `cast(... AS decimal/double)` are exempt —
-  * DuckDB and Spark agree on those types.
+/** Registry-wide lint over `SparkEntry.oracleSql`, enforcing the SQL
+  * conventions that keep DuckDB's answer bit-comparable to Spark's.
+  * Three rules, each born from a real (or near-miss) hash mismatch:
+  *
+  *  1. BARE INTEGER SUM — DuckDB widens `sum(INTEGER/BIGINT)` to
+  *     HUGEINT, which surfaces as float64 in the driver's comparison
+  *     frame against Spark's int64 — `hash_match=false` with
+  *     rows/schema green (the round-5 q79/q80/q85 failure mode).
+  *     Every `sum(...)` whose argument is integer-valued must be
+  *     wrapped as `cast(sum(...) AS bigint)` (optionally through a
+  *     `coalesce`), i.e. built with `OracleSql.bigSum`. Sums over
+  *     double columns (l_quantity, o_totalprice, value, ...) or over
+  *     expressions already widened via an inner `cast(... AS
+  *     decimal/double)` are exempt — DuckDB and Spark agree there.
+  *  2. BARE INTEGER AVG — `avg(INTEGER)` returns DOUBLE in both
+  *     engines TODAY (both exact-sum-then-divide), but the result
+  *     type is an implementation choice either engine may revisit
+  *     (DuckDB has changed agg result types across releases), and the
+  *     near-miss history in q97's percentile work showed how silently
+  *     an implicit widening diverges. Convention: spell the widening —
+  *     `cast(avg(...) AS double)` — so the comparison type is pinned
+  *     in the oracle text, not inherited. Same exemptions as sum.
+  *  3. NEGATIVE-OPERAND `//` — DuckDB's `//` FLOORS while Spark's
+  *     `div` TRUNCATES toward zero; they agree only when the quotient
+  *     is non-negative. Any `//` whose operand text shows a way to go
+  *     negative (a subtraction or unary minus in the operand) is
+  *     flagged; positive-only arithmetic (counts, epochs, quantized
+  *     ranks — every current use) passes. A flagged site must be
+  *     rewritten to the shared floor()/greatest() form (see
+  *     `VectorOps` q64 for the worked bigint-floor pattern).
   */
 class OracleLintSpec extends AnyFunSuite {
 
@@ -41,16 +61,18 @@ class OracleLintSpec extends AnyFunSuite {
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  /** Violations: (offset, snippet) of integer sums not cast-wrapped. */
-  private[graft] def violations(sqlRaw: String): Seq[(Int, String)] = {
+  /** Rule 1+2 violations: (offset, snippet) of integer `fn(...)` calls
+    * (fn = sum | avg) not cast-wrapped.
+    */
+  private[graft] def violations(sqlRaw: String, fn: String = "sum"): Seq[(Int, String)] = {
     // strip string literals so 'text' content can't look like identifiers
     val sql = sqlRaw.replaceAll("'[^']*'", "''")
     val lower = sql.toLowerCase
     val out = Seq.newBuilder[(Int, String)]
-    var i = lower.indexOf("sum")
+    var i = lower.indexOf(fn)
     while (i >= 0) {
       val isWordStart = i == 0 || !Character.isLetterOrDigit(lower(i - 1)) && lower(i - 1) != '_'
-      val j = { var k = i + 3; while (k < sql.length && sql(k).isWhitespace) k += 1; k }
+      val j = { var k = i + fn.length; while (k < sql.length && sql(k).isWhitespace) k += 1; k }
       if (isWordStart && j < sql.length && sql(j) == '(') {
         // balanced-paren argument extraction
         var depth = 1; var k = j + 1
@@ -62,24 +84,28 @@ class OracleLintSpec extends AnyFunSuite {
         val argL = arg.toLowerCase
         // inner widening exempts: cast(... as decimal/double) inside the arg
         val widened = argL.contains("decimal") || argL.contains("double")
-        val idents = Ident.findAllIn(argL).toList
-          .filterNot(Keywords)
-          .filterNot { id => // function names: identifier followed by '('
-            val at = argL.indexOf(id)
-            val after = argL.indexWhere(!_.isWhitespace, at + id.length)
+        // classify each identifier OCCURRENCE at its own match position
+        // (an id can be a function in one spot and a column in another;
+        // indexOf-based classification tagged every occurrence by the
+        // first, and matched substrings inside longer identifiers)
+        val idents = Ident.findAllMatchIn(argL)
+          .filterNot(m => Keywords(m.matched))
+          .filterNot { m => // function names: identifier followed by '('
+            val after = argL.indexWhere(!_.isWhitespace, m.end)
             after >= 0 && argL(after) == '('
           }
+          .map(_.matched).toList
         val integerValued = !widened && idents.forall(IntCols)
         if (integerValued && !castWrapped(lower, i))
           out += ((i, sql.substring(i, math.min(sql.length, k + 20)).replace('\n', ' ')))
       }
-      i = lower.indexOf("sum", i + 3)
+      i = lower.indexOf(fn, i + fn.length)
     }
     out.result()
   }
 
   /** True when, scanning backwards over whitespace and any `coalesce(`
-    * wrappers, the sum is immediately inside a `cast(`.
+    * wrappers, the agg call is immediately inside a `cast(`.
     */
   private def castWrapped(lower: String, sumAt: Int): Boolean = {
     var p = sumAt
@@ -101,6 +127,66 @@ class OracleLintSpec extends AnyFunSuite {
     wrapped
   }
 
+  /** Rule 3 violations: (offset, snippet) of `//` sites whose operand
+    * text admits a negative value (a `-` inside either operand). The
+    * operand is read structurally: a balanced paren group plus any
+    * attached function/identifier head on the left; an optional unary
+    * minus, then an identifier/literal or paren group (with attached
+    * call head) on the right.
+    */
+  private[graft] def divViolations(sqlRaw: String): Seq[(Int, String)] = {
+    val sql = sqlRaw.replaceAll("'[^']*'", "''")
+    def identChar(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '.'
+    def leftOperand(from: Int): String = {
+      var e = from
+      while (e >= 0 && sql(e).isWhitespace) e -= 1
+      if (e < 0) return ""
+      var s = e
+      if (sql(s) == ')') { // balanced group backwards
+        var depth = 1; s -= 1
+        while (s >= 0 && depth > 0) {
+          if (sql(s) == ')') depth += 1 else if (sql(s) == '(') depth -= 1
+          s -= 1
+        }
+        while (s >= 0 && identChar(sql(s))) s -= 1 // call head (cast/floor/...)
+      } else {
+        while (s >= 0 && identChar(sql(s))) s -= 1
+      }
+      val text = sql.substring(s + 1, e + 1)
+      // unary minus in front of the operand (binary '-' also flags:
+      // precedence means `a - b // c` divides only b, but an oracle
+      // relying on that is exactly the subtle site the rule exists for)
+      var u = s
+      while (u >= 0 && sql(u).isWhitespace) u -= 1
+      if (u >= 0 && sql(u) == '-') "-" + text else text
+    }
+    def rightOperand(from: Int): String = {
+      var s = from
+      while (s < sql.length && sql(s).isWhitespace) s += 1
+      if (s >= sql.length) return ""
+      val neg = sql(s) == '-'
+      if (neg) { s += 1; while (s < sql.length && sql(s).isWhitespace) s += 1 }
+      var e = s
+      while (e < sql.length && identChar(sql(e))) e += 1
+      if (e < sql.length && sql(e) == '(') { // call / subquery group
+        var depth = 1; e += 1
+        while (e < sql.length && depth > 0) {
+          if (sql(e) == '(') depth += 1 else if (sql(e) == ')') depth -= 1
+          e += 1
+        }
+      }
+      (if (neg) "-" else "") + sql.substring(s, e)
+    }
+    val out = Seq.newBuilder[(Int, String)]
+    var i = sql.indexOf("//")
+    while (i >= 0) {
+      if (leftOperand(i - 1).contains("-") || rightOperand(i + 2).contains("-"))
+        out += ((i, sql.substring(math.max(0, i - 30), math.min(sql.length, i + 30)).replace('\n', ' ')))
+      i = sql.indexOf("//", i + 2)
+    }
+    out.result()
+  }
+
   test("checker flags the round-5 failure shape (bare integer sum)") {
     val bad = "SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars FROM b GROUP BY 1"
     assert(violations(bad).nonEmpty)
@@ -113,10 +199,76 @@ class OracleLintSpec extends AnyFunSuite {
     assert(violations("SELECT cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) FROM o").isEmpty)
   }
 
+  test("identifier occurrences classify at their own position, not the first") {
+    // `foo` is a call in one spot and a column in another; indexOf-based
+    // classification tagged the column occurrence as a function too,
+    // leaving only IntCols idents → a false positive
+    assert(violations("SELECT sum(foo(n_chars) + foo) AS x FROM t").isEmpty)
+    // substring trap: `n` must not match inside `n_chars`
+    assert(violations("SELECT sum(n + n_chars) AS x FROM t").nonEmpty)
+  }
+
+  test("checker flags bare integer avg and accepts the pinned form") {
+    val bad = "SELECT source, avg(n_chars) AS mean_chars FROM documents GROUP BY 1"
+    assert(violations(bad, "avg").nonEmpty)
+    assert(violations("SELECT cast(avg(n_chars) AS double) AS m FROM t", "avg").isEmpty)
+    assert(violations("SELECT avg(l_quantity) AS m FROM lineitem", "avg").isEmpty)
+    assert(violations("SELECT avg(cast(n_chars AS double)) AS m FROM t", "avg").isEmpty)
+  }
+
+  test("checker flags negative-operand floor division") {
+    assert(divViolations("SELECT (a - b) // c AS q FROM t").nonEmpty)
+    assert(divViolations("SELECT a // -4 AS q FROM t").nonEmpty)
+    assert(divViolations("SELECT -a // 4 AS q FROM t").nonEmpty)
+    // every current registry shape: positive-only operands
+    assert(divViolations("SELECT cast(floor(epoch(ts)) AS bigint) // 900 AS w FROM t").isEmpty)
+    assert(divViolations("SELECT 1000000000000 // (SELECT n_docs FROM nn) AS q FROM t").isEmpty)
+    assert(divViolations("SELECT r.q // g.d AS contrib FROM r JOIN g USING (dst)").isEmpty)
+  }
+
   test("no bare integer sums anywhere in the oracle registry") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       violations(sql).map { case (_, snip) => s"$name: $snip" }
     }
     assert(bad.isEmpty, s"\nbare integer sum(...) in oracle SQL — use OracleSql.bigSum:\n${bad.mkString("\n")}")
+  }
+
+  test("no bare integer avgs anywhere in the oracle registry") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      violations(sql, "avg").map { case (_, snip) => s"$name: $snip" }
+    }
+    assert(bad.isEmpty, s"\nbare integer avg(...) in oracle SQL — pin with cast(avg(...) AS double):\n${bad.mkString("\n")}")
+  }
+
+  /** `//` sites with a `-` in an operand that a human audit proved
+    * sign-safe — each entry is (query name, snippet marker, and the
+    * reason in the comment). A NEW subtraction-bearing `//` fails the
+    * registry test until it is audited and listed here.
+    */
+  private val DivAuditedSafe: Seq[(String, String)] = Seq(
+    // min-anchored grid normalization: x >= mnx and y >= mny (the mn*
+    // are min() over the same frame) so the numerator is >= 0, and
+    // mx* >= mn* so the divisor is >= 1 — quotient never negative
+    ("q104_zorder_layout", "- mnx) * 256) // (mxx - mnx + 1)"),
+    ("q104_zorder_layout", "- mny) * 256) // (mxy - mny + 1)"),
+    ("q109_zorder_prune", "- mnx) * 256) // (mxx - mnx + 1)"),
+    ("q109_zorder_prune", "- mny) * 256) // (mxy - mny + 1)"),
+    // mathematical-mod floor pattern (VectorOps q64): subtracting
+    // ((sv % nv) + nv) % nv makes the numerator exactly divisible by
+    // nv, and floor == trunc on exact quotients at any sign
+    ("q64_ann_ivf_kmeans", "% nv) + nv) % nv)) // nv"),
+    ("q107_embedding_outliers", "% nv) + nv) % nv)) // nv"))
+
+  test("no unaudited negative-operand floor division in the oracle registry") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      divViolations(sql)
+        .filterNot { case (_, snip) =>
+          DivAuditedSafe.exists { case (q, m) => q == name && snip.contains(m) }
+        }
+        .map { case (_, snip) => s"$name: $snip" }
+    }
+    assert(bad.isEmpty,
+      s"\n`//` with possibly-negative operands (DuckDB floors, Spark div truncates) — " +
+        s"audit the site and extend DivAuditedSafe, or rewrite sign-safe:\n${bad.mkString("\n")}")
   }
 }
