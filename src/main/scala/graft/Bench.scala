@@ -49,7 +49,17 @@ object Bench {
     "q104_zorder_layout",
     "q105_shard_novelty",
     "q106_vocab_coverage",
-    "q107_embedding_outliers")
+    "q107_embedding_outliers",
+    // round-7 additions: the remaining heavy judged-but-unbenched
+    // queries (regressions there could previously hide), the two new
+    // round-7 judged entries, and q58 so BOTH connected-components
+    // variants are covered by the reliable-checkpoint comparison
+    "q39_winnowing",
+    "q42_running_totals",
+    "q58_dedup_clusters_star",
+    "q83_scd2_history",
+    "q108_image_decode",
+    "q109_zorder_prune")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -73,14 +83,20 @@ object Bench {
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
     // round-6 additions: per-query min of two matching sf0.1 runs at
-    // introduction (q99's 6.5 s is the replay harness — staging the
-    // band relation to parquet + 8 stateful micro-batches — not data
-    // volume)
-    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 6.19,
+    // introduction; q99 re-based round 7 after the replay-harness trim
+    // (bands staged once per process, AvailableNow trigger, state
+    // partitions sized to the replay)
+    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 3.64,
     "q100_pq_ann" -> 3.72, "q101_incremental_neardup" -> 1.25,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.64)
+    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.64,
+    // round-7 additions: per-query min of two matching sf0.1 runs at
+    // introduction (q99 re-based after the replay-harness trim: staged
+    // bands reused per process + AvailableNow trigger)
+    "q39_winnowing" -> 5.38, "q42_running_totals" -> 0.50,
+    "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
+    "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -108,6 +124,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Reliable-checkpoint mode gate: point SPARK_GRAFT_CHECKPOINT_DIR at
+    // a directory to run the whole bench with spark.graft.checkpointDir
+    // set, so the iterative operators (q46/q58/q91) pin each round's
+    // state to stable storage instead of executor memory — the
+    // fault-tolerant 100 TB configuration. Used to measure the reliable-
+    // mode overhead at bench scale (README performance notes); the
+    // driver never sets it, so judged numbers stay localCheckpoint.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.core.Checkpoints.DirConf, d))
 
     // JVM JIT + codegen warmup: run every headline query once on the
     // smallest corpus (excluded from timing) so measurements reflect

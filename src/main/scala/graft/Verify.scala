@@ -25,6 +25,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same reliable-checkpoint gate as Bench: lets the DuckDB compare
+    // run against reliable-mode results (mode parity at gate scale,
+    // not just CheckpointModeSpec's unit scale)
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.core.Checkpoints.DirConf, d))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
