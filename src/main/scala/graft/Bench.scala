@@ -59,7 +59,8 @@ object Bench {
     "q58_dedup_clusters_star",
     "q83_scd2_history",
     "q108_image_decode",
-    "q109_zorder_prune")
+    "q109_zorder_prune",
+    "q110_pii_redaction")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -96,7 +97,8 @@ object Bench {
     // bands reused per process + AvailableNow trigger)
     "q39_winnowing" -> 5.38, "q42_running_totals" -> 0.50,
     "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
-    "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76)
+    "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
+    "q110_pii_redaction" -> 1.08)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

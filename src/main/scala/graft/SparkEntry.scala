@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Map[String, QuerySpec] =
     operators.Relational.all ++ ext.TextOps.all ++ ext.VectorOps.all ++
       ext.EventOps.all ++ ext.ProfileOps.all ++ ext.AnalyticsOps.all ++ ext.CorpusOps.all ++
-      ext.Multimodal.all ++ ext.BucketedOps.all ++ streaming.StreamingQueries.all
+      ext.Multimodal.all ++ ext.BucketedOps.all ++ ext.PiiOps.all ++
+      streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
