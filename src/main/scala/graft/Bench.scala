@@ -95,7 +95,9 @@ object Bench {
     // round-7 additions: per-query min of two matching sf0.1 runs at
     // introduction (q99 re-based after the replay-harness trim: staged
     // bands reused per process + AvailableNow trigger)
-    "q39_winnowing" -> 5.38, "q42_running_totals" -> 0.50,
+    // q39 re-based after the WinnowFingerprints codegen expression
+    // replaced the CodegenFallback lambda chain (5.4 s -> 0.97 s)
+    "q39_winnowing" -> 0.97, "q42_running_totals" -> 0.50,
     "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
     "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
     "q110_pii_redaction" -> 1.08)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSigs, RollingHash, SimHashSig, VecDot}
+import graft.functions.{MinHashSigs, RollingHash, SimHashSig, VecDot, WinnowFingerprints}
 
 /** Session extensions: installs graft's native functions into any session
   * built with `.withExtensions(new GraftExtensions)` or
@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       VecDot.builder _))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(exprs.head)))
   }
 }

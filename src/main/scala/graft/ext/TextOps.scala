@@ -614,22 +614,21 @@ object TextOps {
   /** Winnowing fingerprints (the MOSS scheme): rolling hash every 8-char
     * gram of the normalized text, then keep the minimum of each 4-hash
     * window — a position-robust fingerprint *set* per document whose size
-    * is ~n/w regardless of alignment. Built on the codegen'd
-    * [[graft.functions.RollingHash]]; the oracle reproduces gram hashing
-    * + window minima with list folds.
+    * is ~n/w regardless of alignment. Computed by the single codegen'd
+    * [[graft.functions.WinnowFingerprints]] expression (true O(1) rolling
+    * update + one-pass window minima); the earlier
+    * transform/slice/array_min lambda chain was CodegenFallback per
+    * element and 7× slower at bench scale
+    * (`WinnowFingerprintsSpec` pins parity with that chain). The oracle
+    * reproduces gram hashing + window minima with list folds.
     */
   val q39Winnowing: QuerySpec = QuerySpec(
     (s, dir) => {
-      graft.functions.RollingHash.register(s)
+      graft.functions.WinnowFingerprints.register(s)
       Tables.documents(s, dir)
         .withColumn("norm", normCol)
         .filter(length(col("norm")) >= 11) // k=8 grams, w=4 windows
-        .withColumn("hashes",
-          expr("transform(sequence(1, length(norm) - 7), i -> rolling_hash(substring(norm, i, 8)))"))
-        .withColumn("fp",
-          explode(array_distinct(
-            expr("transform(sequence(1, size(hashes) - 3), i -> array_min(slice(hashes, i, 4)))"))))
-        .select(col("doc_id"), col("fp"))
+        .select(col("doc_id"), explode(expr("winnow_fps(norm)")).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
     },
     """WITH n AS (
