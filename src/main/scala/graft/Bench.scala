@@ -60,7 +60,8 @@ object Bench {
     "q83_scd2_history",
     "q108_image_decode",
     "q109_zorder_prune",
-    "q110_pii_redaction")
+    "q110_pii_redaction",
+    "q111_contamination_fps")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -92,15 +93,16 @@ object Bench {
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
     "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.64,
-    // round-7 additions: per-query min of two matching sf0.1 runs at
-    // introduction (q99 re-based after the replay-harness trim: staged
-    // bands reused per process + AvailableNow trigger)
-    // q39 re-based after the WinnowFingerprints codegen expression
-    // replaced the CodegenFallback lambda chain (5.4 s -> 0.97 s)
+    // round-7 additions: per-query min of matching sf0.1 runs at
+    // introduction (measured in a globally ~1.7× inflated window — see
+    // README round-7 notes — so future quiet rounds may re-base DOWN);
+    // q39's value is from AFTER the WinnowFingerprints codegen
+    // expression replaced the CodegenFallback lambda chain (5.4 s →
+    // 0.97 s in the same window)
     "q39_winnowing" -> 0.97, "q42_running_totals" -> 0.50,
     "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
     "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
-    "q110_pii_redaction" -> 1.08)
+    "q110_pii_redaction" -> 0.89, "q111_contamination_fps" -> 1.08)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

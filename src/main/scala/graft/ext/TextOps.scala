@@ -622,6 +622,29 @@ object TextOps {
     * (`WinnowFingerprintsSpec` pins parity with that chain). The oracle
     * reproduces gram hashing + window minima with list folds.
     */
+  /** DuckDB winnowing CTEs `n/h/w` — `w` = one (doc_id, source, fp) row
+    * per distinct window-min fingerprint per document. Shared by q39
+    * (the fingerprint dump) and q111 (fingerprint-overlap
+    * decontamination), so the two oracles can never drift on the
+    * scheme.
+    */
+  private val winnowFpsSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+      |h AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(1, len(norm) - 6),
+      |      i -> list_reduce(
+      |             list_prepend(0::bigint,
+      |               list_transform(string_split_regex(substr(norm, i, 8), ''), ch -> ascii(ch)::bigint)),
+      |             (a, b) -> (a * 31 + b) % 1000000007)) AS hashes
+      |  FROM n WHERE len(norm) >= 11),
+      |w AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(hashes) - 2),
+      |      i -> list_aggregate(hashes[i:i+3], 'min')))) AS fp
+      |  FROM h)""".stripMargin
+
   val q39Winnowing: QuerySpec = QuerySpec(
     (s, dir) => {
       graft.functions.WinnowFingerprints.register(s)
@@ -631,22 +654,64 @@ object TextOps {
         .select(col("doc_id"), explode(expr("winnow_fps(norm)")).as("fp"))
         .orderBy(col("doc_id"), col("fp"))
     },
-    """WITH n AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
-      |h AS (
-      |  SELECT doc_id,
-      |    list_transform(range(1, len(norm) - 6),
-      |      i -> list_reduce(
-      |             list_prepend(0::bigint,
-      |               list_transform(string_split_regex(substr(norm, i, 8), ''), ch -> ascii(ch)::bigint)),
-      |             (a, b) -> (a * 31 + b) % 1000000007)) AS hashes
-      |  FROM n WHERE len(norm) >= 11),
-      |w AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(range(1, len(hashes) - 2),
-      |      i -> list_aggregate(hashes[i:i+3], 'min')))) AS fp
-      |  FROM h)
-      |SELECT doc_id, fp FROM w ORDER BY doc_id, fp""".stripMargin)
+    winnowFpsSql + "\nSELECT doc_id, fp FROM w ORDER BY doc_id, fp")
+
+  /** q111: fingerprint-overlap decontamination — the second leg of the
+    * contamination family after q71's n-gram containment: a document is
+    * flagged when ≥40% of its winnowing fingerprints appear in the eval
+    * slice's fingerprint set (on this 40-word synthetic vocabulary the
+    * cross-doc collision floor sits at 20–40%, so 40% is the
+    * discriminating tail; a real corpus tunes this knob), which catches PARAPHRASE-ROBUST leakage
+    * (winnowing minima survive local edits that break exact n-gram
+    * containment). The eval slice is the deterministic doc_id % 97 == 0
+    * subset (a stand-in for a held-out benchmark), excluded from the
+    * scored corpus.
+    *
+    * Scale: the corpus side is one winnow_fps scan (codegen'd, q39's
+    * expression); the probe is a fp-keyed join against the DISTINCT
+    * eval fingerprint set. No broadcast hint on the eval side: real
+    * eval sets are tiny and AQE will broadcast them on its own, but
+    * this query's 1/97 slice is corpus-proportional by construction —
+    * forcing a broadcast here would be the q101 delta-broadcast mistake
+    * again. The threshold is pure integer arithmetic (5·hits ≥ 2·fps);
+    * the rollup shuffles 20 source rows.
+    */
+  val q111ContaminationFps: QuerySpec = QuerySpec(
+    (s, dir) => {
+      graft.functions.WinnowFingerprints.register(s)
+      val fps = Tables.documents(s, dir)
+        .withColumn("norm", normCol)
+        .filter(length(col("norm")) >= 11)
+        .select(col("doc_id"), col("source"),
+          explode(expr("winnow_fps(norm)")).as("fp"))
+      val evalFps = fps.filter(col("doc_id") % 97 === 0)
+        .select(col("fp")).distinct().withColumn("hit", lit(1L))
+      val perDoc = fps.filter(col("doc_id") % 97 =!= 0)
+        .join(evalFps, Seq("fp"), "left_outer")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_fps"), count(col("hit")).as("n_hits"))
+      perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") * 5 >= col("n_fps") * 2, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(col("n_fps")).as("total_fps"),
+        sum(col("n_hits")).as("total_hits"))
+        .orderBy(col("source"))
+    },
+    winnowFpsSql +
+      """,
+        |ev AS (SELECT DISTINCT fp FROM w WHERE doc_id % 97 = 0),
+        |per AS (
+        |  SELECT c.doc_id, c.source,
+        |         count(*) AS n_fps, count(e.fp) AS n_hits
+        |  FROM w c LEFT JOIN ev e ON c.fp = e.fp
+        |  WHERE c.doc_id % 97 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       cast(sum(CASE WHEN n_hits * 5 >= n_fps * 2 THEN 1 ELSE 0 END) AS bigint) AS n_contaminated,
+        |       cast(sum(n_fps) AS bigint) AS total_fps,
+        |       cast(sum(n_hits) AS bigint) AS total_hits
+        |FROM per GROUP BY source ORDER BY source""".stripMargin)
 
   private val CmsDepth = 4    // independent hash rows
   private val CmsHexChars = 3 // 16^3 = 4096 buckets per row
@@ -1437,6 +1502,7 @@ object TextOps {
     "q47_dedup_survivors" -> q47DedupSurvivors,
     "q58_dedup_clusters_star" -> q58DedupClustersStar,
     "q39_winnowing" -> q39Winnowing,
+    "q111_contamination_fps" -> q111ContaminationFps,
     "q36_simhash_pairs" -> q36SimHashPairs,
     "q34_tfidf" -> q34Tfidf,
     "q31_rolling_fingerprint" -> q31RollingFingerprint,
