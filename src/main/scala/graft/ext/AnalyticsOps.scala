@@ -306,6 +306,87 @@ object AnalyticsOps {
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)
 
+  /** Fixed training-sequence length in tokens (the packing target —
+    * think 2048/4096 in production; 128 here so the sf0.01 corpus
+    * yields a few hundred judged rows).
+    */
+  val SeqLen = 128
+
+  /** q112: cross-document SEQUENCE PACKING — the final data-prep step
+    * before a training run: the corpus is one token stream (docs in
+    * doc_id order, one EOS token appended per doc) cut into fixed
+    * [[SeqLen]]-token training rows, documents spanning row boundaries.
+    * Distinct from q81 (per-doc chunking: no cross-doc concatenation)
+    * and q75 (doc-granular shard bins: docs never split). Judged
+    * output is one row per training sequence: how many docs it touches,
+    * its first/last doc, and its token count (= [[SeqLen]] everywhere
+    * but the tail — the padding accounting).
+    *
+    * Scale: the global token offsets come from the q75/q62b distributed
+    * prefix-sum scheme (range repartition by doc_id + per-slice
+    * running sums + bounded offset window + broadcast offsets — the
+    * one full-data exchange is the range sort); each doc then explodes
+    * into only the sequences it overlaps (~toks/L + 1 rows), and the
+    * per-sequence rollup shuffles pre-aggregated rows. No global
+    * window ever sees raw data.
+    *
+    * Integer discipline: spans, overlaps, and boundaries are pure
+    * div/mod arithmetic ((off + toks + L−1) spelled with the literal
+    * L−1 so the oracle's `//` operands stay textually subtraction-free
+    * for the sign-safety lint).
+    */
+  val q112SequencePacking: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (coalesce(size(split(trim(col("text")), "\\s+")), lit(0)) + 1)
+            .cast("long").as("toks")) // +1 = per-doc EOS token
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val local = base
+        .repartitionByRange(nPart, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var run = 0L
+          it.map { case (docId, toks) =>
+            val prior = run; run += toks; (docId, toks, pid, prior)
+          }
+        }
+        .toDF("doc_id", "toks", "pid", "lprior")
+      val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = local.groupBy(col("pid")).agg(sum(col("toks")).as("scnt"))
+        .withColumn("soff", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("soff"))
+      local
+        .join(broadcast(offs), "pid")
+        .withColumn("off", col("lprior") + col("soff"))
+        .withColumn("seq_id", explode(expr(
+          s"sequence(off div $SeqLen, (off + toks + ${SeqLen - 1}) div $SeqLen - 1)")))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          sum(least((col("seq_id") + 1) * SeqLen, col("off") + col("toks"))
+            - greatest(col("seq_id") * SeqLen, col("off"))).as("n_tokens"))
+        .orderBy(col("seq_id"))
+    },
+    s"""WITH t AS (SELECT doc_id,
+       |            cast(coalesce(len(string_split_regex(trim(text), '\\s+')), 0) + 1 AS bigint) AS toks
+       |          FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |        cast(coalesce(sum(toks) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS off
+       |      FROM t),
+       |e AS (SELECT doc_id, toks, off,
+       |        unnest(range(off // $SeqLen, (off + toks + ${SeqLen - 1}) // $SeqLen)) AS seq_id
+       |      FROM c)
+       |SELECT cast(seq_id AS bigint) AS seq_id, count(*) AS n_docs,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |       cast(sum(least((seq_id + 1) * $SeqLen, off + toks)
+       |                - greatest(seq_id * $SeqLen, off)) AS bigint) AS n_tokens
+       |FROM e GROUP BY 1 ORDER BY seq_id""".stripMargin)
+
   private val ZBits = 8
 
   /** Morton (Z-order) interleave of two [[ZBits]]-bit non-negative
@@ -617,6 +698,7 @@ object AnalyticsOps {
     "q104_zorder_layout" -> q104ZorderLayout,
     "q109_zorder_prune" -> q109ZorderPrune,
     "q75_shard_packing" -> q75ShardPacking,
+    "q112_sequence_packing" -> q112SequencePacking,
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,
     "q57_histogram" -> q57Histogram,
