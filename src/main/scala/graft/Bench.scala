@@ -103,8 +103,8 @@ object Bench {
     "q39_winnowing" -> 0.97, "q42_running_totals" -> 0.50,
     "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
     "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
-    "q110_pii_redaction" -> 0.89, "q111_contamination_fps" -> 1.08,
-    "q112_sequence_packing" -> 1.65)
+    "q110_pii_redaction" -> 0.78, "q111_contamination_fps" -> 0.70,
+    "q112_sequence_packing" -> 0.77)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
