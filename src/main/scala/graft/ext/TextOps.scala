@@ -226,6 +226,68 @@ object TextOps {
        |  $qualitySql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** q113: quality-filter CASCADE funnel — how a real curation pipeline
+    * applies quality gates: ordered, each stage seeing only the prior
+    * stage's survivors, with per-stage survival counts (the funnel
+    * report that tells an operator WHICH gate is eating the corpus
+    * before a 100 TB run). Five Gopher/C4-style gates over the q15
+    * signal set: min length (≥100 chars), min tokens (≥20), stopword
+    * floor (hits·25 ≥ tokens, i.e. ≥4% — prose has stopwords; token
+    * soup from OCR/boilerplate doesn't), type-token ratio (distinct·2 ≥
+    * tokens — the repetition gate), punctuation ceiling (punct·5 ≤
+    * chars — a no-op on this punctuation-free corpus, kept to show a
+    * gate that passes clean data through). All thresholds are
+    * cross-multiplied integers — no float ratio ever compared.
+    *
+    * Scale: one scan, all five signals computed in a single projection
+    * (codegen'd regex/array expressions), map-side partial aggregation,
+    * a 20-row source rollup — the funnel costs one pass no matter how
+    * many gates.
+    */
+  val q113FilterFunnel: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val nc = coalesce(length(col("text")), lit(0))
+      val toks = size(split(trim(col("text")), "\\s+"))
+      val dtoks = size(array_distinct(split(trim(col("text")), "\\s+")))
+      val stop = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|of|and|in)\\b"), lit(0)))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val g1 = nc >= 100
+      val g2 = g1 && toks >= 20
+      val g3 = g2 && stop * 25 >= toks
+      val g4 = g3 && dtoks * 2 >= toks
+      val g5 = g4 && punct * 5 <= nc
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(g1).as("pass_len"), cnt(g2).as("pass_tok"), cnt(g3).as("pass_stop"),
+          cnt(g4).as("pass_ttr"), cnt(g5).as("pass_punct"))
+        .orderBy(col("source"))
+    },
+    """WITH t AS (SELECT source,
+      |  coalesce(len(text), 0) AS nc,
+      |  len(string_split_regex(trim(text), '\s+')) AS toks,
+      |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS dtoks,
+      |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b', 0)) AS stop,
+      |  len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS punct
+      |FROM documents),
+      |g AS (SELECT source,
+      |  nc >= 100 AS g1,
+      |  nc >= 100 AND toks >= 20 AS g2,
+      |  nc >= 100 AND toks >= 20 AND stop * 25 >= toks AS g3,
+      |  nc >= 100 AND toks >= 20 AND stop * 25 >= toks AND dtoks * 2 >= toks AS g4,
+      |  nc >= 100 AND toks >= 20 AND stop * 25 >= toks AND dtoks * 2 >= toks
+      |    AND punct * 5 <= nc AS g5
+      |FROM t)
+      |SELECT source, count(*) AS n_docs,
+      |       cast(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS bigint) AS pass_len,
+      |       cast(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS bigint) AS pass_tok,
+      |       cast(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS bigint) AS pass_stop,
+      |       cast(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS bigint) AS pass_ttr,
+      |       cast(sum(CASE WHEN g5 THEN 1 ELSE 0 END) AS bigint) AS pass_punct
+      |FROM g GROUP BY source ORDER BY source""".stripMargin)
+
   /** Document fingerprint: md5 of whitespace-normalized text (plus a
     * 64-bit prefix for compact storage/joins).
     */
@@ -1503,6 +1565,7 @@ object TextOps {
     "q58_dedup_clusters_star" -> q58DedupClustersStar,
     "q39_winnowing" -> q39Winnowing,
     "q111_contamination_fps" -> q111ContaminationFps,
+    "q113_filter_funnel" -> q113FilterFunnel,
     "q36_simhash_pairs" -> q36SimHashPairs,
     "q34_tfidf" -> q34Tfidf,
     "q31_rolling_fingerprint" -> q31RollingFingerprint,
