@@ -63,7 +63,8 @@ object Bench {
     "q110_pii_redaction",
     "q111_contamination_fps",
     "q112_sequence_packing",
-    "q113_filter_funnel")
+    "q113_filter_funnel",
+    "q114_audio_decode")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -105,7 +106,8 @@ object Bench {
     "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
     "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
     "q110_pii_redaction" -> 0.78, "q111_contamination_fps" -> 0.70,
-    "q112_sequence_packing" -> 0.77, "q113_filter_funnel" -> 0.67)
+    "q112_sequence_packing" -> 0.77, "q113_filter_funnel" -> 0.67,
+    "q114_audio_decode" -> 1.50)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -392,9 +392,164 @@ object Multimodal {
       |  cast(sum(hb) AS bigint) AS half_b_sum
       |FROM img GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Stages one REAL WAV per document (`src=<source>/<doc_id>.wav`,
+    * 8 kHz mono 16-bit PCM encoded by `javax.sound.sampled`
+    * executor-side). Sample content is a pure integer function of
+    * `doc_id` ([[AudioGen]]) shared verbatim with the DuckDB oracle —
+    * the judged q114 path sees only container bytes and must recover
+    * every number through the real codec.
+    */
+  def stagedAudioDir(s: SparkSession, dir: String): String =
+    stageBlobsOnce(s, dir, "graft_q114_wav", "wav")((docId, _) => AudioGen.wav(docId))
+
+  /** One decoded clip's exact integer audit — the narrow row that
+    * crosses q114's only shuffle.
+    */
+  final case class AudioAudit(
+      media_id: Long, source: String, pcm16_8k: Boolean,
+      n_samples: Long, sum_samples: Long, sum_abs: Long, peak: Long)
+
+  /** q114: REAL audio decode audit — the third modality leg (image =
+    * q108, frames/video = q65). One genuine RIFF/WAV per document is
+    * staged, ingested through `binaryFile`, and decoded executor-side
+    * with `javax.sound.sampled` (JDK, zero external codecs): the judged
+    * numbers are the decoder-reported format check (8 kHz mono 16-bit
+    * signed LE) and exact integer sample statistics — frame count,
+    * signed sum, L1 sum, per-clip peak — aggregated per source.
+    *
+    * The oracle never touches a codec: samples are a pure integer
+    * function of `doc_id` ([[AudioGen]]), so DuckDB recomputes every
+    * judged number arithmetically. WAV PCM is lossless and
+    * byte-transparent, so a single header-offset or endianness mistake
+    * anywhere in encode/decode shifts integer sums over ~500 samples
+    * per clip and hash-mismatches.
+    *
+    * Scale: decode is per-split (`mapPartitions`, the documented
+    * codec-boundary case), no payload crosses a shuffle; exchanges are
+    * the 20-row rollup and the sort — the q108 plan shape exactly.
+    */
+  val q114AudioDecode: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val staged = stagedAudioDir(s, dir)
+      val clips = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(staged)
+        .select(
+          regexp_extract(col("path"), "/(\\d+)\\.wav$", 1).cast(LongType).as("media_id"),
+          col("content").as("payload"),
+          col("src").cast(StringType).as("source"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.map { case (id, payload, src) =>
+            val (ok, samples) = JdkAudio.decodePcm16(payload)
+            var sum = 0L; var sabs = 0L; var peak = 0L
+            samples.foreach { v =>
+              sum += v; val a = math.abs(v.toLong)
+              sabs += a; if (a > peak) peak = a
+            }
+            AudioAudit(id, src, ok, samples.length.toLong, sum, sabs, peak)
+          }
+        }
+      clips.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(when(col("pcm16_8k"), 1L).otherwise(0L)).as("n_pcm16_8k"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(col("sum_samples")).as("sum_samples"),
+          sum(col("sum_abs")).as("sum_abs"),
+          sum(col("peak")).as("sum_peak"))
+        .orderBy(col("source"))
+    },
+    """WITH d AS (
+      |  SELECT doc_id, source, 256 + (doc_id % 512) AS n FROM documents),
+      |i AS (SELECT doc_id, source, n, unnest(range(0, n)) AS i FROM d),
+      |s AS (SELECT doc_id, source, n,
+      |        ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+      |      FROM i),
+      |clip AS (SELECT doc_id, source, max(n) AS n,
+      |           sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS mx
+      |         FROM s GROUP BY doc_id, source)
+      |SELECT source,
+      |  cast(count(*) AS bigint) AS n_clips,
+      |  cast(count(*) AS bigint) AS n_pcm16_8k,
+      |  cast(sum(n) AS bigint) AS total_samples,
+      |  cast(sum(sv) AS bigint) AS sum_samples,
+      |  cast(sum(sa) AS bigint) AS sum_abs,
+      |  cast(sum(mx) AS bigint) AS sum_peak
+      |FROM clip GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, graft.QuerySpec] = Map(
     "q65_frames_accounting" -> q65FramesAccounting,
-    "q108_image_decode" -> q108ImageDecode)
+    "q108_image_decode" -> q108ImageDecode,
+    "q114_audio_decode" -> q114AudioDecode)
+}
+
+/** Deterministic synthetic audio: 8 kHz mono 16-bit PCM whose samples
+  * are a pure integer function of `doc_id`, shared verbatim by the
+  * staging writer (JVM) and the DuckDB oracle (SQL). The judged decode
+  * path never calls this — it sees only the WAV bytes the real
+  * `javax.sound.sampled` encoder produced.
+  */
+private[ext] object AudioGen {
+  def nSamples(d: Long): Int = (256 + d % 512).toInt
+  def sample(d: Long, i: Int): Int =
+    ((d * 7919L + i.toLong * 104729L) % 65536L - 32768L).toInt
+
+  /** Encode the doc's clip as real WAV bytes via `javax.sound.sampled`. */
+  def wav(d: Long): Array[Byte] = {
+    val n = nSamples(d)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sample(d, i)
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}
+
+/** Thin wrapper over `javax.sound.sampled` — the REAL JDK audio codec
+  * (RIFF/WAV PCM), no external dependency. All streams are in-memory.
+  */
+private[ext] object JdkAudio {
+
+  /** Decode a WAV payload to its 16-bit samples. Returns (formatOk,
+    * samples): formatOk certifies the decoder-reported format is
+    * 8 kHz mono 16-bit signed little-endian PCM; samples are exact.
+    * Undecodable payloads → (false, empty).
+    */
+  def decodePcm16(bytes: Array[Byte]): (Boolean, Array[Int]) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val ok = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleRate == 8000f && f.getChannels == 1 &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+          i += 1
+        }
+        (ok, out)
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => (false, Array.empty)
+      case _: java.io.IOException => (false, Array.empty)
+    }
 }
 
 /** Deterministic synthetic image: a pure integer function of `doc_id`,
