@@ -64,7 +64,8 @@ object Bench {
     "q111_contamination_fps",
     "q112_sequence_packing",
     "q113_filter_funnel",
-    "q114_audio_decode")
+    "q114_audio_decode",
+    "q115_embedding_clusters")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -107,7 +108,7 @@ object Bench {
     "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
     "q110_pii_redaction" -> 0.78, "q111_contamination_fps" -> 0.70,
     "q112_sequence_packing" -> 0.77, "q113_filter_funnel" -> 0.67,
-    "q114_audio_decode" -> 1.50)
+    "q114_audio_decode" -> 1.50, "q115_embedding_clusters" -> 2.48)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -88,25 +88,73 @@ object VectorOps {
        |      FROM p)
        |SELECT q_id, c_id, cosine, rank FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
 
-  /** Embedding near-dup pairs: cosine ≥ 0.35 within a label block (corpus max within-label cosine is ~0.47 — the threshold is calibrated to surface the top candidate pairs). */
-  val q25EmbeddingNearDup: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
-      a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-        .withColumn("cosine", dot(s, "va", "vb") / (sqrt(norm2(s, "va")) * sqrt(norm2(s, "vb"))))
-        .filter(col("cosine") >= 0.35)
-        .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
-        .orderBy(col("id_a"), col("id_b"))
-    },
+  /** Embedding near-dup candidate pairs (cosine ≥ 0.35 within a label
+    * block) — shared by q25 (the pair listing) and q115 (the cluster
+    * labeling over those pairs).
+    */
+  private def neardupPairs(s: SparkSession, dir: String) = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(s, "va", "vb") / (sqrt(norm2(s, "va")) * sqrt(norm2(s, "vb"))))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("label"), col("cosine"))
+  }
+
+  /** One DuckDB CTE text for q25 and q115 — edits cannot desynchronize
+    * the pair scheme from the clustering built on it.
+    */
+  private lazy val neardupPairsSql: String =
     s"""WITH a AS (SELECT vec_id AS id_a, label, embedding AS va FROM embeddings),
        |b AS (SELECT vec_id AS id_b, label AS label_b, embedding AS vb FROM embeddings),
-       |p AS (SELECT id_a, id_b, label,
+       |cp AS (SELECT id_a, id_b, label,
        |        ${duckDot("va", "vb")} / (sqrt(${duckNorm2("va")}) * sqrt(${duckNorm2("vb")})) AS cosine
-       |      FROM a JOIN b ON label = label_b AND id_a < id_b)
-       |SELECT id_a, id_b, label, cosine FROM p
-       |WHERE cosine >= cast(0.35 AS double) ORDER BY id_a, id_b""".stripMargin)
+       |      FROM a JOIN b ON label = label_b AND id_a < id_b),
+       |pairs AS (SELECT id_a, id_b, label, cosine FROM cp
+       |          WHERE cosine >= cast(0.35 AS double))""".stripMargin
+
+  /** Embedding near-dup pairs: cosine ≥ 0.35 within a label block (corpus max within-label cosine is ~0.47 — the threshold is calibrated to surface the top candidate pairs). */
+  val q25EmbeddingNearDup: QuerySpec = QuerySpec(
+    (s, dir) => neardupPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+    neardupPairsSql +
+      "\nSELECT id_a, id_b, label, cosine FROM pairs ORDER BY id_a, id_b")
+
+  /** q115: embedding-space dedup CLUSTERS — the semantic-dedup grouping
+    * step: q25's near-dup pairs closed into connected components, one
+    * cluster label (minimum member vec_id) per vector. Completes the
+    * embedding dedup path the way q46 completes the text-LSH path:
+    * pairs are a candidate listing; what a curation pipeline acts on is
+    * the transitive grouping (keep one representative per semantic
+    * cluster).
+    *
+    * The float cosine threshold lives entirely in the SHARED pair
+    * scheme (q25-judged: both engines produce the identical pair set);
+    * everything above it — the closure and labeling — is integer-exact.
+    * Scale: the iterative CC engine is the q46 label-propagation
+    * machinery (per-round pin via [[graft.core.Checkpoints]], reliable
+    * mode one conf away); the oracle is the same recursive-CTE
+    * transitive closure the text clusterings use.
+    */
+  val q115EmbeddingClusters: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.ConnectedComponents.components(
+          e.select(col("vec_id").as("id")),
+          neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+        .orderBy(col("vec_id"))
+    },
+    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") +
+      """,
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |clusters AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS cluster_id
+        |             FROM embeddings m LEFT JOIN reach r ON m.vec_id = r.u
+        |             GROUP BY m.vec_id)
+        |SELECT vec_id, cluster_id FROM clusters ORDER BY vec_id""".stripMargin)
 
   /** Per-vector max-|x| — the scalar-quantization scale. */
   private def maxAbs(a: String): Column =
@@ -710,6 +758,7 @@ object VectorOps {
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,
     "q25_embedding_neardup" -> q25EmbeddingNearDup,
+    "q115_embedding_clusters" -> q115EmbeddingClusters,
     "q48_ann_ivf" -> q48AnnIvf,
     "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans,
     "q69_int8_cosine" -> q69Int8Cosine,
