@@ -65,7 +65,8 @@ object Bench {
     "q112_sequence_packing",
     "q113_filter_funnel",
     "q114_audio_decode",
-    "q115_embedding_clusters")
+    "q115_embedding_clusters",
+    "q116_shard_admission")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -108,7 +109,8 @@ object Bench {
     "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
     "q110_pii_redaction" -> 0.78, "q111_contamination_fps" -> 0.70,
     "q112_sequence_packing" -> 0.77, "q113_filter_funnel" -> 0.67,
-    "q114_audio_decode" -> 1.50, "q115_embedding_clusters" -> 2.48)
+    "q114_audio_decode" -> 1.50, "q115_embedding_clusters" -> 2.48,
+    "q116_shard_admission" -> 1.29)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

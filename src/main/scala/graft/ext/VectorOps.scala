@@ -156,6 +156,72 @@ object VectorOps {
         |             GROUP BY m.vec_id)
         |SELECT vec_id, cluster_id FROM clusters ORDER BY vec_id""".stripMargin)
 
+  /** q116: incremental embedding-shard admission — the vector-side leg
+    * of the incremental-ingestion family (q101 text admission, q103
+    * index merge, q105 shard novelty): an incoming shard (the top 20%
+    * of vec_ids, the q101 split convention) is screened against the
+    * at-rest corpus, and each incoming vector gets a verdict —
+    * duplicate-of-corpus (≥0.35 cosine to an at-rest vector),
+    * duplicate-within-shard only, or new — rolled up per label.
+    *
+    * Scale: probes are label-blocked exact cosine joins; the corpus
+    * never self-pairs (admission cost scales with the delta, not the
+    * corpus²), and NO broadcast hint is forced on the shard side — the
+    * 80/20 split makes it corpus-proportional in-gate, so the planner
+    * must stay free to pick a shuffle join at scale (the q101 lesson).
+    * Counts are integer-exact; the float threshold is the q25-judged
+    * shared scheme.
+    */
+  val q116ShardAdmission: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val thr = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long").as("t"))
+      val tagged = e.crossJoin(broadcast(thr))
+      val inc = tagged.filter(col("vec_id") >= col("t"))
+        .select(col("vec_id").as("id_i"), col("label"), col("embedding").as("vi"))
+      val rest = tagged.filter(col("vec_id") < col("t"))
+        .select(col("vec_id").as("id_r"), col("label").as("label_r"), col("embedding").as("vr"))
+      val vsCorpus = inc.join(rest, col("label") === col("label_r"))
+        .withColumn("cosine", dot(s, "vi", "vr") / (sqrt(norm2(s, "vi")) * sqrt(norm2(s, "vr"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_i")).distinct().withColumn("dup_corpus", lit(1L))
+      val inc2 = inc.select(col("id_i").as("id_j"), col("label").as("label_j"), col("vi").as("vj"))
+      val vsShard = inc.join(inc2,
+          col("label") === col("label_j") && col("id_i") =!= col("id_j"))
+        .withColumn("cosine", dot(s, "vi", "vj") / (sqrt(norm2(s, "vi")) * sqrt(norm2(s, "vj"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_i")).distinct().withColumn("dup_shard", lit(1L))
+      inc.join(vsCorpus, Seq("id_i"), "left_outer")
+        .join(vsShard, Seq("id_i"), "left_outer")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(coalesce(col("dup_corpus"), lit(0L))).as("n_dup_corpus"),
+          sum(when(col("dup_corpus").isNull && col("dup_shard") === 1L, 1L)
+            .otherwise(0L)).as("n_dup_shard_only"),
+          sum(when(col("dup_corpus").isNull && col("dup_shard").isNull, 1L)
+            .otherwise(0L)).as("n_new"))
+        .orderBy(col("label"))
+    },
+    s"""WITH t AS (SELECT cast(floor((max(vec_id) + 1) * 0.8) AS bigint) AS t FROM embeddings),
+       |inc AS (SELECT vec_id AS id_i, label, embedding AS vi
+       |        FROM embeddings, t WHERE vec_id >= t.t),
+       |rest AS (SELECT vec_id AS id_r, label AS label_r, embedding AS vr
+       |         FROM embeddings, t WHERE vec_id < t.t),
+       |vs_corpus AS (SELECT DISTINCT id_i FROM inc JOIN rest ON label = label_r
+       |              WHERE ${duckDot("vi", "vr")} / (sqrt(${duckNorm2("vi")}) * sqrt(${duckNorm2("vr")}))
+       |                    >= cast(0.35 AS double)),
+       |vs_shard AS (SELECT DISTINCT a.id_i FROM inc a JOIN inc b
+       |               ON a.label = b.label AND a.id_i <> b.id_i
+       |             WHERE ${duckDot("a.vi", "b.vi")} / (sqrt(${duckNorm2("a.vi")}) * sqrt(${duckNorm2("b.vi")}))
+       |                   >= cast(0.35 AS double))
+       |SELECT i.label AS label, count(*) AS n_incoming,
+       |       cast(sum(CASE WHEN c.id_i IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dup_corpus,
+       |       cast(sum(CASE WHEN c.id_i IS NULL AND sh.id_i IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dup_shard_only,
+       |       cast(sum(CASE WHEN c.id_i IS NULL AND sh.id_i IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_new
+       |FROM inc i LEFT JOIN vs_corpus c ON i.id_i = c.id_i
+       |           LEFT JOIN vs_shard sh ON i.id_i = sh.id_i
+       |GROUP BY i.label ORDER BY label""".stripMargin)
+
   /** Per-vector max-|x| — the scalar-quantization scale. */
   private def maxAbs(a: String): Column =
     expr(s"aggregate($a, cast(0 AS double), (m, x) -> greatest(m, abs(cast(x AS double))))")
@@ -759,6 +825,7 @@ object VectorOps {
     "q22_ann_lsh" -> q22AnnLsh,
     "q25_embedding_neardup" -> q25EmbeddingNearDup,
     "q115_embedding_clusters" -> q115EmbeddingClusters,
+    "q116_shard_admission" -> q116ShardAdmission,
     "q48_ann_ivf" -> q48AnnIvf,
     "q64_ann_ivf_kmeans" -> q64AnnIvfKmeans,
     "q69_int8_cosine" -> q69Int8Cosine,
