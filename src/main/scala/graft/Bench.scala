@@ -198,12 +198,27 @@ object Bench {
         else base ++ (1 to ExtraRuns).flatMap(_ => timeOnce(name))
       (name, times.minOption.getOrElse(-1.0), needRetime) // -1 marks "never succeeded"
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // queries whose min came through the stall-retime path, so reports
-    // can tell a 6-sample min from a plain 3-sample min
-    val retimed = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // The driver captures only the LAST ~2000 chars of stdout: an
+    // over-long result line is truncated from the FRONT, losing the
+    // early queries and the total (round 7's official record was
+    // unparseable for exactly this reason). Keep the line compact:
+    // 3-decimal times (sub-millisecond digits are noise anyway) and the
+    // stall-retime detail demoted to a count, with the retimed names on
+    // stderr for the performance notes.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val retimedNames = results.collect { case (k, _, true) => k }
+    if (retimedNames.nonEmpty)
+      System.err.println(s"[bench] stall-retimed (6-sample min): ${retimedNames.mkString(", ")}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$retimed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimedNames.size},"sf":"$sfDir"}"""
+    // hard guard on the driver's tail-capture budget — at the current 49
+    // headline entries the line is ~1.4k chars; warn loudly before any
+    // future growth silently truncates the official record again
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: result line ${line.length} chars > 1800 — trim the headline or shorten names")
+    println(line)
     spark.stop()
   }
 }

@@ -42,14 +42,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = s"$dir/events.parquet"
-    val tsIsNanos = {
-      val inferred = scala.util.Try(spark.read.parquet(path).schema)
-      // inference throwing IS the nanos signal (Spark rejects NANOS);
-      // an inferred timestamp (TZ or NTZ — the corpus ships
-      // isAdjustedToUTC=false, which surfaces as NTZ) means
-      // micros/millis — plain read
-      !inferred.toOption.exists(_.fields.exists(f => f.name == "ts" &&
-        (f.dataType == TimestampType || f.dataType == TimestampNTZType)))
+    val tsIsNanos = eventsTsUnit(spark, path) match {
+      case TsNanos           => true
+      case TsMicros | TsMillis => false
     }
     if (!tsIsNanos)
       // normalize to TimestampType: the session TZ is pinned UTC, so the
@@ -68,6 +63,56 @@ object Tables {
         StructField("props", StringType)))
       spark.read.schema(raw).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
+  }
+
+  private sealed trait TsUnit
+  private case object TsMillis extends TsUnit
+  private case object TsMicros extends TsUnit
+  private case object TsNanos extends TsUnit
+
+  /** Read the parquet footer's DECLARED logical type for `ts` and branch
+    * on it explicitly. The former heuristic ("schema inference threw ⇒
+    * nanos") conflated two failure classes: a corrupt footer or
+    * transient IO error would silently take the div-1000 path, and a
+    * plain-INT64 micros column (no logical annotation) would too —
+    * either way producing 1970-adjacent timestamps again. Anything other
+    * than an annotated TIMESTAMP(MILLIS/MICROS/NANOS) now fails loudly
+    * with the actual declared type in the message.
+    */
+  private def eventsTsUnit(spark: SparkSession, path: String): TsUnit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val conf = spark.sessionState.newHadoopConf()
+    // the corpus ships one physical file per table; tolerate a directory
+    // layout by sniffing the first part file (all parts share a footer
+    // schema when written by one job)
+    val f = new java.io.File(path)
+    val firstFile =
+      if (f.isDirectory)
+        f.listFiles().filter(p => p.getName.endsWith(".parquet") && p.isFile)
+          .sortBy(_.getName).headOption
+          .getOrElse(sys.error(s"events ts sniff: no parquet part files under $path"))
+          .getPath
+      else path
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(firstFile), conf))
+    val ann =
+      try reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        .asPrimitiveType().getLogicalTypeAnnotation
+      finally reader.close()
+    ann match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+        case TimeUnit.MILLIS => TsMillis
+        case TimeUnit.MICROS => TsMicros
+        case TimeUnit.NANOS  => TsNanos
+      }
+      case other => sys.error(
+        s"events.ts: expected an annotated TIMESTAMP logical type in the parquet footer, " +
+          s"got ${Option(other).map(_.toString).getOrElse("none (plain INT64?)")} at $firstFile — " +
+          "refusing to guess an epoch unit")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
