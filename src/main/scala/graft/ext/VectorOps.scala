@@ -25,6 +25,9 @@ import graft.tables.Tables
   */
 object VectorOps {
 
+  private val IvfK = 16     // inverted lists (centroids)
+  private val IvfProbes = 2 // lists probed per query
+
   /** Sequential-fold dot product of two double-cast float arrays, as the
     * native codegen [[graft.functions.VecDot]] expression — bit-exact
     * with the `aggregate(zip_with(...))` HOF form it replaced (identical
@@ -161,33 +164,73 @@ object VectorOps {
     * index merge, q105 shard novelty): an incoming shard (the top 20%
     * of vec_ids, the q101 split convention) is screened against the
     * at-rest corpus, and each incoming vector gets a verdict —
-    * duplicate-of-corpus (≥0.35 cosine to an at-rest vector),
-    * duplicate-within-shard only, or new — rolled up per label.
+    * duplicate-of-corpus (≥0.35 cosine to a same-label candidate at
+    * rest), duplicate-within-shard only, or new — rolled up per label.
     *
-    * Scale: probes are label-blocked exact cosine joins; the corpus
-    * never self-pairs (admission cost scales with the delta, not the
-    * corpus²), and NO broadcast hint is forced on the shard side — the
-    * 80/20 split makes it corpus-proportional in-gate, so the planner
-    * must stay free to pick a shuffle join at scale (the q101 lesson).
-    * Counts are integer-exact; the float threshold is the q25-judged
-    * shared scheme.
+    * Candidate generation is the q48 IVF coarse quantizer, NOT
+    * label-blocked all-pairs: every vector is assigned to its nearest
+    * seed centroid ([[IvfK]] lists, per-row argmin expression — zero
+    * shuffles, no K× amplification), each incoming vector probes its
+    * [[IvfProbes]] nearest lists, and ONLY (probe-list, label)-matched
+    * candidates get the exact cosine rescore. The admission verdict is
+    * thus DEFINED over the blocked candidate set — deterministic
+    * (seed centroids + double-fold cosine + cent_id tie-break), and the
+    * DuckDB oracle replays assignment → probing → rescore end-to-end,
+    * so both engines agree by construction (`VectorOpsSpec` pins the
+    * blocked verdicts' recall against the exact all-pairs screen).
+    *
+    * Scale: per-probe cost is |shard| × |list| with IvfProbes/IvfK of
+    * the corpus scanned per incoming vector (lists grow ~√N with
+    * trained centroids swapped in) — the label-blocked all-pairs form
+    * this replaces was O(|shard| × |corpus| / n_labels), quadratic per
+    * label when labels are few. NO broadcast hint is forced on either
+    * shard- or corpus-derived frame (the q101 lesson; the only hinted
+    * frames are the two single-row scalar aggregates: split threshold
+    * and centroid codebook). Counts are integer-exact; the float
+    * threshold is the q25-judged shared cosine scheme.
     */
   val q116ShardAdmission: QuerySpec = QuerySpec(
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
+      graft.functions.VecDot.register(s)
       val thr = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long").as("t"))
-      val tagged = e.crossJoin(broadcast(thr))
-      val inc = tagged.filter(col("vec_id") >= col("t"))
-        .select(col("vec_id").as("id_i"), col("label"), col("embedding").as("vi"))
-      val rest = tagged.filter(col("vec_id") < col("t"))
-        .select(col("vec_id").as("id_r"), col("label").as("label_r"), col("embedding").as("vr"))
-      val vsCorpus = inc.join(rest, col("label") === col("label_r"))
+      // single-row codebook: the first IvfK corpus vectors (q48's
+      // seed-set convention), ordered by vec_id
+      val cents1 = e.filter(col("vec_id") < IvfK)
+        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+          .as("cents"))
+      // per-row centroid ranking (the q100 per-row argmin pattern):
+      // struct sort on (-cos, c) = cosine desc, cent_id tie-break —
+      // identical ordering to the oracle's row_number(ORDER BY cent_cos
+      // DESC, cent_id) because the cosine folds are bit-identical
+      val centCos = s"vec_dot(embedding, element_at(cents, c + 1)) / " +
+        s"(sqrt(vec_dot(embedding, embedding)) * " +
+        s"sqrt(vec_dot(element_at(cents, c + 1), element_at(cents, c + 1))))"
+      val ranked = e.crossJoin(broadcast(thr)).crossJoin(broadcast(cents1))
+        .withColumn("psort", expr(
+          s"""array_sort(transform(sequence(0, ${IvfK - 1}), c ->
+             |  named_struct('negcos', -($centCos), 'c', c)))""".stripMargin))
+        .withColumn("list_id", expr("psort[0].c"))
+        .withColumn("probes", expr(s"transform(slice(psort, 1, $IvfProbes), x -> x.c)"))
+        .drop("psort", "cents")
+      val inc = ranked.filter(col("vec_id") >= col("t"))
+        .select(col("vec_id").as("id_i"), col("label"), col("embedding").as("vi"),
+          col("list_id").as("list_i"), col("probes"))
+      val rest = ranked.filter(col("vec_id") < col("t"))
+        .select(col("vec_id").as("id_r"), col("label").as("label_r"),
+          col("embedding").as("vr"), col("list_id").as("list_r"))
+      val incProbe = inc.select(col("id_i"), col("label"), col("vi"),
+        explode(col("probes")).as("probe"))
+      val vsCorpus = incProbe.join(rest,
+          col("probe") === col("list_r") && col("label") === col("label_r"))
         .withColumn("cosine", dot(s, "vi", "vr") / (sqrt(norm2(s, "vi")) * sqrt(norm2(s, "vr"))))
         .filter(col("cosine") >= 0.35)
         .select(col("id_i")).distinct().withColumn("dup_corpus", lit(1L))
-      val inc2 = inc.select(col("id_i").as("id_j"), col("label").as("label_j"), col("vi").as("vj"))
-      val vsShard = inc.join(inc2,
-          col("label") === col("label_j") && col("id_i") =!= col("id_j"))
+      val incJ = inc.select(col("id_i").as("id_j"), col("label").as("label_j"),
+        col("vi").as("vj"), col("list_i").as("list_j"))
+      val vsShard = incProbe.join(incJ,
+          col("probe") === col("list_j") && col("label") === col("label_j") &&
+            col("id_i") =!= col("id_j"))
         .withColumn("cosine", dot(s, "vi", "vj") / (sqrt(norm2(s, "vi")) * sqrt(norm2(s, "vj"))))
         .filter(col("cosine") >= 0.35)
         .select(col("id_i")).distinct().withColumn("dup_shard", lit(1L))
@@ -203,16 +246,32 @@ object VectorOps {
         .orderBy(col("label"))
     },
     s"""WITH t AS (SELECT cast(floor((max(vec_id) + 1) * 0.8) AS bigint) AS t FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS centv
+       |          FROM embeddings WHERE vec_id < $IvfK),
+       |ac AS (SELECT e.vec_id, c.cent_id,
+       |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
+       |       FROM embeddings e CROSS JOIN cents c),
+       |pr AS (SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS prn
+       |       FROM ac),
+       |assign AS (SELECT vec_id, cent_id AS list_id FROM pr WHERE prn = 1),
+       |probes AS (SELECT vec_id, cent_id AS probe FROM pr WHERE prn <= $IvfProbes),
        |inc AS (SELECT vec_id AS id_i, label, embedding AS vi
-       |        FROM embeddings, t WHERE vec_id >= t.t),
-       |rest AS (SELECT vec_id AS id_r, label AS label_r, embedding AS vr
-       |         FROM embeddings, t WHERE vec_id < t.t),
-       |vs_corpus AS (SELECT DISTINCT id_i FROM inc JOIN rest ON label = label_r
-       |              WHERE ${duckDot("vi", "vr")} / (sqrt(${duckNorm2("vi")}) * sqrt(${duckNorm2("vr")}))
+       |        FROM embeddings CROSS JOIN t WHERE vec_id >= t.t),
+       |rest AS (SELECT e.vec_id AS id_r, e.label AS label_r, e.embedding AS vr, a.list_id AS list_r
+       |         FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       |         CROSS JOIN t WHERE e.vec_id < t.t),
+       |vs_corpus AS (SELECT DISTINCT i.id_i FROM inc i
+       |              JOIN probes p ON p.vec_id = i.id_i
+       |              JOIN rest r ON r.list_r = p.probe AND r.label_r = i.label
+       |              WHERE ${duckDot("i.vi", "r.vr")} / (sqrt(${duckNorm2("i.vi")}) * sqrt(${duckNorm2("r.vr")}))
        |                    >= cast(0.35 AS double)),
-       |vs_shard AS (SELECT DISTINCT a.id_i FROM inc a JOIN inc b
-       |               ON a.label = b.label AND a.id_i <> b.id_i
-       |             WHERE ${duckDot("a.vi", "b.vi")} / (sqrt(${duckNorm2("a.vi")}) * sqrt(${duckNorm2("b.vi")}))
+       |incj AS (SELECT i2.id_i AS id_j, i2.label AS label_j, i2.vi AS vj, a.list_id AS list_j
+       |         FROM inc i2 JOIN assign a ON i2.id_i = a.vec_id),
+       |vs_shard AS (SELECT DISTINCT a.id_i FROM inc a
+       |             JOIN probes p ON p.vec_id = a.id_i
+       |             JOIN incj b ON b.list_j = p.probe AND b.label_j = a.label AND a.id_i <> b.id_j
+       |             WHERE ${duckDot("a.vi", "b.vj")} / (sqrt(${duckNorm2("a.vi")}) * sqrt(${duckNorm2("b.vj")}))
        |                   >= cast(0.35 AS double))
        |SELECT i.label AS label, count(*) AS n_incoming,
        |       cast(sum(CASE WHEN c.id_i IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dup_corpus,
@@ -416,8 +475,10 @@ object VectorOps {
          |FROM g LEFT JOIN an ON g.q_id = an.q_id ORDER BY q_id""".stripMargin
     })
 
-  private val IvfK = 16     // inverted lists (centroids)
-  private val IvfProbes = 2 // lists probed per query
+  // (IvfK/IvfProbes are declared at the top of the object: q116's oracle
+  // string interpolates them EAGERLY at val-initialization time, so they
+  // must be initialized before any QuerySpec that embeds them — a
+  // forward reference silently interpolates 0.)
 
   /** IVF (inverted-file) ANN: partition the corpus into K inverted lists
     * by nearest centroid, then answer a query by exact-rescoring only the

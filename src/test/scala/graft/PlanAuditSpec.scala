@@ -251,7 +251,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "q78's top-10 owners is not a bounded TakeOrderedAndProject")
   }
 
-  test("q101 never broadcast-hints a shard-derived (corpus-proportional) frame") {
+  test("q116 candidate joins are IVF-blocked, never label-only all-pairs") {
+    // The admission screen's candidate joins must carry the probe-list
+    // key (probe = list_r / list_j): an equi-join whose ONLY keys are
+    // label columns is the O(|shard| × |corpus| / n_labels) all-pairs
+    // form — quadratic per label when labels are few — that the IVF
+    // blocking exists to prevent. Checked on the optimized logical plan:
+    // every join condition's equality attributes must not collapse to
+    // label-only.
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val labelish = Set("label", "label_r", "label_j")
+    val lp = SparkEntry.queries("q116_shard_admission")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    lp.foreach {
+      case j: Join =>
+        val eqAttrs = j.condition.toSeq.flatMap(_.collect {
+          case e: EqualTo => e.references.map(_.name).toSeq
+        }.flatten).toSet
+        assert(!(eqAttrs.nonEmpty && eqAttrs.subsetOf(labelish)),
+          s"label-only equi-join in q116: keys=$eqAttrs")
+      case _ => ()
+    }
+  }
+
+  test("incremental-family queries never broadcast-hint a shard-derived (corpus-proportional) frame") {
     // The incoming shard is DEFINED as 20% of doc_ids — corpus-
     // proportional, not fixed-size — so a forced broadcast of its band
     // rows (or of the dup sets derived from them) is a driver OOM at
@@ -268,17 +292,18 @@ class PlanAuditSpec extends AnyFunSuite {
       case u if u.children.size == 1 => scalarAgg(u.children.head)
       case _ => false
     }
-    val lp = SparkEntry.queries("q101_incremental_neardup")(spark, sfDir)
-      .queryExecution.optimizedPlan
-    lp.foreach {
-      case j: Join =>
-        def broadcastHinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
-          h.exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
-        if (broadcastHinted(j.hint.leftHint))
-          assert(scalarAgg(j.left), "broadcast hint on a non-scalar left side in q101")
-        if (broadcastHinted(j.hint.rightHint))
-          assert(scalarAgg(j.right), "broadcast hint on a non-scalar right side in q101")
-      case _ => ()
+    for (n <- Seq("q101_incremental_neardup", "q111_contamination_fps", "q116_shard_admission")) {
+      val lp = SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
+      lp.foreach {
+        case j: Join =>
+          def broadcastHinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+            h.exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+          if (broadcastHinted(j.hint.leftHint))
+            assert(scalarAgg(j.left), s"broadcast hint on a non-scalar left side in $n")
+          if (broadcastHinted(j.hint.rightHint))
+            assert(scalarAgg(j.right), s"broadcast hint on a non-scalar right side in $n")
+        case _ => ()
+      }
     }
   }
 
@@ -401,6 +426,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // indexes are 64 rows; the data join is broadcast) + the 6-row
       // result assembly + output sort — all exchanges bounded or tiny
       "q109_zorder_prune" -> 6,
+      // q116 (round-8 IVF-blocked rewrite, audited at introduction): 10
+      // of the 19 are single-row scalar-agg exchanges (split threshold +
+      // centroid codebook, recomputed per branch — 1-row frames, not
+      // data movement, the q101 accounting); the rest are the two
+      // candidate-dedupe distincts, the four candidate/rollup join
+      // sides, and the 10-row output sort. The corpus-scale work rides
+      // the (probe-list, label)-keyed joins, never a label-only pairing
+      "q116_shard_admission" -> 19,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
