@@ -66,7 +66,11 @@ object Bench {
     "q113_filter_funnel",
     "q114_audio_decode",
     "q115_embedding_clusters",
-    "q116_shard_admission")
+    "q116_shard_admission",
+    // round-8 additions: the composed shard-ingest pipeline and the
+    // multi-frame decode leg
+    "q117_shard_ingest_e2e",
+    "q118_gif_frames")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -110,7 +114,10 @@ object Bench {
     "q110_pii_redaction" -> 0.78, "q111_contamination_fps" -> 0.70,
     "q112_sequence_packing" -> 0.77, "q113_filter_funnel" -> 0.67,
     "q114_audio_decode" -> 1.50, "q115_embedding_clusters" -> 2.48,
-    "q116_shard_admission" -> 1.29)
+    "q116_shard_admission" -> 1.29,
+    // round-8 additions: per-query min of matching sf0.1 runs at
+    // introduction (quiet window, loadavg-checked)
+    "q117_shard_ingest_e2e" -> 2.50, "q118_gif_frames" -> 1.00)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -164,6 +171,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, warmup).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
+    graft.core.Staging.sweepInvocationDirs(): Unit // warmup stores are dead too
 
     def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
@@ -196,6 +204,10 @@ object Bench {
       val times =
         if (!needRetime) base
         else base ++ (1 to ExtraRuns).flatMap(_ => timeOnce(name))
+      // queries run sequentially: reclaim this query's staged stores now
+      // (a bench process re-runs staged queries up to 6×, which held 6
+      // full store copies in /tmp until JVM exit before this sweep)
+      graft.core.Staging.sweepInvocationDirs(): Unit
       (name, times.minOption.getOrElse(-1.0), needRetime) // -1 marks "never succeeded"
     }
     // The driver captures only the LAST ~2000 chars of stdout: an

@@ -38,6 +38,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // queries run sequentially here, so any staged store this query
+        // created is dead once its parquet is written — reclaim eagerly
+        // instead of letting a full run accumulate them until JVM exit
+        graft.core.Staging.sweepInvocationDirs(): Unit
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -45,12 +45,39 @@ object Staging {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), base(prefix, sfDir)).toString
 
   /** Fresh per call: concurrent executions of one query in one process
-    * get disjoint stores. Removed by the process-exit hook.
+    * get disjoint stores. Removed by [[sweepInvocationDirs]] (called by
+    * the sequential drivers between queries) with the process-exit hook
+    * as backstop.
     */
   def invocationDir(prefix: String, sfDir: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       base(prefix, sfDir) + "_i" + tokens.incrementAndGet()).toString
     createdInvocationDirs.add(d)
     d
+  }
+
+  /** Eagerly delete every invocation dir created so far and returns the
+    * count removed — called by the SEQUENTIAL driver mains (Verify,
+    * Bench) after each query's terminal action, so a long process
+    * re-running staged queries holds at most one query's stores instead
+    * of accumulating them until JVM exit. A dir is only in this set
+    * AFTER its query's result was materialized (the returned DataFrame
+    * reads the staged store lazily, so callers must sweep only past the
+    * terminal action — which is exactly when the drivers call this).
+    * In-process CONCURRENT executions must not use this (it would drop
+    * a sibling query's live store mid-scan); they keep the exit hook.
+    */
+  def sweepInvocationDirs(): Int = {
+    var n = 0
+    val it = createdInvocationDirs.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      try {
+        Fs.deleteRecursively(java.nio.file.Paths.get(d))
+        it.remove()
+        n += 1
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    n
   }
 }

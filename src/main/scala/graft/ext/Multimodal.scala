@@ -479,10 +479,113 @@ object Multimodal {
       |  cast(sum(mx) AS bigint) AS sum_peak
       |FROM clip GROUP BY source ORDER BY source""".stripMargin)
 
+  /** Stages one REAL animated GIF per document
+    * (`src=<source>/<doc_id>.gif`, 2–5 frames, indexed grayscale,
+    * encoded frame-by-frame through `javax.imageio`'s sequence writer).
+    * Frame pixels are a pure integer function of (doc_id, frame_idx)
+    * ([[GifGen]]) shared verbatim with the DuckDB oracle.
+    */
+  def stagedGifDir(s: SparkSession, dir: String): String =
+    stageBlobsOnce(s, dir, "graft_q118_gif", "gif")((docId, _) => GifGen.gif(docId))
+
+  /** One decoded GIF frame's exact integer audit — the narrow row that
+    * crosses q118's only shuffle (≤ 5 per clip).
+    */
+  final case class FrameAudit(
+      media_id: Long, source: String, frame_idx: Int,
+      width: Int, height: Int, gray: Boolean, gray_sum: Long)
+
+  /** q118: REAL multi-frame decode — the MOTION leg that completes the
+    * modality triad (still image = q108, audio = q114; q65's byte-slice
+    * "frames" remain the container-agnostic accounting). One genuine
+    * animated GIF per document is staged, ingested through
+    * `binaryFile`, and decoded FRAME BY FRAME executor-side with the
+    * same `javax.imageio` stack q108 uses (`ImageReader.getNumImages` +
+    * per-index `read`) — the judged rows are per-(source, frame_idx)
+    * exact integer pixel statistics, so the per-frame decode itself is
+    * under the hash gate, not just a clip-level rollup.
+    *
+    * Why the round-trip is exact: frames are written INDEXED with an
+    * identity grayscale palette (≤256 colors/frame), and GIF's LZW is
+    * lossless on indexed data — so `getRGB & 0xFF` must recover every
+    * generated gray value bit-exactly, and the `gray` flag (r==g==b on
+    * every pixel) certifies the palette survived. The oracle never
+    * touches a codec: it replays [[GifGen]]'s integer formula over the
+    * (doc × frame × pixel) grid arithmetically.
+    *
+    * Scale: decode is per-split `mapPartitions` (the documented codec
+    * boundary); each clip fans out ≤ 5 narrow 7-scalar rows and no
+    * payload crosses a shuffle; exchanges are the ≤(sources ×
+    * max-frames)-row rollup and the sort — the q108 plan shape.
+    */
+  val q118GifFrames: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val staged = stagedGifDir(s, dir)
+      val frames = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(staged)
+        .select(
+          regexp_extract(col("path"), "/(\\d+)\\.gif$", 1).cast(LongType).as("media_id"),
+          col("content").as("payload"),
+          col("src").cast(StringType).as("source"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload, src) =>
+            JdkCodec.decodeGifFrames(payload).iterator.zipWithIndex.map {
+              case (img, f) =>
+                var gs = 0L
+                var gray = true
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    val r = (p >> 16) & 0xff
+                    gray &&= r == ((p >> 8) & 0xff) && r == (p & 0xff)
+                    gs += r
+                    x += 1
+                  }
+                  y += 1
+                }
+                FrameAudit(id, src, f, img.getWidth, img.getHeight, gray, gs)
+            }
+          }
+        }
+      frames.groupBy(col("source"), col("frame_idx"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("gray"), 1L).otherwise(0L)).as("n_gray"),
+          sum(col("width").cast(LongType)).as("sum_width"),
+          sum(col("height").cast(LongType)).as("sum_height"),
+          sum(col("gray_sum")).as("gray_sum"))
+        .orderBy(col("source"), col("frame_idx"))
+    },
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         2 + (doc_id % 4) AS nf,
+      |         8 + (doc_id % 9) AS w,
+      |         8 + ((doc_id // 9) % 9) AS h
+      |  FROM documents),
+      |f AS (SELECT doc_id, source, w, h, unnest(range(0, nf)) AS frame_idx FROM d),
+      |xs AS (SELECT doc_id, source, w, h, frame_idx, unnest(range(0, w)) AS x FROM f),
+      |px AS (SELECT doc_id, source, w, h, frame_idx, x, unnest(range(0, h)) AS y FROM xs),
+      |g AS (SELECT doc_id, source, frame_idx, max(w) AS w, max(h) AS h,
+      |        sum((doc_id * 31 + frame_idx * 7 + x * 11 + y * 13) % 256) AS gsum
+      |      FROM px GROUP BY doc_id, source, frame_idx)
+      |SELECT source, cast(frame_idx AS int) AS frame_idx,
+      |  cast(count(*) AS bigint) AS n_frames,
+      |  cast(count(*) AS bigint) AS n_gray,
+      |  cast(sum(w) AS bigint) AS sum_width,
+      |  cast(sum(h) AS bigint) AS sum_height,
+      |  cast(sum(gsum) AS bigint) AS gray_sum
+      |FROM g GROUP BY source, frame_idx ORDER BY source, frame_idx""".stripMargin)
+
   val all: Map[String, graft.QuerySpec] = Map(
     "q65_frames_accounting" -> q65FramesAccounting,
     "q108_image_decode" -> q108ImageDecode,
-    "q114_audio_decode" -> q114AudioDecode)
+    "q114_audio_decode" -> q114AudioDecode,
+    "q118_gif_frames" -> q118GifFrames)
 }
 
 /** Deterministic synthetic audio: 8 kHz mono 16-bit PCM whose samples
@@ -582,6 +685,62 @@ private[ext] object ImageGen {
   }
 }
 
+/** Deterministic synthetic animation: a 2–5 frame indexed-grayscale
+  * clip whose pixels are a pure integer function of (doc_id,
+  * frame_idx), shared verbatim by the staging writer (JVM) and the
+  * DuckDB oracle (SQL). The judged decode path never calls this — it
+  * sees only the GIF bytes the real `javax.imageio` sequence writer
+  * produced.
+  *
+  * Indexed + identity grayscale palette is what makes GIF viable as an
+  * EXACT oracle target: the writer quantizes nothing (each frame's
+  * colors are already palette entries) and GIF LZW is lossless, so the
+  * decoded gray values must equal the generator's — unlike true-color
+  * sources, where a GIF encode is inherently lossy.
+  */
+private[ext] object GifGen {
+  def nFrames(d: Long): Int = (2 + d % 4).toInt
+  def width(d: Long): Int = (8 + d % 9).toInt
+  def height(d: Long): Int = (8 + (d / 9) % 9).toInt
+  def gray(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 31 + f * 7 + x * 11 + y * 13) % 256).toInt
+
+  private val palette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode the doc's clip as a real multi-frame GIF via the
+    * `javax.imageio` sequence-writing API.
+    */
+  def gif(d: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      val (w, h) = (width(d), height(d))
+      var f = 0
+      while (f < nFrames(d)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gray(d, f, x, y)); x += 1 }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+}
+
 /** Thin, allocation-conscious wrappers over `javax.imageio` — the REAL
   * JDK codec (PNG/BMP/GIF decode, PNG encode), no external dependency.
   * All streams are in-memory (`ImageIO.setUseCache(false)`), so executor
@@ -615,6 +774,29 @@ private[ext] object JdkCodec {
   def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case _: java.io.IOException => None }
+
+  /** ALL frames of a multi-frame container (animated GIF), decoded
+    * frame-by-frame through the registered reader (`getNumImages` +
+    * per-index `read`). Our staged clips write every frame full-size at
+    * (0,0), so `read(i)` IS frame i — no inter-frame compositing
+    * needed. Undecodable payloads → empty.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, false)
+          (0 until r.getNumImages(true)).map(r.read)
+        } finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => Seq.empty }
+    finally iis.close()
+  }
 
   def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

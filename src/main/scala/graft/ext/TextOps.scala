@@ -1543,7 +1543,199 @@ object TextOps {
         |FROM inc i LEFT JOIN rest r ON i.sh = r.sh
         |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin)
 
+  /** q117: the nightly shard-ingest pipeline END-TO-END — the three
+    * incremental-ingestion legs composed into ONE judged plan, the way a
+    * 100 TB operator actually runs them (the reference's own run-to-run
+    * upsert loop is this shape at toy scale — data_ingestion's repeated
+    * ingest→split→apply cycle):
+    *
+    *  1. ADMISSION (the q101 scheme, shared [[minhashBands]]): each
+    *     shard doc (doc_id ≥ t, the 80% split) is classified
+    *     dup_of_corpus / dup_in_batch / new;
+    *  2. STATE APPEND: the admitted ('new') docs are PHYSICALLY
+    *     appended to the corpus state store and the post-ingest doc
+    *     count is read back from the store — the judged number proves
+    *     the append, not a formula;
+    *  3. INDEX MERGE (the q103 machinery, bounded posting sets): the
+    *     delta index is built over the ADMITTED docs only — not the raw
+    *     shard — and full-outer-merged with the at-rest index; term
+    *     counts by origin (rest/delta/both) are judged;
+    *  4. NOVELTY (the q105 machinery): the admitted slice's distinct
+    *     trigrams probed against the at-rest set.
+    *
+    * Output: the post-ingest state summary as (metric, value) rows —
+    * judging the COMPOSITION catches interface drift the individual
+    * legs can't (e.g. downstream stages consuming the raw shard instead
+    * of the admission stage's output: stages 3–4 here take their doc
+    * set from stage 1's verdicts, and the oracle replays that chain).
+    *
+    * Scale: every leg keeps its judged plan shape — the admission probe
+    * is planner-adaptive (NO broadcast hint on any shard-derived frame,
+    * the q101 lesson, linted by PlanAuditSpec), the index merge is one
+    * term-keyed full-outer join, the novelty probe one trigram-keyed
+    * left join. Stage OUTPUTS are materialized to the staging store
+    * between jobs — exactly how an orchestrator runs this nightly (the
+    * admission verdicts, the appended corpus state, and the at-rest
+    * index are each real persisted artifacts the next stage reads
+    * back), which also keeps the judged summary plan free of the N-fold
+    * re-execution a single fused plan would pay for the admission
+    * subtree. The split threshold is ONE scalar, fetched driver-side
+    * (the sanctioned single-row `.head()` shape) and inlined as a
+    * literal so every stage prunes on `doc_id` instead of replaying the
+    * max-aggregate per branch. The at-rest corpus/index are staged
+    * in-run only because the gate is one-shot (the q103 argument); in
+    * production they persist, so the nightly cost is delta-sized:
+    * admitted-docs append + delta-index merge + probe. The summary
+    * collapses each leg to a one-row aggregate BEFORE the union, so
+    * the final assembly moves ~12 rows regardless of corpus size.
+    */
+  val q117ShardIngestE2e: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val bdistinct = udaf(new graft.functions.BoundedDistinct(IndexDfMax + 1))
+      val docs = Tables.documents(s, dir)
+      val t = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long")).head().getLong(0)
+      val stage = graft.core.Staging.invocationDir("graft_q117_state", dir)
+
+      // job 1: admission verdicts (q101 scheme, shared bands) → artifact
+      val bands = minhashBands(docs)
+      val incB = bands.filter(col("doc_id") >= t)
+        .select(col("doc_id"), col("band_id"), col("bucket"))
+      val dupOfCorpus = bands.filter(col("doc_id") < t)
+        .join(incB.select(col("band_id").as("bi"), col("bucket").as("bu"),
+          col("doc_id").as("inc_id")),
+          col("band_id") === col("bi") && col("bucket") === col("bu"))
+        .select(col("inc_id").as("doc_id")).distinct()
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("bucket")).orderBy(col("doc_id"))
+      val dupInBatch = incB.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") > 1).select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") >= t)
+        .join(dupOfCorpus.withColumn("dc", lit(1)), Seq("doc_id"), "left_outer")
+        .join(dupInBatch.withColumn("db", lit(1)), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"), col("text"), col("lang"),
+          when(col("dc").isNotNull, "dup_of_corpus")
+            .when(col("db").isNotNull, "dup_in_batch")
+            .otherwise("new").as("status"))
+        .write.mode("overwrite").parquet(s"$stage/admissions")
+      val adm = s.read.parquet(s"$stage/admissions")
+      val admitted = adm.filter(col("status") === "new")
+      val admittedIds = admitted.select(col("doc_id"))
+
+      // job 2: physical state append + read-back
+      docs.filter(col("doc_id") < t)
+        .select(col("doc_id"), col("source"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$stage/corpus")
+      admitted.select(col("doc_id"), col("source"), col("text"), col("lang"))
+        .write.mode("append").parquet(s"$stage/corpus")
+      val post = s.read.parquet(s"$stage/corpus")
+
+      // job 3: at-rest index → artifact (the q103 shape); delta index
+      // restricted to ADMITTED docs — the composition property
+      val sh = shingles(docs)
+      sh.filter(col("doc_id") < t)
+        .groupBy(col("sh")).agg(bdistinct(col("doc_id")).as("docs_r"))
+        .write.mode("overwrite").parquet(s"$stage/index_rest")
+      val restIdx = s.read.parquet(s"$stage/index_rest")
+      val deltaIdx = sh.filter(col("doc_id") >= t)
+        .join(admittedIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("sh")).agg(bdistinct(col("doc_id")).as("docs_d"))
+      val merged = restIdx.join(deltaIdx, Seq("sh"), "full_outer")
+        .select(
+          (size(coalesce(col("docs_r"), expr("CAST(array() AS array<bigint>)"))) +
+            size(coalesce(col("docs_d"), expr("CAST(array() AS array<bigint>)")))).cast("long").as("df"),
+          when(col("docs_d").isNull, "rest")
+            .when(col("docs_r").isNull, "delta")
+            .otherwise("both").as("origin"))
+        .filter(col("df").between(2, IndexDfMax))
+
+      // stage 4: novelty of the admitted slice vs the at-rest set
+      val restSet = sh.filter(col("doc_id") < t)
+        .select(col("sh")).distinct().withColumn("seen", lit(1L))
+      val novelty = sh.filter(col("doc_id") >= t)
+        .join(admittedIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sh")).distinct()
+        .join(restSet, Seq("sh"), "left_outer")
+        .agg(count(lit(1)).as("admitted_shingles"),
+          (count(lit(1)) - count(col("seen"))).as("admitted_novel_shingles"))
+
+      // post-ingest summary: every leg as a one-row aggregate → kv rows
+      def kv(df: DataFrame): DataFrame =
+        df.select(explode(map(
+          df.columns.flatMap(c => Seq(lit(c), coalesce(col(c).cast("long"), lit(0L)))).toSeq: _*)))
+          .select(col("key").as("metric"), col("value"))
+      val admSummary = adm.agg(
+        count(lit(1)).as("shard_docs"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("admitted_new"),
+        sum(when(col("status") === "dup_of_corpus", 1L).otherwise(0L)).as("dup_of_corpus"),
+        sum(when(col("status") === "dup_in_batch", 1L).otherwise(0L)).as("dup_in_batch"),
+        sum(when(col("status") === "new",
+          size(split(trim(col("text")), "\\s+")).cast("long"))).as("admitted_tokens"))
+      val preCount = docs.filter(col("doc_id") < t)
+        .agg(count(lit(1)).as("corpus_docs_pre"))
+      val postCount = post.agg(count(lit(1)).as("corpus_docs_post"))
+      val idxSummary = merged.agg(
+        sum(when(col("origin") === "rest", 1L).otherwise(0L)).as("index_terms_rest"),
+        sum(when(col("origin") === "delta", 1L).otherwise(0L)).as("index_terms_delta"),
+        sum(when(col("origin") === "both", 1L).otherwise(0L)).as("index_terms_both"))
+      kv(admSummary).unionByName(kv(preCount)).unionByName(kv(postCount))
+        .unionByName(kv(idxSummary)).unionByName(kv(novelty))
+        .orderBy(col("metric"))
+    },
+    lshChainSql +
+      s"""
+         |, thr AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) AS bigint) AS t FROM documents),
+         |incb AS (SELECT doc_id, band_id, bucket FROM bands CROSS JOIN thr WHERE doc_id >= t),
+         |dc AS (SELECT DISTINCT i.doc_id FROM bands b CROSS JOIN thr
+         |       JOIN incb i ON b.band_id = i.band_id AND b.bucket = i.bucket
+         |       WHERE b.doc_id < t),
+         |db AS (SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY band_id, bucket ORDER BY doc_id) AS rn
+         |    FROM incb) WHERE rn > 1),
+         |st AS (SELECT d.doc_id, d.text,
+         |         CASE WHEN dc.doc_id IS NOT NULL THEN 'dup_of_corpus'
+         |              WHEN db.doc_id IS NOT NULL THEN 'dup_in_batch'
+         |              ELSE 'new' END AS status
+         |       FROM documents d CROSS JOIN thr
+         |       LEFT JOIN dc ON d.doc_id = dc.doc_id
+         |       LEFT JOIN db ON d.doc_id = db.doc_id
+         |       WHERE d.doc_id >= t),
+         |admitted AS (SELECT doc_id, text FROM st WHERE status = 'new'),
+         |-- merged index over rest ∪ admitted: the bounded-set merge is
+         |-- exact under the df cap (q103's argument), so the one-shot
+         |-- recompute here IS the merge's oracle
+         |ds AS (SELECT DISTINCT s.doc_id, s.sh, s.doc_id >= thr.t AS is_delta
+         |       FROM shx s CROSS JOIN thr
+         |       WHERE s.doc_id < thr.t OR s.doc_id IN (SELECT doc_id FROM admitted)),
+         |g AS (SELECT sh, count(*) AS df,
+         |        count(*) FILTER (WHERE is_delta) AS df_d,
+         |        count(*) FILTER (WHERE NOT is_delta) AS df_r
+         |      FROM ds GROUP BY sh HAVING count(*) BETWEEN 2 AND $IndexDfMax),
+         |restset AS (SELECT DISTINCT sh FROM shx CROSS JOIN thr WHERE doc_id < t),
+         |incsh AS (SELECT DISTINCT s.doc_id, s.sh FROM shx s CROSS JOIN thr
+         |          WHERE s.doc_id >= thr.t AND s.doc_id IN (SELECT doc_id FROM admitted)),
+         |nv AS (SELECT cast(count(*) AS bigint) AS n_sh,
+         |              cast(count(*) - count(r.sh) AS bigint) AS n_novel
+         |       FROM incsh i LEFT JOIN restset r ON i.sh = r.sh)
+         |SELECT metric, value FROM (
+         |  SELECT 'shard_docs' AS metric, cast(count(*) AS bigint) AS value FROM st
+         |  UNION ALL SELECT 'admitted_new', cast(coalesce(${OracleSql.bigSum("CASE WHEN status = 'new' THEN 1 ELSE 0 END")}, 0) AS bigint) FROM st
+         |  UNION ALL SELECT 'dup_of_corpus', cast(coalesce(${OracleSql.bigSum("CASE WHEN status = 'dup_of_corpus' THEN 1 ELSE 0 END")}, 0) AS bigint) FROM st
+         |  UNION ALL SELECT 'dup_in_batch', cast(coalesce(${OracleSql.bigSum("CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END")}, 0) AS bigint) FROM st
+         |  UNION ALL SELECT 'admitted_tokens', cast(coalesce(sum(len(string_split_regex(trim(text), '\\s+'))), 0) AS bigint) FROM admitted
+         |  UNION ALL SELECT 'corpus_docs_pre', cast(count(*) AS bigint)
+         |            FROM documents d CROSS JOIN thr WHERE d.doc_id < t
+         |  UNION ALL SELECT 'corpus_docs_post',
+         |            cast((SELECT count(*) FROM documents d CROSS JOIN thr WHERE d.doc_id < t)
+         |               + (SELECT count(*) FROM admitted) AS bigint)
+         |  UNION ALL SELECT 'index_terms_rest', cast(coalesce(${OracleSql.bigSum("CASE WHEN df_d = 0 THEN 1 ELSE 0 END")}, 0) AS bigint) FROM g
+         |  UNION ALL SELECT 'index_terms_delta', cast(coalesce(${OracleSql.bigSum("CASE WHEN df_r = 0 THEN 1 ELSE 0 END")}, 0) AS bigint) FROM g
+         |  UNION ALL SELECT 'index_terms_both', cast(coalesce(${OracleSql.bigSum("CASE WHEN df_d > 0 AND df_r > 0 THEN 1 ELSE 0 END")}, 0) AS bigint) FROM g
+         |  UNION ALL SELECT 'admitted_shingles', n_sh FROM nv
+         |  UNION ALL SELECT 'admitted_novel_shingles', n_novel FROM nv
+         |) ORDER BY metric""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q117_shard_ingest_e2e" -> q117ShardIngestE2e,
     "q105_shard_novelty" -> q105ShardNovelty,
     "q102_boilerplate" -> q102Boilerplate,
     "q103_incremental_index" -> q103IncrementalIndex,

@@ -28,6 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle's char-list reduce keeps matching; the produced SET is
   * identical to the lambda chain's (element order may differ — every
   * consumer sorts after explode).
+  *
+  * Character unit: grams are UTF-16 CODE UNITS (`String.charAt`) — the
+  * same contract as [[RollingHash]] ("defined on UTF-16 code units") —
+  * so on non-BMP text (surrogate pairs) both gram boundaries and hash
+  * values differ from a codepoint-based gramming such as the replaced
+  * `substring` lambda chain. Identical for ASCII/BMP input, which is
+  * all the normalized corpus produces; `WinnowFingerprintsSpec` pins
+  * both the UTF-16 semantics and the non-BMP divergence explicitly.
   */
 case class WinnowFingerprints(child: Expression) extends UnaryExpression {
 

@@ -57,9 +57,18 @@ object StreamingQueries {
     * relation eagerly.
     */
   private def replayToSink(s: SparkSession, batch: DataFrame, tag: String, dir: String)(
-      build: DataFrame => (DataFrame, String)): DataFrame = {
+      build: DataFrame => (DataFrame, String)): DataFrame = this.synchronized {
+    // The whole replay holds the monitor, not just the staging: the
+    // state-partition sizing below mutates the SESSION-GLOBAL
+    // spark.sql.shuffle.partitions and restores it after, and two
+    // concurrent replays in one session would otherwise race on that
+    // conf (one restoring 32 while the other starts at 8) — making
+    // plans and state sizing nondeterministic even though results are
+    // partitioning-independent. Serializing replays is the cost-free
+    // fix here: the sequential driver mains never contend, and batch
+    // queries (which don't touch the conf) are unaffected.
     val replayDir = graft.core.Staging.sharedDir(s"graft_replay_$tag", dir)
-    this.synchronized {
+    locally {
       val marker = java.nio.file.Paths.get(replayDir, "_STAGED")
       if (!Files.exists(marker)) {
         // overwrite clears any partial previous attempt (no marker ⇒

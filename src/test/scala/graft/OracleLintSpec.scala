@@ -23,7 +23,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *     near-miss history in q97's percentile work showed how silently
   *     an implicit widening diverges. Convention: spell the widening —
   *     `cast(avg(...) AS double)` — so the comparison type is pinned
-  *     in the oracle text, not inherited. Same exemptions as sum.
+  *     in the oracle text, not inherited. Same exemptions as sum,
+  *     EXCEPT decimal: `avg(DECIMAL)` is the one adjacent divergence
+  *     class where the engines disagree TODAY — Spark returns
+  *     DECIMAL(p+4, s+4), DuckDB DOUBLE — so an inner `cast(... AS
+  *     decimal)` does NOT exempt an avg; the call must still be pinned
+  *     with an outer `cast(avg(...) AS double)`.
   *  3. NEGATIVE-OPERAND `//` — DuckDB's `//` FLOORS while Spark's
   *     `div` TRUNCATES toward zero; they agree only when the quotient
   *     is non-negative. Any `//` whose operand text shows a way to go
@@ -82,8 +87,14 @@ class OracleLintSpec extends AnyFunSuite {
         }
         val arg = sql.substring(j + 1, k - 1)
         val argL = arg.toLowerCase
-        // inner widening exempts: cast(... as decimal/double) inside the arg
-        val widened = argL.contains("decimal") || argL.contains("double")
+        // inner widening exempts: cast(... as double) always; cast(...
+        // as decimal) only for sum — avg(DECIMAL) diverges TODAY
+        // (Spark DECIMAL(p+4,s+4) vs DuckDB DOUBLE), so a decimal arg
+        // must still be pinned with an outer cast
+        val widened = argL.contains("double") ||
+          (fn != "avg" && argL.contains("decimal"))
+        val avgOverDecimal = fn == "avg" && argL.contains("decimal") &&
+          !argL.contains("double")
         // classify each identifier OCCURRENCE at its own match position
         // (an id can be a function in one spot and a column in another;
         // indexOf-based classification tagged every occurrence by the
@@ -96,7 +107,7 @@ class OracleLintSpec extends AnyFunSuite {
           }
           .map(_.matched).toList
         val integerValued = !widened && idents.forall(IntCols)
-        if (integerValued && !castWrapped(lower, i))
+        if ((integerValued || avgOverDecimal) && !castWrapped(lower, i))
           out += ((i, sql.substring(i, math.min(sql.length, k + 20)).replace('\n', ' ')))
       }
       i = lower.indexOf(fn, i + fn.length)
@@ -216,10 +227,26 @@ class OracleLintSpec extends AnyFunSuite {
     assert(violations("SELECT avg(cast(n_chars AS double)) AS m FROM t", "avg").isEmpty)
   }
 
+  test("checker flags avg over DECIMAL unless pinned (Spark DECIMAL vs DuckDB DOUBLE)") {
+    // the one divergence that exists TODAY: Spark's avg(DECIMAL(p,s))
+    // returns DECIMAL(p+4, s+4), DuckDB's returns DOUBLE — an inner
+    // decimal cast must NOT exempt the call the way it does for sum
+    assert(violations("SELECT avg(cast(o_totalprice AS decimal(12,2))) AS m FROM o", "avg").nonEmpty)
+    assert(violations("SELECT cast(avg(cast(o_totalprice AS decimal(12,2))) AS double) AS m FROM o", "avg").isEmpty)
+    // sum keeps the decimal exemption (both engines widen exactly)
+    assert(violations("SELECT sum(cast(o_totalprice AS decimal(12,2))) AS m FROM o").isEmpty)
+  }
+
   test("checker flags negative-operand floor division") {
     assert(divViolations("SELECT (a - b) // c AS q FROM t").nonEmpty)
     assert(divViolations("SELECT a // -4 AS q FROM t").nonEmpty)
     assert(divViolations("SELECT -a // 4 AS q FROM t").nonEmpty)
+    // negative DIVISOR via binary subtraction (not just unary minus):
+    // floor-vs-trunc flips exactly when the quotient goes negative, and
+    // a subtraction inside the right operand is how that hides
+    assert(divViolations("SELECT a // (b - c) AS q FROM t").nonEmpty)
+    // subtraction buried in a call on the dividend side
+    assert(divViolations("SELECT floor(a - b) // c AS q FROM t").nonEmpty)
     // every current registry shape: positive-only operands
     assert(divViolations("SELECT cast(floor(epoch(ts)) AS bigint) // 900 AS w FROM t").isEmpty)
     assert(divViolations("SELECT 1000000000000 // (SELECT n_docs FROM nn) AS q FROM t").isEmpty)

@@ -292,7 +292,8 @@ class PlanAuditSpec extends AnyFunSuite {
       case u if u.children.size == 1 => scalarAgg(u.children.head)
       case _ => false
     }
-    for (n <- Seq("q101_incremental_neardup", "q111_contamination_fps", "q116_shard_admission")) {
+    for (n <- Seq("q101_incremental_neardup", "q111_contamination_fps", "q116_shard_admission",
+        "q117_shard_ingest_e2e")) {
       val lp = SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
       lp.foreach {
         case j: Join =>
@@ -434,6 +435,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // sides, and the 10-row output sort. The corpus-scale work rides
       // the (probe-list, label)-keyed joins, never a label-only pairing
       "q116_shard_admission" -> 19,
+      // q117 (round-8, audited at introduction): the judged summary plan
+      // reads the staged artifacts (admissions / appended corpus /
+      // at-rest index — the admission build is a separate staged job,
+      // the q103 accounting), so its 12 are: five 1-row scalar-agg
+      // exchanges (one per summary leg), the delta-index semi-join +
+      // groupBy, the full-outer index-merge sides, the two novelty
+      // distincts + probe, and the 12-row output sort
+      "q117_shard_ingest_e2e" -> 12,
+      // q118 = codec mapPartitions on the scan partition, then one
+      // (source × frame)-group rollup + output sort — the q108 shape;
+      // payloads never cross an exchange
+      "q118_gif_frames" -> 2,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

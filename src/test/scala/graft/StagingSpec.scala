@@ -32,4 +32,19 @@ class StagingSpec extends AnyFunSuite {
     assert(a != Staging.sharedDir("graft_spec_stage", "/x/sf0.01"))
     assert(a != Staging.invocationDir("graft_spec_stage", "/x/sf0.001"))
   }
+
+  test("sweepInvocationDirs removes materialized stores eagerly") {
+    val d = Staging.invocationDir("graft_spec_sweep", "/x/sf0.001")
+    val p = java.nio.file.Paths.get(d)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("part-0"), "store bytes")
+    assert(java.nio.file.Files.exists(p))
+    assert(Staging.sweepInvocationDirs() >= 1)
+    assert(!java.nio.file.Files.exists(p),
+      "invocation dir must be gone after the driver's post-query sweep")
+    // a second sweep is a no-op for already-removed dirs
+    val before = Staging.sweepInvocationDirs()
+    assert(before >= 0)
+    assert(!java.nio.file.Files.exists(p))
+  }
 }

@@ -124,27 +124,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     // divergence); a constant-rate type has variance exactly 0 (sqrt(0)
     // divisor). Both must be excluded by the guard, while a genuinely
     // spiky type still reports. Events are written in the corpus's
-    // physical shape (nano ts as int64) so Tables.events reads them.
+    // physical shape — an ANNOTATED TIMESTAMP(MICROS) ts column (the
+    // footer-sniffing reader refuses plain INT64 rather than guess an
+    // epoch unit, so the fixture must carry the real logical type).
     import spark.implicits._
-    val h = 3600L * 1000 * 1000 * 1000 // one hour in nanos
+    val h = 3600L * 1000 * 1000 // one hour in micros
     def ev(id: Long, hour: Long, n: Int, typ: String) =
-      (0 until n).map(i => (id * 1000 + hour * 100 + i, hour * h + i * 1000000L, id, typ, 1.0, "{}"))
+      (0 until n).map(i => (id * 1000 + hour * 100 + i, hour * h + i * 1000L, id, typ, 1.0, "{}"))
     val rows =
       ev(1, 0, 3, "lonely") ++                       // single populated hour: n=1
       (0L until 4L).flatMap(k => ev(2, k, 5, "heartbeat")) ++ // constant rate: variance 0
       ((0L until 9L).flatMap(k => ev(3, k, 1, "spiky")) ++
         ev(3, 9, 30, "spiky"))  // genuine spike: z = (30-3.9)/9.17 ≈ 2.85
     val stagePath = java.nio.file.Files.createTempDirectory("graft_q88_spec")
+    val tsTypeConf = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.get(tsTypeConf)
     try {
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      spark.conf.set(tsTypeConf, "TIMESTAMP_MICROS") // default INT96 has no annotation
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .selectExpr("event_id", "timestamp_micros(ts_us) AS ts",
+          "user_id", "event_type", "value", "props")
         .write.mode("overwrite").parquet(s"$stagePath/events.parquet")
+      spark.conf.set(tsTypeConf, prevTsType)
       val out = EventOps.q88RateAnomaly.run(spark, stagePath.toString).collect()
       val types = out.map(_.getString(0)).toSet
       assert(!types.contains("lonely"), "single-hour type must have no z-score")
       assert(!types.contains("heartbeat"), "zero-variance type must have no z-score")
       assert(types == Set("spiky") && out.length == 1, "the genuine spike must report")
       assert(out.head.getLong(2) == 30L)
-    } finally graft.core.Fs.deleteRecursively(stagePath)
+    } finally {
+      spark.conf.set(tsTypeConf, prevTsType) // also on the failure path
+      graft.core.Fs.deleteRecursively(stagePath)
+    }
   }
 
   test("q83 SCD2 history matches a per-user replay") {

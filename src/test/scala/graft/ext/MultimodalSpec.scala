@@ -155,6 +155,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
   }
 
+  test("gif frame audit recovers the generator's frames through the codec alone") {
+    // differential: per-(clip, frame) stats from the staged animated
+    // GIFs must equal a direct JVM recompute from GifGen arithmetic —
+    // frame COUNT (the multi-frame reader saw every frame), dims, the
+    // exact gray sums (indexed grayscale + LZW = lossless), and the
+    // r==g==b flag (the identity palette survived the container)
+    import spark.implicits._
+    val staged = Multimodal.stagedGifDir(spark, sfDir)
+    val frames = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif").load(staged)
+      .select(
+        regexp_extract(col("path"), "/(\\d+)\\.gif$", 1).cast("long").as("media_id"),
+        col("content").as("payload"))
+      .as[(Long, Array[Byte])]
+      .collect()
+    assert(frames.length == docs.count())
+    frames.foreach { case (d, payload) =>
+      val imgs = JdkCodec.decodeGifFrames(payload)
+      assert(imgs.size == GifGen.nFrames(d), s"frame count for $d")
+      imgs.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == GifGen.width(d) && img.getHeight == GifGen.height(d),
+          s"frame dims for clip $d frame $f")
+        var expect = 0L; var got = 0L
+        for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+          expect += GifGen.gray(d, f, x, y)
+          val p = img.getRGB(x, y)
+          assert(((p >> 16) & 0xff) == ((p >> 8) & 0xff) && ((p >> 16) & 0xff) == (p & 0xff),
+            s"non-gray pixel in clip $d frame $f — palette not preserved")
+          got += (p >> 16) & 0xff
+        }
+        assert(got == expect, s"gray sum for clip $d frame $f")
+      }
+    }
+  }
+
+  test("q118 plan reads binaryFile and no shuffle carries a payload") {
+    val p = staticPlan(Multimodal.q118GifFrames.run(spark, sfDir))
+    assert(p.collect {
+      case f: FileSourceScanExec
+        if f.relation.fileFormat.getClass.getSimpleName == "BinaryFileFormat" => f
+    }.nonEmpty, "q118 no longer scans binaryFile")
+    val leaks = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
+  }
+
   test("feature extraction yields normalized fixed-width float vectors") {
     val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
     assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))

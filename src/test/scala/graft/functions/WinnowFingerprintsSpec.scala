@@ -34,6 +34,28 @@ class WinnowFingerprintsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP text: UTF-16 code-unit semantics (RollingHash contract)") {
+    // A surrogate pair (U+1D11E MUSICAL SYMBOL G CLEF) is TWO UTF-16
+    // code units: the expression grams by charAt, so it must match the
+    // char-based brute force — and must DIVERGE from a codepoint-based
+    // gramming (the replaced `substring` lambda chain), because both
+    // the gram count (n is the UTF-16 length) and the per-gram folds
+    // (surrogate halves hash separately) differ. This pins the class
+    // doc's declared semantics rather than leaving them ASCII-only.
+    val s = "ab𝄞cdef𝄞ghij" // 14 code units, 12 codepoints
+    val got = WinnowFingerprints.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray().toSet
+    assert(got == brute(s), "non-BMP winnow must follow UTF-16 code units")
+    RollingHash.register(spark)
+    val one = spark.range(1).selectExpr(s"'${s}' AS norm")
+      .withColumn("hashes", expr(
+        "transform(sequence(1, length(norm) - 7), i -> rolling_hash(substring(norm, i, 8)))"))
+      .selectExpr("array_distinct(transform(sequence(1, size(hashes) - 3), i -> array_min(slice(hashes, i, 4)))) AS fps")
+    val codepointChain = one.head().getSeq[Long](0).toSet
+    assert(codepointChain != got,
+      "expected divergence on non-BMP text: substring grams by codepoint, winnow_fps by UTF-16 unit")
+  }
+
   test("matches the lambda chain it replaced, on real corpus text") {
     RollingHash.register(spark)
     WinnowFingerprints.register(spark)
