@@ -117,7 +117,7 @@ object Bench {
     "q116_shard_admission" -> 1.29,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 2.50, "q118_gif_frames" -> 1.00)
+    "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
