@@ -67,10 +67,12 @@ object Bench {
     "q114_audio_decode",
     "q115_embedding_clusters",
     "q116_shard_admission",
-    // round-8 additions: the composed shard-ingest pipeline and the
-    // multi-frame decode leg
+    // round-8 additions: the composed shard-ingest pipeline, the
+    // multi-frame decode leg, and exact repeated-span dedup
     "q117_shard_ingest_e2e",
-    "q118_gif_frames")
+    "q118_gif_frames",
+    "q119_repeated_spans",
+    "q120_ivfpq_ann")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -117,7 +119,8 @@ object Bench {
     "q116_shard_admission" -> 1.29,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71)
+    "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71,
+    "q119_repeated_spans" -> 1.95, "q120_ivfpq_ann" -> 4.61)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1734,7 +1734,86 @@ object TextOps {
          |  UNION ALL SELECT 'admitted_novel_shingles', n_novel FROM nv
          |) ORDER BY metric""".stripMargin)
 
+  private val SpanGram = 8
+  private val SpanDfCap = 8
+  private val SpanMinRun = 16
+
+  /** q119: exact repeated-span detection — for each document pair, the
+    * LONGEST verbatim token run they share (plus run count and total
+    * shared-run mass), the exact-substring dedup signal of Lee et al.'s
+    * "Deduplicating Training Data" line of work. This is the missing
+    * rung between q98 (fixed 16-token chunk identity — misses runs that
+    * straddle chunk boundaries or shift by one token) and the LSH
+    * family (set-similarity — blind to WHERE the overlap is and whether
+    * it is contiguous): memorization risk tracks long VERBATIM spans,
+    * which only position-aware matching sees.
+    *
+    * Method: [[SpanGram]]-token grams with their positions; two docs
+    * matching at positions (pa, pb) and (pa+1, pb+1) are the SAME span
+    * continued, so maximal runs are diagonal islands — group matches by
+    * (pair, pb − pa) and split on gaps in pa (the classic
+    * `pa − row_number()` island key); a run of k consecutive grams is
+    * k + [[SpanGram]] − 1 shared tokens. Exact integers end-to-end, so
+    * the DuckDB oracle replays the identical chain.
+    *
+    * Scale: gram postings are df-banded (2..[[SpanDfCap]] distinct
+    * docs) BEFORE pairing — df=1 grams cannot match cross-doc and
+    * hot grams are boilerplate (q102's mandate), so per-gram join
+    * fan-out is ≤ cap² — and every stage is keyed: the pair join on the
+    * gram, the island window on (pair, diagonal) whose per-key row
+    * count is the run length itself, the rollup on the pair. No global
+    * window, no unblocked pairing. At 100 TB the same plan composes
+    * with q18's LSH candidates as a pre-filter (probe only candidate
+    * pairs), trading recall for the postings join — not needed at gate
+    * scale where the df band alone bounds the work.
+    */
+  val q119RepeatedSpans: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val gr = toks(Tables.documents(s, dir)).filter(size(col("w")) >= SpanGram)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w) - $SpanGram), i -> array_join(slice(w, i + 1, $SpanGram), ' '))")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
+      val band = gr.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("d"))
+        .filter(col("d").between(2, SpanDfCap)).select(col("gram"))
+      val grf = gr.join(band, Seq("gram"))
+      val m = grf.select(col("gram"), col("doc_id").as("doc_a"), col("p").as("pa"))
+        .join(grf.select(col("gram"), col("doc_id").as("doc_b"), col("p").as("pb")), Seq("gram"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"), (col("pb") - col("pa")).as("diag"))
+      val wIsl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
+      val runs = m.withColumn("isl", col("pa") - row_number().over(wIsl))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+        .agg((count(lit(1)) + (SpanGram - 1)).as("run_toks"))
+      runs.groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("run_toks")).as("max_run"),
+          count(lit(1)).as("n_runs"),
+          sum(col("run_toks")).as("total_run_toks"))
+        .filter(col("max_run") >= SpanMinRun)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL),
+       |gr AS (SELECT doc_id, p, array_to_string(w[p : p + ${SpanGram - 1}], ' ') AS gram
+       |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SpanGram - 2})) AS p
+       |             FROM t WHERE len(w) >= $SpanGram)),
+       |band AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS d FROM gr GROUP BY gram)
+       |         WHERE d BETWEEN 2 AND $SpanDfCap),
+       |grf AS (SELECT gr.* FROM gr JOIN band USING (gram)),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+       |      FROM grf a JOIN grf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |runs AS (SELECT doc_a, doc_b, pb - pa AS diag, pa,
+       |           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS isl
+       |         FROM m),
+       |r AS (SELECT doc_a, doc_b, diag, isl, count(*) + ${SpanGram - 1} AS run_toks
+       |      FROM runs GROUP BY doc_a, doc_b, diag, isl)
+       |SELECT doc_a, doc_b, cast(max(run_toks) AS bigint) AS max_run,
+       |       cast(count(*) AS bigint) AS n_runs,
+       |       cast(sum(run_toks) AS bigint) AS total_run_toks
+       |FROM r GROUP BY doc_a, doc_b HAVING max(run_toks) >= $SpanMinRun
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q119_repeated_spans" -> q119RepeatedSpans,
     "q117_shard_ingest_e2e" -> q117ShardIngestE2e,
     "q105_shard_novelty" -> q105ShardNovelty,
     "q102_boilerplate" -> q102Boilerplate,

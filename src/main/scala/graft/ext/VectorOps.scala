@@ -880,7 +880,118 @@ object VectorOps {
        |FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn FROM d)
        |WHERE rn <= 5 ORDER BY label, rank""".stripMargin)
 
+  /** q120: IVF-PQ ANN — the two serving-tier legs COMPOSED the way a
+    * production vector index runs them (the FAISS `IVFPQ` shape): the
+    * coarse quantizer (q48's seed-set centroids) partitions the corpus
+    * into [[IvfK]] inverted lists, every list member is PQ-encoded to
+    * [[PqM]] codebook codes (q100's 64×-smaller representation), a
+    * query probes its [[IvfProbes]] nearest lists and ADC-scores ONLY
+    * those lists' codes. Search cost = (probed fraction of the corpus)
+    * × (a 4-code table distance) — the multiplicative combination that
+    * makes billion-vector search tractable; neither leg alone is the
+    * production shape.
+    *
+    * Judged: the actual served result — per query, the top-10 by ADC
+    * distance among probed lists (candidate id, its list, the exact
+    * reconstruction-identity distance, rank). Composition-drift is the
+    * failure this catches: the PQ encode must run on the ASSIGNED
+    * corpus (list ids riding along), and the probe must gate the codes,
+    * not the raw vectors.
+    *
+    * Scale: assignment + encode are per-row expressions over one corpus
+    * scan (map-side-combined argmax, zero amplification); the probe set
+    * is (n_queries × probes) rows broadcast to the code side; ADC
+    * scoring shuffles nothing corpus-sized; top-k is the bounded
+    * aggregator. At rest the coded lists live partitioned by `list_id`
+    * (q48's pruning spec applies unchanged), so a probe opens 2 of 16
+    * list partitions and reads 4-byte codes, not 256-byte vectors.
+    */
+  val q120IvfPqAnn: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = ivfCorpus(s, dir)
+      val cents = ivfCentroids(e)
+      val assigned = ivfAssignments(s, dir)
+      val cents1 = e.filter(col("vec_id") < PqK)
+        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+          .as("cents"))
+      val sq = (v: String, c: String) => s"($v - $c) * ($v - $c)"
+      val subDist =
+        s"""aggregate(sequence(0, ${PqDsub - 1}), cast(0 AS double), (acc, d) -> acc +
+           |  ${sq(s"cast(element_at(embedding, m * $PqDsub + d + 1) AS double)",
+                  s"cast(element_at(element_at(cents, c + 1), m * $PqDsub + d + 1) AS double)")})""".stripMargin
+      val coded = assigned.crossJoin(broadcast(cents1))
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${PqM - 1}), m ->
+             |  array_min(transform(sequence(0, ${PqK - 1}), c ->
+             |    named_struct('d', $subDist, 'c', c))).c)""".stripMargin))
+        .withColumn("recon", expr(
+          s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
+             |  slice(element_at(cents, element_at(codes, m + 1) + 1), m * $PqDsub + 1, $PqDsub)))""".stripMargin))
+        .select(col("vec_id").as("c_id"), col("list_id"), col("recon"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          dot(s, "qv", "centv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "centv"))))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= IvfProbes)
+        .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
+      def l2(a: String, b: String) =
+        s"""aggregate(sequence(0, ${Dim - 1}), cast(0 AS double), (acc, d) -> acc +
+           |  ${sq(s"cast(element_at($a, d + 1) AS double)", s"cast(element_at($b, d + 1) AS double)")})""".stripMargin
+      val topk = udaf(new graft.functions.TopKCarry(10))
+      coded.join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
+        .withColumn("neg", -expr(l2("qv", "recon")))
+        .groupBy(col("q_id"))
+        .agg(topk(col("neg"), col("c_id"), col("list_id")).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._3").as("list_id"),
+          (-col("col._1")).as("adc_dist"), (col("pos") + 1).cast("integer").as("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }, {
+      def sq(v: String): String = s"($v) * ($v)"
+      val subDist =
+        s"""list_reduce(list_transform(range(0, $PqDsub), d ->
+           |  ${sq(s"cast(embedding[m * $PqDsub + d + 1] AS double) - cast(cents[c + 1][m * $PqDsub + d + 1] AS double)")}),
+           |  (x, y) -> x + y)""".stripMargin
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_transform(range(0, $Dim), d ->
+           |  ${sq(s"cast($a[d + 1] AS double) - cast($b[d + 1] AS double)")}),
+           |  (x, y) -> x + y)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM emb WHERE vec_id < $IvfK),
+         |ac AS (SELECT e.vec_id, c.cent_id, e.embedding,
+         |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
+         |       FROM emb e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cent_id AS list_id, embedding
+         |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS arn FROM ac)
+         |             WHERE arn = 1),
+         |ce AS (SELECT list(embedding ORDER BY vec_id) AS cents FROM emb WHERE vec_id < $PqK),
+         |cd AS (SELECT a.vec_id, a.list_id, a.embedding, ce.cents,
+         |         list_transform(range(0, $PqM), m ->
+         |           list_aggregate(list_transform(range(0, $PqK), c ->
+         |             {'d': $subDist, 'c': c}), 'min').c) AS codes
+         |       FROM assigned a CROSS JOIN ce),
+         |rc AS (SELECT vec_id AS c_id, list_id,
+         |         flatten(list_transform(range(0, $PqM), m ->
+         |           cents[codes[m + 1] + 1][m * $PqDsub + 1 : (m + 1) * $PqDsub])) AS recon
+         |       FROM cd),
+         |probes AS (SELECT q_id, qv, cent_id AS probe_list
+         |           FROM (SELECT vec_id AS q_id, embedding AS qv, cent_id, cent_cos,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS prn
+         |                 FROM ac WHERE vec_id < 5)
+         |           WHERE prn <= $IvfProbes),
+         |scored AS (SELECT p.q_id, r.c_id, r.list_id, ${l2("p.qv", "r.recon")} AS ad
+         |           FROM rc r JOIN probes p ON r.list_id = p.probe_list AND p.q_id <> r.c_id)
+         |SELECT q_id, c_id, list_id, ad AS adc_dist, rank
+         |FROM (SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS integer) AS rank FROM scored)
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    })
+
   val all: Map[String, QuerySpec] = Map(
+    "q120_ivfpq_ann" -> q120IvfPqAnn,
     "q107_embedding_outliers" -> q107EmbeddingOutliers,
     "q21_cosine_topk" -> q21CosineTopK,
     "q22_ann_lsh" -> q22AnnLsh,

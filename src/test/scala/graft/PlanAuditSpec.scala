@@ -447,6 +447,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // (source × frame)-group rollup + output sort — the q108 shape;
       // payloads never cross an exchange
       "q118_gif_frames" -> 2,
+      // q119 (round-8, audited at introduction): gram-keyed df-band agg
+      // + band join-back + the two self-join sides + the (pair, diag)
+      // island window + run/pair rollups + output sort — every exchange
+      // keyed, per-key rows bounded by cap²/run length
+      "q119_repeated_spans" -> 10,
+      // q120 (round-8, audited at introduction): list-assignment argmax
+      // agg + the single-row codebook aggregates (scalar exchanges) +
+      // the probe window over (queries × K) rows + bounded top-k agg +
+      // output sort; the coded corpus side joins the broadcast probe
+      // set, so no corpus-sized exchange exists
+      "q120_ivfpq_ann" -> 9,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
