@@ -100,7 +100,9 @@ object Bench {
     // (bands staged once per process, AvailableNow trigger, state
     // partitions sized to the replay)
     "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 3.64,
-    "q100_pq_ann" -> 3.72, "q101_incremental_neardup" -> 1.25,
+    // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
+    // CodegenFallback lambda chains (6.74 s → 0.97 s, same window)
+    "q100_pq_ann" -> 0.97, "q101_incremental_neardup" -> 1.25,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
     "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.64,
@@ -120,7 +122,7 @@ object Bench {
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71,
-    "q119_repeated_spans" -> 1.95, "q120_ivfpq_ann" -> 4.61)
+    "q119_repeated_spans" -> 1.95, "q120_ivfpq_ann" -> 0.91)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

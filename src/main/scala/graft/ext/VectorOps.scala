@@ -744,40 +744,68 @@ object VectorOps {
     * the PQ top-10 against the exact-L2 top-10 is judged per query, so
     * a quantization-quality regression is a red CORRECTNESS row.
     */
+  /** Single-row codebook frame: the first [[PqK]] corpus vectors in id
+    * order — shared by q100 and q120 so the codebooks cannot drift.
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqK)
+      .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+        .as("cents"))
+
+  /** The original higher-order-function encode/reconstruct chain —
+    * retained as the differential check for the [[graft.functions.PqRecon]]
+    * codegen kernel (the MinHashSigs/SimHash pattern). Input must carry
+    * `embedding` and the broadcast `cents`; output adds `recon`.
+    */
+  private[ext] def pqReconChain(withCents: DataFrame): DataFrame = {
+    val sq = (v: String, c: String) => s"($v - $c) * ($v - $c)"
+    val subDist =
+      s"""aggregate(sequence(0, ${PqDsub - 1}), cast(0 AS double), (acc, d) -> acc +
+         |  ${sq(s"cast(element_at(embedding, m * $PqDsub + d + 1) AS double)",
+                s"cast(element_at(element_at(cents, c + 1), m * $PqDsub + d + 1) AS double)")})""".stripMargin
+    withCents
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  array_min(transform(sequence(0, ${PqK - 1}), c ->
+           |    named_struct('d', $subDist, 'c', c))).c)""".stripMargin))
+      .withColumn("recon", expr(
+        s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
+           |  slice(element_at(cents, element_at(codes, m + 1) + 1), m * $PqDsub + 1, $PqDsub)))""".stripMargin))
+      .drop("codes")
+  }
+
+  /** The interpreted L2² fold — test hook mirroring [[pqReconChain]],
+    * differential check for [[graft.functions.VecL2]].
+    */
+  private[ext] def l2ChainExpr(a: String, b: String): String = {
+    val sq = (v: String, c: String) => s"($v - $c) * ($v - $c)"
+    s"""aggregate(sequence(0, ${Dim - 1}), cast(0 AS double), (acc, d) -> acc +
+       |  ${sq(s"cast(element_at($a, d + 1) AS double)", s"cast(element_at($b, d + 1) AS double)")})""".stripMargin
+  }
+
   val q100PqAnn: QuerySpec = QuerySpec(
     (s, dir) => {
+      graft.functions.PqRecon.register(s)
+      graft.functions.VecL2.register(s)
       val e = Tables.embeddings(s, dir)
-      val cents1 = e.filter(col("vec_id") < PqK)
-        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
-          .as("cents"))
-      val sq = (v: String, c: String) => s"($v - $c) * ($v - $c)"
-      val subDist =
-        s"""aggregate(sequence(0, ${PqDsub - 1}), cast(0 AS double), (acc, d) -> acc +
-           |  ${sq(s"cast(element_at(embedding, m * $PqDsub + d + 1) AS double)",
-                  s"cast(element_at(element_at(cents, c + 1), m * $PqDsub + d + 1) AS double)")})""".stripMargin
-      val coded = e.crossJoin(broadcast(cents1))
-        .withColumn("codes", expr(
-          s"""transform(sequence(0, ${PqM - 1}), m ->
-             |  array_min(transform(sequence(0, ${PqK - 1}), c ->
-             |    named_struct('d', $subDist, 'c', c))).c)""".stripMargin))
-        .withColumn("recon", expr(
-          s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
-             |  slice(element_at(cents, element_at(codes, m + 1) + 1), m * $PqDsub + 1, $PqDsub)))""".stripMargin))
-        .select(col("vec_id").as("c_id"), col("recon"))
+      // encode + reconstruct and both L2 folds run in the codegen
+      // kernels (PqRecon / VecL2) — the lambda-chain forms they replace
+      // are CodegenFallback and were the bench's most expensive per-row
+      // cost; VectorOpsSpec pins expression ≡ chain on real embeddings
+      val coded = e.crossJoin(broadcast(pqCodebook(e)))
+        .select(col("vec_id").as("c_id"),
+          expr(s"pq_recon(embedding, cents, $PqM, $PqDsub)").as("recon"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-      def l2(a: String, b: String) =
-        s"""aggregate(sequence(0, ${Dim - 1}), cast(0 AS double), (acc, d) -> acc +
-           |  ${sq(s"cast(element_at($a, d + 1) AS double)", s"cast(element_at($b, d + 1) AS double)")})""".stripMargin
       val topk = udaf(new graft.functions.TopK(10))
       def top10(scored: DataFrame): DataFrame = scored
         .groupBy(col("q_id")).agg(topk(col("neg"), col("c_id")).as("top"))
         .select(col("q_id"), explode(expr("transform(top, x -> x._2)")).as("c_id"))
       val ann = top10(coded.crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
-        .select(col("q_id"), col("c_id"), (-expr(l2("qvec", "recon"))).as("neg")))
+        .select(col("q_id"), col("c_id"), (-expr("vec_l2(qvec, recon)")).as("neg")))
       val exact = top10(e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
         .crossJoin(broadcast(q)).filter(col("q_id") =!= col("c_id"))
-        .select(col("q_id"), col("c_id"), (-expr(l2("qvec", "cv"))).as("neg")))
+        .select(col("q_id"), col("c_id"), (-expr("vec_l2(qvec, cv)")).as("neg")))
       exact.join(ann.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left_outer")
         .groupBy(col("q_id"))
         .agg(count(lit(1)).as("n_exact"),
@@ -908,26 +936,16 @@ object VectorOps {
     */
   val q120IvfPqAnn: QuerySpec = QuerySpec(
     (s, dir) => {
+      graft.functions.PqRecon.register(s)
+      graft.functions.VecL2.register(s)
       val e = ivfCorpus(s, dir)
       val cents = ivfCentroids(e)
       val assigned = ivfAssignments(s, dir)
-      val cents1 = e.filter(col("vec_id") < PqK)
-        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
-          .as("cents"))
-      val sq = (v: String, c: String) => s"($v - $c) * ($v - $c)"
-      val subDist =
-        s"""aggregate(sequence(0, ${PqDsub - 1}), cast(0 AS double), (acc, d) -> acc +
-           |  ${sq(s"cast(element_at(embedding, m * $PqDsub + d + 1) AS double)",
-                  s"cast(element_at(element_at(cents, c + 1), m * $PqDsub + d + 1) AS double)")})""".stripMargin
-      val coded = assigned.crossJoin(broadcast(cents1))
-        .withColumn("codes", expr(
-          s"""transform(sequence(0, ${PqM - 1}), m ->
-             |  array_min(transform(sequence(0, ${PqK - 1}), c ->
-             |    named_struct('d', $subDist, 'c', c))).c)""".stripMargin))
-        .withColumn("recon", expr(
-          s"""flatten(transform(sequence(0, ${PqM - 1}), m ->
-             |  slice(element_at(cents, element_at(codes, m + 1) + 1), m * $PqDsub + 1, $PqDsub)))""".stripMargin))
-        .select(col("vec_id").as("c_id"), col("list_id"), col("recon"))
+      // encode on the ASSIGNED corpus (list ids ride along), through
+      // the PqRecon codegen kernel — q100's chain-parity spec covers it
+      val coded = assigned.crossJoin(broadcast(pqCodebook(e)))
+        .select(col("vec_id").as("c_id"), col("list_id"),
+          expr(s"pq_recon(embedding, cents, $PqM, $PqDsub)").as("recon"))
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
       val probes = e.filter(col("vec_id") < 5)
@@ -938,12 +956,9 @@ object VectorOps {
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= IvfProbes)
         .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
-      def l2(a: String, b: String) =
-        s"""aggregate(sequence(0, ${Dim - 1}), cast(0 AS double), (acc, d) -> acc +
-           |  ${sq(s"cast(element_at($a, d + 1) AS double)", s"cast(element_at($b, d + 1) AS double)")})""".stripMargin
       val topk = udaf(new graft.functions.TopKCarry(10))
       coded.join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
-        .withColumn("neg", -expr(l2("qv", "recon")))
+        .withColumn("neg", -expr("vec_l2(qv, recon)"))
         .groupBy(col("q_id"))
         .agg(topk(col("neg"), col("c_id"), col("list_id")).as("top"))
         .select(col("q_id"), posexplode(col("top")))

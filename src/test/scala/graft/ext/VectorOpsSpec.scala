@@ -112,6 +112,43 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PqRecon codegen kernel equals the lambda-chain encode on real embeddings") {
+    // differential for the q100/q120 hot-path rewrite: the native
+    // expression must reproduce the transform/array_min/slice chain's
+    // reconstruction EXACTLY (same argmin code per subspace — double
+    // sub-distances folded in the same order, first-min tie-break ≡
+    // the lexicographic struct-min), element for element
+    graft.functions.PqRecon.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+    val withCents = e.crossJoin(broadcast(
+      e.filter(col("vec_id") < 16)
+        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+          .as("cents"))))
+    val chain = VectorOps.pqReconChain(withCents)
+      .select(col("vec_id"), col("recon"))
+    val kernel = withCents
+      .select(col("vec_id"), expr("pq_recon(embedding, cents, 4, 16)").as("recon"))
+    assert(chain.exceptAll(kernel).isEmpty && kernel.exceptAll(chain).isEmpty,
+      "pq_recon disagrees with the lambda chain")
+    assert(kernel.count() == e.count())
+  }
+
+  test("VecL2 codegen kernel equals the interpreted fold on real embeddings") {
+    graft.functions.VecL2.register(spark)
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val pairs = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+    val chain = pairs.select(col("q_id"), col("c_id"),
+      expr(VectorOps.l2ChainExpr("qvec", "cv")).as("d"))
+    val kernel = pairs.select(col("q_id"), col("c_id"),
+      expr("vec_l2(qvec, cv)").as("d"))
+    // exact double equality required — same association order by design
+    assert(chain.exceptAll(kernel).isEmpty && kernel.exceptAll(chain).isEmpty,
+      "vec_l2 disagrees with the interpreted fold")
+  }
+
   test("PQ ANN recall is non-degenerate and bounded") {
     val rows = VectorOps.q100PqAnn.run(spark, sfDir).collect()
     assert(rows.length == 5)
