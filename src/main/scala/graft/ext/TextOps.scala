@@ -1767,18 +1767,40 @@ object TextOps {
     * pairs), trading recall for the postings join — not needed at gate
     * scale where the df band alone bounds the work.
     */
+  /** Cross-doc positioned gram matches (doc_a < doc_b, pa, pb) over the
+    * df-banded [[SpanGram]]-gram universe — the shared core of q119
+    * (pairwise runs) and q121 (per-doc coverage), one frame so the two
+    * cannot drift.
+    */
+  private def spanMatches(docs: DataFrame): DataFrame = {
+    val gr = toks(docs).filter(size(col("w")) >= SpanGram)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $SpanGram), i -> array_join(slice(w, i + 1, $SpanGram), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
+    val band = gr.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d").between(2, SpanDfCap)).select(col("gram"))
+    val grf = gr.join(band, Seq("gram"))
+    grf.select(col("gram"), col("doc_id").as("doc_a"), col("p").as("pa"))
+      .join(grf.select(col("gram"), col("doc_id").as("doc_b"), col("p").as("pb")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+  }
+
+  /** Oracle twin of [[spanMatches]] as an `m` CTE. */
+  private val spanMatchSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL),
+       |gr AS (SELECT doc_id, p, array_to_string(w[p : p + ${SpanGram - 1}], ' ') AS gram
+       |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SpanGram - 2})) AS p
+       |             FROM t WHERE len(w) >= $SpanGram)),
+       |band AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS d FROM gr GROUP BY gram)
+       |         WHERE d BETWEEN 2 AND $SpanDfCap),
+       |grf AS (SELECT gr.* FROM gr JOIN band USING (gram)),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+       |      FROM grf a JOIN grf b ON a.gram = b.gram AND a.doc_id < b.doc_id)""".stripMargin
+
   val q119RepeatedSpans: QuerySpec = QuerySpec(
     (s, dir) => {
-      val gr = toks(Tables.documents(s, dir)).filter(size(col("w")) >= SpanGram)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(w) - $SpanGram), i -> array_join(slice(w, i + 1, $SpanGram), ' '))")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("gram"))
-      val band = gr.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("d"))
-        .filter(col("d").between(2, SpanDfCap)).select(col("gram"))
-      val grf = gr.join(band, Seq("gram"))
-      val m = grf.select(col("gram"), col("doc_id").as("doc_a"), col("p").as("pa"))
-        .join(grf.select(col("gram"), col("doc_id").as("doc_b"), col("p").as("pb")), Seq("gram"))
-        .filter(col("doc_a") < col("doc_b"))
+      val m = spanMatches(Tables.documents(s, dir))
         .select(col("doc_a"), col("doc_b"), col("pa"), (col("pb") - col("pa")).as("diag"))
       val wIsl = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
@@ -1792,16 +1814,9 @@ object TextOps {
         .filter(col("max_run") >= SpanMinRun)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL),
-       |gr AS (SELECT doc_id, p, array_to_string(w[p : p + ${SpanGram - 1}], ' ') AS gram
-       |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${SpanGram - 2})) AS p
-       |             FROM t WHERE len(w) >= $SpanGram)),
-       |band AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS d FROM gr GROUP BY gram)
-       |         WHERE d BETWEEN 2 AND $SpanDfCap),
-       |grf AS (SELECT gr.* FROM gr JOIN band USING (gram)),
-       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
-       |      FROM grf a JOIN grf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-       |runs AS (SELECT doc_a, doc_b, pb - pa AS diag, pa,
+    spanMatchSql +
+      s"""
+       |, runs AS (SELECT doc_a, doc_b, pb - pa AS diag, pa,
        |           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa ORDER BY pa) AS isl
        |         FROM m),
        |r AS (SELECT doc_a, doc_b, diag, isl, count(*) + ${SpanGram - 1} AS run_toks
@@ -1812,7 +1827,78 @@ object TextOps {
        |FROM r GROUP BY doc_a, doc_b HAVING max(run_toks) >= $SpanMinRun
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  /** q121: span-coverage — per DOCUMENT, the fraction of its tokens
+    * inside any cross-doc shared [[SpanGram]]-gram match: the
+    * memorization-exposure/decontamination audit at document
+    * granularity (q119 tells you WHICH PAIRS share long runs; q121
+    * tells you HOW MUCH of each doc is non-original — the number a
+    * curation gate thresholds on). Matched gram STARTS are unioned
+    * across all partners, each covering tokens [p, p+7]; since every
+    * interval has the same length, intervals merge exactly when
+    * consecutive starts gap ≤ 7, so coverage is the island sum of
+    * `last − first + SpanGram` over gap>7 breaks (lag + running sum —
+    * exact integers; the ratio is one IEEE divide).
+    *
+    * Scale: rides [[spanMatches]] (df-banded postings, keyed join);
+    * the union/merge windows partition by doc_id — per-key rows are
+    * bounded by the doc's own length, no hot reducer.
+    */
+  val q121SpanCoverage: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = spanMatches(docs)
+      // both endpoints of a match in ONE pass over m (a union of two
+      // selects would re-execute the whole match subtree per side)
+      val pos = m.select(explode(array(
+          struct(col("doc_a").as("doc_id"), col("pa").as("p")),
+          struct(col("doc_b").as("doc_id"), col("pb").as("p")))).as("x"))
+        .select(col("x.doc_id").as("doc_id"), col("x.p").as("p")).distinct()
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val isl = pos
+        .withColumn("brk",
+          when(lag(col("p"), 1).over(wDoc).isNull ||
+            col("p") - lag(col("p"), 1).over(wDoc) > (SpanGram - 1), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(
+          wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val cov = isl.groupBy(col("doc_id"), col("isl"))
+        .agg((max(col("p")) - min(col("p")) + SpanGram).as("ctoks"),
+          count(lit(1)).as("npos"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("npos")).as("n_matched_grams"),
+          sum(col("ctoks")).as("covered_tokens"))
+      cov.join(docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("doc_tokens")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_matched_grams"), col("covered_tokens"), col("doc_tokens"),
+          (col("covered_tokens").cast("double") / col("doc_tokens").cast("double")).as("coverage"))
+        .orderBy(col("doc_id"))
+    },
+    spanMatchSql +
+      s"""
+       |, pos AS (SELECT doc_a AS doc_id, pa AS p FROM m
+       |          UNION SELECT doc_b AS doc_id, pb AS p FROM m),
+       |pp AS (SELECT doc_id, p,
+       |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+       |                OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > ${SpanGram - 1}
+       |              THEN 1 ELSE 0 END AS brk
+       |       FROM pos),
+       |ii AS (SELECT doc_id, p,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS isl
+       |       FROM pp),
+       |cv AS (SELECT doc_id, isl, max(p) - min(p) + $SpanGram AS ctoks, count(*) AS npos
+       |       FROM ii GROUP BY doc_id, isl),
+       |agg AS (SELECT doc_id, cast(sum(npos) AS bigint) AS n_matched_grams,
+       |               cast(sum(ctoks) AS bigint) AS covered_tokens
+       |        FROM cv GROUP BY doc_id),
+       |dt AS (SELECT doc_id, cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS doc_tokens
+       |       FROM documents WHERE text IS NOT NULL)
+       |SELECT a.doc_id AS doc_id, a.n_matched_grams, a.covered_tokens, dt.doc_tokens,
+       |       cast(a.covered_tokens AS double) / cast(dt.doc_tokens AS double) AS coverage
+       |FROM agg a JOIN dt USING (doc_id) ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q121_span_coverage" -> q121SpanCoverage,
     "q119_repeated_spans" -> q119RepeatedSpans,
     "q117_shard_ingest_e2e" -> q117ShardIngestE2e,
     "q105_shard_novelty" -> q105ShardNovelty,

@@ -458,6 +458,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // output sort; the coded corpus side joins the broadcast probe
       // set, so no corpus-sized exchange exists
       "q120_ivfpq_ann" -> 9,
+      // q121 (round-8, audited at introduction): the q119 match subtree
+      // (one pass — both match endpoints explode from one scan of m) +
+      // the doc-keyed position distinct, lag/sum windows and island
+      // rollup (per-key rows ≤ doc length) + doc-tokens join + sort
+      "q121_span_coverage" -> 11,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
