@@ -73,7 +73,8 @@ object Bench {
     "q118_gif_frames",
     "q119_repeated_spans",
     "q120_ivfpq_ann",
-    "q121_span_coverage")
+    "q121_span_coverage",
+    "q122_bpe_merges")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -124,7 +125,7 @@ object Bench {
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71,
     "q119_repeated_spans" -> 1.95, "q120_ivfpq_ann" -> 0.91,
-    "q121_span_coverage" -> 2.33)
+    "q121_span_coverage" -> 2.33, "q122_bpe_merges" -> 1.79)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1897,7 +1897,145 @@ object TextOps {
        |       cast(a.covered_tokens AS double) / cast(dt.doc_tokens AS double) AS coverage
        |FROM agg a JOIN dt USING (doc_id) ORDER BY doc_id""".stripMargin)
 
+  /** q122: BPE merge learning — [[BpeRounds]] unrolled rounds of
+    * byte-pair-encoding TRAINING as relational algebra (the q64
+    * unrolled-Lloyd treatment applied to the tokenizer): per round,
+    * count adjacent symbol pairs across the word-frequency table, pick
+    * the most frequent pair (tie-break lexicographic), and APPLY the
+    * merge corpus-wide before recounting. q32 tokenizes with a fixed
+    * BPE-ish scheme; this is the other half — learning the merge table
+    * itself, which is how every production tokenizer (GPT-2, Llama,
+    * SentencePiece-BPE) is actually built over a corpus.
+    *
+    * Greedy left-to-right application is the subtle part: matches of a
+    * doubled pair (x, x) overlap, and real BPE merges leftmost-first.
+    * Relationally that is the parity-island rule — among consecutive
+    * match positions, keep the odd-ranked ones per island (overlaps
+    * only arise in same-symbol runs, where greedy keeps every second
+    * match) — the same `p − row_number()` island key as q119, judged
+    * here through both the pair counts and the applied-merge counts.
+    * `BpeSpec` pins the greedy semantics on crafted words ("aaaa").
+    *
+    * Scale: everything after the first aggregation is VOCABULARY-sized
+    * — the corpus scan happens once (word frequencies, map-side
+    * combined); symbol sequences, pair counts, and merge application
+    * are per-DISTINCT-word relations (tens of millions of rows at
+    * 100 TB, not corpus-sized), windows partition by word (per-key
+    * rows = word length), and each round's winner is a bounded
+    * TakeOrdered over the pair vocabulary, broadcast back. This is
+    * exactly how corpus-scale BPE trainers are structured.
+    */
+  private val BpeRounds = 2
+
+  private[ext] def bpePairCounts(sv: DataFrame): DataFrame = {
+    val wW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("p"))
+    sv.withColumn("nxt", lead(col("sym"), 1).over(wW))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum(col("f")).as("cnt"))
+  }
+
+  /** Apply one learned merge greedily; returns (next symbol table,
+    * kept-merge rows carrying word frequency). The kept-merge frame is
+    * pinned ([[graft.core.Checkpoints]] — the iterative-operator
+    * contract): it feeds three consumers (two join sides of the rebuild
+    * plus the merge count), and each would otherwise re-run the match
+    * windows.
+    */
+  private[ext] def bpeApply(sv: DataFrame, top: DataFrame): (DataFrame, DataFrame) = {
+    val wW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("p"))
+    val m = sv.withColumn("nxt", lead(col("sym"), 1).over(wW))
+      .crossJoin(broadcast(top))
+      .filter(col("sym") === col("l") && col("nxt") === col("r"))
+      .select(col("w"), col("f"), col("p"))
+    val k = graft.core.Checkpoints.pin(
+      m.withColumn("isl", col("p") - row_number().over(wW))
+        .withColumn("ri", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w"), col("isl")).orderBy(col("p"))))
+        .filter(col("ri") % 2 === 1)
+        .select(col("w"), col("f"), col("p")))
+    val next = sv.crossJoin(broadcast(top))
+      .join(k.select(col("w"), col("p")).withColumn("keep", lit(1)), Seq("w", "p"), "left_outer")
+      .join(k.select(col("w"), (col("p") + 1).as("p")).withColumn("consumed", lit(1)),
+        Seq("w", "p"), "left_outer")
+      .filter(col("consumed").isNull)
+      .withColumn("sym2",
+        when(col("keep").isNotNull, concat(col("l"), col("r"))).otherwise(col("sym")))
+      .select(col("w"), col("f"), col("p").as("p0"), col("sym2").as("sym"))
+      .withColumn("p", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w")).orderBy(col("p0"))).cast("long"))
+      .select(col("w"), col("f"), col("p"), col("sym"))
+    (next, k)
+  }
+
+  val q122BpeMerges: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val words = toks(Tables.documents(s, dir))
+        .select(explode(col("w")).as("w")).filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // the round state (symbol table, round winner) is pinned per
+      // round — the iterative-operator contract (q46/q91's
+      // Checkpoints): each is read by several consumers and the next
+      // round chains on it, so unpinned lineage would re-execute the
+      // corpus aggregation once per reference and double per round
+      val s0 = graft.core.Checkpoints.pin(
+        words.select(col("w"), col("f"), posexplode(expr(
+          "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('</w>'))")))
+          .select(col("w"), col("f"), (col("pos") + 1).cast("long").as("p"), col("col").as("sym")))
+      def roundRow(round: Int, sv: DataFrame): (DataFrame, DataFrame) = {
+        val top = graft.core.Checkpoints.pin(bpePairCounts(sv)
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1))
+        val (next, k) = bpeApply(sv, top)
+        val row = top.crossJoin(broadcast(
+            k.agg(coalesce(sum(col("f")), lit(0L)).as("n_merges"))))
+          .select(lit(round).as("round"), col("l").as("left_sym"),
+            col("r").as("right_sym"), col("cnt").as("pair_count"), col("n_merges"))
+        (next, row)
+      }
+      val (s1, row1) = roundRow(1, s0)
+      val (_, row2) = roundRow(2, graft.core.Checkpoints.pin(s1))
+      row1.unionByName(row2).orderBy(col("round"))
+    },
+    s"""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents WHERE text IS NOT NULL),
+       |words AS (SELECT w, cast(count(*) AS bigint) AS f FROM tok WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, f, p, CASE WHEN p <= len(w) THEN w[p:p] ELSE '</w>' END AS sym
+       |       FROM (SELECT w, f, unnest(range(1, len(w) + 2)) AS p FROM words)),
+       |p0 AS (SELECT w, f, p, sym, lead(sym) OVER (PARTITION BY w ORDER BY p) AS nxt FROM s0),
+       |pc1 AS (SELECT sym AS l, nxt AS r, cast(sum(f) AS bigint) AS cnt
+       |        FROM p0 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+       |top1 AS (SELECT l, r, cnt FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+       |m1 AS (SELECT p0.w, p0.f, p0.p FROM p0 CROSS JOIN top1 t WHERE p0.sym = t.l AND p0.nxt = t.r),
+       |k1 AS (SELECT w, f, p FROM (
+       |         SELECT w, f, p, row_number() OVER (PARTITION BY w, p - rn ORDER BY p) AS ri
+       |         FROM (SELECT w, f, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn FROM m1))
+       |       WHERE ri % 2 = 1),
+       |s1 AS (SELECT s.w, s.f, row_number() OVER (PARTITION BY s.w ORDER BY s.p) AS p,
+       |         CASE WHEN k.p IS NOT NULL THEN t.l || t.r ELSE s.sym END AS sym
+       |       FROM s0 s CROSS JOIN top1 t
+       |       LEFT JOIN k1 k ON s.w = k.w AND s.p = k.p
+       |       LEFT JOIN k1 kp ON s.w = kp.w AND s.p = kp.p + 1
+       |       WHERE kp.p IS NULL),
+       |p1 AS (SELECT w, f, p, sym, lead(sym) OVER (PARTITION BY w ORDER BY p) AS nxt FROM s1),
+       |pc2 AS (SELECT sym AS l, nxt AS r, cast(sum(f) AS bigint) AS cnt
+       |        FROM p1 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+       |top2 AS (SELECT l, r, cnt FROM pc2 ORDER BY cnt DESC, l, r LIMIT 1),
+       |m2 AS (SELECT p1.w, p1.f, p1.p FROM p1 CROSS JOIN top2 t WHERE p1.sym = t.l AND p1.nxt = t.r),
+       |k2 AS (SELECT w, f, p FROM (
+       |         SELECT w, f, p, row_number() OVER (PARTITION BY w, p - rn ORDER BY p) AS ri
+       |         FROM (SELECT w, f, p, row_number() OVER (PARTITION BY w ORDER BY p) AS rn FROM m2))
+       |       WHERE ri % 2 = 1),
+       |n1 AS (SELECT cast(coalesce(sum(f), 0) AS bigint) AS merges FROM k1),
+       |n2 AS (SELECT cast(coalesce(sum(f), 0) AS bigint) AS merges FROM k2)
+       |SELECT * FROM (
+       |  SELECT 1 AS round, l AS left_sym, r AS right_sym, cnt AS pair_count,
+       |         (SELECT merges FROM n1) AS n_merges FROM top1
+       |  UNION ALL
+       |  SELECT 2, l, r, cnt, (SELECT merges FROM n2) FROM top2) ORDER BY round""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q122_bpe_merges" -> q122BpeMerges,
     "q121_span_coverage" -> q121SpanCoverage,
     "q119_repeated_spans" -> q119RepeatedSpans,
     "q117_shard_ingest_e2e" -> q117ShardIngestE2e,

@@ -463,6 +463,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // the doc-keyed position distinct, lag/sum windows and island
       // rollup (per-key rows ≤ doc length) + doc-tokens join + sort
       "q121_span_coverage" -> 11,
+      // q122 (round-8, audited at introduction): round state pinned per
+      // round (the q46/q91 Checkpoints contract), so the judged plan
+      // reads materialized loop state — the corpus-scan words agg, the
+      // round-2 pair groupBy + winner TakeOrdered, the merge-count
+      // rollup and the 2-row assembly/sort
+      "q122_bpe_merges" -> 5,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
