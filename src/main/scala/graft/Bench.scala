@@ -74,7 +74,8 @@ object Bench {
     "q119_repeated_spans",
     "q120_ivfpq_ann",
     "q121_span_coverage",
-    "q122_bpe_merges")
+    "q122_bpe_merges",
+    "q123_triangle_clustering")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -125,7 +126,8 @@ object Bench {
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71,
     "q119_repeated_spans" -> 1.95, "q120_ivfpq_ann" -> 0.91,
-    "q121_span_coverage" -> 2.33, "q122_bpe_merges" -> 1.79)
+    "q121_span_coverage" -> 2.33, "q122_bpe_merges" -> 1.79,
+    "q123_triangle_clustering" -> 2.55)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -2034,7 +2034,67 @@ object TextOps {
        |  UNION ALL
        |  SELECT 2, l, r, cnt, (SELECT merges FROM n2) FROM top2) ORDER BY round""".stripMargin)
 
+  /** q123: triangle counting + local clustering coefficients over the
+    * near-dup candidate graph — the graph-structure diagnostic that
+    * separates CHAINED candidate clusters (dup of dup of dup — long
+    * paths, low closure, the shape where transitive dedup (q46) merges
+    * documents that are pairwise dissimilar) from genuinely DENSE
+    * duplicate groups (high closure): per vertex of degree ≥ 2, its
+    * incident-triangle count against its wedge count, closure =
+    * triangles/wedges. Complements q89 (degree histogram = volume) with
+    * second-order structure.
+    *
+    * Edges are the SHARED [[lshPairs]] frame (q18/q46/q89's — the
+    * schemes cannot drift). Triangle enumeration is the standard
+    * distributed algorithm: edge⋈edge on the shared middle vertex
+    * builds wedges (a<b<c for free — both edges are stored min<max),
+    * then ONE closure join against the edge set; per-vertex rollups are
+    * map-side combined. Wedge fan-out per vertex is degree², and the
+    * LSH graph's degrees are bounded by construction (banded buckets,
+    * df caps) — on a general 100 TB graph the standard refinement
+    * (pivot on the lower-DEGREE endpoint) drops in without changing
+    * the judged semantics.
+    */
+  val q123TriangleClustering: QuerySpec = QuerySpec(
+    (s, dir) => {
+      // the edge frame feeds FOUR consumers (degrees + three triangle
+      // join sides): pin it once (the Checkpoints contract) so the
+      // banded-LSH candidate generation runs once, not per reference
+      val e = graft.core.Checkpoints.pin(lshPairs(Tables.documents(s, dir)))
+      val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b"))
+        .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+      val vt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      deg.filter(col("degree") >= 2)
+        .join(vt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("degree"),
+          expr("degree * (degree - 1) div 2").as("n_wedges"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("clustering",
+          col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    lshChainSql +
+      """
+        |, deg AS (SELECT doc_id, cast(count(*) AS bigint) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+        |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |        FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |vt AS (SELECT doc_id, cast(count(*) AS bigint) AS n_triangles FROM (
+        |    SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, d.degree AS degree,
+        |  cast(d.degree * (d.degree - 1) // 2 AS bigint) AS n_wedges,
+        |  cast(coalesce(v.n_triangles, 0) AS bigint) AS n_triangles,
+        |  cast(coalesce(v.n_triangles, 0) AS double) / cast(d.degree * (d.degree - 1) // 2 AS double) AS clustering
+        |FROM deg d LEFT JOIN vt v USING (doc_id)
+        |WHERE d.degree >= 2 ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q123_triangle_clustering" -> q123TriangleClustering,
     "q122_bpe_merges" -> q122BpeMerges,
     "q121_span_coverage" -> q121SpanCoverage,
     "q119_repeated_spans" -> q119RepeatedSpans,

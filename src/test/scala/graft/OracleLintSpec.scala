@@ -284,7 +284,12 @@ class OracleLintSpec extends AnyFunSuite {
     // ((sv % nv) + nv) % nv makes the numerator exactly divisible by
     // nv, and floor == trunc on exact quotients at any sign
     ("q64_ann_ivf_kmeans", "% nv) + nv) % nv)) // nv"),
-    ("q107_embedding_outliers", "% nv) + nv) % nv)) // nv"))
+    ("q107_embedding_outliers", "% nv) + nv) % nv)) // nv"),
+    // wedge count C(degree, 2): the frame filters degree >= 2, so
+    // degree - 1 >= 1 and the product is positive — quotient never
+    // negative (and even, so floor == trunc exactly anyway)
+    ("q123_triangle_clustering", "(d.degree - 1) // 2 AS bigint"),
+    ("q123_triangle_clustering", "(d.degree - 1) // 2 AS double"))
 
   test("no unaudited negative-operand floor division in the oracle registry") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>

@@ -469,6 +469,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // round-2 pair groupBy + winner TakeOrdered, the merge-count
       // rollup and the 2-row assembly/sort
       "q122_bpe_merges" -> 5,
+      // q123 (round-8, audited at introduction): edge frame pinned once
+      // (4 consumers), then the degree rollup, the two wedge/closure
+      // join sides, the per-vertex triangle rollup, the deg≥2 join and
+      // the output sort — all keyed on vertex/edge ids
+      "q123_triangle_clustering" -> 7,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
