@@ -79,8 +79,8 @@ object Bench {
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
-    * re-based on the round-6 full-headline run (16.2 s total, one
-    * benign retime) — the best-known steady state, so the 2× stall
+    * re-based on the round-8 56-query full-headline run (53.3 s total,
+    * one retime) — the best-known steady state, so the 2× stall
     * trigger is as tight as the evidence allows. Drives the
     * stall-retime protocol only; never reported.
     */
@@ -88,13 +88,13 @@ object Bench {
     "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.30,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
-    "q19_simhash" -> 0.35, "q20_jaccard_pairs" -> 1.00,
+    "q19_simhash" -> 0.30, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
-    "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.98,
+    "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.85,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
-    "q56_gapfill" -> 0.62, "q59_pipeline_e2e" -> 0.26,
+    "q56_gapfill" -> 0.41, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
@@ -102,13 +102,14 @@ object Bench {
     // introduction; q99 re-based round 7 after the replay-harness trim
     // (bands staged once per process, AvailableNow trigger, state
     // partitions sized to the replay)
-    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 3.64,
+    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 2.79,
     // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
-    // CodegenFallback lambda chains (6.74 s → 0.97 s, same window)
-    "q100_pq_ann" -> 0.97, "q101_incremental_neardup" -> 1.25,
+    // CodegenFallback lambda chains (6.74 s → 0.97 s standalone, 0.51 s
+    // in the warm full-headline run)
+    "q100_pq_ann" -> 0.51, "q101_incremental_neardup" -> 1.12,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.64,
+    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.51,
     // round-7 additions: per-query min of matching sf0.1 runs at
     // introduction (measured in a globally ~1.7× inflated window — see
     // README round-7 notes — so future quiet rounds may re-base DOWN);
@@ -116,18 +117,18 @@ object Bench {
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
     "q39_winnowing" -> 0.97, "q42_running_totals" -> 0.50,
-    "q58_dedup_clusters_star" -> 3.36, "q83_scd2_history" -> 0.65,
-    "q108_image_decode" -> 0.73, "q109_zorder_prune" -> 0.76,
-    "q110_pii_redaction" -> 0.78, "q111_contamination_fps" -> 0.70,
-    "q112_sequence_packing" -> 0.77, "q113_filter_funnel" -> 0.67,
-    "q114_audio_decode" -> 1.50, "q115_embedding_clusters" -> 2.48,
-    "q116_shard_admission" -> 1.29,
+    "q58_dedup_clusters_star" -> 3.28, "q83_scd2_history" -> 0.60,
+    "q108_image_decode" -> 0.62, "q109_zorder_prune" -> 0.76,
+    "q110_pii_redaction" -> 0.77, "q111_contamination_fps" -> 0.57,
+    "q112_sequence_packing" -> 0.73, "q113_filter_funnel" -> 0.31,
+    "q114_audio_decode" -> 1.13, "q115_embedding_clusters" -> 1.26,
+    "q116_shard_admission" -> 0.70,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 3.63, "q118_gif_frames" -> 0.71,
-    "q119_repeated_spans" -> 1.95, "q120_ivfpq_ann" -> 0.91,
-    "q121_span_coverage" -> 2.33, "q122_bpe_merges" -> 1.79,
-    "q123_triangle_clustering" -> 2.55)
+    "q117_shard_ingest_e2e" -> 3.43, "q118_gif_frames" -> 0.71,
+    "q119_repeated_spans" -> 1.82, "q120_ivfpq_ann" -> 0.45,
+    "q121_span_coverage" -> 2.22, "q122_bpe_merges" -> 0.88,
+    "q123_triangle_clustering" -> 1.78)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
