@@ -75,7 +75,12 @@ object Bench {
     "q120_ivfpq_ann",
     "q121_span_coverage",
     "q122_bpe_merges",
-    "q123_triangle_clustering")
+    "q123_triangle_clustering",
+    // round-8 second batch: the deep star join, kNN classification and
+    // audio frame-sampling
+    "q124_regional_revenue",
+    "q125_knn_classify",
+    "q126_audio_frames")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -128,7 +133,9 @@ object Bench {
     "q117_shard_ingest_e2e" -> 3.43, "q118_gif_frames" -> 0.71,
     "q119_repeated_spans" -> 1.82, "q120_ivfpq_ann" -> 0.45,
     "q121_span_coverage" -> 2.22, "q122_bpe_merges" -> 0.88,
-    "q123_triangle_clustering" -> 1.78)
+    "q123_triangle_clustering" -> 1.78,
+    "q124_regional_revenue" -> 0.75, "q125_knn_classify" -> 0.88,
+    "q126_audio_frames" -> 1.65)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -693,7 +693,67 @@ object AnalyticsOps {
       |FROM sel s JOIN r ON r.rnk = s.vocab_size
       |ORDER BY coverage_pct""".stripMargin)
 
+  /** q124: the deep star-join report (the TPC-H Q5 shape) — revenue per
+    * nation for one region and one order year, with the local-supplier
+    * constraint (customer and supplier in the SAME nation). Six tables:
+    * customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region.
+    *
+    * This is the join-ORDERING showcase the two-table report queries
+    * (reference README.md:43–148 joins exactly two tables at a time)
+    * never exercise: a correct plan drives the region filter through
+    * nation into the customer/supplier sides before the fact-table scan.
+    * Bounded dims (supplier / nation / region — fixed-cardinality at any
+    * corpus size) are explicitly broadcast, so lineitem↔supplier,
+    * x↔nation and nation↔region are all map-side; the only wide
+    * exchanges are the two fact-side equi-joins (lineitem⋈orders on
+    * o_orderkey, ⋈customer on o_custkey), which AQE sizes at runtime.
+    * The date window prunes orders BEFORE its join (pushed to the scan),
+    * and revenue is the exact scaled-long sum ([[graft.functions.Money]])
+    * — partition-order independent, bit-identical to the oracle's
+    * decimal sum.
+    */
+  val q124RegionalRevenue: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import graft.functions.Money
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          Money.revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev_units"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev_units")).cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    """SELECT n_name,
+      |  cast(sum(cast(l_extendedprice AS decimal(12,2)) * (1 - cast(l_discount AS decimal(4,2)))) AS double) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q124_regional_revenue" -> q124RegionalRevenue,
     "q106_vocab_coverage" -> q106VocabCoverage,
     "q104_zorder_layout" -> q104ZorderLayout,
     "q109_zorder_prune" -> q109ZorderPrune,

@@ -581,11 +581,98 @@ object Multimodal {
       |  cast(sum(gsum) AS bigint) AS gray_sum
       |FROM g GROUP BY source, frame_idx ORDER BY source, frame_idx""".stripMargin)
 
+  /** One audio frame's exact integer features — the narrow row that
+    * crosses q126's only shuffle (≤ 5 per clip at 160 samples/frame).
+    */
+  final case class AudioFrame(
+      media_id: Long, source: String, frame_idx: Int,
+      n_samples: Long, energy: Long, peak: Long)
+
+  /** Samples per analysis frame: 20 ms at the staged clips' 8 kHz. */
+  private val FrameLen = 160
+
+  /** q126: audio FRAME-SAMPLING + feature extraction — the windowed
+    * analysis verb (the multimodal surface is decode / feature-extract /
+    * resize / frame-sample; q114 covers clip-level decode, this covers
+    * the framing). Each staged WAV (shared with q114 — same store, the
+    * real `javax.sound.sampled` decode path) is cut into fixed
+    * 160-sample (20 ms) non-overlapping frames, the tail partial frame
+    * kept; per frame the features are exact integers — frame length,
+    * energy (Σ v², the pre-log power feature every VAD/fingerprint
+    * front-end starts from) and peak |v| — judged per (source,
+    * frame_idx) under the hash gate, so the framing arithmetic itself
+    * (offsets, tail handling) is oracle-checked, not just clip totals.
+    *
+    * The oracle never touches a codec: it replays [[AudioGen]]'s sample
+    * formula over the (doc × sample) grid and groups by `i // 160` —
+    * nonnegative operands, so DuckDB's floor-div `//` equals Spark's
+    * integer division here (the sign-safety lint's documented safe case).
+    *
+    * Scale: identical to q114 — per-split decode at the codec boundary,
+    * ≤5 narrow 6-scalar rows per clip cross the only data shuffle,
+    * exchanges are the (sources × frames)-row rollup and the sort.
+    */
+  val q126AudioFrames: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val staged = stagedAudioDir(s, dir)
+      val frames = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(staged)
+        .select(
+          regexp_extract(col("path"), "/(\\d+)\\.wav$", 1).cast(LongType).as("media_id"),
+          col("content").as("payload"),
+          col("src").cast(StringType).as("source"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload, src) =>
+            val (_, samples) = JdkAudio.decodePcm16(payload)
+            val nF = (samples.length + FrameLen - 1) / FrameLen
+            (0 until nF).iterator.map { f =>
+              val start = f * FrameLen
+              val end = math.min(start + FrameLen, samples.length)
+              var e = 0L; var peak = 0L
+              var i = start
+              while (i < end) {
+                val v = samples(i).toLong
+                e += v * v
+                val a = math.abs(v); if (a > peak) peak = a
+                i += 1
+              }
+              AudioFrame(id, src, f, (end - start).toLong, e, peak)
+            }
+          }
+        }
+      frames.groupBy(col("source"), col("frame_idx"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(col("energy")).as("sum_energy"),
+          sum(col("peak")).as("sum_peak"))
+        .orderBy(col("source"), col("frame_idx"))
+    },
+    s"""WITH d AS (
+      |  SELECT doc_id, source, 256 + (doc_id % 512) AS n FROM documents),
+      |i AS (SELECT doc_id, source, unnest(range(0, n)) AS i FROM d),
+      |s AS (SELECT doc_id, source, i // $FrameLen AS frame_idx,
+      |        ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+      |      FROM i),
+      |fr AS (SELECT doc_id, source, frame_idx, count(*) AS ns,
+      |         sum(v * v) AS e, max(abs(v)) AS pk
+      |       FROM s GROUP BY doc_id, source, frame_idx)
+      |SELECT source, cast(frame_idx AS int) AS frame_idx,
+      |  cast(count(*) AS bigint) AS n_frames,
+      |  cast(sum(ns) AS bigint) AS total_samples,
+      |  cast(sum(e) AS bigint) AS sum_energy,
+      |  cast(sum(pk) AS bigint) AS sum_peak
+      |FROM fr GROUP BY source, frame_idx ORDER BY source, frame_idx""".stripMargin)
+
   val all: Map[String, graft.QuerySpec] = Map(
     "q65_frames_accounting" -> q65FramesAccounting,
     "q108_image_decode" -> q108ImageDecode,
     "q114_audio_decode" -> q114AudioDecode,
-    "q118_gif_frames" -> q118GifFrames)
+    "q118_gif_frames" -> q118GifFrames,
+    "q126_audio_frames" -> q126AudioFrames)
 }
 
 /** Deterministic synthetic audio: 8 kHz mono 16-bit PCM whose samples

@@ -1005,7 +1005,102 @@ object VectorOps {
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     })
 
+  /** q125: kNN label classification over the embedding corpus — the
+    * weak-labeling / label-QA operator a curation pipeline runs to
+    * propagate labels onto unlabeled data (or cross-check claimed ones):
+    * every 10th vector is held out as the "unlabeled" probe set, its
+    * label predicted as the majority vote of its 5 nearest labeled
+    * neighbors by exact cosine, and the judged output is the confusion
+    * matrix (true_label, predicted_label, n_vectors).
+    *
+    * Scale design — this is a kNN JOIN, the classic quadratic trap, and
+    * it runs entirely through the IVF machinery: candidates come ONLY
+    * from the probe's top-`IvfProbes` inverted lists (per-row zero-
+    * shuffle centroid ranking, the q116 pattern), the 5-neighbor
+    * selection is the bounded map-side-combinable [[graft.functions
+    * .TopKCarry]] aggregator with the neighbor's label riding as the
+    * carried payload (never a global per-probe sort), and the vote
+    * window is per-probe over ≤5 rows. No label-blocked or all-pairs
+    * join anywhere: cost is |test| × (corpus / nlists × probes), the
+    * serving-tier admission shape.
+    *
+    * Determinism: cosines are the shared bit-exact fold; neighbor
+    * selection tie-breaks (cosine desc, n_id asc) = the oracle's
+    * row_number; the vote tie-breaks (count desc, label asc).
+    */
+  val q125KnnClassify: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.functions.VecDot.register(s)
+      val cents1 = e.filter(col("vec_id") < IvfK)
+        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+          .as("cents"))
+      val centCos = s"vec_dot(embedding, element_at(cents, c + 1)) / " +
+        s"(sqrt(vec_dot(embedding, embedding)) * " +
+        s"sqrt(vec_dot(element_at(cents, c + 1), element_at(cents, c + 1))))"
+      val ranked = e.crossJoin(broadcast(cents1))
+        .withColumn("psort", expr(
+          s"""array_sort(transform(sequence(0, ${IvfK - 1}), c ->
+             |  named_struct('negcos', -($centCos), 'c', c)))""".stripMargin))
+        .withColumn("list_id", expr("psort[0].c"))
+        .withColumn("probes", expr(s"transform(slice(psort, 1, $IvfProbes), x -> x.c)"))
+        .drop("psort", "cents")
+      val test = ranked.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("t_id"), col("label").as("true_label"),
+          col("embedding").as("tv"), explode(col("probes")).as("probe"))
+      val train = ranked.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+          col("embedding").as("nv"), col("list_id"))
+      val topk = udaf(new graft.functions.TopKCarry(5))
+      val neigh = test.join(train, col("probe") === col("list_id"))
+        .withColumn("cosine", dot(s, "tv", "nv") / (sqrt(norm2(s, "tv")) * sqrt(norm2(s, "nv"))))
+        .groupBy(col("t_id"), col("true_label"))
+        .agg(topk(col("cosine"), col("n_id"), col("n_label").cast("long")).as("top"))
+        .select(col("t_id"), col("true_label"), explode(col("top")).as("nb"))
+        .select(col("t_id"), col("true_label"), col("nb._3").cast("int").as("n_label"))
+      val votes = neigh.groupBy(col("t_id"), col("true_label"), col("n_label"))
+        .agg(count(lit(1)).as("cnt"))
+      val wVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t_id")).orderBy(col("cnt").desc, col("n_label").asc)
+      votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+        .groupBy(col("true_label"), col("n_label").as("predicted_label"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("true_label"), col("predicted_label"))
+    },
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
+       |               FROM embeddings WHERE vec_id < $IvfK),
+       |ac AS (SELECT e.vec_id, c.cent_id,
+       |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
+       |       FROM embeddings e CROSS JOIN cents c),
+       |pr AS (SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS prn
+       |       FROM ac),
+       |assign AS (SELECT vec_id, cent_id AS list_id FROM pr WHERE prn = 1),
+       |probes AS (SELECT vec_id, cent_id AS probe FROM pr WHERE prn <= $IvfProbes),
+       |test AS (SELECT vec_id AS t_id, label AS true_label, embedding AS tv
+       |         FROM embeddings WHERE vec_id % 10 = 0),
+       |train AS (SELECT e.vec_id AS n_id, e.label AS n_label, e.embedding AS nv, a.list_id
+       |          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+       |          WHERE e.vec_id % 10 <> 0),
+       |cand AS (SELECT t.t_id, t.true_label, n.n_id, n.n_label,
+       |           ${duckDot("t.tv", "n.nv")} / (sqrt(${duckNorm2("t.tv")}) * sqrt(${duckNorm2("n.nv")})) AS cosine
+       |         FROM test t JOIN probes p ON p.vec_id = t.t_id
+       |         JOIN train n ON n.list_id = p.probe),
+       |top5 AS (SELECT t_id, true_label, n_label,
+       |           row_number() OVER (PARTITION BY t_id ORDER BY cosine DESC, n_id) AS rn
+       |         FROM cand),
+       |votes AS (SELECT t_id, true_label, n_label, count(*) AS cnt
+       |          FROM top5 WHERE rn <= 5 GROUP BY t_id, true_label, n_label),
+       |pred AS (SELECT t_id, true_label, n_label AS predicted_label,
+       |           row_number() OVER (PARTITION BY t_id ORDER BY cnt DESC, n_label) AS vr
+       |         FROM votes)
+       |SELECT true_label, predicted_label, count(*) AS n_vectors
+       |FROM pred WHERE vr = 1
+       |GROUP BY true_label, predicted_label
+       |ORDER BY true_label, predicted_label""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q125_knn_classify" -> q125KnnClassify,
     "q120_ivfpq_ann" -> q120IvfPqAnn,
     "q107_embedding_outliers" -> q107EmbeddingOutliers,
     "q21_cosine_topk" -> q21CosineTopK,

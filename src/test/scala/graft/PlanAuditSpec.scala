@@ -474,6 +474,24 @@ class PlanAuditSpec extends AnyFunSuite {
       // join sides, the per-vertex triangle rollup, the deg≥2 join and
       // the output sort — all keyed on vertex/edge ids
       "q123_triangle_clustering" -> 7,
+      // q124 (round-8, audited at introduction): the deep star join —
+      // all five dim joins broadcast (the bounded dims hinted, the fact
+      // sides planner-chosen at test scale), so the only exchanges are
+      // the nation rollup partial/final pair's hash exchange + the
+      // 5-row output sort; the date window is pushed to the orders scan
+      "q124_regional_revenue" -> 2,
+      // q125 (round-8, audited at introduction): 2 single-row codebook
+      // scalar exchanges (recomputed per test/train branch — 1-row
+      // frames, the q101/q116 accounting), the bounded TopKCarry
+      // neighbor agg, the per-probe vote window (≤10 rows per key), the
+      // confusion rollup and the ≤100-row output sort. The train side
+      // is UNHINTED — broadcast at test scale by stats, SMJ at corpus
+      // scale — and candidates ride the (probe-list)-keyed join only
+      "q125_knn_classify" -> 6,
+      // q126 = codec mapPartitions on the scan partition, then one
+      // (source × frame)-group rollup + output sort — the q108/q114
+      // shape; payloads never cross an exchange
+      "q126_audio_frames" -> 2,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
