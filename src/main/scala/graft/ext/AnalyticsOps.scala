@@ -752,7 +752,121 @@ object AnalyticsOps {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin)
 
+  /** q127: the data-mixing / epoch SCHEDULE — the recipe-planning
+    * operator a training run executes before reading a byte: given
+    * per-source mixture weights (here: alphabetical rank, so the scheme
+    * is self-contained) and a global token budget of 2× the corpus
+    * (upsampling, the common regime), compute per source the exact
+    * token allocation `floor(w·B / Σw)`, the number of FULL epochs
+    * `alloc div T_src`, and the partial-epoch cut — how many documents,
+    * in the source's deterministic hash-priority order, fit the
+    * remaining `alloc mod T_src` tokens. Every number is exact integer
+    * arithmetic; the sampling order is the portable md5 priority
+    * ([[PortableHash]]), so a re-run over 100 TB schedules the
+    * identical corpus.
+    *
+    * Scale design: the per-source running token sum is NOT a
+    * per-source window over raw documents (a handful of sources =
+    * textbook hot reducers); it generalizes the q75/q106 distributed
+    * prefix sum to GROUPED prefixes — one range shuffle on (source,
+    * priority, doc_id), per-partition local sums that reset on source
+    * change (rows arrive source-contiguous under that ordering), and a
+    * per-source offset window over the bounded (partitions × sources)
+    * frame. The corpus is scanned once; everything downstream of the
+    * pinned slices is source-cardinality-sized.
+    */
+  val q127MixingSchedule: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"),
+          PortableHash.bucketCol(
+            concat(lit("epoch:"), col("doc_id").cast("string")), 4).as("pri"))
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // pin the sliced corpus: two consumers below (per-(pid, source)
+      // sums, per-doc cumulative join) would otherwise each re-run the
+      // corpus-sized tokenize + range shuffle
+      val local = graft.core.Checkpoints.pin(docs
+        .repartitionByRange(nPart, col("source"), col("pri"), col("doc_id"))
+        .sortWithinPartitions(col("source"), col("pri"), col("doc_id"))
+        .as[(Long, String, Long, Int)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var curSrc: String = null
+          var run = 0L
+          it.map { case (id, src, tok, _) =>
+            if (src != curSrc) { curSrc = src; run = 0L }
+            val prior = run; run += tok
+            (id, src, tok, pid, prior)
+          }
+        }
+        .toDF("doc_id", "source", "tok", "pid", "lprior"))
+      // pin the bounded (partitions × sources) rollup too: FOUR
+      // consumers (offsets, source totals, the weight/total scalars and
+      // the allocation frame) would otherwise each re-scan the pinned
+      // corpus slices to recompute this tiny frame
+      val offsBase = graft.core.Checkpoints.pin(
+        local.groupBy(col("pid"), col("source"))
+          .agg(sum(col("tok")).as("scnt")))
+      val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = offsBase
+        .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+        .select(col("pid"), col("source"), col("off"))
+      // source totals fold the bounded per-(pid, source) sums — no
+      // second corpus pass
+      val st = offsBase.groupBy(col("source")).agg(sum(col("scnt")).as("t_i"))
+      val wgt = st.withColumn("weight",
+        row_number().over(Window.orderBy(col("source"))).cast("long"))
+      val tot = wgt.agg(sum(col("t_i")).as("t"), sum(col("weight")).as("sw"))
+      val alloc = wgt.crossJoin(broadcast(tot))
+        .withColumn("alloc", expr("(weight * 2 * t) div sw"))
+        .withColumn("n_epochs", expr("alloc div t_i"))
+        .withColumn("rem", expr("alloc % t_i"))
+      val cum = local.join(broadcast(offs), Seq("pid", "source"))
+        .withColumn("cum", col("lprior") + col("off") + col("tok"))
+      val part = cum.join(broadcast(alloc.select(col("source"), col("rem"))), Seq("source"))
+        .filter(col("cum") <= col("rem"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_partial_docs"), max(col("cum")).as("partial_tokens"))
+      alloc.join(part, Seq("source"), "left_outer")
+        .select(col("source"), col("weight"), col("t_i").as("corpus_tokens"),
+          col("alloc").as("alloc_tokens"), col("n_epochs"),
+          col("rem").as("rem_tokens"),
+          coalesce(col("n_partial_docs"), lit(0L)).as("n_partial_docs"),
+          coalesce(col("partial_tokens"), lit(0L)).as("partial_tokens"))
+        .orderBy(col("source"))
+    },
+    s"""WITH d AS (SELECT doc_id, source,
+       |             cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS tok,
+       |             ${PortableHash.bucketSql("'epoch:' || cast(doc_id AS varchar)", 4)} AS pri
+       |           FROM documents),
+       |st AS (SELECT source, ${OracleSql.bigSum("tok")} AS t_i FROM d GROUP BY source),
+       |w AS (SELECT source, t_i,
+       |        cast(row_number() OVER (ORDER BY source) AS bigint) AS weight FROM st),
+       |tot AS (SELECT ${OracleSql.bigSum("t_i")} AS t, ${OracleSql.bigSum("weight")} AS sw FROM w),
+       |a AS (SELECT source, t_i, weight,
+       |        cast((weight * 2 * t) // sw AS bigint) AS alloc FROM w CROSS JOIN tot),
+       |e AS (SELECT source, t_i, weight, alloc,
+       |        cast(alloc // t_i AS bigint) AS n_epochs,
+       |        cast(alloc % t_i AS bigint) AS rem FROM a),
+       |c AS (SELECT source, doc_id,
+       |        cast(sum(tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum
+       |      FROM d),
+       |p AS (SELECT c.source, cast(count(*) AS bigint) AS n_partial_docs,
+       |        cast(max(cum) AS bigint) AS partial_tokens
+       |      FROM c JOIN e ON c.source = e.source WHERE cum <= rem GROUP BY c.source)
+       |SELECT e.source AS source, e.weight AS weight, e.t_i AS corpus_tokens,
+       |  e.alloc AS alloc_tokens, e.n_epochs AS n_epochs, e.rem AS rem_tokens,
+       |  coalesce(p.n_partial_docs, 0) AS n_partial_docs,
+       |  coalesce(p.partial_tokens, 0) AS partial_tokens
+       |FROM e LEFT JOIN p ON e.source = p.source
+       |ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q127_mixing_schedule" -> q127MixingSchedule,
     "q124_regional_revenue" -> q124RegionalRevenue,
     "q106_vocab_coverage" -> q106VocabCoverage,
     "q104_zorder_layout" -> q104ZorderLayout,

@@ -492,6 +492,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // (source × frame)-group rollup + output sort — the q108/q114
       // shape; payloads never cross an exchange
       "q126_audio_frames" -> 2,
+      // q127 (round-8, audited at introduction): the judged plan reads
+      // TWO pinned frames (the range-sliced corpus — one corpus-sized
+      // read feeding the partial-cut rollup — and the (partitions ×
+      // sources) rollup), so every exchange is source/partition-bounded:
+      // the offset/weight windows and scalar totals recomputed per
+      // branch, the ≤sources-row rollups, and the output sort/join
+      "q127_mixing_schedule" -> 12,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

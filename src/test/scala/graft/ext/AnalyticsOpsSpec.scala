@@ -146,4 +146,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val totL = out.values.map(_._2).sum
     assert(totZ < totL, s"z total $totZ !< linear total $totL")
   }
+
+  test("mixing schedule matches a driver-side replay of the recipe arithmetic") {
+    // Third engine for q127: the oracle gate proves Spark == DuckDB;
+    // this replays the whole schedule — priorities, grouped prefix
+    // sums, allocations, epochs, partial cut — in plain JVM arithmetic
+    // straight off the documents table, so an error SHARED by both SQL
+    // formulations (e.g. a misstated budget or cut rule) still fails.
+    import graft.tables.Tables
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def pri(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"epoch:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    val toks = docs.map { case (id, src, text) =>
+      (src, id, pri(id), text.trim.split("\\s+").length.toLong)
+    }
+    val bySrc = toks.groupBy(_._1)
+    val t = toks.map(_._4).sum
+    val srcs = bySrc.keys.toSeq.sorted
+    val weights = srcs.zipWithIndex.map { case (s0, i) => s0 -> (i + 1).toLong }.toMap
+    val sw = weights.values.sum
+    val expected = srcs.map { s0 =>
+      val rows = bySrc(s0)
+      val ti = rows.map(_._4).sum
+      val w = weights(s0)
+      val alloc = w * 2 * t / sw
+      val (epochs, rem) = (alloc / ti, alloc % ti)
+      var cum = 0L; var nDocs = 0L; var partTok = 0L
+      rows.sortBy(r => (r._3, r._2)).foreach { r =>
+        cum += r._4
+        if (cum <= rem) { nDocs += 1; partTok = cum }
+      }
+      (s0, w, ti, alloc, epochs, rem, nDocs, partTok)
+    }
+    val got = AnalyticsOps.q127MixingSchedule.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == expected, s"schedule mismatch:\n got=${got.toSeq}\n exp=$expected")
+  }
 }
