@@ -81,7 +81,8 @@ object Bench {
     "q124_regional_revenue",
     "q125_knn_classify",
     "q126_audio_frames",
-    "q127_mixing_schedule")
+    "q127_mixing_schedule",
+    "q128_cluster_reps")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds, last
@@ -138,7 +139,8 @@ object Bench {
     "q121_span_coverage" -> 2.1, "q122_bpe_merges" -> 0.88,
     "q123_triangle_clustering" -> 1.74,
     "q124_regional_revenue" -> 0.54, "q125_knn_classify" -> 0.57,
-    "q126_audio_frames" -> 1.65, "q127_mixing_schedule" -> 1.62)
+    "q126_audio_frames" -> 1.65, "q127_mixing_schedule" -> 1.62,
+    "q128_cluster_reps" -> 3.09)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

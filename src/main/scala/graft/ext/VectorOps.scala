@@ -1099,7 +1099,83 @@ object VectorOps {
        |GROUP BY true_label, predicted_label
        |ORDER BY true_label, predicted_label""".stripMargin)
 
+  /** q128: semantic-dedup REPRESENTATIVE selection — the keep-decision
+    * that completes the embedding dedup path (q25 pairs → q115 clusters
+    * → which vector to KEEP per cluster): for every q115 cluster, the
+    * member closest to the cluster's own centroid, the SemDeDup-style
+    * policy (keep the most central exemplar, drop the rest). Judged rows
+    * are (cluster_id, representative, its centroid distance, member
+    * count) — the exact drop-list complement a curation pipeline
+    * executes.
+    *
+    * Exactness: the centroid is the q107 integer-quantized mean
+    * (bigint-quantized coordinates, floored mean via the
+    * mathematical-mod identity — the q64-validated sign-safe spelling),
+    * distances are integer L2², and the argmin tie-breaks (dist asc,
+    * vec_id asc) — every ranking decision is integer arithmetic, so
+    * engines cannot drift. The float cosine threshold lives only in the
+    * SHARED q25 pair scheme, as in q115.
+    *
+    * Scale: clusters are corpus-cardinality, so NOTHING here is
+    * label-bounded-broadcast: the centroid frame joins back by
+    * cluster_id equi-join (unhinted — the q101 lesson), the coordinate
+    * explode is 64 narrow rows per vector into a map-side-combined
+    * (cluster, dim) agg (the q107 accounting), and the per-cluster
+    * argmin is a map-side-combinable min-of-struct — never a global or
+    * per-cluster sort of raw members.
+    */
+  val q128ClusterReps: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val clusters = graft.operators.ConnectedComponents.components(
+          e.select(col("vec_id").as("id")),
+          neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
+        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      val m = clusters.join(
+        e.select(col("vec_id"), quantize("embedding").as("qv")), Seq("vec_id"))
+      val cents = m.select(col("cluster_id"), posexplode(col("qv")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
+        .withColumn("mv", expr("(sv - (((sv % nv) + nv) % nv)) div nv"))
+        .groupBy(col("cluster_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cqv"))
+      m.join(cents, Seq("cluster_id"))
+        .withColumn("dist", l2q("qv", "cqv"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("dist"), col("vec_id"))).as("rep"))
+        .select(col("cluster_id"), col("rep.vec_id").as("rep_vec_id"),
+          col("rep.dist").as("rep_dist"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") +
+      s""",
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |clusters AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS cluster_id
+         |             FROM embeddings m LEFT JOIN reach r ON m.vec_id = r.u
+         |             GROUP BY m.vec_id),
+         |emb AS (SELECT c.vec_id, c.cluster_id, ${duckQuantize("e.embedding")} AS qv
+         |        FROM embeddings e JOIN clusters c ON e.vec_id = c.vec_id),
+         |dims AS (SELECT unnest(range(1, len((SELECT embedding FROM embeddings LIMIT 1)) + 1)) AS dim),
+         |u AS (SELECT cluster_id, dim, cast((sv - (((sv % nv) + nv) % nv)) // nv AS bigint) AS mv
+         |      FROM (SELECT cluster_id, dim, cast(sum(qv[dim]) AS bigint) AS sv,
+         |              cast(count(*) AS bigint) AS nv
+         |            FROM emb CROSS JOIN dims GROUP BY 1, 2)),
+         |c2 AS (SELECT cluster_id, list(mv ORDER BY dim) AS cqv FROM u GROUP BY 1),
+         |d AS (SELECT e.cluster_id, e.vec_id, ${duckL2q("e.qv", "c2.cqv")} AS dist
+         |      FROM emb e JOIN c2 ON e.cluster_id = c2.cluster_id)
+         |SELECT cluster_id, rep_vec_id, rep_dist, n_members
+         |FROM (SELECT cluster_id, vec_id AS rep_vec_id, dist AS rep_dist,
+         |        cast(count(*) OVER (PARTITION BY cluster_id) AS bigint) AS n_members,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY dist, vec_id) AS rn
+         |      FROM d)
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q128_cluster_reps" -> q128ClusterReps,
     "q125_knn_classify" -> q125KnnClassify,
     "q120_ivfpq_ann" -> q120IvfPqAnn,
     "q107_embedding_outliers" -> q107EmbeddingOutliers,

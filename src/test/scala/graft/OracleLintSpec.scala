@@ -285,6 +285,7 @@ class OracleLintSpec extends AnyFunSuite {
     // nv, and floor == trunc on exact quotients at any sign
     ("q64_ann_ivf_kmeans", "% nv) + nv) % nv)) // nv"),
     ("q107_embedding_outliers", "% nv) + nv) % nv)) // nv"),
+    ("q128_cluster_reps", "% nv) + nv) % nv)) // nv"),
     // wedge count C(degree, 2): the frame filters degree >= 2, so
     // degree - 1 >= 1 and the product is positive — quotient never
     // negative (and even, so floor == trunc exactly anyway)

@@ -499,6 +499,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // the offset/weight windows and scalar totals recomputed per
       // branch, the ≤sources-row rollups, and the output sort/join
       "q127_mixing_schedule" -> 12,
+      // q128 (round-8, audited at introduction): cluster labels come
+      // from the pinned CC loop state (the q46/q115 machinery, outside
+      // the judged plan), so the judged 4 are: the cluster-membership
+      // join side, the (cluster, dim) centroid agg, the per-cluster
+      // argmin rollup, and the output sort — all keyed on cluster_id,
+      // nothing label-bounded is broadcast
+      "q128_cluster_reps" -> 4,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
