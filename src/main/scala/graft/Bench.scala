@@ -140,7 +140,7 @@ object Bench {
     "q123_triangle_clustering" -> 1.74,
     "q124_regional_revenue" -> 0.54, "q125_knn_classify" -> 0.57,
     "q126_audio_frames" -> 1.65, "q127_mixing_schedule" -> 1.62,
-    "q128_cluster_reps" -> 3.09)
+    "q128_cluster_reps" -> 2.59)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

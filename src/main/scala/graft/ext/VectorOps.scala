@@ -1131,8 +1131,11 @@ object VectorOps {
           e.select(col("vec_id").as("id")),
           neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
         .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-      val m = clusters.join(
-        e.select(col("vec_id"), quantize("embedding").as("qv")), Seq("vec_id"))
+      // pin the quantized membership: TWO consumers (the centroid agg
+      // and the distance join) would otherwise each re-run the cluster
+      // semi-join + quantize scan as separate stages
+      val m = graft.core.Checkpoints.pin(clusters.join(
+        e.select(col("vec_id"), quantize("embedding").as("qv")), Seq("vec_id")))
       val cents = m.select(col("cluster_id"), posexplode(col("qv")))
         .groupBy(col("cluster_id"), col("pos"))
         .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
