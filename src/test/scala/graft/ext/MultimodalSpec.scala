@@ -259,4 +259,23 @@ class MultimodalSpec extends AnyFunSuite {
     // every frame except possibly the last is exactly 64 bytes
     assert(frames.filter(length(col("frame")) > 64).count() == 0)
   }
+
+  test("audio frame-sampling reconciles with the clip-level decode accounting") {
+    // q126's frames must cover every decoded sample exactly once: per
+    // source, the frame-level sample totals fold back to q114's
+    // clip-level totals, and the frame_idx=0 row counts every clip
+    // (every staged clip has ≥256 samples ≥ one frame). Cross-operator
+    // consistency the per-query oracles can't see.
+    val frames = Multimodal.q126AudioFrames.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val clips = Multimodal.q114AudioDecode.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val frameTotals = frames.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._4).sum }
+    val clipTotals = clips.map { case (s0, _, tot) => s0 -> tot }.toMap
+    assert(frameTotals == clipTotals,
+      s"frame sample totals $frameTotals != clip totals $clipTotals")
+    val f0 = frames.filter(_._2 == 0).map(x => x._1 -> x._3).toMap
+    val nClips = clips.map { case (s0, n, _) => s0 -> n }.toMap
+    assert(f0 == nClips, s"frame_idx=0 counts $f0 != clip counts $nClips")
+  }
 }

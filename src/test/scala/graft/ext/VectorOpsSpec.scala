@@ -239,4 +239,59 @@ class VectorOpsSpec extends AnyFunSuite {
     if (exactDupCorpus.size >= 4)
       assert(out.map(_._3).sum >= 1L, "blocked screen found NO corpus dups")
   }
+
+  test("q125 confusion matrix replays in-JVM; blocked votes track exact kNN") {
+    // Third engine for the classifier (the q127-spec pattern): replay
+    // IVF assignment → probing → top-5 → vote in plain JVM arithmetic
+    // and demand the identical confusion matrix; then score the blocked
+    // predictions against UNBLOCKED exact-kNN votes — the quality the
+    // oracle (which replays the same blocking) cannot see.
+    val rows = graft.tables.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = rows.filter(_._1 < 16).sortBy(_._1).map(_._3)
+    def centRank(v: Array[Float]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }.sorted.map(_._2).toSeq
+    val test = rows.filter(_._1 % 10 == 0)
+    val train = rows.filter(_._1 % 10 != 0)
+      .map { case (id, lab, v) => (id, lab, v, centRank(v).head) }
+    def vote(cands: Seq[(Double, Long, Int)]): Option[Int] = {
+      // top-5 by (cos desc, id asc), then majority by (count desc, label asc)
+      val top = cands.sortBy { case (c, id, _) => (-c, id) }.take(5)
+      if (top.isEmpty) None
+      else Some(top.groupBy(_._3).toSeq
+        .map { case (lab, xs) => (-xs.size, lab) }.min._2)
+    }
+    val blocked = test.flatMap { case (id, lab, v) =>
+      val probes = centRank(v).take(2).toSet
+      vote(train.collect { case (nid, nlab, nv, list) if probes(list) =>
+        (cos(v, nv), nid, nlab) }.toSeq).map(p => (id, lab, p))
+    }
+    val expected = blocked.groupBy(r => (r._2, r._3))
+      .map { case ((t, p), xs) => (t, p) -> xs.size.toLong }
+    val got = VectorOps.q125KnnClassify.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"confusion mismatch:\n got=$got\n exp=$expected")
+    // quality: blocked predictions agree with exact (unblocked) kNN votes
+    val exactPred = test.flatMap { case (id, lab, v) =>
+      vote(train.map { case (nid, nlab, nv, _) => (cos(v, nv), nid, nlab) }.toSeq)
+        .map(p => id -> p)
+    }.toMap
+    val agree = blocked.count { case (id, _, p) => exactPred.get(id).contains(p) }
+    val frac = agree.toDouble / blocked.size
+    // The synthetic corpus has weak geometric label structure (within-
+    // label cosines peak ~0.47 — see q25), so 2-of-16-list probing
+    // reshuffles many near-tied votes; measured agreement here is ~0.38.
+    // The bound is anchored to the 10-label chance rate (0.1): blocked
+    // votes must stay decisively better than chance, and a drop below
+    // 0.25 would flag a broken probe/assignment, not corpus noise.
+    assert(frac >= 0.25, s"blocked votes agree with exact kNN on only $frac")
+  }
 }
