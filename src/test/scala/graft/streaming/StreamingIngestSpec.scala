@@ -40,6 +40,46 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(updated.head.getAs[Int]("quantity") == 9)
   }
 
+  test("stateful dedup state survives a query RESTART from its checkpoint") {
+    // The fault-tolerance claim behind every stateful streaming
+    // operator here (q77/q99's state stores): kill the query, restart
+    // from the same checkpoint, and BOTH the file-source offsets and
+    // the operator state must recover. Proven through a fault-tolerant
+    // parquet sink: phase 2 re-lands 50 already-seen keys plus 50 new
+    // ones — with recovered state exactly the 50 new rows append
+    // (total 150); lost dedup state would re-emit the overlap (200),
+    // lost source offsets would duplicate phase 1 wholesale.
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-recover-in")
+    val out = Files.createTempDirectory("graft-recover-out").toString
+    val ckpt = Files.createTempDirectory("graft-recover-ckpt").toString
+    def land(sub: String, keys: Range): Unit =
+      keys.map(_.toLong).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(sub).toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+        .dropDuplicates("k")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land("a", 0 until 100)
+    runOnce() // phase 1: 100 distinct keys
+    assert(spark.read.parquet(out).count() == 100)
+    land("b", 50 until 150) // 50 dups + 50 new
+    runOnce() // RESTART: same checkpoint, fresh query object
+    val rows = spark.read.parquet(out).as[Long].collect()
+    assert(rows.length == 150,
+      s"expected exactly-once recovery (150 rows), got ${rows.length}")
+    assert(rows.toSet == (0L until 150L).toSet, "key set wrong after recovery")
+  }
+
   test("streaming dedup: duplicated input files collapse to distinct keys") {
     val dir = Files.createTempDirectory("graft-dedup-events")
     val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
