@@ -82,7 +82,8 @@ object Bench {
     "q125_knn_classify",
     "q126_audio_frames",
     "q127_mixing_schedule",
-    "q128_cluster_reps")
+    "q128_cluster_reps",
+    "q129_decontam_pipeline")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -141,7 +142,7 @@ object Bench {
     "q123_triangle_clustering" -> 1.69,
     "q124_regional_revenue" -> 0.54, "q125_knn_classify" -> 0.57,
     "q126_audio_frames" -> 1.17, "q127_mixing_schedule" -> 0.83,
-    "q128_cluster_reps" -> 2.36)
+    "q128_cluster_reps" -> 2.36, "q129_decontam_pipeline" -> 1.13)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

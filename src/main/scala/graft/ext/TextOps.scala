@@ -2093,7 +2093,97 @@ object TextOps {
         |FROM deg d LEFT JOIN vt v USING (doc_id)
         |WHERE d.degree >= 2 ORDER BY doc_id""".stripMargin)
 
+  /** q129: the decontamination pipeline END-PRODUCT — the q117 pattern
+    * applied to the contamination family: both detection legs run
+    * against ONE eval slice (doc_id % 97, q111's convention), their
+    * drop verdicts are unioned, and the judged output is what an
+    * operator actually ships — the per-source keep/drop accounting of
+    * the CLEANED corpus (docs dropped by the exact leg only / the
+    * fuzzy leg only / both, docs kept, training tokens surviving).
+    * Composing the legs catches interface drift the per-leg queries
+    * can't: a slice-convention or threshold mismatch between legs
+    * changes every downstream number here.
+    *
+    * Legs: exact = any shared word 3-shingle with the eval slice (the
+    * q71 containment scheme re-anchored to %97); fuzzy = ≥40% winnowing
+    * fingerprint overlap (q111's threshold, same integer
+    * cross-multiplication). Documents too short to fingerprint
+    * (norm < 11 chars) can only be exact-flagged — stated here because
+    * the accounting makes it visible.
+    *
+    * Scale: both legs are eval-keyed joins (semi-join for containment
+    * — no fan-out on hot shingles; fp-keyed left join for overlap);
+    * neither side carries a broadcast hint — this slice is
+    * corpus-proportional by construction (the q101/q111 lesson), while
+    * a real KB-sized benchmark set would be AQE-broadcast on its own.
+    * The verdict frames are distinct doc_id sets, the final rollup
+    * shuffles ≤ sources rows.
+    */
+  val q129DecontamPipeline: QuerySpec = QuerySpec(
+    (s, dir) => {
+      graft.functions.WinnowFingerprints.register(s)
+      val docs = Tables.documents(s, dir)
+      val sh = shingles(docs)
+      val evSh = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+      val exactFlag = sh.filter(col("doc_id") % 97 =!= 0)
+        .join(evSh, Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
+      val fps = docs.withColumn("norm", normCol)
+        .filter(length(col("norm")) >= 11)
+        .select(col("doc_id"), explode(expr("winnow_fps(norm)")).as("fp"))
+      val evFp = fps.filter(col("doc_id") % 97 === 0)
+        .select(col("fp")).distinct().withColumn("hit", lit(1L))
+      val fuzzyFlag = fps.filter(col("doc_id") % 97 =!= 0)
+        .join(evFp, Seq("fp"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"), count(col("hit")).as("n_hits"))
+        .filter(col("n_hits") * 5 >= col("n_fps") * 2)
+        .select(col("doc_id")).withColumn("fz", lit(1L))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+        .join(exactFlag, Seq("doc_id"), "left_outer")
+        .join(fuzzyFlag, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ex") === 1L && col("fz").isNull, 1L).otherwise(0L))
+            .as("n_dropped_exact_only"),
+          sum(when(col("ex").isNull && col("fz") === 1L, 1L).otherwise(0L))
+            .as("n_dropped_fuzzy_only"),
+          sum(when(col("ex") === 1L && col("fz") === 1L, 1L).otherwise(0L))
+            .as("n_dropped_both"),
+          sum(when(col("ex").isNull && col("fz").isNull, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("ex").isNull && col("fz").isNull, col("tok")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+    winnowFpsSql + ",\n" + shSql.stripPrefix("WITH ") +
+      """,
+        |ex AS (SELECT DISTINCT doc_id FROM shx
+        |       WHERE doc_id % 97 <> 0
+        |         AND sh IN (SELECT sh FROM shx WHERE doc_id % 97 = 0)),
+        |evfp AS (SELECT DISTINCT fp FROM w WHERE doc_id % 97 = 0),
+        |fz AS (SELECT doc_id FROM (
+        |         SELECT c.doc_id, count(*) AS n_fps, count(e.fp) AS n_hits
+        |         FROM w c LEFT JOIN evfp e ON c.fp = e.fp
+        |         WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id)
+        |       WHERE n_hits * 5 >= n_fps * 2),
+        |base AS (SELECT doc_id, source,
+        |           cast(len(string_split_regex(trim(text), '\s+')) AS bigint) AS tok
+        |         FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT b.source AS source, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN ex.doc_id IS NOT NULL AND fz.doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_dropped_exact_only,
+        |  cast(sum(CASE WHEN ex.doc_id IS NULL AND fz.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dropped_fuzzy_only,
+        |  cast(sum(CASE WHEN ex.doc_id IS NOT NULL AND fz.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dropped_both,
+        |  cast(sum(CASE WHEN ex.doc_id IS NULL AND fz.doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+        |  cast(sum(CASE WHEN ex.doc_id IS NULL AND fz.doc_id IS NULL THEN tok ELSE 0 END) AS bigint) AS tokens_kept
+        |FROM base b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |            LEFT JOIN fz ON b.doc_id = fz.doc_id
+        |GROUP BY b.source ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q129_decontam_pipeline" -> q129DecontamPipeline,
     "q123_triangle_clustering" -> q123TriangleClustering,
     "q122_bpe_merges" -> q122BpeMerges,
     "q121_span_coverage" -> q121SpanCoverage,

@@ -506,6 +506,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // argmin rollup, and the output sort — all keyed on cluster_id,
       // nothing label-bounded is broadcast
       "q128_cluster_reps" -> 4,
+      // q129 (round-8, audited at introduction): both contamination
+      // legs aggregate to distinct-doc verdict frames BEFORE joining
+      // the base corpus (two eval-distincts, the fuzzy per-doc rollup,
+      // the exact-flag distinct), then the ≤sources rollup pair + the
+      // output sort; the eval-keyed leg joins carry no broadcast hint
+      "q129_decontam_pipeline" -> 8,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
