@@ -87,21 +87,20 @@ object Bench {
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
-    * re-based round 8 from the 59-query quiet run (56.4 s, two retimes;
-    * it re-confirmed the six round-7 >3× movers at 1.2–1.7× of their
-    * minima, i.e. VM stall, not regression) plus the seven new minima
-    * the end-of-round 61-query run set despite its stall window. The
-    * best-known steady state keeps the 2× stall trigger as tight as
-    * the evidence allows. Drives the stall-retime protocol only;
-    * never reported.
+    * re-based round 8 from the final 62-query quiet run (54.9 s, five
+    * retimes, 27 new minima); the same round's earlier 59-query quiet
+    * run re-confirmed the six round-7 >3× movers at 1.2–1.7× of their
+    * minima, i.e. VM stall, not regression. The best-known steady
+    * state keeps the 2× stall trigger as tight as the evidence allows.
+    * Drives the stall-retime protocol only; never reported.
     */
   val reference: Map[String, Double] = Map(
     "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.30,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
-    "q19_simhash" -> 0.30, "q20_jaccard_pairs" -> 1.00,
+    "q19_simhash" -> 0.29, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
-    "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.75,
+    "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
@@ -120,29 +119,29 @@ object Bench {
     "q100_pq_ann" -> 0.45, "q101_incremental_neardup" -> 1.08,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.51,
+    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.47,
     // round-7 additions: per-query min of matching sf0.1 runs at
     // introduction (measured in a globally ~1.7× inflated window — see
     // README round-7 notes — so future quiet rounds may re-base DOWN);
     // q39's value is from AFTER the WinnowFingerprints codegen
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
-    "q39_winnowing" -> 0.77, "q42_running_totals" -> 0.50,
-    "q58_dedup_clusters_star" -> 2.89, "q83_scd2_history" -> 0.53,
-    "q108_image_decode" -> 0.56, "q109_zorder_prune" -> 0.54,
-    "q110_pii_redaction" -> 0.7, "q111_contamination_fps" -> 0.52,
-    "q112_sequence_packing" -> 0.65, "q113_filter_funnel" -> 0.27,
-    "q114_audio_decode" -> 0.97, "q115_embedding_clusters" -> 1.26,
-    "q116_shard_admission" -> 0.6,
+    "q39_winnowing" -> 0.67, "q42_running_totals" -> 0.41,
+    "q58_dedup_clusters_star" -> 2.74, "q83_scd2_history" -> 0.46,
+    "q108_image_decode" -> 0.56, "q109_zorder_prune" -> 0.5,
+    "q110_pii_redaction" -> 0.67, "q111_contamination_fps" -> 0.47,
+    "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
+    "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
+    "q116_shard_admission" -> 0.58,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 2.99, "q118_gif_frames" -> 0.67,
-    "q119_repeated_spans" -> 1.69, "q120_ivfpq_ann" -> 0.45,
-    "q121_span_coverage" -> 1.86, "q122_bpe_merges" -> 0.88,
-    "q123_triangle_clustering" -> 1.69,
-    "q124_regional_revenue" -> 0.54, "q125_knn_classify" -> 0.57,
-    "q126_audio_frames" -> 1.17, "q127_mixing_schedule" -> 0.83,
-    "q128_cluster_reps" -> 2.36, "q129_decontam_pipeline" -> 1.13)
+    "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.56,
+    "q119_repeated_spans" -> 1.69, "q120_ivfpq_ann" -> 0.4,
+    "q121_span_coverage" -> 1.66, "q122_bpe_merges" -> 0.78,
+    "q123_triangle_clustering" -> 1.55,
+    "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
+    "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
+    "q128_cluster_reps" -> 2.01, "q129_decontam_pipeline" -> 1.06)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
