@@ -76,6 +76,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg.finish(zeros) == Seq((1.0, 11L), (0.0, 12L)))
   }
 
+  test("TopK partial-merge distributivity over random splits (scalacheck)") {
+    // The property map-side combine rests on: folding any partition of
+    // the input into partial buffers and merging them must equal the
+    // global sort+take — for ANY split, any k, ties, NaN and ±0.0
+    // included. The unit tests pin specific edges; this locks the
+    // algebra.
+    val score = Gen.frequency(
+      (8, Gen.chooseNum(-1e3, 1e3)),
+      (1, Gen.oneOf(Double.NaN, 0.0, -0.0)),
+      (1, Gen.oneOf(Double.MaxValue, Double.MinValue)))
+    val gen = for {
+      xs <- Gen.listOf(Gen.zip(score, Gen.chooseNum(0L, 40L)))
+      k <- Gen.choose(1, 8)
+      nSplit <- Gen.choose(1, 5)
+    } yield (xs, k, nSplit)
+    val p = Prop.forAll(gen) { case (xs, k, nSplit) =>
+      val agg = new TopK(k)
+      val sliceLen = math.max(1, xs.size / nSplit + 1)
+      val partials = xs.grouped(sliceLen).map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      merged == xs.sorted(TopKOrder.pair).take(k)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, p).passed)
+  }
+
   test("camelToSnake properties (scalacheck)") {
     val lower = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     val camel = for {
