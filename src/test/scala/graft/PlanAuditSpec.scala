@@ -213,6 +213,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q124's date window is pushed down to the orders scan") {
+    // The deep star join's only selective fact-side predicate must reach
+    // the parquet reader as pushed data filters (footer min/max skipping
+    // at scale), not evaluate post-scan. Structural: the orders
+    // FileSourceScanExec must carry o_orderdate bounds in its
+    // pushedDownFilters.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = plan("q124_regional_revenue")
+    val scans = p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("orders")) => f
+    }
+    assert(scans.nonEmpty, "q124 did not plan a parquet scan over orders")
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(s => s.contains("GreaterThanOrEqual(o_orderdate") &&
+          s.contains("LessThan(o_orderdate"))),
+      "q124's date window did not push down to the orders scan")
+  }
+
   test("q75 shard packing reads ONE materialization of the range shuffle") {
     // Same exchange-reuse property as q62b, for the shard packer: the
     // per-slice sums and the local prefix windows must read the SAME
