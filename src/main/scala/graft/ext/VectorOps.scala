@@ -139,25 +139,34 @@ object VectorOps {
     * mode one conf away); the oracle is the same recursive-CTE
     * transitive closure the text clusterings use.
     */
+  /** Shared Spark closure (q115 labels, q128 membership) — one cluster
+    * label (minimum member vec_id) per vector via the q46 CC machinery.
+    */
+  private def embClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.components(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id")),
+        neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+
+  /** One DuckDB recursive-closure CTE text for q115 and q128 — edits
+    * cannot desynchronize the cluster labeling from the representative
+    * selection built on it (the neardupPairsSql discipline, one level
+    * up). Prepend "WITH RECURSIVE " + neardupPairsSql body.
+    */
+  private lazy val embClustersSql: String =
+    """,
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (SELECT u, v FROM edges
+      |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |clusters AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS cluster_id
+      |             FROM embeddings m LEFT JOIN reach r ON m.vec_id = r.u
+      |             GROUP BY m.vec_id)""".stripMargin
+
   val q115EmbeddingClusters: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      graft.operators.ConnectedComponents.components(
-          e.select(col("vec_id").as("id")),
-          neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
-        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-        .orderBy(col("vec_id"))
-    },
-    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") +
-      """,
-        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (SELECT u, v FROM edges
-        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |clusters AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS cluster_id
-        |             FROM embeddings m LEFT JOIN reach r ON m.vec_id = r.u
-        |             GROUP BY m.vec_id)
-        |SELECT vec_id, cluster_id FROM clusters ORDER BY vec_id""".stripMargin)
+    (s, dir) => embClusters(s, dir).orderBy(col("vec_id")),
+    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") + embClustersSql +
+      "\nSELECT vec_id, cluster_id FROM clusters ORDER BY vec_id")
 
   /** q116: incremental embedding-shard admission — the vector-side leg
     * of the incremental-ingestion family (q101 text admission, q103
@@ -1127,14 +1136,10 @@ object VectorOps {
   val q128ClusterReps: QuerySpec = QuerySpec(
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val clusters = graft.operators.ConnectedComponents.components(
-          e.select(col("vec_id").as("id")),
-          neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
-        .select(col("id").as("vec_id"), col("label").as("cluster_id"))
       // pin the quantized membership: TWO consumers (the centroid agg
       // and the distance join) would otherwise each re-run the cluster
       // semi-join + quantize scan as separate stages
-      val m = graft.core.Checkpoints.pin(clusters.join(
+      val m = graft.core.Checkpoints.pin(embClusters(s, dir).join(
         e.select(col("vec_id"), quantize("embedding").as("qv")), Seq("vec_id")))
       val cents = m.select(col("cluster_id"), posexplode(col("qv")))
         .groupBy(col("cluster_id"), col("pos"))
@@ -1151,15 +1156,8 @@ object VectorOps {
           col("rep.dist").as("rep_dist"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
-    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") +
+    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") + embClustersSql +
       s""",
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |          UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (SELECT u, v FROM edges
-         |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |clusters AS (SELECT m.vec_id, least(m.vec_id, coalesce(min(r.v), m.vec_id)) AS cluster_id
-         |             FROM embeddings m LEFT JOIN reach r ON m.vec_id = r.u
-         |             GROUP BY m.vec_id),
          |emb AS (SELECT c.vec_id, c.cluster_id, ${duckQuantize("e.embedding")} AS qv
          |        FROM embeddings e JOIN clusters c ON e.vec_id = c.vec_id),
          |dims AS (SELECT unnest(range(1, len((SELECT embedding FROM embeddings LIMIT 1)) + 1)) AS dim),
