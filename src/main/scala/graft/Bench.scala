@@ -83,7 +83,9 @@ object Bench {
     "q126_audio_frames",
     "q127_mixing_schedule",
     "q128_cluster_reps",
-    "q129_decontam_pipeline")
+    "q129_decontam_pipeline",
+    "q130_leakage_safe_split",
+    "q131_multimodal_manifest")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -141,7 +143,8 @@ object Bench {
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
-    "q128_cluster_reps" -> 2.01, "q129_decontam_pipeline" -> 1.06)
+    "q128_cluster_reps" -> 2.01, "q129_decontam_pipeline" -> 1.06,
+    "q130_leakage_safe_split" -> 2.58, "q131_multimodal_manifest" -> 2.82)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -242,16 +245,26 @@ object Bench {
     // stall-retime detail demoted to a count, with the retimed names on
     // stderr for the performance notes.
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Emit the numeric prefix ("q117") as the queries key: prefixes are
+    // unique by construction (the registry requires it, checked below)
+    // and the full-name map at 62 entries was already 1.8k chars in the
+    // worst case — one more round of headline growth away from
+    // truncation. Full names stay on stderr via the retime log and in
+    // `headline` itself; CORRECTNESS rows keep full names.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "headline qNNN prefixes must be unique for the compact result line")
+    val qs = results.map { case (k, v, _) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     val retimedNames = results.collect { case (k, _, true) => k }
     if (retimedNames.nonEmpty)
       System.err.println(s"[bench] stall-retimed (6-sample min): ${retimedNames.mkString(", ")}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimedNames.size},"sf":"$sfDir"}"""
-    // hard guard on the driver's tail-capture budget — at the current 49
-    // headline entries the line is ~1.4k chars; warn loudly before any
-    // future growth silently truncates the official record again
+    // hard guard on the driver's tail-capture budget — with qNNN keys at
+    // 62 headline entries the worst-case line is ~0.97k chars (room for
+    // ~120 entries); warn loudly before any future growth silently
+    // truncates the official record again
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: result line ${line.length} chars > 1800 — trim the headline or shorten names")
     println(line)

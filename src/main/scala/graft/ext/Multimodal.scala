@@ -428,29 +428,36 @@ object Multimodal {
     * codec-boundary case), no payload crosses a shuffle; exchanges are
     * the 20-row rollup and the sort — the q108 plan shape exactly.
     */
+  /** Per-clip audit rows through the REAL `javax.sound.sampled` decode
+    * path — the q114 leg, shared with the q131 manifest join.
+    */
+  def audioAudits(s: SparkSession, dir: String): Dataset[AudioAudit] = {
+    import s.implicits._
+    val staged = stagedAudioDir(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(staged)
+      .select(
+        regexp_extract(col("path"), "/(\\d+)\\.wav$", 1).cast(LongType).as("media_id"),
+        col("content").as("payload"),
+        col("src").cast(StringType).as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, src) =>
+          val (ok, samples) = JdkAudio.decodePcm16(payload)
+          var sum = 0L; var sabs = 0L; var peak = 0L
+          samples.foreach { v =>
+            sum += v; val a = math.abs(v.toLong)
+            sabs += a; if (a > peak) peak = a
+          }
+          AudioAudit(id, src, ok, samples.length.toLong, sum, sabs, peak)
+        }
+      }
+  }
+
   val q114AudioDecode: graft.QuerySpec = graft.QuerySpec(
     (s, dir) => {
-      import s.implicits._
-      val staged = stagedAudioDir(s, dir)
-      val clips = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav")
-        .load(staged)
-        .select(
-          regexp_extract(col("path"), "/(\\d+)\\.wav$", 1).cast(LongType).as("media_id"),
-          col("content").as("payload"),
-          col("src").cast(StringType).as("source"))
-        .as[(Long, Array[Byte], String)]
-        .mapPartitions { it =>
-          it.map { case (id, payload, src) =>
-            val (ok, samples) = JdkAudio.decodePcm16(payload)
-            var sum = 0L; var sabs = 0L; var peak = 0L
-            samples.foreach { v =>
-              sum += v; val a = math.abs(v.toLong)
-              sabs += a; if (a > peak) peak = a
-            }
-            AudioAudit(id, src, ok, samples.length.toLong, sum, sabs, peak)
-          }
-        }
+      val clips = audioAudits(s, dir)
       clips.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_clips"),
@@ -518,40 +525,47 @@ object Multimodal {
     * payload crosses a shuffle; exchanges are the ≤(sources ×
     * max-frames)-row rollup and the sort — the q108 plan shape.
     */
-  val q118GifFrames: graft.QuerySpec = graft.QuerySpec(
-    (s, dir) => {
-      import s.implicits._
-      val staged = stagedGifDir(s, dir)
-      val frames = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.gif")
-        .load(staged)
-        .select(
-          regexp_extract(col("path"), "/(\\d+)\\.gif$", 1).cast(LongType).as("media_id"),
-          col("content").as("payload"),
-          col("src").cast(StringType).as("source"))
-        .as[(Long, Array[Byte], String)]
-        .mapPartitions { it =>
-          it.flatMap { case (id, payload, src) =>
-            JdkCodec.decodeGifFrames(payload).iterator.zipWithIndex.map {
-              case (img, f) =>
-                var gs = 0L
-                var gray = true
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val p = img.getRGB(x, y)
-                    val r = (p >> 16) & 0xff
-                    gray &&= r == ((p >> 8) & 0xff) && r == (p & 0xff)
-                    gs += r
-                    x += 1
-                  }
-                  y += 1
+  /** Per-frame audit rows through the REAL `javax.imageio` GIF decode
+    * path — the q118 leg, shared with the q131 manifest join.
+    */
+  def gifFrameAudits(s: SparkSession, dir: String): Dataset[FrameAudit] = {
+    import s.implicits._
+    val staged = stagedGifDir(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif")
+      .load(staged)
+      .select(
+        regexp_extract(col("path"), "/(\\d+)\\.gif$", 1).cast(LongType).as("media_id"),
+        col("content").as("payload"),
+        col("src").cast(StringType).as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload, src) =>
+          JdkCodec.decodeGifFrames(payload).iterator.zipWithIndex.map {
+            case (img, f) =>
+              var gs = 0L
+              var gray = true
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  val r = (p >> 16) & 0xff
+                  gray &&= r == ((p >> 8) & 0xff) && r == (p & 0xff)
+                  gs += r
+                  x += 1
                 }
-                FrameAudit(id, src, f, img.getWidth, img.getHeight, gray, gs)
-            }
+                y += 1
+              }
+              FrameAudit(id, src, f, img.getWidth, img.getHeight, gray, gs)
           }
         }
+      }
+  }
+
+  val q118GifFrames: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      val frames = gifFrameAudits(s, dir)
       frames.groupBy(col("source"), col("frame_idx"))
         .agg(
           count(lit(1)).as("n_frames"),
@@ -667,12 +681,101 @@ object Multimodal {
       |  cast(sum(pk) AS bigint) AS sum_peak
       |FROM fr GROUP BY source, frame_idx ORDER BY source, frame_idx""".stripMargin)
 
+  /** q131: MULTIMODAL MANIFEST — the dataset-assembly step that turns
+    * three per-modality corpora into one training-record table: every
+    * document joined to its decoded image, audio clip, and animated-GIF
+    * rollup BY doc_id, with a per-record modality-token budget (the
+    * number a multimodal mixing scheduler actually allocates against):
+    * text tokens + image patches (4×4 px → pixels/16, still + per-frame)
+    * + audio frames (20 ms → ⌈samples/160⌉, the q126 tail-kept framing).
+    *
+    * Every modality count flows through its REAL decode path (q108 PNG
+    * via `javax.imageio`, q114 WAV via `javax.sound.sampled`, q118 GIF
+    * frame-by-frame) — the audits each certify their leg in isolation;
+    * what THIS query certifies is the cross-modality contract: the three
+    * staged corpora align per doc_id (a path-regex or keying drift in
+    * any leg drops `n_complete` below `n_docs` and hash-mismatches), and
+    * the budget arithmetic agrees with the oracle's closed-form replay
+    * of the generators.
+    *
+    * Scale: four doc-cardinality frames joined by unhinted doc_id
+    * equi-joins (nothing corpus-proportional is broadcast — the q101
+    * lesson); each modality leg reduces to ≤1 narrow row per doc BEFORE
+    * its join (the GIF leg pre-aggregates its ≤5 frame rows map-side),
+    * so the joins move scalar manifests, never payloads; the final
+    * rollup is a map-side-combined per-source aggregate. All divisions
+    * sit on nonnegative operands (the sign-safety lint's documented safe
+    * case for `div` vs `//`).
+    */
+  val q131MultimodalManifest: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      val docs = graft.tables.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"))
+      val img = imageAudit(s, imagesFromBinaryFiles(s, dir))
+        .select(col("media_id").as("doc_id"),
+          (col("width").cast(LongType) * col("height").cast(LongType)).as("n_pixels"))
+      val aud = audioAudits(s, dir)
+        .select(col("media_id").as("doc_id"), col("n_samples"))
+      val gif = gifFrameAudits(s, dir)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("width").cast(LongType) * col("height").cast(LongType)).as("frame_pixels"))
+        .select(col("media_id").as("doc_id"), col("n_frames"), col("frame_pixels"))
+      val manifest = docs
+        .join(img, Seq("doc_id"), "left")
+        .join(aud, Seq("doc_id"), "left")
+        .join(gif, Seq("doc_id"), "left")
+        .withColumn("complete",
+          when(col("n_pixels").isNotNull && col("n_samples").isNotNull
+            && col("n_frames").isNotNull, 1L).otherwise(0L))
+        .withColumn("mm_tokens",
+          col("n_tokens")
+            + coalesce(expr("n_pixels div 16"), lit(0L))
+            + coalesce(expr("(n_samples + 159) div 160"), lit(0L))
+            + coalesce(expr("frame_pixels div 16"), lit(0L)))
+      manifest.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("complete")).as("n_complete"),
+          sum(col("n_tokens")).as("text_tokens"),
+          sum(col("n_pixels")).as("image_pixels"),
+          sum(col("n_samples")).as("audio_samples"),
+          sum(col("n_frames")).as("gif_frames"),
+          sum(col("mm_tokens")).as("mm_tokens"))
+        .orderBy(col("source"))
+    },
+    // closed-form replay of the three doc_id-pure generators (ImageGen /
+    // AudioGen / GifGen dimension formulas) + whitespace token counting;
+    // completeness is count(*) because every document stages exactly one
+    // blob per modality — equality with Spark's joined count IS the
+    // alignment proof
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |         (8 + (doc_id % 9)) * (8 + ((doc_id // 9) % 9)) AS n_pixels,
+      |         256 + (doc_id % 512) AS n_samples,
+      |         2 + (doc_id % 4) AS n_frames,
+      |         (2 + (doc_id % 4)) * (8 + (doc_id % 9)) * (8 + ((doc_id // 9) % 9)) AS frame_pixels
+      |  FROM documents)
+      |SELECT source,
+      |  cast(count(*) AS bigint) AS n_docs,
+      |  cast(count(*) AS bigint) AS n_complete,
+      |  cast(sum(n_tokens) AS bigint) AS text_tokens,
+      |  cast(sum(n_pixels) AS bigint) AS image_pixels,
+      |  cast(sum(n_samples) AS bigint) AS audio_samples,
+      |  cast(sum(n_frames) AS bigint) AS gif_frames,
+      |  cast(sum(n_tokens + n_pixels // 16 + (n_samples + 159) // 160
+      |           + frame_pixels // 16) AS bigint) AS mm_tokens
+      |FROM m GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, graft.QuerySpec] = Map(
     "q65_frames_accounting" -> q65FramesAccounting,
     "q108_image_decode" -> q108ImageDecode,
     "q114_audio_decode" -> q114AudioDecode,
     "q118_gif_frames" -> q118GifFrames,
-    "q126_audio_frames" -> q126AudioFrames)
+    "q126_audio_frames" -> q126AudioFrames,
+    "q131_multimodal_manifest" -> q131MultimodalManifest)
 }
 
 /** Deterministic synthetic audio: 8 kHz mono 16-bit PCM whose samples

@@ -1175,7 +1175,96 @@ object VectorOps {
          |      FROM d)
          |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
 
+  // q130 split geometry — the q79 bucket scheme (salted portable md5,
+  // 4096 buckets, 80/10/10) applied one level up: the bucket key is the
+  // CLUSTER id, so every member of a near-dup cluster lands in the same
+  // split by construction.
+  private val SplitBuckets = 4096
+  private val TrainLt = (SplitBuckets * 8) / 10
+  private val ValLt = (SplitBuckets * 9) / 10
+
+  private def splitOf(key: Column, salt: String): Column = {
+    val b = PortableHash.bucketCol(concat(lit(s"$salt:"), key.cast("string")), 3)
+    when(b < TrainLt, "train").when(b < ValLt, "val").otherwise("test")
+  }
+  private def splitSql(key: String, salt: String): String =
+    s"""CASE WHEN ${PortableHash.bucketSql(s"'$salt:' || cast($key AS varchar)", 3)} < $TrainLt THEN 'train'
+       |     WHEN ${PortableHash.bucketSql(s"'$salt:' || cast($key AS varchar)", 3)} < $ValLt THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** q130: LEAKAGE-SAFE train/val/test split — the eval-carving rule the
+    * dedup literature insists on: a near-duplicate of an eval document
+    * in the training set inflates the benchmark, so splits must be
+    * assigned per near-dup CLUSTER, never per document. Composes the two
+    * families this repo already judges — q115's embedding dedup clusters
+    * and q79's deterministic salted-hash split — and judges what the
+    * composition guarantees: the split key is the cluster id (all
+    * members inherit the cluster's split), so `leak_pairs_cluster_split`
+    * — near-dup pairs straddling two splits — is ZERO by construction,
+    * while the same accounting under the naive doc-level split
+    * (`leak_pairs_doc_split`, the q79 scheme applied to vec_id) is
+    * nonzero on the same pair set: the judged output contains the
+    * before/after leakage proof alongside the per-split composition.
+    *
+    * Scale: the split is a pure hash of cluster_id — assignment adds
+    * ZERO shuffles on top of the q46-machinery clustering; the leak
+    * audit joins the candidate-bounded pair list to the assignment by
+    * vec_id (unhinted equi-joins — both sides corpus-cardinality, the
+    * q101 lesson), and the naive-split leak count needs no join at all
+    * (both endpoints' splits are pure hashes of the pair's own ids).
+    * A new shard extends the split without reshuffling history exactly
+    * as q79 argues — clusters are keyed by their minimum member id, so
+    * an untouched cluster keeps its split across incremental runs.
+    */
+  val q130LeakageSafeSplit: QuerySpec = QuerySpec(
+    (s, dir) => {
+      // pinned: consumed three times (vec counts, cluster counts, and
+      // twice by the leak join) — the q128 discipline
+      val asg = graft.core.Checkpoints.pin(
+        embClusters(s, dir).withColumn("split", splitOf(col("cluster_id"), "csplit")))
+      val perSplit = asg.groupBy(col("split"))
+        .agg(count(lit(1)).as("nv"), count_distinct(col("cluster_id")).as("nc"))
+      val vecRows = perSplit.select(
+        concat(col("split"), lit("_vecs")).as("metric"), col("nv").as("value"))
+      val cluRows = perSplit.select(
+        concat(col("split"), lit("_clusters")).as("metric"), col("nc").as("value"))
+      val p = neardupPairs(s, dir).select(col("id_a"), col("id_b"))
+      val clusterLeak = p
+        .join(asg.select(col("vec_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+        .join(asg.select(col("vec_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("leak_pairs_cluster_split").as("metric"), col("value"))
+      val naiveLeak = p
+        .filter(splitOf(col("id_a"), "csplit") =!= splitOf(col("id_b"), "csplit"))
+        .agg(count(lit(1)).as("value"))
+        .select(lit("leak_pairs_doc_split").as("metric"), col("value"))
+      vecRows.unionAll(cluRows).unionAll(clusterLeak).unionAll(naiveLeak)
+        .orderBy(col("metric"))
+    },
+    "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") + embClustersSql +
+      s""",
+         |asg AS (SELECT vec_id, cluster_id,
+         |          ${splitSql("cluster_id", "csplit")} AS split
+         |        FROM clusters)
+         |SELECT metric, value FROM (
+         |  SELECT split || '_vecs' AS metric, cast(count(*) AS bigint) AS value
+         |  FROM asg GROUP BY split
+         |  UNION ALL
+         |  SELECT split || '_clusters', cast(count(DISTINCT cluster_id) AS bigint)
+         |  FROM asg GROUP BY split
+         |  UNION ALL
+         |  SELECT 'leak_pairs_cluster_split', cast(count(*) AS bigint)
+         |  FROM pairs p JOIN asg a ON p.id_a = a.vec_id JOIN asg b ON p.id_b = b.vec_id
+         |  WHERE a.split <> b.split
+         |  UNION ALL
+         |  SELECT 'leak_pairs_doc_split', cast(count(*) AS bigint)
+         |  FROM pairs
+         |  WHERE ${splitSql("id_a", "csplit")} <> ${splitSql("id_b", "csplit")}
+         |) ORDER BY metric""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q130_leakage_safe_split" -> q130LeakageSafeSplit,
     "q128_cluster_reps" -> q128ClusterReps,
     "q125_knn_classify" -> q125KnnClassify,
     "q120_ivfpq_ann" -> q120IvfPqAnn,

@@ -531,6 +531,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // the exact-flag distinct), then the ≤sources rollup pair + the
       // output sort; the eval-keyed leg joins carry no broadcast hint
       "q129_decontam_pipeline" -> 8,
+      // q130 (round-8, audited at introduction): the CC machinery's
+      // label-propagation rounds plus the split assignment (a pure hash
+      // of cluster_id — zero added exchanges) and the two leak-audit
+      // joins; every join is an unhinted doc-keyed equi-join the
+      // planner sizes itself
+      "q130_leakage_safe_split" -> 8,
+      // q131 (round-8, audited at introduction): GIF-leg pre-aggregate,
+      // the final per-source rollup, and the output sort; the three
+      // modality joins carry ≤1 narrow row per doc and no payload ever
+      // crosses an exchange (MultimodalSpec's binary lint)
+      "q131_multimodal_manifest" -> 3,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
