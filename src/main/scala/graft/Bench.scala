@@ -85,7 +85,8 @@ object Bench {
     "q128_cluster_reps",
     "q129_decontam_pipeline",
     "q130_leakage_safe_split",
-    "q131_multimodal_manifest")
+    "q131_multimodal_manifest",
+    "q132_rank_quality")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -144,7 +145,8 @@ object Bench {
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
     "q128_cluster_reps" -> 2.01, "q129_decontam_pipeline" -> 1.06,
-    "q130_leakage_safe_split" -> 2.58, "q131_multimodal_manifest" -> 2.82)
+    "q130_leakage_safe_split" -> 2.58, "q131_multimodal_manifest" -> 2.82,
+    "q132_rank_quality" -> 1.44)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -632,41 +632,55 @@ object AnalyticsOps {
     * selection, the boundary lookup — and each would otherwise re-run
     * the corpus-sized token count from scratch.
     */
+  /** Exact global (count desc, token asc) rank + running occurrence
+    * total over the corpus vocabulary, as (w, c, cum, rank) — the
+    * q75/q62b distributed prefix-sum shape, NOT a global window:
+    * range-repartition on the sort key, per-partition running totals
+    * and local ranks from one `mapPartitions` sweep (iteration order
+    * fixed by the explicit sortWithinPartitions), then a broadcast of
+    * ≤ nPart per-slice offsets makes both the global rank and the
+    * global running total exact. Pinned once
+    * ([[graft.core.Checkpoints]]) because every consumer (q106's four,
+    * q132's token join) would otherwise re-run the corpus-sized token
+    * explode + count from scratch.
+    */
+  private[ext] def rankedVocab(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cnt = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = graft.core.Checkpoints.pin(cnt
+      .repartitionByRange(nPart, col("c").desc, col("w"))
+      .sortWithinPartitions(col("c").desc, col("w"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        var rn = 0L
+        it.map { case (w, c) =>
+          val prior = run; run += c; rn += 1; (w, c, pid, prior, rn)
+        }
+      }
+      .toDF("w", "c", "pid", "lprior", "lrn"))
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid"))
+      .agg(sum(col("c")).as("scnt"), count(lit(1)).as("srows"))
+      .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+      .withColumn("roff", coalesce(sum(col("srows")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"), col("roff"))
+    local.join(broadcast(offs), "pid")
+      .select(col("w"), col("c"),
+        (col("lprior") + col("off") + col("c")).as("cum"),
+        (col("roff") + col("lrn")).as("rank"))
+  }
+
   val q106VocabCoverage: QuerySpec = QuerySpec(
     (s, dir) => {
       import s.implicits._
-      val cnt = Tables.documents(s, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // pin the ranked vocabulary once: FOUR consumers below (slice
-      // offsets, total, threshold selection, boundary lookup) would
-      // otherwise each re-run the corpus-sized token explode + count
-      val local = graft.core.Checkpoints.pin(cnt
-        .repartitionByRange(nPart, col("c").desc, col("w"))
-        .sortWithinPartitions(col("c").desc, col("w"))
-        .as[(String, Long)]
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          var run = 0L
-          var rn = 0L
-          it.map { case (w, c) =>
-            val prior = run; run += c; rn += 1; (w, c, pid, prior, rn)
-          }
-        }
-        .toDF("w", "c", "pid", "lprior", "lrn"))
-      val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-      val offsBase = local.groupBy(col("pid"))
-        .agg(sum(col("c")).as("scnt"), count(lit(1)).as("srows"))
-      val offs = offsBase
-        .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
-        .withColumn("roff", coalesce(sum(col("srows")).over(wOff), lit(0L)))
-        .select(col("pid"), col("off"), col("roff"))
-      val total = offsBase.agg(sum(col("scnt")).as("n"))
-      val ranks = local.join(broadcast(offs), "pid")
-        .select(col("w"), col("c"),
-          (col("lprior") + col("off") + col("c")).as("cum"),
-          (col("roff") + col("lrn")).as("rank"))
+      val ranks = rankedVocab(s, Tables.documents(s, dir))
+      val total = ranks.agg(sum(col("c")).as("n"))
       val thrs = Seq(50, 75, 90, 99).toDF("coverage_pct")
       val sel = ranks.crossJoin(broadcast(total)).crossJoin(broadcast(thrs))
         .filter(col("cum") * 100 >= col("coverage_pct") * col("n"))
@@ -692,6 +706,65 @@ object AnalyticsOps {
       |       r.cum AS covered_occurrences, r.w AS boundary_token
       |FROM sel s JOIN r ON r.rnk = s.vocab_size
       |ORDER BY coverage_pct""".stripMargin)
+
+  /** Mean-rank flag threshold: a document whose MEAN token frequency
+    * rank exceeds this is rare-token-heavy (calibrated against the
+    * corpus: per-doc mean ranks span ~9.5–20.9 with median ~15.1, so
+    * 16 flags the rare tail without degenerating to all-or-nothing).
+    */
+  private val RankT = 16L
+
+  /** q132: token-rank quality proxy — the transcendental-free stand-in
+    * for the LM-perplexity filter every production curation pipeline
+    * runs (CCNet's "perplexity buckets"): a document dominated by RARE
+    * corpus tokens (high mean frequency rank) is a gibberish/noise
+    * candidate; one dominated by frequent tokens reads like ordinary
+    * prose. Complements the q15/q113 shape gates (length, punctuation,
+    * stopword ratios), which cannot see rarity at all. The signal is
+    * the exact integer pair (Σ rank, n_tokens) per document, flagged by
+    * cross-multiplication (`sum_rank > T·n_tok`) — no division, no
+    * floats, no log-probs — and judged as the per-source funnel
+    * accounting (docs, flagged, token and rank totals).
+    *
+    * Scale: token ranks come from [[rankedVocab]] (the q75/q62b
+    * distributed prefix-sum — never a global window over the
+    * vocabulary); the corpus token stream joins to the rank table by an
+    * UNHINTED `w` equi-join — at test scale the planner broadcasts the
+    * vocab side, at 100 TB (tens of millions of vocab rows) it picks a
+    * shuffle join where the zipf-hot tokens are exactly what AQE
+    * skew-split handles, and the rank side stays one row per token
+    * either way. Both aggregations are map-side combined.
+    */
+  val q132RankQuality: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      val ranks = rankedVocab(s, docs).select(col("w"), col("rank"))
+      val perDoc = tok.join(ranks, Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("rank")).as("sum_rank"))
+      perDoc
+        .withColumn("flagged",
+          when(col("sum_rank") > lit(RankT) * col("n_tok"), 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("sum_rank")).as("sum_rank"))
+        .orderBy(col("source"))
+    },
+    s"""WITH t AS (SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       |cnt AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+       |r AS (SELECT w, cast(row_number() OVER (ORDER BY c DESC, w) AS bigint) AS rnk FROM cnt),
+       |d AS (SELECT t.doc_id, t.source, cast(count(*) AS bigint) AS n_tok,
+       |        cast(sum(r.rnk) AS bigint) AS sum_rank
+       |      FROM t JOIN r ON t.w = r.w GROUP BY t.doc_id, t.source)
+       |SELECT source, cast(count(*) AS bigint) AS n_docs,
+       |  ${OracleSql.bigSum(s"CASE WHEN sum_rank > $RankT * n_tok THEN 1 ELSE 0 END")} AS n_flagged,
+       |  ${OracleSql.bigSum("n_tok")} AS total_tokens,
+       |  ${OracleSql.bigSum("sum_rank")} AS sum_rank
+       |FROM d GROUP BY source ORDER BY source""".stripMargin)
 
   /** q124: the deep star-join report (the TPC-H Q5 shape) — revenue per
     * nation for one region and one order year, with the local-supplier
@@ -869,6 +942,7 @@ object AnalyticsOps {
     "q127_mixing_schedule" -> q127MixingSchedule,
     "q124_regional_revenue" -> q124RegionalRevenue,
     "q106_vocab_coverage" -> q106VocabCoverage,
+    "q132_rank_quality" -> q132RankQuality,
     "q104_zorder_layout" -> q104ZorderLayout,
     "q109_zorder_prune" -> q109ZorderPrune,
     "q75_shard_packing" -> q75ShardPacking,

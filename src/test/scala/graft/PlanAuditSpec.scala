@@ -542,6 +542,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // modality joins carry ≤1 narrow row per doc and no payload ever
       // crosses an exchange (MultimodalSpec's binary lint)
       "q131_multimodal_manifest" -> 3,
+      // q132 (round-8, audited at introduction): token-count groupBy,
+      // the rankedVocab range sort + its nPart-row offset agg, the
+      // per-doc aggregate, and the per-source rollup/sort; the token→
+      // rank join is an unhinted `w` equi-join the planner sizes
+      "q132_rank_quality" -> 5,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
