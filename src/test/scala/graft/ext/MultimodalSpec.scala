@@ -81,6 +81,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
   }
 
+  test("q131 manifest: no shuffle carries a payload and no modality frame is broadcast-hinted") {
+    // the manifest joins three REAL-decode legs by doc_id: every leg must
+    // reduce to narrow scalar rows before its join (payloads die at the
+    // codec boundary), and none of the doc-cardinality frames may carry
+    // a forced broadcast hint — the planner alone decides sizes (the
+    // q101 lesson; at corpus scale all three legs are corpus-sized)
+    val df = Multimodal.q131MultimodalManifest.run(spark, sfDir)
+    val leaks = staticPlan(df).collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"q131 forces broadcast hints: $hinted")
+  }
+
   test("media table has the declared multimodal schema") {
     val media = Multimodal.mediaFromDocuments(docs)
     assert(media.schema("payload").dataType == BinaryType)
