@@ -131,22 +131,25 @@ object Bench {
     // 0.97 s in the same window)
     "q39_winnowing" -> 0.67, "q42_running_totals" -> 0.41,
     "q58_dedup_clusters_star" -> 2.74, "q83_scd2_history" -> 0.46,
-    "q108_image_decode" -> 0.56, "q109_zorder_prune" -> 0.5,
-    "q110_pii_redaction" -> 0.67, "q111_contamination_fps" -> 0.47,
+    "q108_image_decode" -> 0.53, "q109_zorder_prune" -> 0.5,
+    "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.47,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
     "q116_shard_admission" -> 0.58,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.56,
+    "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.51,
     "q119_repeated_spans" -> 1.69, "q120_ivfpq_ann" -> 0.4,
     "q121_span_coverage" -> 1.66, "q122_bpe_merges" -> 0.78,
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
-    "q128_cluster_reps" -> 2.01, "q129_decontam_pipeline" -> 1.06,
-    "q130_leakage_safe_split" -> 2.58, "q131_multimodal_manifest" -> 2.82,
-    "q132_rank_quality" -> 1.44)
+    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.8,
+    // round-8 third batch: re-based to the 65-query quiet-window run
+    // (64.9 s total, ZERO stall retimes) that followed their
+    // introduction runs
+    "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 2.29,
+    "q132_rank_quality" -> 0.84)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
