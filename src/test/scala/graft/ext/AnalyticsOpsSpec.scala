@@ -189,4 +189,17 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
     assert(got.toSeq == expected, s"schedule mismatch:\n got=${got.toSeq}\n exp=$expected")
   }
+
+  test("q132 rank-quality flag is non-degenerate (flags some docs, never all)") {
+    // the oracle gate proves the counts match DuckDB; it cannot see the
+    // threshold silently degenerating (corpus drift pushing every mean
+    // rank to one side of RankT would keep hashes green while the
+    // filter stops discriminating). Pin 0 < flagged < docs, per corpus.
+    val rows = AnalyticsOps.q132RankQuality.run(spark, sfDir).collect()
+    val flagged = rows.map(_.getLong(2)).sum
+    val docs = rows.map(_.getLong(1)).sum
+    assert(docs > 0L)
+    assert(flagged > 0L, "rank-quality filter flags nothing — threshold degenerated low")
+    assert(flagged < docs, "rank-quality filter flags everything — threshold degenerated high")
+  }
 }

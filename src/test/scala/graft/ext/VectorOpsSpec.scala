@@ -294,4 +294,21 @@ class VectorOpsSpec extends AnyFunSuite {
     // 0.25 would flag a broken probe/assignment, not corpus noise.
     assert(frac >= 0.25, s"blocked votes agree with exact kNN on only $frac")
   }
+
+  test("q130 leakage demonstration is non-vacuous: cluster split leaks 0 where doc split leaks > 0") {
+    // the oracle gate proves the numbers MATCH DuckDB; what it cannot
+    // see is the demonstration degenerating — if the pair scheme ever
+    // drifted to an empty candidate set, both leak counters would read
+    // 0-vs-0 and the before/after proof would be vacuous while still
+    // hash-matching. Pin the non-trivial shape: pairs exist, the naive
+    // per-document split leaks some of them, the cluster split none.
+    val m = VectorOps.q130LeakageSafeSplit.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("leak_pairs_cluster_split") == 0L,
+      "cluster-level split must never straddle a near-dup pair")
+    assert(m("leak_pairs_doc_split") > 0L,
+      "the naive-split leak count degenerated to 0 — the demonstration is vacuous")
+    assert(m.keys.count(_.endsWith("_vecs")) >= 2,
+      "fewer than two splits received vectors")
+  }
 }
