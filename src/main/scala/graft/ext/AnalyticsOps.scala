@@ -606,32 +606,6 @@ object AnalyticsOps {
        |       LEFT JOIN r USING (probe_id)
        |ORDER BY probe_id""".stripMargin)
 
-  /** q106: vocabulary coverage curve — for each coverage target
-    * (50/75/90/99% of all token occurrences), the minimum vocabulary
-    * size when tokens are admitted by descending corpus frequency, plus
-    * the exact occurrences covered and the boundary token admitted
-    * last. The tokenizer-design query: it answers "how large must a
-    * frequency-built vocabulary be before OOV drops below x%" (q82
-    * measures OOV for one fixed vocab size; this is the whole curve).
-    *
-    * Scale: token counts are a map-side-combinable groupBy (output is
-    * VOCAB-sized, not corpus-sized). The cumulative curve needs a
-    * global order over that vocabulary by (count desc, token) — at
-    * 100 TB the vocabulary is still tens of millions of rows, so this
-    * is the q75/q62b distributed prefix-sum shape, NOT a global
-    * window: range-repartition on the sort key, per-partition running
-    * totals and local ranks from one `mapPartitions` sweep (iteration
-    * order fixed by the explicit sortWithinPartitions), then a
-    * broadcast of ≤ nPart per-slice offsets makes both the global
-    * rank and the global running total exact. Threshold selection is
-    * integer arithmetic (`cum·100 ≥ pct·total` — no float
-    * comparisons anywhere), a 4-row broadcast cross join, and a
-    * map-side-combined min. The ranked vocabulary is pinned once
-    * ([[graft.core.Checkpoints]], the q91 machinery) because four
-    * consumers read it — slice offsets, the total, threshold
-    * selection, the boundary lookup — and each would otherwise re-run
-    * the corpus-sized token count from scratch.
-    */
   /** Exact global (count desc, token asc) rank + running occurrence
     * total over the corpus vocabulary, as (w, c, cum, rank) — the
     * q75/q62b distributed prefix-sum shape, NOT a global window:
@@ -676,6 +650,23 @@ object AnalyticsOps {
         (col("roff") + col("lrn")).as("rank"))
   }
 
+  /** q106: vocabulary coverage curve — for each coverage target
+    * (50/75/90/99% of all token occurrences), the minimum vocabulary
+    * size when tokens are admitted by descending corpus frequency, plus
+    * the exact occurrences covered and the boundary token admitted
+    * last. The tokenizer-design query: it answers "how large must a
+    * frequency-built vocabulary be before OOV drops below x%" (q82
+    * measures OOV for one fixed vocab size; this is the whole curve).
+    *
+    * Scale: token counts are a map-side-combinable groupBy (output is
+    * VOCAB-sized, not corpus-sized); the exact global rank + running
+    * total come from the shared [[rankedVocab]] distributed prefix sum
+    * (pinned once — four consumers here: slice offsets, the total,
+    * threshold selection, the boundary lookup). Threshold selection is
+    * integer arithmetic (`cum·100 ≥ pct·total` — no float comparisons
+    * anywhere), a 4-row broadcast cross join, and a map-side-combined
+    * min.
+    */
   val q106VocabCoverage: QuerySpec = QuerySpec(
     (s, dir) => {
       import s.implicits._
