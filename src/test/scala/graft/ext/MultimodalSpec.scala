@@ -219,6 +219,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
   }
 
+  test("q133 finds real near-dup structure, not a degenerate cluster") {
+    // the oracle replays the signature arithmetic, so it would stay
+    // green even if the generator degenerated (smooth-gradient bases
+    // make EVERY image's dHash near-constant and the whole corpus one
+    // cluster — the bug the xor-mixing exists to prevent). Pin the
+    // properties the oracle cannot see: exact-signature dups AND
+    // near-miss pairs both exist, and every judged pair is
+    // within-family (cross-family signatures are far apart).
+    val pairs = Multimodal.q133ImageNearDup.run(spark, sfDir).cache()
+    try {
+      val n = pairs.count()
+      assert(n > 0, "q133 found no dup pairs at all")
+      val nDocs = docs.count()
+      assert(n < nDocs * (nDocs - 1) / 4,
+        s"q133 flagged $n pairs — the corpus collapsed into one near-dup cluster")
+      assert(pairs.filter(col("hamming") === 0).count() > 0,
+        "no exact-signature dup pairs (uniform-brightness edits must be dHash-invariant)")
+      assert(pairs.filter(col("hamming").between(1, 3)).count() > 0,
+        "no near-miss pairs (spike edits must flip some gradient bits)")
+      val crossFamily = pairs.filter(
+        expr("media_id_a div 4") =!= expr("media_id_b div 4")).count()
+      assert(crossFamily == 0,
+        s"$crossFamily cross-family pairs within Hamming 3 — base images are not signature-diverse")
+    } finally pairs.unpersist()
+  }
+
+  test("q133 plan: payloads die at the codec boundary, pairing is banded") {
+    val p = staticPlan(Multimodal.q133ImageNearDup.run(spark, sfDir))
+    val leaks = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
+    // every join in the plan must be a (band, v)-keyed equi-join or the
+    // Hamming filter join — an unkeyed join here would be the all-pairs
+    // O(n²) probe the banding exists to avoid
+    val unkeyed = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.leftKeys.isEmpty => j
+    }
+    assert(unkeyed.isEmpty, s"q133 contains an unkeyed (all-pairs) join: $unkeyed")
+  }
+
   test("feature extraction yields normalized fixed-width float vectors") {
     val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
     assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))
