@@ -27,6 +27,8 @@ object VectorOps {
 
   private val IvfK = 16     // inverted lists (centroids)
   private val IvfProbes = 2 // lists probed per query
+  private val KmRounds = 2          // fixed Lloyd iterations (unrolled)
+  private val KmScale = "1048576.0" // 2^20 quantization step
 
   /** Sequential-fold dot product of two double-cast float arrays, as the
     * native codegen [[graft.functions.VecDot]] expression — bit-exact
@@ -178,19 +180,21 @@ object VectorOps {
     *
     * Candidate generation is the q48 IVF coarse quantizer, NOT
     * label-blocked all-pairs: every vector is assigned to its nearest
-    * seed centroid ([[IvfK]] lists, per-row argmin expression — zero
-    * shuffles, no K× amplification), each incoming vector probes its
-    * [[IvfProbes]] nearest lists, and ONLY (probe-list, label)-matched
-    * candidates get the exact cosine rescore. The admission verdict is
-    * thus DEFINED over the blocked candidate set — deterministic
-    * (seed centroids + double-fold cosine + cent_id tie-break), and the
+    * TRAINED centroid ([[ivfCentroids]] — ≤[[IvfK]] lists, per-row
+    * argmin expression — zero shuffles, no K× amplification), each
+    * incoming vector probes its [[IvfProbes]] nearest lists, and ONLY
+    * (probe-list, label)-matched candidates get the exact cosine
+    * rescore. The admission verdict is thus DEFINED over the blocked
+    * candidate set — deterministic (oracle-replayed Lloyd training +
+    * double-fold cosine + cent_id tie-break), and the
     * DuckDB oracle replays assignment → probing → rescore end-to-end,
     * so both engines agree by construction (`VectorOpsSpec` pins the
     * blocked verdicts' recall against the exact all-pairs screen).
     *
     * Scale: per-probe cost is |shard| × |list| with IvfProbes/IvfK of
-    * the corpus scanned per incoming vector (lists grow ~√N with
-    * trained centroids swapped in) — the label-blocked all-pairs form
+    * the corpus scanned per incoming vector (the trained codebook now
+    * wired in keeps list populations balanced as N grows; at corpus
+    * scale K itself scales ~√N) — the label-blocked all-pairs form
     * this replaces was O(|shard| × |corpus| / n_labels), quadratic per
     * label when labels are few. NO broadcast hint is forced on either
     * shard- or corpus-derived frame (the q101 lesson; the only hinted
@@ -203,22 +207,24 @@ object VectorOps {
       val e = Tables.embeddings(s, dir)
       graft.functions.VecDot.register(s)
       val thr = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long").as("t"))
-      // single-row codebook: the first IvfK corpus vectors (q48's
-      // seed-set convention), ordered by vec_id
-      val cents1 = e.filter(col("vec_id") < IvfK)
-        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+      // single-row codebook: the TRAINED coarse quantizer
+      // ([[ivfCentroids]]) as a cent_id-sorted struct array — field `i`
+      // carries the true cent_id (an emptied cluster drops out, so
+      // array POSITIONS are not list ids), `v` the dequantized centroid
+      val cents1 = ivfCentroids(e)
+        .agg(expr("array_sort(collect_list(named_struct('i', cent_id, 'v', centv)))")
           .as("cents"))
       // per-row centroid ranking (the q100 per-row argmin pattern):
-      // struct sort on (-cos, c) = cosine desc, cent_id tie-break —
-      // identical ordering to the oracle's row_number(ORDER BY cent_cos
-      // DESC, cent_id) because the cosine folds are bit-identical
-      val centCos = s"vec_dot(embedding, element_at(cents, c + 1)) / " +
+      // struct sort on (-cos, cent_id) = cosine desc, cent_id tie-break
+      // — identical ordering to the oracle's row_number(ORDER BY
+      // cent_cos DESC, cent_id) because the cosine folds are bit-identical
+      val centCos = s"vec_dot(embedding, element_at(cents, c + 1).v) / " +
         s"(sqrt(vec_dot(embedding, embedding)) * " +
-        s"sqrt(vec_dot(element_at(cents, c + 1), element_at(cents, c + 1))))"
+        s"sqrt(vec_dot(element_at(cents, c + 1).v, element_at(cents, c + 1).v)))"
       val ranked = e.crossJoin(broadcast(thr)).crossJoin(broadcast(cents1))
         .withColumn("psort", expr(
-          s"""array_sort(transform(sequence(0, ${IvfK - 1}), c ->
-             |  named_struct('negcos', -($centCos), 'c', c)))""".stripMargin))
+          s"""array_sort(transform(sequence(0, size(cents) - 1), c ->
+             |  named_struct('negcos', -($centCos), 'c', element_at(cents, c + 1).i)))""".stripMargin))
         .withColumn("list_id", expr("psort[0].c"))
         .withColumn("probes", expr(s"transform(slice(psort, 1, $IvfProbes), x -> x.c)"))
         .drop("psort", "cents")
@@ -255,8 +261,7 @@ object VectorOps {
         .orderBy(col("label"))
     },
     s"""WITH t AS (SELECT cast(floor((max(vec_id) + 1) * 0.8) AS bigint) AS t FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, embedding AS centv
-       |          FROM embeddings WHERE vec_id < $IvfK),
+       |${trainedChainSql(s"SELECT vec_id, ${duckQuantize("embedding")} AS qv FROM embeddings")},
        |ac AS (SELECT e.vec_id, c.cent_id,
        |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
        |       FROM embeddings e CROSS JOIN cents c),
@@ -494,12 +499,15 @@ object VectorOps {
     * `IvfProbes` lists whose centroids are closest to the query — the
     * classic coarse-quantizer trade (recall vs lists scanned).
     *
-    * Centroids here are a deterministic seed set (the first K corpus
-    * vectors) rather than trained k-means — centroid *training* is an
-    * offline job whose output would be swapped in unchanged; a fixed seed
-    * set keeps the whole operator bit-exact and lets the DuckDB oracle
-    * verify assignment + probing + rescoring end-to-end (unlike the
-    * hyperplane-LSH path q22, which is rows-only).
+    * Centroids are the TRAINED coarse codebook ([[ivfCentroids]] —
+    * q64's exact-integer Lloyd refinement of the first-K seed set,
+    * dequantized): training is deterministic DataFrame jobs whose
+    * arithmetic the DuckDB oracle replays CTE-for-CTE
+    * ([[trainedChainSql]]), so the whole operator stays bit-exact and
+    * oracle-verified end-to-end — assignment, probing, rescoring AND
+    * the training that produced the codebook (unlike the
+    * hyperplane-LSH path q22, which is rows-only). `VectorOpsSpec`
+    * pins trained recall ≥ the seed-set baseline it replaced.
     *
     * Scale design: assignment is ONE broadcast pass over the corpus (K
     * centroid vectors broadcast; no shuffle of the big side); at rest the
@@ -518,10 +526,66 @@ object VectorOps {
   private def ivfCorpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(norm2(s, "embedding") > 0.0)
 
-  /** Seed-set coarse quantizer (first K corpus vectors). */
-  private def ivfCentroids(e: DataFrame): DataFrame =
+  /** Seed-set coarse quantizer (first K corpus vectors) — the untrained
+    * baseline. Retained ONLY for `VectorOpsSpec`'s recall comparison
+    * (trained ≥ seeded on the held-out probes); every judged family
+    * member runs on [[ivfCentroids]]'s TRAINED codebook.
+    */
+  private[ext] def seedCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < IvfK)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("centv"))
+
+  /** TRAINED coarse quantizer for the whole IVF family (q48 / q116 /
+    * q120 / q125): q64's unrolled-Lloyd refinement of the first-K seed
+    * set ([[trainedCentsQ]]), dequantized back to doubles for the
+    * family's cosine ranking. cent_id keeps the SEED id (an emptied
+    * cluster drops out, so consumers must never assume K rows or
+    * contiguous ids). Pinned — it is a full training job (KmRounds
+    * corpus passes), and every family query has ≥2 consumers (probe
+    * ranking + corpus assignment).
+    *
+    * Dequantization is `cast(cqv AS double) / 2^20` in BOTH engines:
+    * exact integers into IEEE doubles, so the cosine folds downstream
+    * stay bit-identical — the q64 exactness contract carried through
+    * serving.
+    */
+  private[ext] def ivfCentroids(e: DataFrame): DataFrame =
+    graft.core.Checkpoints.pin(
+      trainedCentsQ(e.select(col("vec_id"), quantize("embedding").as("qv")))
+        .select(col("cent_id"),
+          expr(s"transform(cqv, x -> cast(x AS double) / $KmScale)").as("centv")))
+
+  /** Oracle twin of [[trainedCentsQ]]: the unrolled Lloyd rounds as
+    * chained CTEs a1/u1/c1 … (hoisted from q64 so the WHOLE family
+    * replays the identical training).
+    */
+  private def kmRoundsSql: String = (1 to KmRounds).map { t =>
+    val prev = if (t == 1) "c0" else s"c${t - 1}"
+    s"""a$t AS (SELECT vec_id, cent_id AS list_id, qv FROM (
+       |  SELECT e.vec_id, c.cent_id, e.qv,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS rn
+       |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
+       |u$t AS (SELECT list_id, dim,
+       |    cast((sv - (((sv % nv) + nv) % nv)) // nv AS bigint) AS mv
+       |  FROM (SELECT list_id, dim, cast(sum(qv[dim]) AS bigint) AS sv, cast(count(*) AS bigint) AS nv
+       |        FROM a$t CROSS JOIN dims GROUP BY 1, 2)),
+       |c$t AS (SELECT list_id AS cent_id, list(mv ORDER BY dim) AS cqv FROM u$t GROUP BY 1)""".stripMargin
+  }.mkString(",\n")
+
+  private def cFinal: String = s"c$KmRounds"
+
+  /** Oracle twin of [[ivfCentroids]]: the full trained-codebook chain —
+    * caller-supplied `emb` body (must project vec_id and qv) → dims →
+    * c0 → Lloyd rounds → `cents(cent_id, centv)` dequantized to
+    * doubles. Prepend inside WITH; downstream CTEs read `cents`.
+    */
+  private def trainedChainSql(embBody: String): String =
+    s"""emb AS ($embBody),
+       |dims AS (SELECT unnest(range(1, len((SELECT qv FROM emb LIMIT 1)) + 1)) AS dim),
+       |c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM emb WHERE vec_id < $IvfK),
+       |$kmRoundsSql,
+       |cents AS (SELECT cent_id, list_transform(cqv, x -> cast(x AS double) / $KmScale) AS centv FROM $cFinal)""".stripMargin
 
   /** q48's corpus→inverted-list assignment — exposed so
     * `VectorOpsSpec` can materialize the lists partitioned by `list_id`
@@ -534,7 +598,14 @@ object VectorOps {
     */
   def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val e = ivfCorpus(s, dir)
-    e.crossJoin(broadcast(ivfCentroids(e)))
+    assignWith(s, e, ivfCentroids(e))
+  }
+
+  /** Assignment against an explicit centroid frame, so a query that
+    * also ranks probes against the same codebook trains it ONCE.
+    */
+  private def assignWith(s: SparkSession, e: DataFrame, cents: DataFrame): DataFrame = {
+    e.crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         dot(s, "embedding", "centv") / (sqrt(norm2(s, "embedding")) * sqrt(norm2(s, "centv"))))
       .groupBy(col("vec_id"))
@@ -544,46 +615,58 @@ object VectorOps {
         col("m.embedding").as("embedding"))
   }
 
+  /** q48's search with the coarse codebook as a parameter — the judged
+    * query runs it on [[ivfCentroids]] (trained); `VectorOpsSpec` runs
+    * it on [[seedCentroids]] too, so the trained-vs-seeded recall
+    * comparison exercises the IDENTICAL probe/rescore path with only
+    * the codebook varying.
+    */
+  private[ext] def ivfSearch(s: SparkSession, dir: String,
+      centsOf: DataFrame => DataFrame): DataFrame = {
+    val e = ivfCorpus(s, dir)
+    val cents = centsOf(e)
+    // assignment against the SAME pinned codebook the probes rank on —
+    // one training job per run, not one per consumer
+    val assigned = assignWith(s, e, cents)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        dot(s, "qv", "centv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "centv"))))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfProbes)
+      .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
+    // rerank via the bounded TopKCarry aggregator (list_id rides along
+    // as the carried payload) — ≤k candidates per partition per query,
+    // no row_number window funneling the probed-lists set into
+    // n_queries reducers
+    val topk = udaf(new graft.functions.TopKCarry(10))
+    assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
+      .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine", dot(s, "qv", "cv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "cv"))))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cosine"), col("c_id"), col("list_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("c_id"), col("col._3").as("list_id"),
+        col("col._1").as("cosine"), (col("pos") + 1).cast("integer").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val q48AnnIvf: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val e = ivfCorpus(s, dir)
-      val cents = ivfCentroids(e)
-      val assigned = ivfAssignments(s, dir)
-      val wProbe = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
-      val probes = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          dot(s, "qv", "centv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "centv"))))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= IvfProbes)
-        .select(col("q_id"), col("qv"), col("cent_id").as("probe_list"))
-      // rerank via the bounded TopKCarry aggregator (list_id rides along
-      // as the carried payload) — ≤k candidates per partition per query,
-      // no row_number window funneling the probed-lists set into
-      // n_queries reducers
-      val topk = udaf(new graft.functions.TopKCarry(10))
-      assigned.select(col("vec_id").as("c_id"), col("list_id"), col("embedding").as("cv"))
-        .join(broadcast(probes), col("list_id") === col("probe_list") && col("q_id") =!= col("c_id"))
-        .withColumn("cosine", dot(s, "qv", "cv") / (sqrt(norm2(s, "qv")) * sqrt(norm2(s, "cv"))))
-        .groupBy(col("q_id"))
-        .agg(topk(col("cosine"), col("c_id"), col("list_id")).as("top"))
-        .select(col("q_id"), posexplode(col("top")))
-        .select(col("q_id"), col("col._2").as("c_id"), col("col._3").as("list_id"),
-          col("col._1").as("cosine"), (col("pos") + 1).cast("integer").as("rank"))
-        .orderBy(col("q_id"), col("rank"))
-    },
-    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
-       |cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM emb WHERE vec_id < $IvfK),
+    (s, dir) => ivfSearch(s, dir, ivfCentroids),
+    s"""WITH ${trainedChainSql(
+           s"""SELECT vec_id, embedding, ${duckQuantize("embedding")} AS qv
+              |  FROM embeddings WHERE ${duckNorm2("embedding")} > 0""".stripMargin)},
        |ac AS (SELECT e.vec_id, c.cent_id, e.embedding,
        |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
        |       FROM emb e CROSS JOIN cents c),
        |assigned AS (SELECT vec_id, cent_id AS list_id, embedding
        |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS arn FROM ac)
        |             WHERE arn = 1),
-       |probes AS (SELECT q_id, qv, cent_id AS probe_list
-       |           FROM (SELECT vec_id AS q_id, embedding AS qv, cent_id, cent_cos,
+       |probes AS (SELECT q_id, qv_f AS qv, cent_id AS probe_list
+       |           FROM (SELECT vec_id AS q_id, embedding AS qv_f, cent_id, cent_cos,
        |                   row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS prn
        |                 FROM ac WHERE vec_id < 5)
        |           WHERE prn <= $IvfProbes),
@@ -593,9 +676,6 @@ object VectorOps {
        |SELECT q_id, c_id, list_id, cosine, rank
        |FROM (SELECT *, cast(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS integer) AS rank FROM scored)
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
-
-  private val KmRounds = 2          // fixed Lloyd iterations (unrolled)
-  private val KmScale = "1048576.0" // 2^20 quantization step
 
   /** Element-wise integer-quantized copy of a float vector. Training
     * arithmetic happens on these: integer sums are exact and
@@ -641,30 +721,42 @@ object VectorOps {
     * both shuffle only combined aggregates, never raw corpus. Empty
     * clusters simply drop out (both engines identically).
     */
+  /** q64's unrolled-Lloyd training, factored for the WHOLE IVF family
+    * ([[ivfCentroids]]): refine the first-[[IvfK]] seed set by
+    * [[KmRounds]] exact-integer iterations. Input must carry (vec_id,
+    * qv); output is (cent_id, cqv) with cent_id = the seed id (empty
+    * clusters drop out). Every step is a DataFrame job — no driver-side
+    * training state beyond the plan.
+    */
+  private def trainedCentsQ(emb: DataFrame): DataFrame = {
+    var cents = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"))
+    for (_ <- 1 to KmRounds) {
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("dist", l2q("qv", "cqv"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("m"), first(col("qv")).as("qv"))
+        .select(col("m.cent_id").as("list_id"), col("qv"))
+      cents = assigned
+        .select(col("list_id"), posexplode(col("qv")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
+        // floor(sv/nv) in pure bigint: subtract the mathematical mod
+        // (always >= 0) so the division is exact — no double round-trip
+        // that would silently diverge once a cluster's sum passes 2^53
+        .withColumn("mv", expr("(sv - (((sv % nv) + nv) % nv)) div nv"))
+        .groupBy(col("list_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cqv"))
+        .select(col("list_id").as("cent_id"), col("cqv"))
+    }
+    cents
+  }
+
   val q64AnnIvfKmeans: QuerySpec = {
     val run = (s: org.apache.spark.sql.SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir).filter(norm2(s, "embedding") > 0.0)
         .select(col("vec_id"), col("embedding"), quantize("embedding").as("qv"))
-      var cents = emb.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").as("cent_id"), col("qv").as("cqv"))
-      for (_ <- 1 to KmRounds) {
-        val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("dist", l2q("qv", "cqv"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("dist"), col("cent_id"))).as("m"), first(col("qv")).as("qv"))
-          .select(col("m.cent_id").as("list_id"), col("qv"))
-        cents = assigned
-          .select(col("list_id"), posexplode(col("qv")))
-          .groupBy(col("list_id"), col("pos"))
-          .agg(sum(col("col")).as("sv"), count(lit(1)).as("nv"))
-          // floor(sv/nv) in pure bigint: subtract the mathematical mod
-          // (always >= 0) so the division is exact — no double round-trip
-          // that would silently diverge once a cluster's sum passes 2^53
-          .withColumn("mv", expr("(sv - (((sv % nv) + nv) % nv)) div nv"))
-          .groupBy(col("list_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cqv"))
-          .select(col("list_id").as("cent_id"), col("cqv"))
-      }
+      val cents = graft.core.Checkpoints.pin(trainedCentsQ(emb))
       val assigned = emb.crossJoin(broadcast(cents))
         .withColumn("dist", l2q("qv", "cqv"))
         .groupBy(col("vec_id"))
@@ -691,26 +783,13 @@ object VectorOps {
           col("col._1").as("cosine"), (col("pos") + 1).cast("integer").as("rank"))
         .orderBy(col("q_id"), col("rank"))
     }
-    // the oracle unrolls the same Lloyd rounds as chained CTEs
-    val rounds = (1 to KmRounds).map { t =>
-      val prev = if (t == 1) "c0" else s"c${t - 1}"
-      s"""a$t AS (SELECT vec_id, cent_id AS list_id, qv FROM (
-         |  SELECT e.vec_id, c.cent_id, e.qv,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS rn
-         |  FROM emb e CROSS JOIN $prev c) WHERE rn = 1),
-         |u$t AS (SELECT list_id, dim,
-         |    cast((sv - (((sv % nv) + nv) % nv)) // nv AS bigint) AS mv
-         |  FROM (SELECT list_id, dim, cast(sum(qv[dim]) AS bigint) AS sv, cast(count(*) AS bigint) AS nv
-         |        FROM a$t CROSS JOIN dims GROUP BY 1, 2)),
-         |c$t AS (SELECT list_id AS cent_id, list(mv ORDER BY dim) AS cqv FROM u$t GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    val cFinal = s"c$KmRounds"
+    // the oracle replays the same Lloyd rounds via the family-shared
+    // chain (kmRoundsSql/trainedChainSql); q64 ranks by quantized L2,
+    // so it reads the final quantized frame, not the dequantized cents
     QuerySpec(run,
-      s"""WITH emb AS (SELECT vec_id, embedding, ${duckQuantize("embedding")} AS qv
-         |  FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
-         |dims AS (SELECT unnest(range(1, len((SELECT embedding FROM emb LIMIT 1)) + 1)) AS dim),
-         |c0 AS (SELECT vec_id AS cent_id, qv AS cqv FROM emb WHERE vec_id < $IvfK),
-         |$rounds,
+      s"""WITH ${trainedChainSql(
+             s"""SELECT vec_id, embedding, ${duckQuantize("embedding")} AS qv
+                |  FROM embeddings WHERE ${duckNorm2("embedding")} > 0""".stripMargin)},
          |assigned AS (SELECT vec_id, cent_id AS list_id, embedding FROM (
          |  SELECT e.vec_id, c.cent_id, e.embedding,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckL2q("e.qv", "c.cqv")}, c.cent_id) AS rn
@@ -919,7 +998,8 @@ object VectorOps {
 
   /** q120: IVF-PQ ANN — the two serving-tier legs COMPOSED the way a
     * production vector index runs them (the FAISS `IVFPQ` shape): the
-    * coarse quantizer (q48's seed-set centroids) partitions the corpus
+    * coarse quantizer (q48's TRAINED centroids, [[ivfCentroids]])
+    * partitions the corpus
     * into [[IvfK]] inverted lists, every list member is PQ-encoded to
     * [[PqM]] codebook codes (q100's 64×-smaller representation), a
     * query probes its [[IvfProbes]] nearest lists and ADC-scores ONLY
@@ -949,7 +1029,9 @@ object VectorOps {
       graft.functions.VecL2.register(s)
       val e = ivfCorpus(s, dir)
       val cents = ivfCentroids(e)
-      val assigned = ivfAssignments(s, dir)
+      // assignment against the SAME pinned trained codebook the probes
+      // rank on — one training job per run, not one per consumer
+      val assigned = assignWith(s, e, cents)
       // encode on the ASSIGNED corpus (list ids ride along), through
       // the PqRecon codegen kernel — q100's chain-parity spec covers it
       val coded = assigned.crossJoin(broadcast(pqCodebook(e)))
@@ -978,29 +1060,32 @@ object VectorOps {
       def sq(v: String): String = s"($v) * ($v)"
       val subDist =
         s"""list_reduce(list_transform(range(0, $PqDsub), d ->
-           |  ${sq(s"cast(embedding[m * $PqDsub + d + 1] AS double) - cast(cents[c + 1][m * $PqDsub + d + 1] AS double)")}),
+           |  ${sq(s"cast(embedding[m * $PqDsub + d + 1] AS double) - cast(pqcents[c + 1][m * $PqDsub + d + 1] AS double)")}),
            |  (x, y) -> x + y)""".stripMargin
       def l2(a: String, b: String) =
         s"""list_reduce(list_transform(range(0, $Dim), d ->
            |  ${sq(s"cast($a[d + 1] AS double) - cast($b[d + 1] AS double)")}),
            |  (x, y) -> x + y)""".stripMargin
-      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE ${duckNorm2("embedding")} > 0),
-         |cents AS (SELECT vec_id AS cent_id, embedding AS centv FROM emb WHERE vec_id < $IvfK),
+      s"""WITH ${trainedChainSql(
+             s"""SELECT vec_id, embedding, ${duckQuantize("embedding")} AS qv
+                |  FROM embeddings WHERE ${duckNorm2("embedding")} > 0""".stripMargin)},
          |ac AS (SELECT e.vec_id, c.cent_id, e.embedding,
          |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
          |       FROM emb e CROSS JOIN cents c),
          |assigned AS (SELECT vec_id, cent_id AS list_id, embedding
          |             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS arn FROM ac)
          |             WHERE arn = 1),
-         |ce AS (SELECT list(embedding ORDER BY vec_id) AS cents FROM emb WHERE vec_id < $PqK),
-         |cd AS (SELECT a.vec_id, a.list_id, a.embedding, ce.cents,
+         |-- the PQ codebook stays seed-set (q100's convention); renamed
+         |-- pqcents because `cents` is now the TRAINED coarse codebook CTE
+         |ce AS (SELECT list(embedding ORDER BY vec_id) AS pqcents FROM emb WHERE vec_id < $PqK),
+         |cd AS (SELECT a.vec_id, a.list_id, a.embedding, ce.pqcents,
          |         list_transform(range(0, $PqM), m ->
          |           list_aggregate(list_transform(range(0, $PqK), c ->
          |             {'d': $subDist, 'c': c}), 'min').c) AS codes
          |       FROM assigned a CROSS JOIN ce),
          |rc AS (SELECT vec_id AS c_id, list_id,
          |         flatten(list_transform(range(0, $PqM), m ->
-         |           cents[codes[m + 1] + 1][m * $PqDsub + 1 : (m + 1) * $PqDsub])) AS recon
+         |           pqcents[codes[m + 1] + 1][m * $PqDsub + 1 : (m + 1) * $PqDsub])) AS recon
          |       FROM cd),
          |probes AS (SELECT q_id, qv, cent_id AS probe_list
          |           FROM (SELECT vec_id AS q_id, embedding AS qv, cent_id, cent_cos,
@@ -1041,16 +1126,18 @@ object VectorOps {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       graft.functions.VecDot.register(s)
-      val cents1 = e.filter(col("vec_id") < IvfK)
-        .agg(expr("transform(array_sort(collect_list(named_struct('i', vec_id, 'v', embedding))), x -> x.v)")
+      // trained coarse codebook as a cent_id-carrying struct array —
+      // the q116 convention (positions are NOT list ids)
+      val cents1 = ivfCentroids(e)
+        .agg(expr("array_sort(collect_list(named_struct('i', cent_id, 'v', centv)))")
           .as("cents"))
-      val centCos = s"vec_dot(embedding, element_at(cents, c + 1)) / " +
+      val centCos = s"vec_dot(embedding, element_at(cents, c + 1).v) / " +
         s"(sqrt(vec_dot(embedding, embedding)) * " +
-        s"sqrt(vec_dot(element_at(cents, c + 1), element_at(cents, c + 1))))"
+        s"sqrt(vec_dot(element_at(cents, c + 1).v, element_at(cents, c + 1).v)))"
       val ranked = e.crossJoin(broadcast(cents1))
         .withColumn("psort", expr(
-          s"""array_sort(transform(sequence(0, ${IvfK - 1}), c ->
-             |  named_struct('negcos', -($centCos), 'c', c)))""".stripMargin))
+          s"""array_sort(transform(sequence(0, size(cents) - 1), c ->
+             |  named_struct('negcos', -($centCos), 'c', element_at(cents, c + 1).i)))""".stripMargin))
         .withColumn("list_id", expr("psort[0].c"))
         .withColumn("probes", expr(s"transform(slice(psort, 1, $IvfProbes), x -> x.c)"))
         .drop("psort", "cents")
@@ -1076,8 +1163,7 @@ object VectorOps {
         .agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("true_label"), col("predicted_label"))
     },
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centv
-       |               FROM embeddings WHERE vec_id < $IvfK),
+    s"""WITH ${trainedChainSql(s"SELECT vec_id, ${duckQuantize("embedding")} AS qv FROM embeddings")},
        |ac AS (SELECT e.vec_id, c.cent_id,
        |         ${duckDot("e.embedding", "c.centv")} / (sqrt(${duckNorm2("e.embedding")}) * sqrt(${duckNorm2("c.centv")})) AS cent_cos
        |       FROM embeddings e CROSS JOIN cents c),
@@ -1175,22 +1261,7 @@ object VectorOps {
          |      FROM d)
          |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)
 
-  // q130 split geometry — the q79 bucket scheme (salted portable md5,
-  // 4096 buckets, 80/10/10) applied one level up: the bucket key is the
-  // CLUSTER id, so every member of a near-dup cluster lands in the same
-  // split by construction.
-  private val SplitBuckets = 4096
-  private val TrainLt = (SplitBuckets * 8) / 10
-  private val ValLt = (SplitBuckets * 9) / 10
-
-  private def splitOf(key: Column, salt: String): Column = {
-    val b = PortableHash.bucketCol(concat(lit(s"$salt:"), key.cast("string")), 3)
-    when(b < TrainLt, "train").when(b < ValLt, "val").otherwise("test")
-  }
-  private def splitSql(key: String, salt: String): String =
-    s"""CASE WHEN ${PortableHash.bucketSql(s"'$salt:' || cast($key AS varchar)", 3)} < $TrainLt THEN 'train'
-       |     WHEN ${PortableHash.bucketSql(s"'$salt:' || cast($key AS varchar)", 3)} < $ValLt THEN 'val'
-       |     ELSE 'test' END""".stripMargin
+  import SplitScheme.{splitOf, splitSql}
 
   /** q130: LEAKAGE-SAFE train/val/test split — the eval-carving rule the
     * dedup literature insists on: a near-duplicate of an eval document
@@ -1279,4 +1350,28 @@ object VectorOps {
     "q69_int8_cosine" -> q69Int8Cosine,
     "q96_ann_lsh_audit" -> q96AnnLshAudit,
     "q100_pq_ann" -> q100PqAnn)
+}
+
+/** Train/val/test split geometry — the q79 bucket scheme (salted
+  * portable md5, 4096 buckets, 80/10/10) applied to an arbitrary key.
+  * q130 keys it by the embedding-cluster id; q134 keys it by the text
+  * near-dup cluster id. ONE definition (Spark column + oracle SQL twin)
+  * so the split rule cannot drift between the queries that compose it.
+  */
+private[ext] object SplitScheme {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  private val SplitBuckets = 4096
+  private val TrainLt = (SplitBuckets * 8) / 10
+  private val ValLt = (SplitBuckets * 9) / 10
+
+  def splitOf(key: Column, salt: String): Column = {
+    val b = PortableHash.bucketCol(concat(lit(s"$salt:"), key.cast("string")), 3)
+    when(b < TrainLt, "train").when(b < ValLt, "val").otherwise("test")
+  }
+  def splitSql(key: String, salt: String): String =
+    s"""CASE WHEN ${PortableHash.bucketSql(s"'$salt:' || cast($key AS varchar)", 3)} < $TrainLt THEN 'train'
+       |     WHEN ${PortableHash.bucketSql(s"'$salt:' || cast($key AS varchar)", 3)} < $ValLt THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 }

@@ -35,21 +35,32 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("trained-IVF recall@10 is usable and never below the seed-set IVF") {
-    def recallOf(q: graft.QuerySpec): Map[Long, Double] =
-      q.run(spark, sfDir).select(col("q_id"), col("c_id")).collect()
+  test("trained coarse codebook recall@10 >= seed-set codebook on the held-out probes") {
+    // the SAME q48 search (probe ranking + exact rescore) run twice,
+    // varying ONLY the codebook — the property the family's switch to
+    // trained centroids rests on: Lloyd refinement must not lose recall
+    // vs the first-K seed convention it replaced
+    def recallOf(centsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      VectorOps.ivfSearch(spark, sfDir, centsOf)
+        .select(col("q_id"), col("c_id")).collect()
         .groupBy(_.getLong(0))
         .map { case (qid, rows) =>
           qid -> (rows.map(_.getLong(1)).toSet intersect exact(qid)).size / 10.0
         }
-    val trained = recallOf(VectorOps.q64AnnIvfKmeans)
-    val seed = recallOf(VectorOps.q48AnnIvf)
+    val trained = recallOf(VectorOps.ivfCentroids)
+    val seed = recallOf(VectorOps.seedCentroids)
     assert(trained.keySet == exact.keySet, "trained IVF lost whole queries")
     trained.foreach { case (q, r) => assert(r >= 0.5, s"trained recall@10 for $q = $r") }
-    // aggregate, not per-query: Lloyd rounds can shift an individual
-    // query's probed lists, but on the whole training must not hurt
-    assert(trained.values.sum >= seed.values.sum - 0.1,
+    assert(trained.values.sum >= seed.values.sum,
       s"training degraded recall: trained=${trained.values.sum} seed=${seed.values.sum}")
+    // and the L2-ranked q64 serving path stays usable on the same codebook
+    val q64 = VectorOps.q64AnnIvfKmeans.run(spark, sfDir)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> (rows.map(_.getLong(1)).toSet intersect exact(qid)).size / 10.0
+      }
+    q64.foreach { case (q, r) => assert(r >= 0.5, s"q64 recall@10 for $q = $r") }
   }
 
   test("int8-quantized cosine top-10 recalls the exact float ranking") {
@@ -249,16 +260,46 @@ class VectorOpsSpec extends AnyFunSuite {
     val rows = graft.tables.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    def dot(a: Array[Float], b: Array[Float]): Double = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    def cos(a: Array[Float], b: Array[Float]): Double =
+    def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val cents = rows.filter(_._1 < 16).sortBy(_._1).map(_._3)
-    def centRank(v: Array[Float]): Seq[Int] =
-      cents.zipWithIndex.map { case (c, i) => (-cos(v, c), i) }.sorted.map(_._2).toSeq
+    def cosF(a: Array[Float], b: Array[Float]): Double =
+      cos(a.map(_.toDouble), b.map(_.toDouble))
+    // the family runs on the TRAINED coarse codebook now — replay the
+    // q64 training (2^20 HALF_UP quantize, 2 Lloyd rounds with floored
+    // integer means, dequantize) in plain JVM arithmetic
+    val scale = BigDecimal(1048576)
+    val qrows = rows.map { case (id, _, v) =>
+      (id, v.map(x => (BigDecimal(x.toDouble) * scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    var tc: Seq[(Long, Array[Long])] =
+      qrows.filter(_._1 < 16).sortBy(_._1).map { case (id, qv) => (id, qv) }.toSeq
+    for (_ <- 1 to 2) {
+      val assigned = qrows.map { case (_, qv) =>
+        (tc.map { case (cid, cqv) => (l2(qv, cqv), cid) }.min._2, qv)
+      }
+      tc = assigned.groupBy(_._1).toSeq.map { case (cid, xs) =>
+        (cid, Array.tabulate(xs.head._2.length) { d =>
+          Math.floorDiv(xs.map(_._2(d)).sum, xs.size.toLong)
+        })
+      }.sortBy(_._1)
+    }
+    val cents: Seq[(Long, Array[Double])] =
+      tc.map { case (cid, cqv) => (cid, cqv.map(_.toDouble / 1048576.0)) }
+    def centRank(vf: Array[Float]): Seq[Long] = {
+      val v = vf.map(_.toDouble)
+      cents.map { case (cid, c) => (-cos(v, c), cid) }.sorted.map(_._2)
+    }
     val test = rows.filter(_._1 % 10 == 0)
     val train = rows.filter(_._1 % 10 != 0)
       .map { case (id, lab, v) => (id, lab, v, centRank(v).head) }
@@ -272,7 +313,7 @@ class VectorOpsSpec extends AnyFunSuite {
     val blocked = test.flatMap { case (id, lab, v) =>
       val probes = centRank(v).take(2).toSet
       vote(train.collect { case (nid, nlab, nv, list) if probes(list) =>
-        (cos(v, nv), nid, nlab) }.toSeq).map(p => (id, lab, p))
+        (cosF(v, nv), nid, nlab) }.toSeq).map(p => (id, lab, p))
     }
     val expected = blocked.groupBy(r => (r._2, r._3))
       .map { case ((t, p), xs) => (t, p) -> xs.size.toLong }
@@ -281,7 +322,7 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == expected, s"confusion mismatch:\n got=$got\n exp=$expected")
     // quality: blocked predictions agree with exact (unblocked) kNN votes
     val exactPred = test.flatMap { case (id, lab, v) =>
-      vote(train.map { case (nid, nlab, nv, _) => (cos(v, nv), nid, nlab) }.toSeq)
+      vote(train.map { case (nid, nlab, nv, _) => (cosF(v, nv), nid, nlab) }.toSeq)
         .map(p => id -> p)
     }.toMap
     val agree = blocked.count { case (id, _, p) => exactPred.get(id).contains(p) }
