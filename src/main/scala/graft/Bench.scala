@@ -86,7 +86,11 @@ object Bench {
     "q129_decontam_pipeline",
     "q130_leakage_safe_split",
     "q131_multimodal_manifest",
-    "q132_rank_quality")
+    "q132_rank_quality",
+    // round-9 additions: image perceptual-hash near-dup and the
+    // composed training-data card
+    "q133_image_neardup",
+    "q134_training_data_card")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -149,7 +153,12 @@ object Bench {
     // (64.9 s total, ZERO stall retimes) that followed their
     // introduction runs
     "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 2.29,
-    "q132_rank_quality" -> 0.84)
+    "q132_rank_quality" -> 0.84,
+    // round-9 additions: per-query min of sf0.1 introduction runs —
+    // measured in a loaded window (loadavg 1.8–6 from outside this
+    // process), so these are provisional ceilings; re-base DOWN from
+    // the first quiet window
+    "q133_image_neardup" -> 1.33, "q134_training_data_card" -> 4.94)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -244,19 +244,43 @@ object TextOps {
     * a 20-row source rollup — the funnel costs one pass no matter how
     * many gates.
     */
+  /** The five q113 quality gates as CUMULATIVE predicates g1..g5 (each
+    * gate sees only the prior gate's survivors). ONE definition shared
+    * by q113 (the per-gate funnel accounting) and q134 (the data card,
+    * which keeps only full-cascade survivors — `.last`) so the gate set
+    * cannot drift between them; [[gateSignalsSql]]/[[gateAllSql]] are
+    * the oracle twins.
+    */
+  private def qualityGates: Seq[Column] = {
+    val nc = coalesce(length(col("text")), lit(0))
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val dtoks = size(array_distinct(split(trim(col("text")), "\\s+")))
+    val stop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|in)\\b"), lit(0)))
+    val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+    val g1 = nc >= 100
+    val g2 = g1 && toks >= 20
+    val g3 = g2 && stop * 25 >= toks
+    val g4 = g3 && dtoks * 2 >= toks
+    val g5 = g4 && punct * 5 <= nc
+    Seq(g1, g2, g3, g4, g5)
+  }
+
+  /** Oracle twin of [[qualityGates]]'s signal set (projection body over
+    * `documents`) and its full-cascade conjunction.
+    */
+  private val gateSignalsSql: String =
+    """coalesce(len(text), 0) AS nc,
+      |  len(string_split_regex(trim(text), '\s+')) AS toks,
+      |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS dtoks,
+      |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b', 0)) AS stop,
+      |  len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS punct""".stripMargin
+  private val gateAllSql: String =
+    "nc >= 100 AND toks >= 20 AND stop * 25 >= toks AND dtoks * 2 >= toks AND punct * 5 <= nc"
+
   val q113FilterFunnel: QuerySpec = QuerySpec(
     (s, dir) => {
-      val nc = coalesce(length(col("text")), lit(0))
-      val toks = size(split(trim(col("text")), "\\s+"))
-      val dtoks = size(array_distinct(split(trim(col("text")), "\\s+")))
-      val stop = size(regexp_extract_all(lower(col("text")),
-        lit("\\b(the|a|of|and|in)\\b"), lit(0)))
-      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-      val g1 = nc >= 100
-      val g2 = g1 && toks >= 20
-      val g3 = g2 && stop * 25 >= toks
-      val g4 = g3 && dtoks * 2 >= toks
-      val g5 = g4 && punct * 5 <= nc
+      val Seq(g1, g2, g3, g4, g5) = qualityGates
       def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -265,12 +289,8 @@ object TextOps {
           cnt(g4).as("pass_ttr"), cnt(g5).as("pass_punct"))
         .orderBy(col("source"))
     },
-    """WITH t AS (SELECT source,
-      |  coalesce(len(text), 0) AS nc,
-      |  len(string_split_regex(trim(text), '\s+')) AS toks,
-      |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS dtoks,
-      |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|in)\b', 0)) AS stop,
-      |  len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS punct
+    s"""WITH t AS (SELECT source,
+      |  $gateSignalsSql
       |FROM documents),
       |g AS (SELECT source,
       |  nc >= 100 AS g1,
@@ -2119,26 +2139,56 @@ object TextOps {
     * The verdict frames are distinct doc_id sets, the final rollup
     * shuffles ≤ sources rows.
     */
+  /** The two q129 contamination legs over the non-eval corpus
+    * (doc_id % 97 ≠ 0; the %97 slice IS the eval set), as flag frames
+    * ((doc_id, ex=1), (doc_id, fz=1)). Exact = any shared word
+    * 3-shingle with the eval slice (q71's containment scheme); fuzzy =
+    * ≥40% winnowing-fingerprint overlap (q111's threshold, integer
+    * cross-multiplied). ONE definition shared by q129 (the per-source
+    * keep/drop accounting) and q134 (the end-to-end data card) so the
+    * leg conventions cannot drift between them; [[contamLegsSql]] is
+    * the oracle twin.
+    */
+  private def contamFlags(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.WinnowFingerprints.register(s)
+    val sh = shingles(docs)
+    val evSh = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
+    val exactFlag = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(evSh, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
+    val fps = docs.withColumn("norm", normCol)
+      .filter(length(col("norm")) >= 11)
+      .select(col("doc_id"), explode(expr("winnow_fps(norm)")).as("fp"))
+    val evFp = fps.filter(col("doc_id") % 97 === 0)
+      .select(col("fp")).distinct().withColumn("hit", lit(1L))
+    val fuzzyFlag = fps.filter(col("doc_id") % 97 =!= 0)
+      .join(evFp, Seq("fp"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), count(col("hit")).as("n_hits"))
+      .filter(col("n_hits") * 5 >= col("n_fps") * 2)
+      .select(col("doc_id")).withColumn("fz", lit(1L))
+    (exactFlag, fuzzyFlag)
+  }
+
+  /** Oracle twin of [[contamFlags]] as `ex`/`fz` CTEs (appends to
+    * [[winnowFpsSql]] + [[shSql]]).
+    */
+  private val contamLegsSql: String =
+    """,
+      |ex AS (SELECT DISTINCT doc_id FROM shx
+      |       WHERE doc_id % 97 <> 0
+      |         AND sh IN (SELECT sh FROM shx WHERE doc_id % 97 = 0)),
+      |evfp AS (SELECT DISTINCT fp FROM w WHERE doc_id % 97 = 0),
+      |fz AS (SELECT doc_id FROM (
+      |         SELECT c.doc_id, count(*) AS n_fps, count(e.fp) AS n_hits
+      |         FROM w c LEFT JOIN evfp e ON c.fp = e.fp
+      |         WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id)
+      |       WHERE n_hits * 5 >= n_fps * 2)""".stripMargin
+
   val q129DecontamPipeline: QuerySpec = QuerySpec(
     (s, dir) => {
-      graft.functions.WinnowFingerprints.register(s)
       val docs = Tables.documents(s, dir)
-      val sh = shingles(docs)
-      val evSh = sh.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()
-      val exactFlag = sh.filter(col("doc_id") % 97 =!= 0)
-        .join(evSh, Seq("sh"), "left_semi")
-        .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
-      val fps = docs.withColumn("norm", normCol)
-        .filter(length(col("norm")) >= 11)
-        .select(col("doc_id"), explode(expr("winnow_fps(norm)")).as("fp"))
-      val evFp = fps.filter(col("doc_id") % 97 === 0)
-        .select(col("fp")).distinct().withColumn("hit", lit(1L))
-      val fuzzyFlag = fps.filter(col("doc_id") % 97 =!= 0)
-        .join(evFp, Seq("fp"), "left_outer")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fps"), count(col("hit")).as("n_hits"))
-        .filter(col("n_hits") * 5 >= col("n_fps") * 2)
-        .select(col("doc_id")).withColumn("fz", lit(1L))
+      val (exactFlag, fuzzyFlag) = contamFlags(s, docs)
       docs.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
@@ -2158,17 +2208,8 @@ object TextOps {
             .as("tokens_kept"))
         .orderBy(col("source"))
     },
-    winnowFpsSql + ",\n" + shSql.stripPrefix("WITH ") +
+    winnowFpsSql + ",\n" + shSql.stripPrefix("WITH ") + contamLegsSql +
       """,
-        |ex AS (SELECT DISTINCT doc_id FROM shx
-        |       WHERE doc_id % 97 <> 0
-        |         AND sh IN (SELECT sh FROM shx WHERE doc_id % 97 = 0)),
-        |evfp AS (SELECT DISTINCT fp FROM w WHERE doc_id % 97 = 0),
-        |fz AS (SELECT doc_id FROM (
-        |         SELECT c.doc_id, count(*) AS n_fps, count(e.fp) AS n_hits
-        |         FROM w c LEFT JOIN evfp e ON c.fp = e.fp
-        |         WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id)
-        |       WHERE n_hits * 5 >= n_fps * 2),
         |base AS (SELECT doc_id, source,
         |           cast(len(string_split_regex(trim(text), '\s+')) AS bigint) AS tok
         |         FROM documents WHERE doc_id % 97 <> 0)
@@ -2182,7 +2223,147 @@ object TextOps {
         |            LEFT JOIN fz ON b.doc_id = fz.doc_id
         |GROUP BY b.source ORDER BY source""".stripMargin)
 
+  /** q134: the TRAINING-DATA CARD — the full curation pipeline composed
+    * end-to-end into the one artifact a training run actually consumes:
+    * per source, the raw→filtered→decontaminated funnel counts, the
+    * leakage-safe per-split doc/token composition, and the mixing
+    * allocation over the surviving train split. Every stage is a judged
+    * query in its own right (q113 gates → q129 contamination legs →
+    * q46 near-dup clusters + the q130 cluster-keyed split rule → the
+    * q127 allocation formula); composing them catches the convention
+    * drift the per-stage queries cannot (the q117/q129 lesson — a gate,
+    * slice, threshold, or salt change ripples through every number
+    * here). The reference's own `main.py:17–25` end-to-end flow is
+    * exactly this shape at toy scale.
+    *
+    * Pipeline semantics: the `doc_id % 97` slice is the eval benchmark
+    * (excluded from the corpus, q129's convention); the corpus is
+    * filtered by the full q113 cascade ([[qualityGates]].last); the
+    * q129 legs ([[contamFlags]]) then drop contaminated survivors;
+    * splits are assigned per TEXT near-dup cluster
+    * ([[dedupClusters]] — q130's rule with q46's clusters: a near-dup
+    * of an eval-split doc must never train), and the q127 allocation
+    * (`floor(w·2T/Σw)` at alphabetical-rank weights, budget 2× the
+    * surviving train corpus) prices each source's train share.
+    *
+    * Scale: one corpus scan feeds the gate signals (codegen
+    * expressions); the contamination legs are eval-keyed joins (q129's
+    * accounting); clustering is the q46 machinery (banded LSH + pinned
+    * CC rounds); the split is a pure hash of cluster_id (zero added
+    * shuffles, q130's accounting); everything after the per-source
+    * rollup is source-cardinality-sized, and the allocation windows run
+    * over that bounded frame. No corpus-proportional frame is
+    * broadcast-hinted anywhere.
+    */
+  val q134TrainingDataCard: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 97 =!= 0)
+      val filtered = base.filter(qualityGates.last)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+      val (exactFlag, fuzzyFlag) = contamFlags(s, docs)
+      val asg = dedupClusters(docs)
+        .withColumn("split", SplitScheme.splitOf(col("cluster_id"), "card"))
+        .select(col("doc_id"), col("split"))
+      val fin = filtered
+        .join(exactFlag, Seq("doc_id"), "left_outer")
+        .join(fuzzyFlag, Seq("doc_id"), "left_outer")
+        .join(asg, Seq("doc_id"))
+        .withColumn("dropped", col("ex").isNotNull || col("fz").isNotNull)
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      def tokSum(c: Column) = sum(when(c, col("tok")).otherwise(0L))
+      val keep = !col("dropped")
+      val agg = fin.groupBy(col("source")).agg(
+        count(lit(1)).as("n_filtered"),
+        cnt(col("dropped")).as("n_contaminated"),
+        cnt(keep).as("n_final"),
+        cnt(keep && col("split") === "train").as("train_docs"),
+        tokSum(keep && col("split") === "train").as("train_tokens"),
+        cnt(keep && col("split") === "val").as("val_docs"),
+        tokSum(keep && col("split") === "val").as("val_tokens"),
+        cnt(keep && col("split") === "test").as("test_docs"),
+        tokSum(keep && col("split") === "test").as("test_tokens"))
+      val raw = base.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      // a source whose docs all fail the cascade keeps its card row
+      // (zeros), so the card always lists the whole corpus
+      val card = raw.join(agg, Seq("source"), "left_outer")
+        .select(col("source") +: col("n_raw") +:
+          agg.columns.filter(_ != "source").map(c =>
+            coalesce(col(c), lit(0L)).as(c)): _*)
+      val wgt = card.withColumn("weight",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))).cast("long"))
+      val tot = wgt.agg(sum(col("train_tokens")).as("t"), sum(col("weight")).as("sw"))
+      wgt.crossJoin(broadcast(tot))
+        .withColumn("alloc_tokens", expr("(weight * 2 * t) div sw"))
+        .withColumn("n_epochs",
+          when(col("train_tokens") > 0, expr("alloc_tokens div train_tokens"))
+            .otherwise(lit(0L)))
+        .select(col("source"), col("n_raw"), col("n_filtered"),
+          col("n_contaminated"), col("n_final"),
+          col("train_docs"), col("train_tokens"), col("val_docs"),
+          col("val_tokens"), col("test_docs"), col("test_tokens"),
+          col("weight"), col("alloc_tokens"), col("n_epochs"))
+        .orderBy(col("source"))
+    },
+    recursive(winnowFpsSql + ",\n" + shSql.stripPrefix("WITH ") +
+      minhashSigSql + "\n" + lshPairsSql + "\n" + dedupClustersSql +
+      contamLegsSql) +
+      s""",
+         |fbase AS (SELECT doc_id, source,
+         |            cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS tok,
+         |            ($gateAllSql) AS g5
+         |          FROM (SELECT doc_id, source, text, $gateSignalsSql
+         |                FROM documents WHERE doc_id % 97 <> 0)),
+         |asg AS (SELECT doc_id, ${SplitScheme.splitSql("cluster_id", "card")} AS split
+         |        FROM clusters),
+         |fin AS (SELECT f.source, f.tok, a.split,
+         |          (ex.doc_id IS NOT NULL OR fz.doc_id IS NOT NULL) AS dropped
+         |        FROM fbase f
+         |        JOIN asg a ON f.doc_id = a.doc_id
+         |        LEFT JOIN ex ON f.doc_id = ex.doc_id
+         |        LEFT JOIN fz ON f.doc_id = fz.doc_id
+         |        WHERE f.g5),
+         |agg AS (SELECT source,
+         |          cast(count(*) AS bigint) AS n_filtered,
+         |          cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS bigint) AS n_contaminated,
+         |          cast(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS bigint) AS n_final,
+         |          cast(sum(CASE WHEN NOT dropped AND split = 'train' THEN 1 ELSE 0 END) AS bigint) AS train_docs,
+         |          cast(sum(CASE WHEN NOT dropped AND split = 'train' THEN tok ELSE 0 END) AS bigint) AS train_tokens,
+         |          cast(sum(CASE WHEN NOT dropped AND split = 'val' THEN 1 ELSE 0 END) AS bigint) AS val_docs,
+         |          cast(sum(CASE WHEN NOT dropped AND split = 'val' THEN tok ELSE 0 END) AS bigint) AS val_tokens,
+         |          cast(sum(CASE WHEN NOT dropped AND split = 'test' THEN 1 ELSE 0 END) AS bigint) AS test_docs,
+         |          cast(sum(CASE WHEN NOT dropped AND split = 'test' THEN tok ELSE 0 END) AS bigint) AS test_tokens
+         |        FROM fin GROUP BY source),
+         |raw AS (SELECT source, cast(count(*) AS bigint) AS n_raw
+         |        FROM documents WHERE doc_id % 97 <> 0 GROUP BY source),
+         |card AS (SELECT r.source, r.n_raw,
+         |           coalesce(a.n_filtered, 0) AS n_filtered,
+         |           coalesce(a.n_contaminated, 0) AS n_contaminated,
+         |           coalesce(a.n_final, 0) AS n_final,
+         |           coalesce(a.train_docs, 0) AS train_docs,
+         |           coalesce(a.train_tokens, 0) AS train_tokens,
+         |           coalesce(a.val_docs, 0) AS val_docs,
+         |           coalesce(a.val_tokens, 0) AS val_tokens,
+         |           coalesce(a.test_docs, 0) AS test_docs,
+         |           coalesce(a.test_tokens, 0) AS test_tokens
+         |         FROM raw r LEFT JOIN agg a ON r.source = a.source),
+         |wgt AS (SELECT *, cast(row_number() OVER (ORDER BY source) AS bigint) AS weight
+         |        FROM card),
+         |tot AS (SELECT ${OracleSql.bigSum("train_tokens")} AS t,
+         |               ${OracleSql.bigSum("weight")} AS sw FROM wgt)
+         |SELECT source, n_raw, n_filtered, n_contaminated, n_final,
+         |  train_docs, train_tokens, val_docs, val_tokens, test_docs, test_tokens,
+         |  weight,
+         |  cast((weight * 2 * t) // sw AS bigint) AS alloc_tokens,
+         |  CASE WHEN train_tokens > 0
+         |       THEN cast(((weight * 2 * t) // sw) // train_tokens AS bigint)
+         |       ELSE 0 END AS n_epochs
+         |FROM wgt CROSS JOIN tot ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q134_training_data_card" -> q134TrainingDataCard,
     "q129_decontam_pipeline" -> q129DecontamPipeline,
     "q123_triangle_clustering" -> q123TriangleClustering,
     "q122_bpe_merges" -> q122BpeMerges,

@@ -547,6 +547,20 @@ class PlanAuditSpec extends AnyFunSuite {
       // per-doc aggregate, and the per-source rollup/sort; the token→
       // rank join is an unhinted `w` equi-join the planner sizes
       "q132_rank_quality" -> 5,
+      // q133 (round-9, audited at introduction): signatures are pinned
+      // at the codec boundary (payloads never cross an exchange), so
+      // the judged 3 are the bucket-cap rollup, the pair distinct, and
+      // the output sort; both banded join sides are planner-sized
+      // (broadcast at test scale, (band,v)-keyed SMJ at corpus scale)
+      "q133_image_neardup" -> 3,
+      // q134 (round-9, audited at introduction): the composed card —
+      // the q46 CC machinery's banded-LSH + label-propagation exchanges
+      // dominate (cluster labels feed the split hash, which itself adds
+      // zero shuffles); the rest are the two contamination-leg
+      // aggregates + eval distincts, the gate-survivor joins, the
+      // ≤sources rollup pair, the bounded weight/total windows and the
+      // output sort — every post-rollup exchange is source-cardinality
+      "q134_training_data_card" -> 14,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling
