@@ -97,8 +97,10 @@ object VectorOps {
     * block) — shared by q25 (the pair listing) and q115 (the cluster
     * labeling over those pairs).
     */
-  private def neardupPairs(s: SparkSession, dir: String) = {
-    val e = Tables.embeddings(s, dir)
+  private def neardupPairs(s: SparkSession, dir: String) =
+    pairsOf(s, Tables.embeddings(s, dir))
+
+  private def pairsOf(s: SparkSession, e: DataFrame) = {
     val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"), col("embedding").as("vb"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
@@ -145,10 +147,25 @@ object VectorOps {
     * label (minimum member vec_id) per vector via the q46 CC machinery.
     */
   private def embClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(s, Tables.embeddings(s, dir))
+
+  /** Cluster labeling over an EXPLICIT corpus frame + q130's split
+    * assignment — exposed for `VectorOpsSpec`'s incremental-stability
+    * proof: re-run with a shard appended and every untouched cluster
+    * must keep its split. The property rests on cluster_id being the
+    * MINIMUM member id (content-derived), never a run-dependent dense
+    * renumbering — which is exactly the regression the spec exists to
+    * catch.
+    */
+  private def clustersOf(s: SparkSession, e: DataFrame): DataFrame =
     graft.operators.ConnectedComponents.components(
-        Tables.embeddings(s, dir).select(col("vec_id").as("id")),
-        neardupPairs(s, dir).select(col("id_a").as("a"), col("id_b").as("b")))
+        e.select(col("vec_id").as("id")),
+        pairsOf(s, e).select(col("id_a").as("a"), col("id_b").as("b")))
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+
+  private[ext] def clusterSplits(s: SparkSession, e: DataFrame): DataFrame =
+    clustersOf(s, e).withColumn("split",
+      SplitScheme.splitOf(col("cluster_id"), "csplit"))
 
   /** One DuckDB recursive-closure CTE text for q115 and q128 — edits
     * cannot desynchronize the cluster labeling from the representative
@@ -1292,7 +1309,7 @@ object VectorOps {
       // pinned: consumed three times (vec counts, cluster counts, and
       // twice by the leak join) — the q128 discipline
       val asg = graft.core.Checkpoints.pin(
-        embClusters(s, dir).withColumn("split", splitOf(col("cluster_id"), "csplit")))
+        clusterSplits(s, Tables.embeddings(s, dir)))
       val perSplit = asg.groupBy(col("split"))
         .agg(count(lit(1)).as("nv"), count_distinct(col("cluster_id")).as("nc"))
       val vecRows = perSplit.select(

@@ -336,6 +336,38 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(frac >= 0.25, s"blocked votes agree with exact kNN on only $frac")
   }
 
+  test("q130 split is incrementally stable: untouched clusters keep their split when a shard lands") {
+    // the q130 doc's eval-freeze claim made concrete: re-run the
+    // clustering with a shard appended (q116's top-20% convention) and
+    // every cluster whose MEMBERSHIP the shard did not touch must keep
+    // both its cluster_id and its split. This is the property a frozen
+    // eval set depends on at 100 TB — and it dies instantly if anyone
+    // swaps the min-member cluster key for a run-dependent dense
+    // renumbering, which the oracle gate (same-run replay) cannot see.
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+    val t = math.floor((e.agg(max(col("vec_id"))).head.getLong(0) + 1) * 0.8).toLong
+    def byCluster(df: org.apache.spark.sql.DataFrame): Map[Long, (Set[Long], String)] =
+      df.collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getString(2)))
+        .groupBy(_._1)
+        .map { case (cid, xs) => cid -> (xs.map(_._2).toSet, xs.head._3) }
+    val before = byCluster(VectorOps.clusterSplits(spark, e.filter(col("vec_id") < t)))
+    val after = byCluster(VectorOps.clusterSplits(spark, e))
+    val untouched = before.filter { case (cid, (members, _)) =>
+      after.get(cid).exists(_._1 == members)
+    }
+    assert(untouched.nonEmpty, "no untouched clusters — the stability claim is vacuous here")
+    untouched.foreach { case (cid, (_, split)) =>
+      assert(after(cid)._2 == split, s"untouched cluster $cid changed split: $split -> ${after(cid)._2}")
+    }
+    // non-vacuity on the other side: the shard genuinely attached to
+    // at least one pre-existing cluster (else "untouched" proves nothing)
+    val attached = after.exists { case (_, (members, _)) =>
+      members.exists(_ < t) && members.exists(_ >= t)
+    }
+    assert(attached, "no shard vector joined a pre-existing cluster — widen the shard or corpus")
+  }
+
   test("q130 leakage demonstration is non-vacuous: cluster split leaks 0 where doc split leaks > 0") {
     // the oracle gate proves the numbers MATCH DuckDB; what it cannot
     // see is the demonstration degenerating — if the pair scheme ever
