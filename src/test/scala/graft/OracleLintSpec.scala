@@ -286,6 +286,12 @@ class OracleLintSpec extends AnyFunSuite {
     ("q64_ann_ivf_kmeans", "% nv) + nv) % nv)) // nv"),
     ("q107_embedding_outliers", "% nv) + nv) % nv)) // nv"),
     ("q128_cluster_reps", "% nv) + nv) % nv)) // nv"),
+    // the same floored-mean identity, inherited by the whole IVF family
+    // through the shared trained-codebook chain (trainedChainSql)
+    ("q48_ann_ivf", "% nv) + nv) % nv)) // nv"),
+    ("q116_shard_admission", "% nv) + nv) % nv)) // nv"),
+    ("q120_ivfpq_ann", "% nv) + nv) % nv)) // nv"),
+    ("q125_knn_classify", "% nv) + nv) % nv)) // nv"),
     // wedge count C(degree, 2): the frame filters degree >= 2, so
     // degree - 1 >= 1 and the product is positive — quotient never
     // negative (and even, so floor == trunc exactly anyway)
