@@ -87,10 +87,11 @@ object Bench {
     "q130_leakage_safe_split",
     "q131_multimodal_manifest",
     "q132_rank_quality",
-    // round-9 additions: image perceptual-hash near-dup and the
-    // composed training-data card
+    // round-9 additions: image perceptual-hash near-dup, the composed
+    // training-data card, and the audio/GIF near-dup accounting
     "q133_image_neardup",
-    "q134_training_data_card")
+    "q134_training_data_card",
+    "q135_multimodal_neardup")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -158,7 +159,8 @@ object Bench {
     // measured in a loaded window (loadavg 1.8–6 from outside this
     // process), so these are provisional ceilings; re-base DOWN from
     // the first quiet window
-    "q133_image_neardup" -> 1.33, "q134_training_data_card" -> 4.94)
+    "q133_image_neardup" -> 1.33, "q134_training_data_card" -> 4.94,
+    "q135_multimodal_neardup" -> 5.61)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

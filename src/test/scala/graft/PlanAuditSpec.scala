@@ -553,6 +553,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // the output sort; both banded join sides are planner-sized
       // (broadcast at test scale, (band,v)-keyed SMJ at corpus scale)
       "q133_image_neardup" -> 3,
+      // q135 (round-9, audited at introduction): three q133-shaped legs
+      // (bucket-cap rollup + pair distinct each) plus per-leg accounting
+      // scalar aggregates (n_items / pair stats / flagged distinct —
+      // 1-row frames, the q101/q116 scalar-exchange accounting) and the
+      // 3-row output sort; signatures are pinned at the codec
+      // boundaries, so no payload and nothing corpus-proportional
+      // crosses an exchange
+      "q135_multimodal_neardup" -> 30,
       // q134 (round-9, audited at introduction): the composed card —
       // the q46 CC machinery's banded-LSH + label-propagation exchanges
       // dominate (cluster labels feed the split hash, which itself adds

@@ -260,6 +260,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(unkeyed.isEmpty, s"q133 contains an unkeyed (all-pairs) join: $unkeyed")
   }
 
+  test("q135 finds real per-modality near-dup structure (no degenerate or empty leg)") {
+    // the oracle replays all three signature chains, so it stays green
+    // even if a generator degenerates (q133's smooth-gradient lesson).
+    // Pin per modality: dups exist, exact AND near-miss pairs both
+    // exist, and neither everything nor nothing is flagged.
+    val rows = Multimodal.q135MultimodalNearDup.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "gif", "image"))
+    rows.foreach { r =>
+      val (mod, items, dups, exact, flagged) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dups > 0, s"$mod: no dup pairs")
+      assert(exact > 0, s"$mod: no exact-signature pairs (invariant edit broke)")
+      assert(exact < dups, s"$mod: no near-miss pairs (spike edits flip nothing)")
+      // flagged can legitimately reach n_items (every family carries
+      // signature-invariant-edit members, so most items have an exact
+      // twin) — collapse is caught by the PAIR count staying far below
+      // all-pairs, not by unflagged items existing
+      assert(flagged > 0 && flagged <= items, s"$mod: flagged $flagged of $items items")
+      assert(dups < items * (items - 1) / 4, s"$mod: corpus collapsed into one cluster")
+    }
+  }
+
+  test("q135 plan: payloads die at the codec boundaries, pairing is banded") {
+    val p = staticPlan(Multimodal.q135MultimodalNearDup.run(spark, sfDir))
+    val leaks = p.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == BinaryType) => e
+    }
+    assert(leaks.isEmpty, s"binary payload crosses an exchange: $leaks")
+    val unkeyed = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.isEmpty && !j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] => j
+    }
+    assert(unkeyed.isEmpty, s"q135 contains an unkeyed non-scalar join: $unkeyed")
+  }
+
   test("feature extraction yields normalized fixed-width float vectors") {
     val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
     assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))
