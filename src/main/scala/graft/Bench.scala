@@ -91,7 +91,8 @@ object Bench {
     // training-data card, and the audio/GIF near-dup accounting
     "q133_image_neardup",
     "q134_training_data_card",
-    "q135_multimodal_neardup")
+    "q135_multimodal_neardup",
+    "q136_deletion_purge")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -160,7 +161,7 @@ object Bench {
     // process), so these are provisional ceilings; re-base DOWN from
     // the first quiet window
     "q133_image_neardup" -> 1.33, "q134_training_data_card" -> 4.94,
-    "q135_multimodal_neardup" -> 5.61)
+    "q135_multimodal_neardup" -> 5.61, "q136_deletion_purge" -> 4.81)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -2223,6 +2223,171 @@ object TextOps {
         |            LEFT JOIN fz ON b.doc_id = fz.doc_id
         |GROUP BY b.source ORDER BY source""".stripMargin)
 
+  /** q136: DELETION PROPAGATION (right-to-be-forgotten purge) — the
+    * compliance operator every stored-artifact pipeline needs at
+    * 100 TB: a deletion request list (the `doc_id % 83` slice) must be
+    * purged not just from the corpus but from every DERIVED artifact —
+    * here the q86 inverted index and the q17/q18 near-dup state — and
+    * the judged output is the full purge accounting plus a
+    * maintenance-vs-rebuild certification.
+    *
+    * The index-maintenance subtlety this query exists to exercise: the
+    * at-rest q86 artifact stores EXACT postings only for in-band terms
+    * (2 ≤ df ≤ 8) — a saturated term (df ≥ 9) stored nothing, yet
+    * deletion can bring its true df INTO the band ("entering" terms).
+    * Incremental maintenance therefore has three legs: untouched terms
+    * carry over, touched in-band terms have deleted ids filtered from
+    * their stored postings (dropping below df 2 drops the term), and
+    * entering terms are RECOUNTED from raw data — term-scoped, via a
+    * semi-join, never a full rebuild. `maintenance_mismatch_terms`
+    * compares this artifact-path result against a from-scratch rebuild
+    * on the purged corpus (full outer join on term + posting-list
+    * equality): 0 certifies the maintenance rule; any wrong leg (e.g.
+    * forgetting entering terms) is a nonzero judged value.
+    *
+    * Scale: the deletion list is corpus-proportional by construction
+    * (no broadcast hint — the q101 lesson); every maintenance leg is
+    * term-keyed and touches ONLY terms containing a deleted doc (the
+    * semi-join bounds all recount shuffles by affected-term rows); df
+    * recounts are map-side-combined counts (bounded state even on
+    * stopword terms); the near-dup accounting rides the existing
+    * banded frames with pure predicates (no extra join for
+    * pairs_removed). The certification rebuild is the one
+    * intentionally-full pass — it is the verification job a real purge
+    * runs once, not the maintenance path.
+    */
+  val q136DeletionPurge: QuerySpec = QuerySpec(
+    (s, dir) => purgeAccounting(s, Tables.documents(s, dir)),
+    q136OracleSql)
+
+  /** The q136 run body over an EXPLICIT corpus frame — exposed because
+    * the judged corpus's trigram df distribution never produces an
+    * "entering" term at any deletion density (measured: 0 at every
+    * modulus from 83 down to 3), so `TextOpsSpec` certifies that leg on
+    * an engineered corpus with a saturated term whose deletions bring
+    * it into the band (the SpanDedupSpec precedent: hand-verified
+    * structure the natural corpus cannot exercise).
+    */
+  private[graft] def purgeAccounting(s: SparkSession, docs: DataFrame): DataFrame = {
+      def isDel(c: Column) = c % 83 === 0
+      val ds = shingles(docs).select(col("sh"), col("doc_id")).distinct()
+      val delTerms = ds.filter(isDel(col("doc_id"))).select(col("sh")).distinct()
+      // touched-term recount: dfb (before), ddel (deleted members), dfa
+      // (after) — pinned, five metric consumers below
+      val aff = graft.core.Checkpoints.pin(
+        ds.join(delTerms, Seq("sh"), "left_semi")
+          .groupBy(col("sh"))
+          .agg(count(lit(1)).as("dfb"),
+            sum(when(isDel(col("doc_id")), 1L).otherwise(0L)).as("ddel"))
+          .withColumn("dfa", col("dfb") - col("ddel")))
+      val bdistinct = udaf(new graft.functions.BoundedDistinct(9)) // df_max + 1
+      def indexOf(d: DataFrame): DataFrame = shingles(d).groupBy(col("sh"))
+        .agg(bdistinct(col("doc_id")).as("docs"))
+        .filter(size(col("docs")).between(2, 8))
+      val oldIx = graft.core.Checkpoints.pin(indexOf(docs))
+      // maintenance legs (the artifact path)
+      val untouched = oldIx.join(delTerms, Seq("sh"), "left_anti")
+      val touched = oldIx.join(delTerms, Seq("sh"), "left_semi")
+        .withColumn("docs", expr("filter(docs, x -> x % 83 != 0)"))
+        .filter(size(col("docs")) >= 2)
+      val entering = ds.filter(!isDel(col("doc_id")))
+        .join(aff.filter(col("dfb") > 8 && col("dfa").between(2, 8))
+          .select(col("sh")), Seq("sh"), "left_semi")
+        .groupBy(col("sh")).agg(bdistinct(col("doc_id")).as("docs"))
+      val maintained = graft.core.Checkpoints.pin(
+        untouched.unionAll(touched).unionAll(entering))
+      val rebuilt = indexOf(docs.filter(!isDel(col("doc_id"))))
+      val mm = maintained.select(col("sh"), array_sort(col("docs")).as("md"))
+        .join(rebuilt.select(col("sh"), array_sort(col("docs")).as("rd")),
+          Seq("sh"), "full_outer")
+        .filter(col("md").isNull || col("rd").isNull || col("md") =!= col("rd"))
+        .agg(count(lit(1)).as("value"))
+      def metric(name: String, v: DataFrame): DataFrame =
+        v.select(lit(name).as("metric"), col("value"))
+      val delDocs = docs.filter(isDel(col("doc_id")))
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tok"))
+      val bands = minhashBands(docs)
+      Seq(
+        metric("deleted_docs", delDocs.select(col("n").as("value"))),
+        metric("deleted_tokens", delDocs.select(col("tok").as("value"))),
+        metric("index_terms_affected",
+          aff.filter(col("dfb").between(2, 8)).agg(count(lit(1)).as("value"))),
+        metric("index_terms_dropped",
+          aff.filter(col("dfb").between(2, 8) && col("dfa") < 2)
+            .agg(count(lit(1)).as("value"))),
+        metric("index_terms_entering",
+          aff.filter(col("dfb") > 8 && col("dfa").between(2, 8))
+            .agg(count(lit(1)).as("value"))),
+        metric("index_postings_removed",
+          aff.filter(col("dfb").between(2, 8) && col("dfa") >= 2)
+            .agg(coalesce(sum(col("ddel")), lit(0L)).as("value"))),
+        metric("maintained_index_terms", maintained.agg(count(lit(1)).as("value"))),
+        metric("maintenance_mismatch_terms", mm),
+        metric("neardup_buckets_affected",
+          bands.filter(isDel(col("doc_id"))).select(col("band_id"), col("bucket"))
+            .distinct().agg(count(lit(1)).as("value"))),
+        metric("neardup_pairs_removed",
+          lshPairs(docs).filter(isDel(col("doc_a")) || isDel(col("doc_b")))
+            .agg(count(lit(1)).as("value"))))
+        .reduce(_ unionAll _)
+        .orderBy(col("metric"))
+  }
+
+  private def q136OracleSql: String =
+    lshChainSql +
+      """,
+        |ds AS (SELECT DISTINCT doc_id, sh FROM shx),
+        |aff AS (SELECT * FROM (
+        |          SELECT sh, count(*) AS dfb,
+        |            cast(sum(CASE WHEN doc_id % 83 = 0 THEN 1 ELSE 0 END) AS bigint) AS ddel,
+        |            count(*) - cast(sum(CASE WHEN doc_id % 83 = 0 THEN 1 ELSE 0 END) AS bigint) AS dfa
+        |          FROM ds GROUP BY sh)
+        |        WHERE ddel > 0),
+        |oldix AS (SELECT sh, list(doc_id ORDER BY doc_id) AS docs
+        |          FROM ds GROUP BY sh HAVING count(*) BETWEEN 2 AND 8),
+        |untouched AS (SELECT o.sh, o.docs FROM oldix o
+        |              LEFT JOIN aff a ON o.sh = a.sh WHERE a.sh IS NULL),
+        |touched AS (SELECT sh, docs FROM (
+        |              SELECT o.sh, list_filter(o.docs, x -> x % 83 <> 0) AS docs
+        |              FROM oldix o JOIN aff a ON o.sh = a.sh)
+        |            WHERE len(docs) >= 2),
+        |entering AS (SELECT a.sh, list(ds.doc_id ORDER BY ds.doc_id) AS docs
+        |             FROM aff a JOIN ds ON a.sh = ds.sh AND ds.doc_id % 83 <> 0
+        |             WHERE a.dfb > 8 AND a.dfa BETWEEN 2 AND 8
+        |             GROUP BY a.sh),
+        |maintained AS (SELECT * FROM untouched UNION ALL
+        |               SELECT * FROM touched UNION ALL
+        |               SELECT * FROM entering),
+        |rebuilt AS (SELECT sh, list(doc_id ORDER BY doc_id) AS docs
+        |            FROM ds WHERE doc_id % 83 <> 0
+        |            GROUP BY sh HAVING count(*) BETWEEN 2 AND 8),
+        |mm AS (SELECT count(*) AS v FROM maintained m
+        |       FULL OUTER JOIN rebuilt r ON m.sh = r.sh
+        |       WHERE m.sh IS NULL OR r.sh IS NULL OR m.docs <> r.docs),
+        |deld AS (SELECT cast(count(*) AS bigint) AS n,
+        |           cast(sum(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS tok
+        |         FROM documents WHERE doc_id % 83 = 0)
+        |SELECT metric, cast(value AS bigint) AS value FROM (
+        |  SELECT 'deleted_docs' AS metric, (SELECT n FROM deld) AS value
+        |  UNION ALL SELECT 'deleted_tokens', (SELECT tok FROM deld)
+        |  UNION ALL SELECT 'index_terms_affected',
+        |    (SELECT count(*) FROM aff WHERE dfb BETWEEN 2 AND 8)
+        |  UNION ALL SELECT 'index_terms_dropped',
+        |    (SELECT count(*) FROM aff WHERE dfb BETWEEN 2 AND 8 AND dfa < 2)
+        |  UNION ALL SELECT 'index_terms_entering',
+        |    (SELECT count(*) FROM aff WHERE dfb > 8 AND dfa BETWEEN 2 AND 8)
+        |  UNION ALL SELECT 'index_postings_removed',
+        |    (SELECT coalesce(sum(ddel), 0) FROM aff WHERE dfb BETWEEN 2 AND 8 AND dfa >= 2)
+        |  UNION ALL SELECT 'maintained_index_terms', (SELECT count(*) FROM maintained)
+        |  UNION ALL SELECT 'maintenance_mismatch_terms', (SELECT v FROM mm)
+        |  UNION ALL SELECT 'neardup_buckets_affected',
+        |    (SELECT count(*) FROM (SELECT DISTINCT band_id, bucket FROM bands
+        |                           WHERE doc_id % 83 = 0))
+        |  UNION ALL SELECT 'neardup_pairs_removed',
+        |    (SELECT count(*) FROM pairs WHERE doc_a % 83 = 0 OR doc_b % 83 = 0)
+        |) ORDER BY metric""".stripMargin
+
   /** q134: the TRAINING-DATA CARD — the full curation pipeline composed
     * end-to-end into the one artifact a training run actually consumes:
     * per source, the raw→filtered→decontaminated funnel counts, the
@@ -2364,6 +2529,7 @@ object TextOps {
 
   val all: Map[String, QuerySpec] = Map(
     "q134_training_data_card" -> q134TrainingDataCard,
+    "q136_deletion_purge" -> q136DeletionPurge,
     "q129_decontam_pipeline" -> q129DecontamPipeline,
     "q123_triangle_clustering" -> q123TriangleClustering,
     "q122_bpe_merges" -> q122BpeMerges,

@@ -561,6 +561,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // boundaries, so no payload and nothing corpus-proportional
       // crosses an exchange
       "q135_multimodal_neardup" -> 30,
+      // q136 (round-9, audited at introduction): the purge accounting —
+      // the (sh, doc_id) distinct + touched-term recount feed the pinned
+      // aff frame (read by five 1-row metric aggregates — scalar
+      // exchanges, the q101/q116 accounting); the maintenance legs are
+      // term-keyed joins over the pinned old index; the certification
+      // rebuild + full-outer compare and the near-dup bucket distinct
+      // are the remaining keyed exchanges; output sort is 10 rows
+      "q136_deletion_purge" -> 14,
       // q134 (round-9, audited at introduction): the composed card —
       // the q46 CC machinery's banded-LSH + label-propagation exchanges
       // dominate (cluster labels feed the split hash, which itself adds

@@ -200,4 +200,37 @@ class TextOpsSpec extends AnyFunSuite {
       got.foreach { case (id, g) => assert(g == expected(id), s"doc $id: got $g, want ${expected(id)}") }
     } finally out.unpersist()
   }
+
+  test("q136 purge: the entering-term maintenance leg works (engineered corpus)") {
+    // The judged corpus's trigram df distribution never produces an
+    // "entering" term (a saturated df>8 term whose deletions bring it
+    // into the 2..8 band) at any deletion density — measured 0 from
+    // modulus 83 down to 3. Engineer one, plus one specimen of each
+    // other maintenance leg, and check the full accounting by hand:
+    //   E "aa bb cc": df 10 (3 deletable) -> enters at dfa 7
+    //   D "dd ee ff": df 2  (1 deletable) -> drops at dfa 1
+    //   U "gg hh ii": df 3  untouched     -> carries over
+    //   R "jj kk ll": df 4  (1 deletable) -> survives with 1 entry removed
+    // Every text is exactly one trigram (3 words), so no bridging terms.
+    import spark.implicits._
+    val del = Seq(0L, 83L, 166L, 249L, 332L) // ids % 83 == 0
+    val rows =
+      (Seq(0L, 83L, 166L) ++ (1L to 7L)).map(id => (id, "aa bb cc")) ++
+        Seq(249L -> "dd ee ff", 9L -> "dd ee ff") ++
+        Seq(10L, 11L, 12L).map(id => (id, "gg hh ii")) ++
+        Seq(332L -> "jj kk ll", 20L -> "jj kk ll", 21L -> "jj kk ll", 22L -> "jj kk ll")
+    val docs = rows.toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val m = TextOps.purgeAccounting(spark, docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("deleted_docs") == del.size)
+    assert(m("index_terms_entering") == 1L, s"entering leg broken: $m")
+    assert(m("index_terms_dropped") == 1L, s"dropped leg broken: $m")
+    assert(m("index_postings_removed") == 1L, s"filter leg broken: $m")
+    assert(m("maintained_index_terms") == 3L, s"maintained = U + R + E: $m")
+    // the certification that makes the legs count: artifact-path
+    // maintenance equals the from-scratch rebuild, entering term included
+    assert(m("maintenance_mismatch_terms") == 0L, s"maintenance != rebuild: $m")
+  }
 }
