@@ -816,9 +816,9 @@ object Multimodal {
     * (= bands − 1) shares at least one intact band, so the banded join
     * is EXACT for the judged predicate, not probabilistic.
     */
-  private val DHashBands = 4
-  private val DHashBandBits = 14
-  private val DHashHamMax = 3
+  private[graft] val DHashBands = 4
+  private[graft] val DHashBandBits = 14
+  private[graft] val DHashHamMax = 3
 
   /** q133's banded Hamming pairing over ANY (media_id, sig) signature
     * frame — shared verbatim by the q135 audio/GIF legs so the dup-pair
@@ -826,12 +826,20 @@ object Multimodal {
     * media_id_b, hamming) with hamming ≤ [[DHashHamMax]], exact by
     * pigeonhole (bands = HamMax + 1), bucket-capped.
     */
-  private def hammingDupPairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("media_id"), col("sig"),
+  /** (media_id, sig, band, v) band rows — one posexplode pass over a
+    * signature frame (the minhashBands shape). Shared by
+    * [[hammingDupPairs]] and the streaming q137, so the banding scheme
+    * cannot drift between batch and streaming.
+    */
+  private[graft] def dhashBandRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id"), col("sig"),
       posexplode(array((0 until DHashBands).map(b =>
         shiftright(col("sig"), b * DHashBandBits)
           .bitwiseAND(lit((1L << DHashBandBits) - 1))): _*)))
       .select(col("media_id"), col("sig"), col("pos").as("band"), col("col").as("v"))
+
+  private[graft] def hammingDupPairs(sigs: DataFrame): DataFrame = {
+    val bands = dhashBandRows(sigs)
     val ok = bands.groupBy(col("band"), col("v"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= DHashBucketCap)
       .select(col("band"), col("v"))
@@ -855,7 +863,7 @@ object Multimodal {
     * the corpus never reaches the cap (spec-pinned), and the oracle
     * replays the cap so semantics stay aligned if it ever fires.
     */
-  private val DHashBucketCap = 64
+  private[graft] val DHashBucketCap = 64
 
   /** q133: image near-dup (perceptual hash) — the image leg of the
     * dedup family (exact/fuzzy/semantic text dedup: q12/q17/q25). One
@@ -883,28 +891,36 @@ object Multimodal {
     * width (more bits per band as the corpus grows) and the cap — the
     * plan shape is unchanged.
     */
-  val q133ImageNearDup: graft.QuerySpec = graft.QuerySpec(
-    (s, dir) => {
-      import s.implicits._
-      val staged = stagedNearDupImageDir(s, dir)
-      val sigs = graft.core.Checkpoints.pin(
-        s.read.format("binaryFile")
-          .option("pathGlobFilter", "*.png")
-          .load(staged)
-          .select(
-            regexp_extract(col("path"), "/(\\d+)\\.png$", 1).cast(LongType).as("media_id"),
-            col("content").as("payload"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions { it =>
-            it.map { case (id, payload) =>
-              val img = JdkCodec.decode(payload).getOrElse(
-                throw new IllegalStateException(s"undecodable staged image $id"))
-              (id, dhash56(img))
-            }
+  /** The pinned (media_id, sig) dHash frame over the q133 staged PNG
+    * corpus — decode + signature at the codec boundary. Shared by q133
+    * (the pair listing), q135's image leg, and the streaming q137 so
+    * the signature pipeline cannot drift between them.
+    */
+  private[graft] def imageSigFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedNearDupImageDir(s, dir)
+    graft.core.Checkpoints.pin(
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(staged)
+        .select(
+          regexp_extract(col("path"), "/(\\d+)\\.png$", 1).cast(LongType).as("media_id"),
+          col("content").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val img = JdkCodec.decode(payload).getOrElse(
+              throw new IllegalStateException(s"undecodable staged image $id"))
+            (id, dhash56(img))
           }
-          .toDF("media_id", "sig"))
-      hammingDupPairs(sigs).orderBy(col("media_id_a"), col("media_id_b"))
-    },
+        }
+        .toDF("media_id", "sig"))
+  }
+
+  val q133ImageNearDup: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) =>
+      hammingDupPairs(imageSigFrame(s, dir))
+        .orderBy(col("media_id_a"), col("media_id_b")),
     "WITH " + imageSigCtes("") + dhashPairsSql("sig", "") +
       "\nSELECT media_id_a, media_id_b, hamming FROM pairs ORDER BY media_id_a, media_id_b")
 
@@ -912,7 +928,7 @@ object Multimodal {
     * `${p}d … ${p}sig(doc_id, sig)` — p-prefixed so q135 can chain one
     * per modality without name collisions; q133 uses p = "".
     */
-  private def imageSigCtes(p: String): String =
+  private[graft] def imageSigCtes(p: String): String =
     s"""${p}d AS (
        |  SELECT doc_id, doc_id // 4 AS m,
        |         8 + (doc_id // 4) % 9 AS w,
@@ -945,7 +961,7 @@ object Multimodal {
     * CTE, as `${p}pairs(media_id_a, media_id_b, hamming)`. Appends to a
     * WITH chain.
     */
-  private def dhashPairsSql(sigCte: String, p: String): String =
+  private[graft] def dhashPairsSql(sigCte: String, p: String): String =
     s""",
        |${p}bands AS (SELECT doc_id, sig, band, (sig >> (14 * band)) & 16383 AS v
        |          FROM (SELECT *, unnest(range(0, 4)) AS band FROM $sigCte)),
@@ -1030,10 +1046,7 @@ object Multimodal {
             .as[(Long, Array[Byte])]
             .mapPartitions(it => it.map { case (id, payload) => (id, f(payload)) })
             .toDF("media_id", "sig"))
-      val imgSigs = sigsOf(stagedNearDupImageDir(s, dir), "png") { p =>
-        dhash56(JdkCodec.decode(p).getOrElse(
-          throw new IllegalStateException("undecodable staged image")))
-      }
+      val imgSigs = imageSigFrame(s, dir)
       val audSigs = sigsOf(stagedNearDupAudioDir(s, dir), "wav") { p =>
         val (ok, samples) = JdkAudio.decodePcm16(p)
         if (!ok) throw new IllegalStateException("undecodable staged wav")

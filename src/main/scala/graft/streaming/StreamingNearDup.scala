@@ -26,6 +26,73 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * boundaries — asserted equal to the batch form by
   * `StreamingNearDupSpec`.
   */
+/** Streaming PERCEPTUAL near-dup over dHash band buckets (the image
+  * q133 scheme run as a stream): unlike [[StreamingNearDup]]'s
+  * candidate-level flags, a flag here requires the EXACT Hamming
+  * predicate (bit_count(xor) ≤ hamMax), so state must hold (id, sig)
+  * members — bounded by the SAME bucket cap the batch scheme drops
+  * mega-buckets at (q133's `DHashBucketCap`): arrivals beyond the cap
+  * are ignored for the bucket, exactly the batch cap semantics when no
+  * bucket saturates (spec-pinned none do on the corpus).
+  *
+  * Order independence inside the cap: every in-bucket pair within
+  * hamMax flags its LARGER id regardless of arrival order — an arrival
+  * is flagged when a smaller-id member is within hamMax, and existing
+  * larger-id members within hamMax of the arrival are flagged
+  * retroactively (the q99 superseded-min protocol generalized to
+  * pairs). A member's `flagged` bit makes per-key emission
+  * exactly-once; the same id may still be flagged via several band
+  * keys — the judged rollup distincts, as q99's does.
+  *
+  * The final flagged set equals the batch `DISTINCT media_id_b FROM
+  * pairs` of q133's banded scheme, which is what the DuckDB oracle
+  * replays.
+  */
+object StreamingHammingDup {
+
+  case class SigBandRow(media_id: Long, sig: Long, band: Int, v: Long)
+
+  case class Flagged(media_id: Long)
+
+  // public: the kryo state encoder rejects non-public classes
+  case class Member(id: Long, sig: Long, flagged: Boolean)
+  case class BucketState(members: List[Member])
+
+  def flagged(rows: Dataset[SigBandRow], cap: Int, hamMax: Int): Dataset[Flagged] = {
+    implicit val outEnc = Encoders.product[Flagged]
+    implicit val stateEnc = Encoders.kryo[BucketState]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+
+    rows
+      .groupByKey(r => (r.band, r.v))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), arrivals: Iterator[SigBandRow],
+         state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[Long]
+          // ascending-id processing makes within-batch emission match
+          // the cross-batch protocol (smaller ids are "earlier")
+          arrivals.toSeq.sortBy(_.media_id).foreach { r =>
+            if (members.lengthCompare(cap) < 0 && !members.exists(_.id == r.media_id)) {
+              def near(m: Member): Boolean =
+                java.lang.Long.bitCount(m.sig ^ r.sig) <= hamMax
+              // retroactive: existing LARGER-id mates of the arrival
+              members = members.map { m =>
+                if (!m.flagged && m.id > r.media_id && near(m)) {
+                  out += m.id; m.copy(flagged = true)
+                } else m
+              }
+              val isDup = members.exists(m => m.id < r.media_id && near(m))
+              if (isDup) out += r.media_id
+              members = Member(r.media_id, r.sig, isDup) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator.map(Flagged)
+        })
+  }
+}
+
 object StreamingNearDup {
 
   case class BandRow(doc_id: Long, band_id: Int, bucket: String)

@@ -348,8 +348,53 @@ object StreamingQueries {
         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
+  /** q137: STREAMING image perceptual near-dup — q133's dHash banding
+    * run through `flatMapGroupsWithState` ([[StreamingHammingDup]]):
+    * band rows from the REAL codec-path signature frame are replayed as
+    * micro-batches, per-bucket bounded state applies the exact Hamming
+    * predicate with the batch scheme's cap, and the judged rollup is
+    * the per-source flagged accounting. The oracle replays q133's
+    * batch pairs and takes `DISTINCT media_id_b` — the set the
+    * order-independent emission protocol converges to regardless of
+    * batch boundaries (the q99 contract, generalized from min-tracking
+    * to pair predicates).
+    *
+    * Scale: state per (band, v) bucket is ≤ cap (id, sig, bit)
+    * entries — bounded exactly where the batch join is; everything
+    * upstream of the stateful operator is the q133 codec/signature
+    * plan.
+    */
+  val q137StreamingImageNearDup: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val sigs = graft.ext.Multimodal.imageSigFrame(s, dir)
+      val bandRows = graft.ext.Multimodal.dhashBandRows(sigs)
+        .select(col("media_id"), col("sig"),
+          col("band").cast("integer").as("band"), col("v"))
+      val flaggedDf = replayToSink(s, bandRows, "q137", dir) { stream =>
+        (StreamingHammingDup.flagged(stream.as[StreamingHammingDup.SigBandRow],
+          graft.ext.Multimodal.DHashBucketCap,
+          graft.ext.Multimodal.DHashHamMax).toDF(), "append")
+      }
+      Tables.documents(s, dir)
+        .join(flaggedDf.select(col("media_id").as("doc_id")).distinct()
+          .withColumn("f", lit(1L)), Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"), count(col("f")).as("n_neardup"))
+        .orderBy(col("source"))
+    },
+    "WITH " + graft.ext.Multimodal.imageSigCtes("") +
+      graft.ext.Multimodal.dhashPairsSql("sig", "") +
+      """
+        |, flagged AS (SELECT DISTINCT media_id_b AS doc_id FROM pairs)
+        |SELECT d.source AS source, cast(count(*) AS bigint) AS n_images,
+        |       cast(count(f.doc_id) AS bigint) AS n_neardup
+        |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q99_streaming_neardup" -> q99StreamingNearDup,
+    "q137_streaming_image_neardup" -> q137StreamingImageNearDup,
     "q84_stream_stream_join" -> q84StreamStreamJoin,
     "q66_streaming_topk" -> q66StreamingTopK,
     "q68_streaming_retention" -> q68StreamingRetention,

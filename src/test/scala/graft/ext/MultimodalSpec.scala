@@ -295,6 +295,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(unkeyed.isEmpty, s"q135 contains an unkeyed non-scalar join: $unkeyed")
   }
 
+  test("q137's bounded streaming state never saturates: dHash buckets stay far under the cap") {
+    // the streaming operator ignores arrivals once a bucket hits
+    // DHashBucketCap (the batch cap semantics) — sound only while no
+    // corpus bucket saturates. Pin the headroom so corpus drift that
+    // breaks the equivalence fails loudly here, not as a silent
+    // batch/stream divergence.
+    val sigs = Multimodal.imageSigFrame(spark, sfDir)
+    val maxBucket = Multimodal.dhashBandRows(sigs)
+      .groupBy(col("band"), col("v")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxBucket <= Multimodal.DHashBucketCap / 2,
+      s"largest dHash bucket $maxBucket is within 2x of the cap ${Multimodal.DHashBucketCap}")
+    // and the streaming rollup actually flags something
+    val flagged = graft.streaming.StreamingQueries.q137StreamingImageNearDup
+      .run(spark, sfDir).agg(sum(col("n_neardup"))).head.getLong(0)
+    assert(flagged > 0, "q137 flagged nothing")
+  }
+
   test("feature extraction yields normalized fixed-width float vectors") {
     val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
     assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))
