@@ -296,7 +296,11 @@ class OracleLintSpec extends AnyFunSuite {
     // degree - 1 >= 1 and the product is positive — quotient never
     // negative (and even, so floor == trunc exactly anyway)
     ("q123_triangle_clustering", "(d.degree - 1) // 2 AS bigint"),
-    ("q123_triangle_clustering", "(d.degree - 1) // 2 AS double"))
+    ("q123_triangle_clustering", "(d.degree - 1) // 2 AS double"),
+    // audio diff-window index: the frame filters i >= 1 so i - 1 >= 0,
+    // and n >= 256 (motif-keyed clip length) so n - 1 >= 1 — quotient
+    // never negative
+    ("q135_multimodal_neardup", "((i - 1) * 57) // (n - 1)"))
 
   test("no unaudited negative-operand floor division in the oracle registry") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
