@@ -350,8 +350,15 @@ object TextOps {
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("bucket"))
 
-  private[graft] def lshPairs(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+  private[graft] def lshPairs(docs: DataFrame): DataFrame =
+    lshPairsFrom(minhashBands(docs))
+
+  /** Pair generation over an EXPLICIT band frame — lets a caller that
+    * also consumes the band rows (q136's bucket accounting) pin the
+    * frame once instead of re-running the signature aggregation per
+    * consumer.
+    */
+  private[graft] def lshPairsFrom(bands: DataFrame): DataFrame = {
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("bucket"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("bucket").as("bucket_b"))
     a.join(b, col("band_id") === col("band_id_b") && col("bucket") === col("bucket_b")
@@ -2270,12 +2277,18 @@ object TextOps {
     */
   private[graft] def purgeAccounting(s: SparkSession, docs: DataFrame): DataFrame = {
       def isDel(c: Column) = c % 83 === 0
-      val ds = shingles(docs).select(col("sh"), col("doc_id")).distinct()
-      val delTerms = ds.filter(isDel(col("doc_id"))).select(col("sh")).distinct()
+      val delTerms = shingles(docs).filter(isDel(col("doc_id")))
+        .select(col("sh")).distinct()
+      // only TOUCHED terms' rows ever get the per-(sh, doc) distinct —
+      // the semi-join comes BEFORE the dedup, so the corpus-wide
+      // (sh, doc_id) relation is never shuffled whole (at 100 TB the
+      // touched slice is |deleted| × df, not the corpus)
+      val touchedRows = shingles(docs).join(delTerms, Seq("sh"), "left_semi")
+        .select(col("sh"), col("doc_id")).distinct()
       // touched-term recount: dfb (before), ddel (deleted members), dfa
       // (after) — pinned, five metric consumers below
       val aff = graft.core.Checkpoints.pin(
-        ds.join(delTerms, Seq("sh"), "left_semi")
+        touchedRows
           .groupBy(col("sh"))
           .agg(count(lit(1)).as("dfb"),
             sum(when(isDel(col("doc_id")), 1L).otherwise(0L)).as("ddel"))
@@ -2290,7 +2303,7 @@ object TextOps {
       val touched = oldIx.join(delTerms, Seq("sh"), "left_semi")
         .withColumn("docs", expr("filter(docs, x -> x % 83 != 0)"))
         .filter(size(col("docs")) >= 2)
-      val entering = ds.filter(!isDel(col("doc_id")))
+      val entering = touchedRows.filter(!isDel(col("doc_id")))
         .join(aff.filter(col("dfb") > 8 && col("dfa").between(2, 8))
           .select(col("sh")), Seq("sh"), "left_semi")
         .groupBy(col("sh")).agg(bdistinct(col("doc_id")).as("docs"))
@@ -2307,7 +2320,10 @@ object TextOps {
       val delDocs = docs.filter(isDel(col("doc_id")))
         .agg(count(lit(1)).as("n"),
           sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tok"))
-      val bands = minhashBands(docs)
+      // pinned: THREE consumers (both pair-join sides + the bucket
+      // metric) would otherwise each re-run the corpus-sized signature
+      // aggregation — the dominant cost of the near-dup legs
+      val bands = graft.core.Checkpoints.pin(minhashBands(docs))
       Seq(
         metric("deleted_docs", delDocs.select(col("n").as("value"))),
         metric("deleted_tokens", delDocs.select(col("tok").as("value"))),
@@ -2328,7 +2344,7 @@ object TextOps {
           bands.filter(isDel(col("doc_id"))).select(col("band_id"), col("bucket"))
             .distinct().agg(count(lit(1)).as("value"))),
         metric("neardup_pairs_removed",
-          lshPairs(docs).filter(isDel(col("doc_a")) || isDel(col("doc_b")))
+          lshPairsFrom(bands).filter(isDel(col("doc_a")) || isDel(col("doc_b")))
             .agg(count(lit(1)).as("value"))))
         .reduce(_ unionAll _)
         .orderBy(col("metric"))
