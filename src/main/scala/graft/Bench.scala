@@ -93,7 +93,8 @@ object Bench {
     "q134_training_data_card",
     "q135_multimodal_neardup",
     "q136_deletion_purge",
-    "q137_streaming_image_neardup")
+    "q137_streaming_image_neardup",
+    "q138_data_quality")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -163,7 +164,7 @@ object Bench {
     // the first quiet window
     "q133_image_neardup" -> 1.33, "q134_training_data_card" -> 4.94,
     "q135_multimodal_neardup" -> 5.61, "q136_deletion_purge" -> 4.81,
-    "q137_streaming_image_neardup" -> 3.71)
+    "q137_streaming_image_neardup" -> 3.71, "q138_data_quality" -> 1.88)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

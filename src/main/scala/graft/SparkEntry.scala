@@ -13,7 +13,7 @@ object SparkEntry {
     * text analysis), events/streaming surface.
     */
   def registry: Map[String, QuerySpec] =
-    operators.Relational.all ++ ext.TextOps.all ++ ext.VectorOps.all ++
+    operators.Relational.all ++ reports.Quality.all ++ ext.TextOps.all ++ ext.VectorOps.all ++
       ext.EventOps.all ++ ext.ProfileOps.all ++ ext.AnalyticsOps.all ++ ext.CorpusOps.all ++
       ext.Multimodal.all ++ ext.BucketedOps.all ++ ext.PiiOps.all ++
       streaming.StreamingQueries.all

@@ -569,6 +569,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // rebuild + full-outer compare and the near-dup bucket distinct
       // are the remaining keyed exchanges; output sort is 10 rows
       "q136_deletion_purge" -> 14,
+      // q138 (round-9, audited at introduction): twelve checks = mostly
+      // 1-row scalar-agg exchanges (one per report row + the shared
+      // count frames — the q101/q116 accounting) plus the two
+      // uniqueness groupBys, the anti-join sides and the 12-row output
+      // sort; the five lineitem single-table checks share ONE scan
+      // pass, and every RI anti-join is planner-sized (dims broadcast)
+      "q138_data_quality" -> 26,
       // q134 (round-9, audited at introduction): the composed card —
       // the q46 CC machinery's banded-LSH + label-propagation exchanges
       // dominate (cluster labels feed the split hash, which itself adds
