@@ -55,4 +55,20 @@ class ReportsSpec extends AnyFunSuite {
     val most = Reports.mostSoldPerCategory(orders, inv).collect()
     assert(most.head.getAs[Long]("total_sold") == 3)
   }
+
+  test("q138's DQ report is non-vacuous: some checks fire, some pass") {
+    // the oracle replays the same counts, so a corpus regeneration that
+    // stopped planting duplicate lineitem keys (or randomized ship
+    // dates past their order dates) would keep the oracle green while
+    // turning the report into an all-pass rubber stamp — pin the
+    // discriminating shape here
+    val rows = Quality.q138DataQuality.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("uniqueness_lineitem_key") > 0,
+      "the corpus's planted duplicate lineitem keys are gone")
+    assert(rows("consistency_ship_after_order") > 0,
+      "the ship-before-order inconsistency is gone")
+    assert(rows.count(_._2 == 0L) >= 5,
+      s"most checks should PASS on this corpus: $rows")
+  }
 }
