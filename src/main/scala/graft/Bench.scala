@@ -158,13 +158,13 @@ object Bench {
     // introduction runs
     "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 2.29,
     "q132_rank_quality" -> 0.84,
-    // round-9 additions: per-query min of sf0.1 introduction runs —
-    // measured in a loaded window (loadavg 1.8–6 from outside this
-    // process), so these are provisional ceilings; re-base DOWN from
-    // the first quiet window
-    "q133_image_neardup" -> 1.33, "q134_training_data_card" -> 4.94,
-    "q135_multimodal_neardup" -> 5.61, "q136_deletion_purge" -> 4.81,
-    "q137_streaming_image_neardup" -> 3.71, "q138_data_quality" -> 1.88)
+    // round-9 additions: per-query min across the introduction runs and
+    // the two end-of-round 70/71-query full runs (external load 1.5–9
+    // through most windows — q134/q135 especially carry loaded-window
+    // ceilings; future quiet rounds may re-base DOWN)
+    "q133_image_neardup" -> 1.22, "q134_training_data_card" -> 4.15,
+    "q135_multimodal_neardup" -> 5.61, "q136_deletion_purge" -> 3.95,
+    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
