@@ -94,7 +94,8 @@ object Bench {
     "q135_multimodal_neardup",
     "q136_deletion_purge",
     "q137_streaming_image_neardup",
-    "q138_data_quality")
+    "q138_data_quality",
+    "q139_image_shard_admission")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -164,7 +165,8 @@ object Bench {
     // ceilings; future quiet rounds may re-base DOWN)
     "q133_image_neardup" -> 1.22, "q134_training_data_card" -> 4.15,
     "q135_multimodal_neardup" -> 5.61, "q136_deletion_purge" -> 3.95,
-    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95)
+    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95,
+    "q139_image_shard_admission" -> 2.54)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

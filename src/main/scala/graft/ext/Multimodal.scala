@@ -1156,6 +1156,86 @@ object Multimodal {
          |                                     UNION SELECT media_id_b FROM ipairs))
          |) ORDER BY modality""".stripMargin)
 
+  /** q139: incremental IMAGE-shard admission — the q101/q116 ingestion
+    * convention carried to the image modality: an incoming shard (the
+    * top ~20% of ids, boundary offset +2 so it lands MID-family the way
+    * a real arrival boundary does — aligned to the generator's 4-id
+    * families the corpus screen would be vacuously empty) is screened
+    * against the at-rest corpus by dHash, and each incoming image gets
+    * a verdict — duplicate-of-corpus (Hamming ≤ [[DHashHamMax]] to an
+    * at-rest image in a shared capped band bucket), duplicate-within-
+    * shard only, or new — rolled up per source.
+    *
+    * Scale: the at-rest band rows ARE the signature index a serving
+    * tier keeps materialized (the q103 at-rest-artifact accounting);
+    * both screens are bucket-keyed joins whose probe side is
+    * shard-sized, never all-pairs, with the q133 cap replayed. The
+    * shared [[imageSigFrame]]/[[dhashBandRows]] machinery means the
+    * admission screen and the batch dedup (q133) cannot drift.
+    */
+  val q139ImageShardAdmission: graft.QuerySpec = graft.QuerySpec(
+    (s, dir) => {
+      val sigs = imageSigFrame(s, dir)
+      val thr = sigs.agg((floor((max(col("media_id")) + 1) * 0.8) + 2)
+        .cast(LongType).as("t"))
+      val bands = dhashBandRows(sigs).crossJoin(broadcast(thr))
+      val ok = bands.groupBy(col("band"), col("v"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= DHashBucketCap)
+        .select(col("band"), col("v"))
+      val inc = bands.filter(col("media_id") >= col("t"))
+        .join(ok, Seq("band", "v"))
+        .select(col("band"), col("v"), col("media_id").as("id_i"), col("sig").as("sig_i"))
+      def near = expr(s"bit_count(sig_i ^ sig_o) <= $DHashHamMax")
+      val rest = bands.filter(col("media_id") < col("t"))
+        .select(col("band").as("band_o"), col("v").as("v_o"),
+          col("media_id").as("id_o"), col("sig").as("sig_o"))
+      val dupCorpus = inc.join(rest,
+          col("band") === col("band_o") && col("v") === col("v_o"))
+        .filter(near)
+        .select(col("id_i")).distinct().withColumn("dc", lit(1L))
+      val incO = bands.filter(col("media_id") >= col("t"))
+        .select(col("band").as("band_o"), col("v").as("v_o"),
+          col("media_id").as("id_o"), col("sig").as("sig_o"))
+      val dupShard = inc.join(incO,
+          col("band") === col("band_o") && col("v") === col("v_o")
+            && col("id_i") =!= col("id_o"))
+        .filter(near)
+        .select(col("id_i")).distinct().withColumn("dsh", lit(1L))
+      graft.tables.Tables.documents(s, dir)
+        .select(col("doc_id").as("id_i"), col("source"))
+        .crossJoin(broadcast(thr)).filter(col("id_i") >= col("t"))
+        .join(dupCorpus, Seq("id_i"), "left_outer")
+        .join(dupShard, Seq("id_i"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(coalesce(col("dc"), lit(0L))).as("n_dup_corpus"),
+          sum(when(col("dc").isNull && col("dsh") === 1L, 1L).otherwise(0L))
+            .as("n_dup_shard_only"),
+          sum(when(col("dc").isNull && col("dsh").isNull, 1L).otherwise(0L))
+            .as("n_new"))
+        .orderBy(col("source"))
+    },
+    "WITH " + imageSigCtes("") + dhashPairsSql("sig", "") +
+      s""",
+         |t AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) + 2 AS bigint) AS t FROM documents),
+         |dupc AS (SELECT DISTINCT media_id_b AS id FROM pairs, t
+         |         WHERE media_id_a < t.t AND media_id_b >= t.t),
+         |dupsh AS (SELECT DISTINCT id FROM (
+         |            SELECT media_id_b AS id FROM pairs, t WHERE media_id_a >= t.t
+         |            UNION
+         |            SELECT media_id_a FROM pairs, t
+         |            WHERE media_id_a >= t.t AND media_id_b >= t.t))
+         |SELECT d.source AS source,
+         |  cast(count(*) AS bigint) AS n_incoming,
+         |  cast(sum(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dup_corpus,
+         |  cast(sum(CASE WHEN c.id IS NULL AND sh.id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_dup_shard_only,
+         |  cast(sum(CASE WHEN c.id IS NULL AND sh.id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_new
+         |FROM documents d CROSS JOIN t
+         |LEFT JOIN dupc c ON d.doc_id = c.id
+         |LEFT JOIN dupsh sh ON d.doc_id = sh.id
+         |WHERE d.doc_id >= t.t
+         |GROUP BY d.source ORDER BY source""".stripMargin)
+
   val all: Map[String, graft.QuerySpec] = Map(
     "q65_frames_accounting" -> q65FramesAccounting,
     "q108_image_decode" -> q108ImageDecode,
@@ -1164,7 +1244,8 @@ object Multimodal {
     "q126_audio_frames" -> q126AudioFrames,
     "q131_multimodal_manifest" -> q131MultimodalManifest,
     "q133_image_neardup" -> q133ImageNearDup,
-    "q135_multimodal_neardup" -> q135MultimodalNearDup)
+    "q135_multimodal_neardup" -> q135MultimodalNearDup,
+    "q139_image_shard_admission" -> q139ImageShardAdmission)
 }
 
 /** Deterministic synthetic audio: 8 kHz mono 16-bit PCM whose samples

@@ -576,6 +576,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // sort; the five lineitem single-table checks share ONE scan
       // pass, and every RI anti-join is planner-sized (dims broadcast)
       "q138_data_quality" -> 26,
+      // q139 (round-9, audited at introduction): the shard threshold is
+      // a 1-row scalar exchange (recomputed per consumer branch — the
+      // q101/q116 accounting), then the bucket-cap rollup, the two
+      // screen-join sides' exchanges, the two verdict distincts, the
+      // per-source rollup and the 20-row output sort; the probe side of
+      // every screen is shard-sized and bucket-keyed
+      "q139_image_shard_admission" -> 14,
       // q134 (round-9, audited at introduction): the composed card —
       // the q46 CC machinery's banded-LSH + label-propagation exchanges
       // dominate (cluster labels feed the split hash, which itself adds

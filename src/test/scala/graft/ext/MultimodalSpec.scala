@@ -313,6 +313,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(flagged > 0, "q137 flagged nothing")
   }
 
+  test("q139 admission verdicts are non-vacuous: every verdict class occurs") {
+    // the oracle replays the same screen, so a boundary drifting back
+    // onto the 4-id family alignment would zero the corpus screen while
+    // staying green — pin all three verdict classes as genuinely
+    // populated on this corpus
+    val sums = Multimodal.q139ImageShardAdmission.run(spark, sfDir)
+      .agg(sum(col("n_incoming")), sum(col("n_dup_corpus")),
+        sum(col("n_dup_shard_only")), sum(col("n_new"))).head
+    assert(sums.getLong(0) > 0, "no incoming shard")
+    assert(sums.getLong(1) > 0, "corpus screen found nothing (boundary re-aligned with families?)")
+    assert(sums.getLong(2) > 0, "no within-shard duplicates")
+    assert(sums.getLong(3) > 0, "no new images at all")
+  }
+
   test("feature extraction yields normalized fixed-width float vectors") {
     val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
     assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))
