@@ -95,7 +95,13 @@ object Bench {
     "q136_deletion_purge",
     "q137_streaming_image_neardup",
     "q138_data_quality",
-    "q139_image_shard_admission")
+    "q139_image_shard_admission",
+    // round-9 second batch: the bigram LM-coherence filter, the
+    // batch≡incremental dedup equivalence proof, and the Bloom-gated
+    // admission screen
+    "q140_bigram_coherence",
+    "q141_dedup_equivalence",
+    "q142_bloom_admission")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -163,10 +169,14 @@ object Bench {
     // the two end-of-round 70/71-query full runs (external load 1.5–9
     // through most windows — q134/q135 especially carry loaded-window
     // ceilings; future quiet rounds may re-base DOWN)
-    "q133_image_neardup" -> 1.22, "q134_training_data_card" -> 4.15,
-    "q135_multimodal_neardup" -> 5.61, "q136_deletion_purge" -> 3.95,
+    "q133_image_neardup" -> 1.21, "q134_training_data_card" -> 4.06,
+    "q135_multimodal_neardup" -> 4.95, "q136_deletion_purge" -> 3.95,
     "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95,
-    "q139_image_shard_admission" -> 2.54)
+    "q139_image_shard_admission" -> 2.36,
+    // round-9 second batch: per-query min of matching sf0.1 runs at
+    // introduction (loadavg recorded in bench_diag.json)
+    "q140_bigram_coherence" -> 1.35, "q141_dedup_equivalence" -> 0.94,
+    "q142_bloom_admission" -> 0.65)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

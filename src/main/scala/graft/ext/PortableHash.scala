@@ -21,6 +21,23 @@ private[graft] object PortableHash {
     (0 until hexChars).map(i =>
       s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * ${math.pow(16, hexChars - 1 - i).toLong}")
       .mkString(" + ")
+
+  /** Numeric value of hex chars [start, start+hexChars) of an ALREADY-hex
+    * string column (e.g. a stored md5 fingerprint) — lets one stored hash
+    * yield several independent bucket coordinates (q142's Bloom positions)
+    * without rehashing. hexChars ≤ 14 keeps the value inside the 56-bit
+    * window that survives DuckDB HUGEINT→BIGINT casts exactly.
+    */
+  def hexSliceCol(e: Column, start: Int, hexChars: Int): Column = {
+    require(hexChars <= 14, "hex slice must stay inside the 56-bit exact window")
+    conv(substring(e, start, hexChars), 16, 10).cast("long")
+  }
+
+  /** DuckDB twin of [[hexSliceCol]] over the hex-string SQL expression `e`. */
+  def hexSliceSql(e: String, start: Int, hexChars: Int): String =
+    (0 until hexChars).map(i =>
+      s"(strpos('0123456789abcdef', substr($e, ${start + i}, 1)) - 1) * ${math.pow(16, hexChars - 1 - i).toLong}")
+      .mkString("(", " + ", ")")
 }
 
 /** Shared oracle-SQL fragments that keep the DuckDB twin's types aligned

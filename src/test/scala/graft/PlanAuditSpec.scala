@@ -591,6 +591,23 @@ class PlanAuditSpec extends AnyFunSuite {
       // ≤sources rollup pair, the bounded weight/total windows and the
       // output sort — every post-rollup exchange is source-cardinality
       "q134_training_data_card" -> 14,
+      // q140 (round-9, audited at introduction): unigram margin pinned
+      // (its exchange happens once, before the pin); the remaining
+      // exchanges are the bigram-count groupBy, the instance-stream join
+      // exchanges against the two vocab-bounded margins, the N scalar,
+      // the per-doc and per-source rollups and the 20-row output sort
+      "q140_bigram_coherence" -> 9,
+      // q141 (round-9, audited at introduction): every exchange is
+      // fingerprint-keyed (base/batch/shard-first groupBys, the anti
+      // probe, the full-outer equivalence compare) or a ≤sources rollup;
+      // the at-rest survivor frame is pinned before its three consumers
+      "q141_dedup_equivalence" -> 12,
+      // q142 (round-9, audited at introduction): fingerprint distinct +
+      // position distinct feed the two pinned frames (exchanges happen
+      // once, before the pins); after them the probe side's
+      // position-keyed join exchanges, the m scalar, the per-source
+      // rollup and the 20-row output sort
+      "q142_bloom_admission" -> 9,
       // 5 since runtime Bloom filters: each funnel stage's scan is now
       // pruned by might_contain over the prior stage's user set (the
       // right 100 TB shape — stage scans shrink instead of shuffling

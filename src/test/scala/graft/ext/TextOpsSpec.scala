@@ -233,4 +233,66 @@ class TextOpsSpec extends AnyFunSuite {
     // maintenance equals the from-scratch rebuild, entering term included
     assert(m("maintenance_mismatch_terms") == 0L, s"maintenance != rebuild: $m")
   }
+
+  test("q140 coherence flag is non-degenerate (flags some docs, never all)") {
+    // the oracle gate proves the counts match DuckDB; it cannot see the
+    // 1/2-supported threshold silently degenerating (corpus drift pushing
+    // every doc's supported fraction to one side would keep hashes green
+    // while the filter stops discriminating). Pin 0 < flagged < docs.
+    val rows = TextOps.q140BigramCoherence.run(spark, sfDir).collect()
+    val flagged = rows.map(_.getLong(2)).sum
+    val docs = rows.map(_.getLong(1)).sum
+    assert(docs > 0L)
+    assert(flagged > 0L, "coherence filter flags nothing — threshold degenerated low")
+    assert(flagged < docs, "coherence filter flags everything — threshold degenerated high")
+  }
+
+  test("q141 equivalence proof is non-vacuous and matches brute force") {
+    // The oracle replays the same relational legs, so it cannot catch the
+    // shard GENERATOR degenerating (an all-novel or all-duplicate shard
+    // keeps equiv_diff = 0 green while proving nothing). Pin: the proof
+    // holds (equiv_diff = 0 on every row), the naive counterexample
+    // exists (overadmitted > 0), novel content is actually admitted, and
+    // the per-source admissions match an in-memory set-difference ground
+    // truth computed from raw fingerprints.
+    val rows = TextOps.q141DedupEquivalence.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(6) == 0L), "batch vs incremental survivors differ")
+    val overadmitted = rows.map(_.getLong(5)).sum
+    val admitted = rows.map(_.getLong(3)).sum
+    assert(overadmitted > 0L, "naive leg overadmits nothing — shard has no re-crawl dups")
+    assert(admitted > 0L, "nothing admitted — shard has no novel content")
+    // brute force: md5 fingerprints in memory, same generator convention
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val baseFps = base.map(b => md5hex(b._2)).toSet
+    val shard = base.filter(_._1 % 7 < 2).map(b => (b._1 + 10000000L, md5hex(b._2), b._3)) ++
+      base.filter(_._1 % 7 == 2).map(b => (b._1 + 20000000L, md5hex(b._2 + " rev2"), b._3))
+    val expAdm = shard.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }
+      .filterNot(d => baseFps.contains(d._2))
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val gotAdm = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(gotAdm.filter(_._2 > 0) == expAdm.filter(_._2 > 0),
+      s"admissions mismatch: got=$gotAdm exp=$expAdm")
+  }
+
+  test("q142 bloom screen: no false negatives, genuinely approximate, both probe classes occur") {
+    // The no-FN row (n_missed = 0) is the Bloom guarantee the accounting
+    // verifies against ground truth; the oracle replays the arithmetic
+    // but cannot see the screen degenerating into a no-op (m drifting so
+    // large that FP = 0 makes the "approximate" framing vacuous, or so
+    // small that everything is blocked).
+    val rows = TextOps.q142BloomAdmission.run(spark, sfDir).collect()
+    val tot = Array.tabulate(6)(i => rows.map(_.getLong(i + 1)).sum)
+    val Array(probed, blocked, trueDup, falsePos, missed, admitted) = tot
+    assert(probed > 0L && probed == blocked + admitted)
+    assert(missed == 0L, "bloom screen missed a true duplicate — impossible by construction")
+    assert(trueDup > 0L, "shard has no true duplicates — generator degenerated")
+    assert(falsePos > 0L, "zero false positives — the screen is not exercising approximation")
+    assert(admitted > 0L, "everything blocked — m degenerated small")
+    assert(blocked == trueDup + falsePos)
+  }
 }
