@@ -1195,9 +1195,10 @@ object TextOps {
          |  ${OracleSql.bigSum("n_sup")} AS n_supported
          |FROM d GROUP BY source ORDER BY source""".stripMargin)
 
-  /** Shared re-crawl shard generator (q141 + q142): the deterministic
-    * incoming-shard scenario both admission proofs score against, so the
-    * equivalence proof and the Bloom screen cannot drift onto different
+  /** Shared re-crawl shard generator (q141 + q142 + the streaming
+    * q143): the deterministic incoming-shard scenario every admission
+    * proof scores against, so the equivalence proof, the Bloom screen
+    * and the streaming admission path cannot drift onto different
     * workloads. Every base doc with doc_id % 7 < 2 re-appears VERBATIM
     * under a new id (the re-crawl duplicate — the case an admission
     * screen must block), and every doc with doc_id % 7 == 2 re-appears
@@ -1207,7 +1208,7 @@ object TextOps {
     * first-occurrence (min doc_id) canonical convention of q12/q47.
     * Oracle-replayable: [[crawlShardSql]] is the DuckDB twin.
     */
-  private def crawlShard(docs: DataFrame): DataFrame = {
+  private[graft] def crawlShard(docs: DataFrame): DataFrame = {
     val re = docs.filter(col("doc_id") % 7 < 2)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
         md5(col("text")).as("fp"), col("source"))
@@ -1218,7 +1219,7 @@ object TextOps {
   }
 
   /** DuckDB twin of [[crawlShard]] as a composable CTE body. */
-  private def crawlShardSql: String =
+  private[graft] def crawlShardSql: String =
     """shard AS (
       |  SELECT doc_id + 10000000 AS doc_id, md5(text) AS fp, source
       |  FROM documents WHERE doc_id % 7 < 2

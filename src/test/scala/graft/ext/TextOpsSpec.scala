@@ -279,6 +279,39 @@ class TextOpsSpec extends AnyFunSuite {
       s"admissions mismatch: got=$gotAdm exp=$expAdm")
   }
 
+  test("q143 streaming admission matches in-memory margins and exercises both classes") {
+    // The oracle replays the batch margins; it cannot see the STREAMING
+    // path silently passing everything through (a broken anti-join that
+    // admits every probe keeps seen = blocked + admitted green only if
+    // blocked collapses to 0 — pin both classes nonzero) nor a sink
+    // undercount. Ground truth from raw fingerprints in memory.
+    val rows = graft.streaming.StreamingQueries.q143StreamingAdmission
+      .run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      s"seen != blocked + admitted for ${r.getString(0)}"))
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val baseFps = base.map(b => md5hex(b._2)).toSet
+    val seen = (base.filter(_._1 % 7 < 2).map(b => (b._3, md5hex(b._2))) ++
+      base.filter(_._1 % 7 == 2).map(b => (b._3, md5hex(b._2 + " rev2")))).distinct
+    val expBlocked = seen.filter(p => baseFps.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expAdmitted = seen.filterNot(p => baseFps.contains(p._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(expBlocked.values.sum > 0L && expAdmitted.values.sum > 0L,
+      "generator degenerated: one admission class is empty")
+    rows.foreach { r =>
+      assert(r.getLong(2) == expBlocked.getOrElse(r.getString(0), 0L),
+        s"blocked mismatch for ${r.getString(0)}")
+      assert(r.getLong(3) == expAdmitted.getOrElse(r.getString(0), 0L),
+        s"admitted mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("q142 bloom screen: no false negatives, genuinely approximate, both probe classes occur") {
     // The no-FN row (n_missed = 0) is the Bloom guarantee the accounting
     // verifies against ground truth; the oracle replays the arithmetic
