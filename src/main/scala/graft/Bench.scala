@@ -102,7 +102,8 @@ object Bench {
     "q140_bigram_coherence",
     "q141_dedup_equivalence",
     "q142_bloom_admission",
-    "q143_streaming_admission")
+    "q143_streaming_admission",
+    "q144_coherence_calibration")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -177,7 +178,8 @@ object Bench {
     // round-9 second batch: per-query min of matching sf0.1 runs at
     // introduction (loadavg recorded in bench_diag.json)
     "q140_bigram_coherence" -> 1.35, "q141_dedup_equivalence" -> 0.94,
-    "q142_bloom_admission" -> 0.65, "q143_streaming_admission" -> 4.44)
+    "q142_bloom_admission" -> 0.65, "q143_streaming_admission" -> 4.44,
+    "q144_coherence_calibration" -> 1.37)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1151,30 +1151,48 @@ object TextOps {
     * skew-split on the zipf-hot pairs at 100 TB); the N scalar rides a
     * 1-row broadcast cross join; both rollups are map-side combined.
     */
+  /** Per-document coherence frame (doc_id, source, n_trans, n_sup) —
+    * the ONE definition of "how many of this doc's transitions are
+    * corpus-supported", shared by the q140 point filter and the q144
+    * threshold-calibration sweep so the filter and the curve that
+    * justifies its threshold cannot drift. [[coherencePerDocSql]] is
+    * the DuckDB twin (the `d` CTE).
+    */
+  private def coherencePerDoc(docs: DataFrame): DataFrame = {
+    val bi = bigramStream(docs)
+    // vocabulary-bounded, three consumers (the N scalar + both margin
+    // probes) — pinned so the corpus-sized token explode behind it
+    // runs once, not three times
+    val un = graft.core.Checkpoints.pin(
+      toks(docs).select(explode(col("w")).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("cx")))
+    val tot = un.agg(sum(col("cx")).as("n"))
+    val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    bi
+      .join(bc, Seq("x", "y"))
+      .join(un.select(col("x"), col("cx")), Seq("x"))
+      .join(un.select(col("x").as("y"), col("cx").as("cy")), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        when(dec(col("cxy")) * dec(col("n")) >= dec(col("cx")) * dec(col("cy")), 1L)
+          .otherwise(0L).as("sup"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("sup")).as("n_sup"))
+  }
+
+  private def coherencePerDocSql: String =
+    bigramSql + "\n" +
+      s""", d AS (SELECT bi.doc_id, bi.source, cast(count(*) AS bigint) AS n_trans,
+         |    ${OracleSql.bigSum("CASE WHEN cast(bc.cxy AS hugeint) * tot.n >= cast(ux.cx AS hugeint) * uy.cx THEN 1 ELSE 0 END")} AS n_sup
+         |  FROM bi JOIN bc ON bi.x = bc.x AND bi.y = bc.y
+         |       JOIN un ux ON bi.x = ux.x JOIN un uy ON bi.y = uy.x
+         |       CROSS JOIN tot
+         |  GROUP BY bi.doc_id, bi.source)""".stripMargin
+
   val q140BigramCoherence: QuerySpec = QuerySpec(
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bi = bigramStream(docs)
-      // vocabulary-bounded, three consumers (the N scalar + both margin
-      // probes) — pinned so the corpus-sized token explode behind it
-      // runs once, not three times
-      val un = graft.core.Checkpoints.pin(
-        toks(docs).select(explode(col("w")).as("x"))
-          .groupBy(col("x")).agg(count(lit(1)).as("cx")))
-      val tot = un.agg(sum(col("cx")).as("n"))
-      val bc = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-      def dec(c: Column): Column = c.cast("decimal(38,0)")
-      val perDoc = bi
-        .join(bc, Seq("x", "y"))
-        .join(un.select(col("x"), col("cx")), Seq("x"))
-        .join(un.select(col("x").as("y"), col("cx").as("cy")), Seq("y"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("source"),
-          when(dec(col("cxy")) * dec(col("n")) >= dec(col("cx")) * dec(col("cy")), 1L)
-            .otherwise(0L).as("sup"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_trans"), sum(col("sup")).as("n_sup"))
-      perDoc
+      coherencePerDoc(Tables.documents(s, dir))
         .select(col("source"), col("n_trans"), col("n_sup"),
           when(col("n_sup") * 2 < col("n_trans"), 1L).otherwise(0L).as("flagged"))
         .groupBy(col("source"))
@@ -1182,18 +1200,47 @@ object TextOps {
           sum(col("n_trans")).as("n_transitions"), sum(col("n_sup")).as("n_supported"))
         .orderBy(col("source"))
     },
-    bigramSql + "\n" +
-      s""", d AS (SELECT bi.doc_id, bi.source, cast(count(*) AS bigint) AS n_trans,
-         |    ${OracleSql.bigSum("CASE WHEN cast(bc.cxy AS hugeint) * tot.n >= cast(ux.cx AS hugeint) * uy.cx THEN 1 ELSE 0 END")} AS n_sup
-         |  FROM bi JOIN bc ON bi.x = bc.x AND bi.y = bc.y
-         |       JOIN un ux ON bi.x = ux.x JOIN un uy ON bi.y = uy.x
-         |       CROSS JOIN tot
-         |  GROUP BY bi.doc_id, bi.source)
-         |SELECT source, cast(count(*) AS bigint) AS n_docs,
+    coherencePerDocSql + "\n" +
+      s"""SELECT source, cast(count(*) AS bigint) AS n_docs,
          |  ${OracleSql.bigSum("CASE WHEN 2 * n_sup < n_trans THEN 1 ELSE 0 END")} AS n_flagged,
          |  ${OracleSql.bigSum("n_trans")} AS n_transitions,
          |  ${OracleSql.bigSum("n_sup")} AS n_supported
          |FROM d GROUP BY source ORDER BY source""".stripMargin)
+
+  /** q144: coherence-threshold calibration curve — the operating curve
+    * that justifies (or indicts) q140's fixed 1/2 cut, the q106 pattern
+    * (a point gate next to its whole curve): for each candidate
+    * threshold k/8 (k = 1..7), how many documents the coherence filter
+    * would flag and how many transitions (token mass) that cut costs.
+    * Supported fractions concentrate between 3/8 and 6/8 on this corpus
+    * (k=1..2 flags ~nothing, k=7 flags everything), so the curve shows
+    * the knee the 4/8 point sits on. Flags are exact integer
+    * cross-multiplications (`8·n_sup < k·n_trans`) over the SAME
+    * [[coherencePerDoc]] frame q140 judges — one corpus pass, the
+    * 7-row threshold lattice rides a broadcast cross join, the rollup
+    * is map-side combined.
+    */
+  val q144CoherenceCalibration: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val thrs = Seq(1, 2, 3, 4, 5, 6, 7).toDF("thr_num")
+      coherencePerDoc(Tables.documents(s, dir))
+        .crossJoin(broadcast(thrs))
+        .select(col("thr_num"), col("n_trans"),
+          when(col("n_sup") * 8 < col("thr_num") * col("n_trans"), 1L)
+            .otherwise(0L).as("flagged"))
+        .groupBy(col("thr_num"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flagged")).as("n_flagged"),
+          sum(col("flagged") * col("n_trans")).as("flagged_transitions"))
+        .orderBy(col("thr_num"))
+    },
+    coherencePerDocSql + "\n" +
+      s""", thr AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS thr_num)
+         |SELECT thr_num, cast(count(*) AS bigint) AS n_docs,
+         |  ${OracleSql.bigSum("CASE WHEN 8 * n_sup < thr_num * n_trans THEN 1 ELSE 0 END")} AS n_flagged,
+         |  ${OracleSql.bigSum("CASE WHEN 8 * n_sup < thr_num * n_trans THEN n_trans ELSE 0 END")} AS flagged_transitions
+         |FROM d CROSS JOIN thr GROUP BY thr_num ORDER BY thr_num""".stripMargin)
 
   /** Shared re-crawl shard generator (q141 + q142 + the streaming
     * q143): the deterministic incoming-shard scenario every admission
@@ -2831,6 +2878,7 @@ object TextOps {
 
   val all: Map[String, QuerySpec] = Map(
     "q140_bigram_coherence" -> q140BigramCoherence,
+    "q144_coherence_calibration" -> q144CoherenceCalibration,
     "q141_dedup_equivalence" -> q141DedupEquivalence,
     "q142_bloom_admission" -> q142BloomAdmission,
     "q134_training_data_card" -> q134TrainingDataCard,

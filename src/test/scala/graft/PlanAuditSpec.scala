@@ -597,6 +597,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // exchanges against the two vocab-bounded margins, the N scalar,
       // the per-doc and per-source rollups and the 20-row output sort
       "q140_bigram_coherence" -> 9,
+      // q144 (round-9, audited at introduction): the shared
+      // coherencePerDoc frame's exchanges (see q140) + the 7-row
+      // threshold lattice as a broadcast cross join, the per-threshold
+      // rollup and the 7-row output sort
+      "q144_coherence_calibration" -> 9,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

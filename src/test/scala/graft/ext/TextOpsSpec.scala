@@ -247,6 +247,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(flagged < docs, "coherence filter flags everything — threshold degenerated high")
   }
 
+  test("q144 calibration curve is monotone, discriminating, and consistent with q140") {
+    // the oracle replays the same arithmetic; it cannot see the curve
+    // silently losing its shape (a drifted corpus could push every doc
+    // to one side of every threshold, keeping hashes green while the
+    // sweep stops informing the threshold choice). Pin: flagged counts
+    // non-decreasing in the threshold, at least one genuinely
+    // discriminating point, and the k=4 row must equal q140's judged
+    // total (the point gate IS a point on its own curve).
+    val curve = TextOps.q144CoherenceCalibration.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 3, 4, 5, 6, 7))
+    curve.sliding(2).foreach { case Array((_, _, f1), (_, _, f2)) =>
+      assert(f1 <= f2, "flagged count not monotone in threshold")
+    }
+    assert(curve.exists { case (_, docs, f) => f > 0 && f < docs },
+      "no discriminating threshold anywhere on the curve")
+    val q140Flagged = TextOps.q140BigramCoherence.run(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    val k4 = curve.find(_._1 == 4).get._3
+    assert(k4 == q140Flagged, s"curve k=4 ($k4) != q140 flagged total ($q140Flagged)")
+  }
+
   test("q141 equivalence proof is non-vacuous and matches brute force") {
     // The oracle replays the same relational legs, so it cannot catch the
     // shard GENERATOR degenerating (an all-novel or all-duplicate shard
