@@ -1274,6 +1274,134 @@ object TextOps {
       |  SELECT doc_id + 20000000 AS doc_id, md5(text || ' rev2') AS fp, source
       |  FROM documents WHERE doc_id % 7 = 2)""".stripMargin
 
+  /** q145: content-defined chunking (CDC) with an insertion-robustness
+    * proof — the rolling-hash chunker (restic/borg/rsync-style) that
+    * makes chunk-level dedup survive EDITS: a chunk boundary falls
+    * after any position whose trailing 4-token window hashes to
+    * 0 mod 16 (expected chunk ≈ 16 tokens), so boundaries are decided
+    * by CONTENT, not offsets. The judged output carries the proof the
+    * fixed-size alternative (q98's offset-chunking, `(i-1)//16`) fails:
+    * for a deterministic front-insert revision shard (every doc_id
+    * % 7 == 3 re-appears as `'v2 ' || text` — one token prepended,
+    * a slice disjoint from the q141/q142 re-crawl residues and coprime
+    * with the source cycle so every source carries variants,
+    * every offset shifted), the per-source accounting shows the variant
+    * chunk mass still shared with its base under CDC (boundaries
+    * re-align one window past the edit) next to the fixed-chunking
+    * column, which collapses to zero — the q130 before/after pattern
+    * inside the judged row (spec-pinned non-vacuous: cdc_shared >
+    * fixed_shared, cdc_shared > 0).
+    *
+    * Scale: the positioned token stream is computed per row (a
+    * transform lambda — no corpus-wide window); the only per-doc window
+    * is the boundary prefix sum, PARTITIONED by doc_id (doc-bounded
+    * state); both chunk rollups group by (doc_id, chunk) on the
+    * window's doc_id exchange (subset-key partitioning — no new
+    * shuffle), and the shared-chunk probes are (base_id, fp)-keyed
+    * equi-joins with no hints. The chunk-hash arithmetic is the
+    * [[PortableHash]] scheme — the oracle replays every boundary
+    * decision.
+    */
+  val q145CdcChunking: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("source"), col("text"),
+        lit(0).as("is_variant"), lit(null).cast("long").as("base_id"))
+      val variants = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + lit(30000000L)).as("doc_id"), col("source"),
+          concat(lit("v2 "), col("text")).as("text"),
+          lit(1).as("is_variant"), col("doc_id").as("base_id"))
+      val corp = base.unionByName(variants)
+      val t = corp.select(col("doc_id"), col("source"), col("is_variant"),
+        col("base_id"), split(trim(col("text")), "\\s+").as("w"))
+      val cells = transform(sequence(lit(1), size(col("w"))), i =>
+        struct(i.as("i"), element_at(col("w"), i).as("tok"),
+          when(i >= 5 &&
+            PortableHash.bucketCol(concat_ws(" ",
+              element_at(col("w"), i - 4), element_at(col("w"), i - 3),
+              element_at(col("w"), i - 2), element_at(col("w"), i - 1)), 3) % 16 === 0,
+            1L).otherwise(0L).as("brk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ch = t.select(col("doc_id"), col("source"), col("is_variant"),
+          col("base_id"), explode(cells).as("c"))
+        .select(col("doc_id"), col("source"), col("is_variant"), col("base_id"),
+          col("c.i").as("i"), col("c.tok").as("tok"), col("c.brk").as("brk"))
+        .withColumn("cdc_chunk", sum(col("brk")).over(w))
+        .withColumn("fixed_chunk", expr("(i - 1) div 16"))
+      def chunkFps(chunkCol: String): DataFrame = ch
+        .groupBy(col("doc_id"), col("source"), col("is_variant"),
+          col("base_id"), col(chunkCol))
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          c => c.getField("tok")), " ")).as("fp"))
+      def sharedStat(fps: DataFrame, totalName: String, sharedName: String): DataFrame = {
+        val v = fps.filter(col("is_variant") === 1)
+        val b = fps.filter(col("is_variant") === 0)
+          .select(col("doc_id").as("base_id"), col("fp"), lit(1L).as("hit"))
+        v.join(b, Seq("base_id", "fp"), "left")
+          .groupBy(col("source"), col("doc_id"))
+          .agg(countDistinct(col("fp")).as(totalName),
+            countDistinct(when(col("hit").isNotNull, col("fp"))).as(sharedName))
+      }
+      val cdc = sharedStat(chunkFps("cdc_chunk"), "cdc_chunks", "cdc_shared")
+      val fx = sharedStat(chunkFps("fixed_chunk"), "fixed_chunks", "fixed_shared")
+      cdc.join(fx, Seq("source", "doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_variants"),
+          sum(col("cdc_chunks")).as("cdc_chunks"),
+          sum(col("cdc_shared")).as("cdc_shared"),
+          sum(col("fixed_chunks")).as("fixed_chunks"),
+          sum(col("fixed_shared")).as("fixed_shared"))
+        .orderBy(col("source"))
+    },
+    s"""WITH corp AS (
+       |  SELECT doc_id, source, text, 0 AS is_variant, cast(NULL AS bigint) AS base_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 30000000, source, 'v2 ' || text, 1, doc_id FROM documents WHERE doc_id % 7 = 3),
+       |t AS (SELECT doc_id, source, is_variant, base_id,
+       |        string_split_regex(trim(text), '\\s+') AS w FROM corp),
+       |pos AS (SELECT doc_id, source, is_variant, base_id,
+       |          unnest(range(1, len(w)+1)) AS i, unnest(w) AS tok,
+       |          unnest(list_transform(range(1, len(w)+1),
+       |            i -> CASE WHEN i >= 5 AND (${PortableHash.bucketSql("(w[i-4] || ' ' || w[i-3] || ' ' || w[i-2] || ' ' || w[i-1])", 3)}) % 16 = 0
+       |                 THEN 1 ELSE 0 END)) AS brk
+       |        FROM t),
+       |ch AS (SELECT doc_id, source, is_variant, base_id, i, tok,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS cdc_chunk,
+       |         (i - 1) // 16 AS fixed_chunk
+       |       FROM pos),
+       |cdc AS (SELECT doc_id, source, is_variant, base_id, cdc_chunk,
+       |          md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+       |        FROM ch GROUP BY 1, 2, 3, 4, 5),
+       |fx AS (SELECT doc_id, source, is_variant, base_id, fixed_chunk,
+       |          md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+       |        FROM ch GROUP BY 1, 2, 3, 4, 5),
+       |vstat AS (
+       |  SELECT v.source, v.doc_id,
+       |    cast(count(DISTINCT v.fp) AS bigint) AS cdc_chunks,
+       |    cast(count(DISTINCT CASE WHEN b.fp IS NOT NULL THEN v.fp END) AS bigint) AS cdc_shared
+       |  FROM (SELECT * FROM cdc WHERE is_variant = 1) v
+       |  LEFT JOIN (SELECT doc_id, fp FROM cdc WHERE is_variant = 0) b
+       |    ON v.base_id = b.doc_id AND v.fp = b.fp
+       |  GROUP BY 1, 2),
+       |fstat AS (
+       |  SELECT v.source, v.doc_id,
+       |    cast(count(DISTINCT v.fp) AS bigint) AS fixed_chunks,
+       |    cast(count(DISTINCT CASE WHEN b.fp IS NOT NULL THEN v.fp END) AS bigint) AS fixed_shared
+       |  FROM (SELECT * FROM fx WHERE is_variant = 1) v
+       |  LEFT JOIN (SELECT doc_id, fp FROM fx WHERE is_variant = 0) b
+       |    ON v.base_id = b.doc_id AND v.fp = b.fp
+       |  GROUP BY 1, 2)
+       |SELECT source, cast(count(*) AS bigint) AS n_variants,
+       |  ${OracleSql.bigSum("cdc_chunks")} AS cdc_chunks,
+       |  ${OracleSql.bigSum("cdc_shared")} AS cdc_shared,
+       |  ${OracleSql.bigSum("fixed_chunks")} AS fixed_chunks,
+       |  ${OracleSql.bigSum("fixed_shared")} AS fixed_shared
+       |FROM vstat JOIN fstat USING (source, doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin)
+
   /** q141: batch ≡ incremental dedup equivalence — the PROOF the whole
     * incremental-ingestion family (q101/q103/q105/q116/q139) rests on at
     * 100 TB, where re-running batch dedup over the full corpus per shard
@@ -2879,6 +3007,7 @@ object TextOps {
   val all: Map[String, QuerySpec] = Map(
     "q140_bigram_coherence" -> q140BigramCoherence,
     "q144_coherence_calibration" -> q144CoherenceCalibration,
+    "q145_cdc_chunking" -> q145CdcChunking,
     "q141_dedup_equivalence" -> q141DedupEquivalence,
     "q142_bloom_admission" -> q142BloomAdmission,
     "q134_training_data_card" -> q134TrainingDataCard,

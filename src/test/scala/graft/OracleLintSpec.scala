@@ -300,7 +300,10 @@ class OracleLintSpec extends AnyFunSuite {
     // audio diff-window index: the frame filters i >= 1 so i - 1 >= 0,
     // and n >= 256 (motif-keyed clip length) so n - 1 >= 1 — quotient
     // never negative
-    ("q135_multimodal_neardup", "((i - 1) * 57) // (n - 1)"))
+    ("q135_multimodal_neardup", "((i - 1) * 57) // (n - 1)"),
+    // fixed-chunk index: i ranges over 1..len(w) (DuckDB range is
+    // 1-based here) so i - 1 >= 0 — quotient never negative
+    ("q145_cdc_chunking", "(i - 1) // 16"))
 
   test("no unaudited negative-operand floor division in the oracle registry") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>

@@ -602,6 +602,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // threshold lattice as a broadcast cross join, the per-threshold
       // rollup and the 7-row output sort
       "q144_coherence_calibration" -> 9,
+      // q145 (round-9, audited at introduction): the doc_id window
+      // exchange feeds both chunk rollups (subset-key partitioning);
+      // the remaining exchanges are the two (base_id, fp) probe joins'
+      // sides, the per-variant distinct-count pair, the vstat⋈fstat
+      // join, the ≤sources rollup and the 20-row output sort — every
+      // window is PARTITIONED by doc_id (doc-bounded state)
+      "q145_cdc_chunking" -> 12,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

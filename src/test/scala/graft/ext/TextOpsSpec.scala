@@ -334,6 +334,27 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q145 CDC survives the front-insert edit that zeroes fixed chunking") {
+    // the oracle replays the chunk arithmetic; it cannot see the PROOF
+    // degenerating (a boundary scheme drifting to chunk-per-token would
+    // make cdc_shared trivially high; one that never fires would make
+    // every doc one chunk and cdc_shared 0 — both keep hashes green).
+    // Pin: the robustness claim (cdc strictly beats fixed, nonzero),
+    // genuine chunking (more than one chunk per variant on average),
+    // and the expected failure of offset chunking (~0 shared).
+    val rows = TextOps.q145CdcChunking.run(spark, sfDir).collect()
+    val n = rows.map(_.getLong(1)).sum
+    val cdcChunks = rows.map(_.getLong(2)).sum
+    val cdcShared = rows.map(_.getLong(3)).sum
+    val fixedShared = rows.map(_.getLong(5)).sum
+    assert(n > 0L)
+    assert(cdcShared > 0L, "CDC shares nothing with the base — boundaries never re-align")
+    assert(cdcShared > fixedShared, "CDC does not beat fixed chunking — the proof is gone")
+    assert(cdcChunks > n, "fewer than one CDC boundary per variant — chunker degenerated")
+    assert(cdcShared * 2 > cdcChunks,
+      "CDC re-aligns on under half the chunk mass — boundary scheme drifted")
+  }
+
   test("q142 bloom screen: no false negatives, genuinely approximate, both probe classes occur") {
     // The no-FN row (n_missed = 0) is the Bloom guarantee the accounting
     // verifies against ground truth; the oracle replays the arithmetic
