@@ -609,6 +609,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // join, the ≤sources rollup and the 20-row output sort — every
       // window is PARTITIONED by doc_id (doc-bounded state)
       "q145_cdc_chunking" -> 12,
+      // q146 (round-9, audited at introduction): one map-side-combined
+      // events rollup to the (type, hour)-bounded rate frame; the
+      // type-keyed margins join, the two PARTITIONED windows' exchange,
+      // the per-type rollup and the 5-row output sort all live on that
+      // bounded frame
+      "q146_cusum_drift" -> 6,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

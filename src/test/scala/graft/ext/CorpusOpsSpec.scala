@@ -182,4 +182,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.zip(expected).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
     assert(raw.length > out.length, "history is compressed vs the raw log")
   }
+
+  test("q146 CUSUM localizes the injected drift and stays silent on clean types") {
+    // the oracle replays the same arithmetic over the same injected
+    // stream; it cannot see the DETECTOR degenerating (a threshold
+    // drifting loose flags natural noise on clean types; one drifting
+    // tight misses the doubled-rate window — both keep hashes green).
+    // Pin: 'click' (the drifted type) is flagged with onset INSIDE the
+    // Jan 20–25 injection window, and every clean type flags nothing.
+    val rows = EventOps.q146CusumDrift.run(spark, sfDir).collect()
+    val byType = rows.map(r => r.getString(0) ->
+      (r.getLong(3), Option(r.getTimestamp(4)))).toMap
+    val (clickFlagged, clickOnset) = byType("click")
+    assert(clickFlagged > 0L, "drifted type not flagged — detector missed the doubled rate")
+    val onset = clickOnset.getOrElse(fail("flagged but no onset"))
+    val day = onset.toLocalDateTime.getDayOfMonth
+    assert(day >= 20 && day <= 26, s"onset day $day outside the injected drift window")
+    byType.view.filterKeys(_ != "click").foreach { case (t, (f, _)) =>
+      assert(f == 0L, s"clean type $t flagged $f hours — threshold degenerated loose")
+    }
+  }
 }
