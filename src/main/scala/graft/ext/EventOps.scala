@@ -587,7 +587,61 @@ object EventOps {
       |  cast(max(cusum) AS bigint) AS max_cusum
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** q147: k-anonymity accounting — the re-identification-risk report
+    * that sits next to q110's PII redaction on the governance side of a
+    * training-data release: PII redaction removes direct identifiers,
+    * but a row is still re-identifiable when its QUASI-identifier
+    * combination (here nation × market segment × a 2000-unit account-
+    * balance band) is shared by fewer than k released rows. For each
+    * candidate k the judged row counts the equivalence classes below k
+    * and the rows they expose, plus the dataset's realized k-anonymity
+    * (the minimum class size — the single number a release review
+    * asks for).
+    *
+    * Exactness: the balance band is integer arithmetic on cents —
+    * `round(bal·100)` is exact for 2-decimal doubles in both engines,
+    * and the +100000 shift makes the band division's operands
+    * non-negative, so DuckDB's floor `//` and Spark's truncating `div`
+    * agree without the mathematical-mod dance (q64's pattern is only
+    * needed when operands can be negative).
+    *
+    * Scale: one map-side-combinable groupBy reduces the released table
+    * to the bounded class frame (≤ nations × segments × bands rows);
+    * the threshold lattice rides a broadcast cross join and every
+    * rollup lives on that bounded frame.
+    */
+  val q147KAnonymity: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val cls = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cast(round(c_acctbal * 100) AS bigint) + 100000) div 200000")
+            .as("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+      val ks = Seq(2, 5, 10, 20).toDF("k")
+      cls.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("classes_below"),
+          sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_at_risk"),
+          count(lit(1)).as("n_classes"),
+          min(col("sz")).as("k_anonymity"))
+        .orderBy(col("k"))
+    },
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         (cast(round(c_acctbal * 100) AS bigint) + 100000) // 200000 AS bal_band,
+      |         cast(count(*) AS bigint) AS sz
+      |  FROM customer GROUP BY 1, 2, 3),
+      |k AS (SELECT unnest([2, 5, 10, 20]) AS k)
+      |SELECT k,
+      |  cast(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS bigint) AS classes_below,
+      |  cast(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS bigint) AS rows_at_risk,
+      |  cast(count(*) AS bigint) AS n_classes,
+      |  cast(min(sz) AS bigint) AS k_anonymity
+      |FROM cls CROSS JOIN k GROUP BY k ORDER BY k""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q147_k_anonymity" -> q147KAnonymity,
     "q146_cusum_drift" -> q146CusumDrift,
     "q93_transition_matrix" -> q93TransitionMatrix,
     "q88_rate_anomaly" -> q88RateAnomaly,

@@ -615,6 +615,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // the per-type rollup and the 5-row output sort all live on that
       // bounded frame
       "q146_cusum_drift" -> 6,
+      // q147 (round-9, audited at introduction): one map-side-combined
+      // groupBy to the bounded class frame, the per-k rollup (threshold
+      // lattice broadcast) and the 4-row output sort
+      "q147_k_anonymity" -> 4,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

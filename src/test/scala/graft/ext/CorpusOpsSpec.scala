@@ -202,4 +202,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(f == 0L, s"clean type $t flagged $f hours — threshold degenerated loose")
     }
   }
+
+  test("q147 k-anonymity matches a brute-force class census and discriminates") {
+    // the oracle replays the banding arithmetic; it cannot see the
+    // quasi-identifier scheme degenerating (bands so coarse every class
+    // clears every k, or so fine everything is a singleton — both keep
+    // hashes green while the report stops informing a release review).
+    val custs = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        (math.round(r.getDouble(2) * 100) + 100000L) / 200000L))
+    val sizes = custs.groupBy(identity).values.map(_.length.toLong).toSeq
+    val rows = EventOps.q147KAnonymity.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getLong(1) == sizes.count(_ < k), s"classes_below mismatch at k=$k")
+      assert(r.getLong(2) == sizes.filter(_ < k).sum, s"rows_at_risk mismatch at k=$k")
+      assert(r.getLong(3) == sizes.size.toLong)
+      assert(r.getLong(4) == sizes.min)
+    }
+    assert(rows.exists(r => r.getLong(1) > 0L), "no class below any k — bands too coarse")
+    assert(rows.exists(r => r.getLong(1) < r.getLong(3)),
+      "every class below every k — bands degenerated to singletons")
+  }
 }
