@@ -106,7 +106,8 @@ object Bench {
     "q144_coherence_calibration",
     "q145_cdc_chunking",
     "q146_cusum_drift",
-    "q147_k_anonymity")
+    "q147_k_anonymity",
+    "q148_pit_features")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -183,7 +184,8 @@ object Bench {
     "q140_bigram_coherence" -> 1.35, "q141_dedup_equivalence" -> 0.94,
     "q142_bloom_admission" -> 0.65, "q143_streaming_admission" -> 4.44,
     "q144_coherence_calibration" -> 1.37, "q145_cdc_chunking" -> 1.77,
-    "q146_cusum_drift" -> 0.73, "q147_k_anonymity" -> 0.54)
+    "q146_cusum_drift" -> 0.73, "q147_k_anonymity" -> 0.54,
+    "q148_pit_features" -> 0.68)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

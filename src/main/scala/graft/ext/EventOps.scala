@@ -640,7 +640,74 @@ object EventOps {
       |  cast(min(sz) AS bigint) AS k_anonymity
       |FROM cls CROSS JOIN k GROUP BY k ORDER BY k""".stripMargin)
 
+  /** q148: point-in-time feature join with a leakage proof — the
+    * feature-store correctness property supervised training rests on: a
+    * training example's features must be computed from data STRICTLY
+    * BEFORE the example's own timestamp, or the model trains on the
+    * future it is supposed to predict. Examples are purchase events;
+    * the feature is the user's prior view count. The PIT leg computes
+    * it with a per-user window over the (ts, event_id)-ordered event
+    * stream (`rows unbounded preceding → 1 preceding` — strictly
+    * before, deterministic total order); the NAIVE leg is the
+    * full-window per-user aggregate every leaky pipeline reaches for.
+    * Judged per purchase day: examples, both feature sums, examples
+    * where naive > pit (leaked) and the worst leak — a leakage-DECAY
+    * curve (day 1: pit ≈ 0 vs naive ≈ full history — pure future; day
+    * 30: near-parity), which is the q130-pattern before/after proof as
+    * a time series. Spec-pinned: early-day leakage dwarfs late-day,
+    * naive ≥ pit everywhere, and the PIT column matches a per-user
+    * in-memory replay.
+    *
+    * Scale: the window is PARTITIONED by user (user-bounded state, the
+    * canonical feature-backfill shape); the naive margin is a
+    * map-side-combinable groupBy; the example join is user-keyed and
+    * unhinted; the rollup frame is ≤31 rows.
+    */
+  val q148PitFeatures: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val wPit = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withPit = ev.withColumn("pit",
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(wPit),
+          lit(0L)))
+      val tot = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("naive"))
+      withPit.filter(col("event_type") === "purchase")
+        .join(tot, Seq("user_id"))
+        .groupBy(dayofmonth(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_examples"),
+          sum(col("pit")).as("pit_sum"),
+          sum(col("naive")).as("naive_sum"),
+          sum(when(col("naive") > col("pit"), 1L).otherwise(0L)).as("n_leaked"),
+          max(col("naive") - col("pit")).as("max_leak"))
+        .orderBy(col("d"))
+    },
+    """WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events
+      |            WHERE event_type IN ('view', 'purchase')),
+      |w AS (SELECT *,
+      |        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pit_views
+      |      FROM ev),
+      |tot AS (SELECT user_id,
+      |          cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bigint) AS naive
+      |        FROM ev GROUP BY 1),
+      |ex AS (SELECT w.user_id, cast(day(w.ts) AS integer) AS d,
+      |         cast(coalesce(w.pit_views, 0) AS bigint) AS pit, t.naive
+      |       FROM w JOIN tot t USING (user_id) WHERE w.event_type = 'purchase')
+      |SELECT d, cast(count(*) AS bigint) AS n_examples,
+      |  cast(sum(pit) AS bigint) AS pit_sum,
+      |  cast(sum(naive) AS bigint) AS naive_sum,
+      |  cast(sum(CASE WHEN naive > pit THEN 1 ELSE 0 END) AS bigint) AS n_leaked,
+      |  cast(max(naive - pit) AS bigint) AS max_leak
+      |FROM ex GROUP BY d ORDER BY d""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q148_pit_features" -> q148PitFeatures,
     "q147_k_anonymity" -> q147KAnonymity,
     "q146_cusum_drift" -> q146CusumDrift,
     "q93_transition_matrix" -> q93TransitionMatrix,

@@ -619,6 +619,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // groupBy to the bounded class frame, the per-k rollup (threshold
       // lattice broadcast) and the 4-row output sort
       "q147_k_anonymity" -> 4,
+      // q148 (round-9, audited at introduction): the user-PARTITIONED
+      // PIT window's exchange, the map-side-combined naive margin, the
+      // user-keyed example join and the ≤31-row rollup + output sort
+      "q148_pit_features" -> 5,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

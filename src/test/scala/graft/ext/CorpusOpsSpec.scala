@@ -225,4 +225,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(1) < r.getLong(3)),
       "every class below every k — bands degenerated to singletons")
   }
+
+  test("q148 PIT features match a per-user replay; leakage decays over time") {
+    // the oracle replays the same windows; it cannot see the PIT
+    // ordering silently breaking (an inclusive frame or a nondeterministic
+    // tie-break would still hash-match its own replay). Ground truth: an
+    // in-memory per-user scan in (ts, event_id) order.
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("event_type IN ('view', 'purchase')")
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[java.time.LocalDateTime](3)))
+    val expByDay = ev.groupBy(_._1).values.flatMap { g =>
+      // microsecond-exact ordering (events.ts is TIMESTAMP_NTZ micros)
+      def micros(t: java.time.LocalDateTime): Long =
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      val sorted = g.sortBy(e => (micros(e._4), e._2))
+      val naive = g.count(_._3 == "view").toLong
+      var seen = 0L
+      sorted.flatMap { e =>
+        val out = if (e._3 == "purchase")
+          Some((e._4.getDayOfMonth, seen, naive)) else None
+        if (e._3 == "view") seen += 1
+        out
+      }
+    }.toSeq.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum,
+        xs.count(x => x._3 > x._2).toLong)
+    }.toMap
+    val rows = EventOps.q148PitFeatures.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val exp = expByDay(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == exp,
+        s"day ${r.getInt(0)}: got ${(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))} exp $exp")
+    }
+    // the decay proof is non-vacuous: early days leak far more than late
+    val early = rows.filter(_.getInt(0) <= 5)
+    val late = rows.filter(_.getInt(0) >= 26)
+    def leakFrac(rs: Array[org.apache.spark.sql.Row]) = {
+      val pit = rs.map(_.getLong(2)).sum; val nv = rs.map(_.getLong(3)).sum
+      (nv - pit).toDouble / math.max(nv, 1L)
+    }
+    assert(leakFrac(early) > leakFrac(late) + 0.2,
+      s"leakage does not decay: early=${leakFrac(early)} late=${leakFrac(late)}")
+  }
 }
