@@ -929,7 +929,91 @@ object AnalyticsOps {
        |FROM e LEFT JOIN p ON e.source = p.source
        |ORDER BY source""".stripMargin)
 
+  /** q149: consistent-hash shard assignment with a rebalance proof —
+    * how 100 TB of keyed state (the fingerprint stores, the near-dup
+    * band state, the IVF lists) survives changing the shard count:
+    * assigning keys to the clockwise successor on a hash RING (4 shards
+    * × 16 virtual nodes here) means scaling N → N+1 moves only the key
+    * ranges the new shard's vnodes capture — ~1/(N+1) of keys — while
+    * the mod-N assignment every naive layout starts with reshuffles
+    * ~N/(N+1) of everything it stores. The judged rows carry both
+    * counts (the before/after proof: ~20% vs ~80% moved, spec-pinned by
+    * cross-multiplied bounds) plus the per-shard load spread the vnode
+    * smoothing buys.
+    *
+    * Exactness: ring and key positions are 48-bit md5 values
+    * ([[graft.ext.PortableHash]] scheme — the oracle rebuilds the
+    * identical ring); the successor lookup is a pure array expression
+    * over the CONFIG-sized ring (N·V = 80 entries, a 1-row broadcast) —
+    * assignment costs ZERO shuffles per key. The narrow (doc, sa, sb)
+    * assignment frame is pinned once for its four rollup consumers.
+    */
+  val q149ConsistentHashing: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val N = 4; val V = 16
+      val nodes = (for { sh <- 0 until (N + 1); v <- 0 until V } yield (sh, v))
+        .toDF("s", "v")
+        .select(col("s"), graft.ext.PortableHash.hexSliceCol(
+          md5(concat(lit("shard-"), col("s"), lit("-"), col("v"))), 1, 12).as("rpos"))
+      def ringOf(cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = nodes.filter(cond)
+        .agg(sort_array(collect_list(struct(col("rpos"), col("s")))).as("ring"))
+      def succ(ring: org.apache.spark.sql.Column, dpos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        coalesce(
+          array_min(filter(ring, r => r.getField("rpos") >= dpos)).getField("s"),
+          element_at(ring, 1).getField("s"))
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        graft.ext.PortableHash.hexSliceCol(
+          md5(concat(lit("doc-"), col("doc_id"))), 1, 12).as("dpos"))
+      val asg = graft.core.Checkpoints.pin(d
+        .crossJoin(broadcast(ringOf(col("s") < N).select(col("ring").as("ra"))))
+        .crossJoin(broadcast(ringOf(lit(true)).select(col("ring").as("rb"))))
+        .select(col("doc_id"),
+          succ(col("ra"), col("dpos")).as("sa"),
+          succ(col("rb"), col("dpos")).as("sb"),
+          when(col("doc_id") % N =!= col("doc_id") % (N + 1), 1L)
+            .otherwise(0L).as("nv")))
+      val before = asg.groupBy(col("sa").as("s")).agg(count(lit(1)).as("n_before"))
+      val after = asg.groupBy(col("sb").as("s")).agg(count(lit(1)).as("n_after"))
+      val movedIn = asg.filter(col("sa") =!= col("sb"))
+        .groupBy(col("sb").as("s")).agg(count(lit(1)).as("n_moved_in"))
+      val glob = asg.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("moved_consistent"),
+        sum(col("nv")).as("moved_naive"))
+      after.join(before, Seq("s"), "left").join(movedIn, Seq("s"), "left")
+        .crossJoin(broadcast(glob))
+        .select(col("s"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+          col("n_after"), coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+          col("n_docs"), col("moved_consistent"), col("moved_naive"))
+        .orderBy(col("s"))
+    },
+    s"""WITH nodes AS (
+       |  SELECT s, ${graft.ext.PortableHash.bucketSql("('shard-' || s || '-' || v)", 12)} AS rpos
+       |  FROM (SELECT unnest(range(0, 5)) AS s) CROSS JOIN (SELECT unnest(range(0, 16)) AS v)),
+       |ringA AS (SELECT list(ROW(rpos, s) ORDER BY rpos, s) AS ring FROM nodes WHERE s < 4),
+       |ringB AS (SELECT list(ROW(rpos, s) ORDER BY rpos, s) AS ring FROM nodes),
+       |d AS (SELECT doc_id, ${graft.ext.PortableHash.bucketSql("('doc-' || doc_id)", 12)} AS dpos FROM documents),
+       |asg AS (SELECT doc_id,
+       |    coalesce(list_min(list_filter(a.ring, r -> r[1] >= dpos))[2], a.ring[1][2]) AS sa,
+       |    coalesce(list_min(list_filter(b.ring, r -> r[1] >= dpos))[2], b.ring[1][2]) AS sb,
+       |    CASE WHEN doc_id % 4 <> doc_id % 5 THEN 1 ELSE 0 END AS nv
+       |  FROM d CROSS JOIN ringA a CROSS JOIN ringB b),
+       |bf AS (SELECT sa AS s, cast(count(*) AS bigint) AS n_before FROM asg GROUP BY 1),
+       |af AS (SELECT sb AS s, cast(count(*) AS bigint) AS n_after FROM asg GROUP BY 1),
+       |mi AS (SELECT sb AS s, cast(count(*) AS bigint) AS n_moved_in FROM asg WHERE sa <> sb GROUP BY 1),
+       |g AS (SELECT cast(count(*) AS bigint) AS n_docs,
+       |        ${OracleSql.bigSum("CASE WHEN sa <> sb THEN 1 ELSE 0 END")} AS moved_consistent,
+       |        ${OracleSql.bigSum("nv")} AS moved_naive
+       |      FROM asg)
+       |SELECT af.s AS s, cast(coalesce(bf.n_before, 0) AS bigint) AS n_before,
+       |  af.n_after AS n_after, cast(coalesce(mi.n_moved_in, 0) AS bigint) AS n_moved_in,
+       |  g.n_docs AS n_docs, g.moved_consistent AS moved_consistent,
+       |  g.moved_naive AS moved_naive
+       |FROM af LEFT JOIN bf ON af.s = bf.s LEFT JOIN mi ON af.s = mi.s CROSS JOIN g
+       |ORDER BY s""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q149_consistent_hashing" -> q149ConsistentHashing,
     "q127_mixing_schedule" -> q127MixingSchedule,
     "q124_regional_revenue" -> q124RegionalRevenue,
     "q106_vocab_coverage" -> q106VocabCoverage,

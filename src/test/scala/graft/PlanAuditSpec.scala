@@ -623,6 +623,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // PIT window's exchange, the map-side-combined naive margin, the
       // user-keyed example join and the ≤31-row rollup + output sort
       "q148_pit_features" -> 5,
+      // q149 (round-9, audited at introduction): assignment is a pure
+      // array expression over the 1-row broadcast rings (zero shuffles
+      // per key; frame pinned before its four consumers); the exchanges
+      // are the four ≤shards rollups' and the 5-row output sort
+      "q149_consistent_hashing" -> 7,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

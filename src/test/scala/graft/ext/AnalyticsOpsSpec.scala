@@ -190,6 +190,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected, s"schedule mismatch:\n got=${got.toSeq}\n exp=$expected")
   }
 
+  test("q149 rebalance proof: bounded movement, only onto the new shard, mass conserved") {
+    // the oracle replays the ring arithmetic; it cannot see the RING
+    // degenerating (one vnode capturing everything keeps hashes green
+    // while the 1/(N+1) guarantee quietly dies). Pin the guarantees the
+    // query exists to demonstrate.
+    val rows = AnalyticsOps.q149ConsistentHashing.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = rows.head._5
+    val movedC = rows.head._6
+    val movedN = rows.head._7
+    assert(rows.map(_._2).sum == n && rows.map(_._3).sum == n, "key mass not conserved")
+    // consistent: ≈ 1/(N+1) of keys move (allow 2×); naive: ≈ N/(N+1) (require > 0.7)
+    assert(movedC * 5 < 2 * n, s"consistent rebalance moved $movedC of $n — ring degenerated")
+    assert(movedC > 0L, "nothing moved — the new shard captured no ranges")
+    assert(movedN * 10 > 7 * n, s"naive mod-N moved only $movedN of $n")
+    // keys move ONLY onto the new shard — never between surviving shards
+    rows.filter(_._1 < 4).foreach { r =>
+      assert(r._4 == 0L, s"shard ${r._1} received moved keys — not a consistent ring")
+    }
+    assert(rows.find(_._1 == 4).get._4 == movedC, "new shard's inflow != total moved")
+  }
+
   test("q132 rank-quality flag is non-degenerate (flags some docs, never all)") {
     // the oracle gate proves the counts match DuckDB; it cannot see the
     // threshold silently degenerating (corpus drift pushing every mean
