@@ -108,7 +108,8 @@ object Bench {
     "q146_cusum_drift",
     "q147_k_anonymity",
     "q148_pit_features",
-    "q149_consistent_hashing")
+    "q149_consistent_hashing",
+    "q150_merkle_diff")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -186,7 +187,8 @@ object Bench {
     "q142_bloom_admission" -> 0.65, "q143_streaming_admission" -> 4.44,
     "q144_coherence_calibration" -> 1.37, "q145_cdc_chunking" -> 1.77,
     "q146_cusum_drift" -> 0.73, "q147_k_anonymity" -> 0.54,
-    "q148_pit_features" -> 0.68, "q149_consistent_hashing" -> 0.76)
+    "q148_pit_features" -> 0.68, "q149_consistent_hashing" -> 0.76,
+    "q150_merkle_diff" -> 0.54)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1012,7 +1012,87 @@ object AnalyticsOps {
        |FROM af LEFT JOIN bf ON af.s = bf.s LEFT JOIN mi ON af.s = mi.s CROSS JOIN g
        |ORDER BY s""".stripMargin)
 
+  /** q150: Merkle-tree corpus diff — the anti-entropy repair primitive
+    * (Cassandra/Dynamo-style) for keeping replicated 100 TB corpora in
+    * sync without shipping them: hash documents (level 0), hash each
+    * 64-doc bucket's ordered hashes (level 1), hash the ordered bucket
+    * hashes into the root (level 2); two replicas compare top-down and
+    * transfer only subtrees whose hashes differ. Judged against a
+    * deterministic divergent replica (every doc_id % 101 == 7 revised —
+    * a 5-doc edit set) as the repair-granularity curve: per level, the
+    * hashes compared, the nodes differing, and the documents a sync at
+    * that granularity must transfer (docs: 5 of 500; buckets: the 5
+    * touched buckets' ~320 docs; root: everything) — the
+    * hashes-vs-transfer tradeoff a repair protocol navigates,
+    * spec-pinned (differing counts localize: every touched bucket
+    * contains an edited doc, untouched buckets hash identically).
+    *
+    * Scale: ONE corpus scan computes both replicas' doc hashes (the
+    * divergence is generator-replayed, so no second corpus is
+    * materialized); level 1 is one bucket-keyed groupBy with
+    * fixed-size (64-doc) ordered-concat state; the root agg sees only
+    * the bucket-count-sized frame. Levels are unioned 1-row/bounded
+    * aggregates.
+    */
+  val q150MerkleDiff: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        expr("doc_id div 64").as("b"),
+        md5(col("text")).as("ha"),
+        md5(when(col("doc_id") % 101 === 7, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("hb"))
+      def lvlHash(h: String): org.apache.spark.sql.Column =
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col(h)))),
+          x => x.getField(h))))
+      val l1 = d.groupBy(col("b"))
+        .agg(lvlHash("ha").as("ha"), lvlHash("hb").as("hb"), count(lit(1)).as("sz"))
+      def rootHash(h: String): org.apache.spark.sql.Column =
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("b"), col(h)))),
+          x => x.getField(h))))
+      val l0Row = d.agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_differing"))
+        .select(lit(0).as("level"), col("n_nodes"), col("n_differing"),
+          col("n_differing").as("docs_to_transfer"))
+      val l1Row = l1.agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("ha") =!= col("hb"), 1L).otherwise(0L)).as("n_differing"),
+          sum(when(col("ha") =!= col("hb"), col("sz")).otherwise(0L))
+            .as("docs_to_transfer"))
+        .select(lit(1).as("level"), col("n_nodes"), col("n_differing"),
+          col("docs_to_transfer"))
+      val l2Row = l1.agg(rootHash("ha").as("ra"), rootHash("hb").as("rb"),
+          sum(col("sz")).as("n"))
+        .select(lit(2).as("level"), lit(1L).as("n_nodes"),
+          when(col("ra") =!= col("rb"), 1L).otherwise(0L).as("n_differing"),
+          col("n").as("docs_to_transfer"))
+      l0Row.unionByName(l1Row).unionByName(l2Row).orderBy(col("level"))
+    },
+    s"""WITH d AS (SELECT doc_id, doc_id // 64 AS b, md5(text) AS ha,
+       |    md5(CASE WHEN doc_id % 101 = 7 THEN text || ' rev2' ELSE text END) AS hb
+       |  FROM documents),
+       |l1 AS (SELECT b, md5(string_agg(ha, '' ORDER BY doc_id)) AS ha,
+       |         md5(string_agg(hb, '' ORDER BY doc_id)) AS hb,
+       |         cast(count(*) AS bigint) AS sz
+       |       FROM d GROUP BY b),
+       |r AS (SELECT md5(string_agg(ha, '' ORDER BY b)) AS ra,
+       |        md5(string_agg(hb, '' ORDER BY b)) AS rb,
+       |        ${OracleSql.bigSum("sz")} AS n FROM l1)
+       |SELECT 0 AS level, cast(count(*) AS bigint) AS n_nodes,
+       |  ${OracleSql.bigSum("CASE WHEN ha <> hb THEN 1 ELSE 0 END")} AS n_differing,
+       |  ${OracleSql.bigSum("CASE WHEN ha <> hb THEN 1 ELSE 0 END")} AS docs_to_transfer
+       |FROM d
+       |UNION ALL
+       |SELECT 1, cast(count(*) AS bigint),
+       |  ${OracleSql.bigSum("CASE WHEN ha <> hb THEN 1 ELSE 0 END")},
+       |  ${OracleSql.bigSum("CASE WHEN ha <> hb THEN sz ELSE 0 END")}
+       |FROM l1
+       |UNION ALL
+       |SELECT 2, 1, CASE WHEN ra <> rb THEN 1 ELSE 0 END, n FROM r
+       |ORDER BY level""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q150_merkle_diff" -> q150MerkleDiff,
     "q149_consistent_hashing" -> q149ConsistentHashing,
     "q127_mixing_schedule" -> q127MixingSchedule,
     "q124_regional_revenue" -> q124RegionalRevenue,

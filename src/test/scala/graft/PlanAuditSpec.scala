@@ -628,6 +628,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // per key; frame pinned before its four consumers); the exchanges
       // are the four ≤shards rollups' and the 5-row output sort
       "q149_consistent_hashing" -> 7,
+      // q150 (round-9, audited at introduction): one corpus scan feeds
+      // the level-0 scalar agg and the bucket groupBy (fixed 64-doc
+      // ordered-concat state); the root agg and the level rows are
+      // 1-row/bucket-count-bounded exchanges + the 3-row output sort
+      "q150_merkle_diff" -> 8,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;

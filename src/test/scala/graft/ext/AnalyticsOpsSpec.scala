@@ -213,6 +213,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 4).get._4 == movedC, "new shard's inflow != total moved")
   }
 
+  test("q150 merkle diff localizes: level counts match the engineered edit set") {
+    // the oracle replays the same tree; it cannot see LOCALIZATION
+    // breaking (a bucket hash ignoring its members would still match its
+    // own replay while the tree stops finding edits). Pin the geometry
+    // against the generator's ground truth computed here from doc_ids.
+    val ids = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val edited = ids.filter(_ % 101 == 7)
+    val touchedBuckets = edited.map(_ / 64).toSet
+    val bucketSizes = ids.groupBy(_ / 64).view.mapValues(_.length.toLong).toMap
+    val rows = AnalyticsOps.q150MerkleDiff.run(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(edited.nonEmpty, "edit set empty — generator degenerated")
+    assert(rows(0) == ((ids.length.toLong, edited.length.toLong, edited.length.toLong)))
+    assert(rows(1) == ((bucketSizes.size.toLong, touchedBuckets.size.toLong,
+      touchedBuckets.toSeq.map(bucketSizes).sum)))
+    assert(rows(2) == ((1L, 1L, ids.length.toLong)))
+    // the curve's point: bucket-level sync transfers less than the root
+    assert(rows(1)._3 < rows(2)._3 && rows(0)._3 < rows(1)._3)
+  }
+
   test("q132 rank-quality flag is non-degenerate (flags some docs, never all)") {
     // the oracle gate proves the counts match DuckDB; it cannot see the
     // threshold silently degenerating (corpus drift pushing every mean
