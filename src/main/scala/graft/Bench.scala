@@ -183,12 +183,14 @@ object Bench {
     "q139_image_shard_admission" -> 2.36,
     // round-9 second batch: per-query min of matching sf0.1 runs at
     // introduction (loadavg recorded in bench_diag.json)
-    "q140_bigram_coherence" -> 1.35, "q141_dedup_equivalence" -> 0.94,
-    "q142_bloom_admission" -> 0.65, "q143_streaming_admission" -> 4.44,
-    "q144_coherence_calibration" -> 1.37, "q145_cdc_chunking" -> 1.77,
-    "q146_cusum_drift" -> 0.73, "q147_k_anonymity" -> 0.54,
-    "q148_pit_features" -> 0.68, "q149_consistent_hashing" -> 0.76,
-    "q150_merkle_diff" -> 0.54)
+    // re-based to the 83-query warm full run (95.3 s total, 1 retime,
+    // loadavg 1.6-5 window): cross-run minima per the stall protocol
+    "q140_bigram_coherence" -> 1.00, "q141_dedup_equivalence" -> 0.76,
+    "q142_bloom_admission" -> 0.60, "q143_streaming_admission" -> 2.78,
+    "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.20,
+    "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.19,
+    "q148_pit_features" -> 0.34, "q149_consistent_hashing" -> 0.39,
+    "q150_merkle_diff" -> 0.19)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
