@@ -109,7 +109,8 @@ object Bench {
     "q147_k_anonymity",
     "q148_pit_features",
     "q149_consistent_hashing",
-    "q150_merkle_diff")
+    "q150_merkle_diff",
+    "q151_incremental_cc")
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -190,7 +191,7 @@ object Bench {
     "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.20,
     "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.19,
     "q148_pit_features" -> 0.34, "q149_consistent_hashing" -> 0.39,
-    "q150_merkle_diff" -> 0.19)
+    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 6.04)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

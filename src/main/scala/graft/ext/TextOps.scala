@@ -445,6 +445,138 @@ object TextOps {
     },
     dedupClustersOracle)
 
+  /** q151: incremental connected-components maintenance — the graph
+    * twin of the q141 admission proof, and how near-dup CLUSTERING
+    * stays affordable at 100 TB: when a shard arrives you do not re-run
+    * components over the full corpus; you CONTRACT the at-rest
+    * components to supernodes (their labels), solve the tiny graph of
+    * shard-touching edges over (supernodes ∪ shard ids), and compose.
+    * Correct because the label convention is min-member-id: the
+    * contracted component's min over (base labels, shard ids) IS the
+    * union component's min member, so composed labels equal the batch
+    * labels exactly — the judged `equiv_diff` (full-outer doc-keyed
+    * compare against the q46 batch clustering) must be 0. The judged
+    * row also carries the work accounting that is the point: the
+    * incremental leg's component solve touches only the shard-incident
+    * edge set (spec-pinned ≪ the full edge set) plus a
+    * component-contracted vertex set, while batch re-touches
+    * everything.
+    *
+    * Split is the q101 80/20 convention (base = doc_id < t); edges are
+    * the SAME [[lshPairs]] frame q18/q46/q58 judge, so the proof runs
+    * on the production candidate graph, not a toy. The at-rest label
+    * frame is pinned for its four consumers.
+    */
+  /** Core of q151, parameterized so [[graft.ext.TextOpsSpec]] can drive
+    * the merge leg with an engineered graph (the judged corpus's shard
+    * edges happen not to bridge two base components — the spec pins
+    * that the contraction DOES merge when a bridge exists).
+    * `ids` = (doc_id), `pairs` = (a, b), `thr` = 1-row (t).
+    */
+  private[graft] def incrementalCcStats(ids: DataFrame, pairs: DataFrame,
+      thr: DataFrame): DataFrame = {
+    val pT = pairs.crossJoin(broadcast(thr))
+    val baseEdges = pT.filter(col("a") < col("t") && col("b") < col("t"))
+      .select(col("a"), col("b"))
+    val newEdges = pT.filter(col("a") >= col("t") || col("b") >= col("t"))
+      .select(col("a"), col("b"))
+    val dT = ids.crossJoin(broadcast(thr))
+    val baseIds = dT.filter(col("doc_id") < col("t")).select(col("doc_id").as("id"))
+    val shardIds = dT.filter(col("doc_id") >= col("t")).select(col("doc_id").as("id"))
+    val baseCC = graft.core.Checkpoints.pin(
+      graft.operators.ConnectedComponents.components(baseIds, baseEdges))
+    val ce = newEdges
+      .join(baseCC.select(col("id").as("a"), col("label").as("la")), Seq("a"), "left")
+      .join(baseCC.select(col("id").as("b"), col("label").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+    val cv = baseCC.select(col("label").as("id")).distinct().unionByName(shardIds)
+    val contrMap = graft.operators.ConnectedComponents.components(cv, ce)
+      .select(col("id").as("cid"), col("label").as("final"))
+    val inc = baseCC.join(contrMap, baseCC("label") === contrMap("cid"))
+      .select(col("id").as("doc_id"), col("final"))
+      .unionByName(shardIds.join(contrMap, col("id") === col("cid"))
+        .select(col("id").as("doc_id"), col("final")))
+    val batch = graft.operators.ConnectedComponents.components(
+        ids.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val equiv = batch.join(inc, Seq("doc_id"), "full_outer")
+      .agg(sum(when(not(col("cluster_id") <=> col("final")), 1L).otherwise(0L))
+        .as("equiv_diff"))
+    val m1 = baseCC.agg(countDistinct(col("label")).as("n_base_components"))
+    val m2 = shardIds.agg(count(lit(1)).as("n_shard_docs"))
+    val m3 = pT.agg(count(lit(1)).as("n_edges_total"),
+      sum(when(col("a") >= col("t") || col("b") >= col("t"), 1L).otherwise(0L))
+        .as("n_edges_incremental"))
+    val m4 = baseCC.select(col("label")).distinct()
+      .join(contrMap, col("label") === col("cid"))
+      .agg(sum(when(col("final") =!= col("label"), 1L).otherwise(0L))
+        .as("n_base_components_merged"))
+    val m5 = inc.agg(countDistinct(col("final")).as("n_final_components"))
+    m1.crossJoin(broadcast(m2)).crossJoin(broadcast(m3))
+      .crossJoin(broadcast(m4)).crossJoin(broadcast(m5))
+      .crossJoin(broadcast(equiv))
+      .select(col("n_base_components"), col("n_shard_docs"),
+        col("n_edges_total"), col("n_edges_incremental"),
+        col("n_base_components_merged"), col("n_final_components"),
+        col("equiv_diff"))
+  }
+
+  val q151IncrementalCc: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("t"))
+      // the candidate-pair generation (shingle explode + signatures +
+      // band self-join) is the expensive frame — pinned ONCE for the
+      // three consumers (edge split, batch-proof solve, metric row)
+      incrementalCcStats(docs.select(col("doc_id")),
+        graft.core.Checkpoints.pin(
+          lshPairs(docs).select(col("doc_a").as("a"), col("doc_b").as("b"))), thr)
+    },
+    recursive(lshChainSql) +
+      s"""
+         |, thr AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) AS bigint) AS t FROM documents),
+         |p AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |be AS (SELECT a, b FROM p CROSS JOIN thr WHERE a < t AND b < t),
+         |bedges AS (SELECT a AS u, b AS v FROM be UNION SELECT b, a FROM be),
+         |breach AS (SELECT u, v FROM bedges
+         |           UNION SELECT r.u, e.v FROM breach r JOIN bedges e ON r.v = e.u),
+         |bcc AS (SELECT d.doc_id AS id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS label
+         |        FROM documents d CROSS JOIN thr LEFT JOIN breach r ON d.doc_id = r.u
+         |        WHERE d.doc_id < thr.t GROUP BY d.doc_id),
+         |ne AS (SELECT a, b FROM p CROSS JOIN thr WHERE a >= t OR b >= t),
+         |ce AS (SELECT coalesce(la.label, ne.a) AS a, coalesce(lb.label, ne.b) AS b
+         |       FROM ne LEFT JOIN bcc la ON ne.a = la.id LEFT JOIN bcc lb ON ne.b = lb.id),
+         |cedges AS (SELECT a AS u, b AS v FROM ce UNION SELECT b, a FROM ce),
+         |creach AS (SELECT u, v FROM cedges
+         |           UNION SELECT r.u, e.v FROM creach r JOIN cedges e ON r.v = e.u),
+         |cv AS (SELECT DISTINCT label AS id FROM bcc
+         |       UNION SELECT doc_id FROM documents CROSS JOIN thr WHERE doc_id >= t),
+         |ccc AS (SELECT cv.id, least(cv.id, coalesce(min(r.v), cv.id)) AS final
+         |        FROM cv LEFT JOIN creach r ON cv.id = r.u GROUP BY cv.id),
+         |inc AS (SELECT b.id AS doc_id, c.final FROM bcc b JOIN ccc c ON b.label = c.id
+         |        UNION ALL
+         |        SELECT d.doc_id, c.final FROM documents d CROSS JOIN thr
+         |        JOIN ccc c ON d.doc_id = c.id WHERE d.doc_id >= thr.t),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |clusters AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+         |             FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+         |             GROUP BY d.doc_id),
+         |eq AS (SELECT ${OracleSql.bigSum("CASE WHEN c.cluster_id IS DISTINCT FROM i.final THEN 1 ELSE 0 END")} AS equiv_diff
+         |       FROM clusters c FULL OUTER JOIN inc i ON c.doc_id = i.doc_id)
+         |SELECT
+         |  (SELECT cast(count(DISTINCT label) AS bigint) FROM bcc) AS n_base_components,
+         |  (SELECT cast(count(*) AS bigint) FROM documents CROSS JOIN thr WHERE doc_id >= t) AS n_shard_docs,
+         |  (SELECT cast(count(*) AS bigint) FROM p) AS n_edges_total,
+         |  (SELECT cast(count(*) AS bigint) FROM ne) AS n_edges_incremental,
+         |  (SELECT ${OracleSql.bigSum("CASE WHEN c.final <> x.label THEN 1 ELSE 0 END")}
+         |   FROM (SELECT DISTINCT label FROM bcc) x JOIN ccc c ON x.label = c.id) AS n_base_components_merged,
+         |  (SELECT cast(count(DISTINCT final) AS bigint) FROM inc) AS n_final_components,
+         |  (SELECT equiv_diff FROM eq) AS equiv_diff""".stripMargin)
+
   /** Survivor selection: keep ONE document per near-dup cluster — the
     * longest (n_chars, tie-break min doc_id) — and report how many
     * members it displaced. The "keep one per group" step that follows
@@ -3008,6 +3140,7 @@ object TextOps {
     "q140_bigram_coherence" -> q140BigramCoherence,
     "q144_coherence_calibration" -> q144CoherenceCalibration,
     "q145_cdc_chunking" -> q145CdcChunking,
+    "q151_incremental_cc" -> q151IncrementalCc,
     "q141_dedup_equivalence" -> q141DedupEquivalence,
     "q142_bloom_admission" -> q142BloomAdmission,
     "q134_training_data_card" -> q134TrainingDataCard,

@@ -633,6 +633,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // ordered-concat state); the root agg and the level rows are
       // 1-row/bucket-count-bounded exchanges + the 3-row output sort
       "q150_merkle_diff" -> 8,
+      // q151 (round-9, audited at introduction): THREE component solves
+      // (base, contracted, batch-for-the-proof) dominate — per-round
+      // label exchanges on pinned frames, the q46/q58 cost class; the
+      // rest are the edge-split filters, the contraction joins and the
+      // 1-row metric aggregates. At production the batch leg is the
+      // PROOF being judged, not the serving path — the incremental leg
+      // alone touches only the shard-incident edges
+      "q151_incremental_cc" -> 42,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;
