@@ -154,7 +154,7 @@ object Bench {
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
     "q39_winnowing" -> 0.67, "q42_running_totals" -> 0.41,
-    "q58_dedup_clusters_star" -> 2.74, "q83_scd2_history" -> 0.46,
+    "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.46,
     "q108_image_decode" -> 0.53, "q109_zorder_prune" -> 0.5,
     "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.47,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
@@ -186,12 +186,12 @@ object Bench {
     // introduction (loadavg recorded in bench_diag.json)
     // re-based to the 83-query warm full run (95.3 s total, 1 retime,
     // loadavg 1.6-5 window): cross-run minima per the stall protocol
-    "q140_bigram_coherence" -> 1.00, "q141_dedup_equivalence" -> 0.76,
-    "q142_bloom_admission" -> 0.60, "q143_streaming_admission" -> 2.78,
+    "q140_bigram_coherence" -> 1.00, "q141_dedup_equivalence" -> 0.63,
+    "q142_bloom_admission" -> 0.46, "q143_streaming_admission" -> 2.78,
     "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.20,
-    "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.19,
-    "q148_pit_features" -> 0.34, "q149_consistent_hashing" -> 0.39,
-    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 6.04)
+    "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.18,
+    "q148_pit_features" -> 0.33, "q149_consistent_hashing" -> 0.37,
+    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.22)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
