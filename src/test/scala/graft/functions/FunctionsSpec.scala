@@ -126,4 +126,40 @@ class FunctionsSpec extends AnyFunSuite {
       assert(SCTest.check(SCTest.Parameters.default, p).passed)
     }
   }
+
+  test("hexSlice: Spark conv, the DuckDB strpos formula, and BigInt agree (scalacheck)") {
+    // The q142 Bloom positions and q149 ring coordinates rest on this
+    // three-way identity: Spark's conv(substring(hex)), the oracle's
+    // positional strpos arithmetic, and plain base-16 parsing must give
+    // one value for every slice of every hex string.
+    import graft.ext.PortableHash
+    val hexChar = Gen.oneOf(('0' to '9') ++ ('a' to 'f'))
+    val gen = for {
+      hex <- Gen.listOfN(32, hexChar).map(_.mkString)
+      start <- Gen.choose(1, 19)        // slice stays inside 32 chars
+      len <- Gen.choose(1, 14)          // the 56-bit exact window
+    } yield (hex, start, math.min(len, 33 - start))
+    // local replay of the oracle's strpos arithmetic — digit position
+    // scaled by its power of 16, exactly the generated SQL
+    def strposFormula(hex: String, start: Int, len: Int): Long =
+      (0 until len).map { i =>
+        ("0123456789abcdef".indexOf(hex(start - 1 + i)).toLong) *
+          math.pow(16, len - 1 - i).toLong
+      }.sum
+    val p = Prop.forAll(gen) { case (hex, start, len) =>
+      val expected = BigInt(hex.substring(start - 1, start - 1 + len), 16).toLong
+      strposFormula(hex, start, len) == expected
+    }
+    assert(SCTest.check(SCTest.Parameters.default, p).passed)
+    // the Spark leg once per distinct shape class (engine round-trip is
+    // expensive per sample; the formula identity above is the bulk prop)
+    val samples = Seq(("0123456789abcdef0123456789abcdef", 1, 12),
+      ("ffffffffffffffffffffffffffffffff", 13, 12), ("a0b1c2d3e4f5061728394a5b6c7d8e9f", 7, 14))
+    samples.foreach { case (hex, st, ln) =>
+      val got = spark.range(1).select(
+        PortableHash.hexSliceCol(lit(hex), st, ln).as("v")).head.getLong(0)
+      assert(got == BigInt(hex.substring(st - 1, st - 1 + ln), 16).toLong,
+        s"conv mismatch for ($hex, $st, $ln)")
+    }
+  }
 }
