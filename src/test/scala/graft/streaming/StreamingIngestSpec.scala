@@ -80,6 +80,48 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(rows.toSet == (0L until 150L).toSet, "key set wrong after recovery")
   }
 
+  test("q143-shape admission (static anti-join + dedup) survives a restart exactly-once") {
+    // The q143 composition's fault-tolerance claim: the STREAM-STATIC
+    // anti-join is stateless (nothing of it to recover) while the
+    // downstream dedup state and the source offsets both must. Three
+    // failure modes, each with a distinct signature in the final rows:
+    // lost dedup state re-emits the phase-overlap keys (140 rows),
+    // lost source offsets re-lands phase 1 wholesale, and a broken
+    // anti-join after restart admits statically-blocked keys (0..49).
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-adm-in")
+    val out = Files.createTempDirectory("graft-adm-out").toString
+    val ckpt = Files.createTempDirectory("graft-adm-ckpt").toString
+    val atRest = (0 until 100).map(_.toLong).toDF("k")
+    def land(sub: String, keys: Seq[Int]): Unit =
+      keys.map(_.toLong).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(in.resolve(sub).toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+        .join(atRest, Seq("k"), "left_anti")
+        .dropDuplicates("k")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land("a", 50 until 150)
+    runOnce() // phase 1: 50..99 blocked by the static state, 100..149 admitted
+    assert(spark.read.parquet(out).count() == 50)
+    land("b", (0 until 50) ++ (120 until 220))
+    runOnce() // RESTART: blocked re-crawls + in-stream dups + novel keys
+    val rows = spark.read.parquet(out).as[Long].collect()
+    assert(rows.toSet == (100L until 220L).toSet,
+      s"admission set wrong after recovery: ${rows.sorted.take(10).mkString(",")}…")
+    assert(rows.length == 120,
+      s"expected exactly-once admission (120 rows), got ${rows.length}")
+  }
+
   test("streaming dedup: duplicated input files collapse to distinct keys") {
     val dir = Files.createTempDirectory("graft-dedup-events")
     val batch = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
