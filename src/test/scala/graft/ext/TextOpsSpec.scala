@@ -376,6 +376,33 @@ class TextOpsSpec extends AnyFunSuite {
       "CDC re-aligns on under half the chunk mass — boundary scheme drifted")
   }
 
+  test("q145 CDC boundaries are shift-invariant beyond the edit window (scalacheck)") {
+    // The formal reason the q145 robustness proof holds at any corpus:
+    // a break decision at (1-based) position i ≥ 5 reads ONLY tokens
+    // i−4..i−1, so prepending k tokens shifts every such decision by
+    // exactly k — boundaries re-align one hash window past the edit.
+    // Local replay of the engine's exact formula (md5 3-hex-char bucket
+    // of the space-joined 4-gram, break when ≡ 0 mod 16).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def bucket(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 3), 16)
+    }
+    def brk(w: IndexedSeq[String], i: Int): Boolean =
+      i >= 5 && bucket(Seq(w(i - 5), w(i - 4), w(i - 3), w(i - 2)).mkString(" ")) % 16 == 0
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(4).mkString)
+    val gen = for {
+      w <- Gen.listOfN(30, word).map(_.toIndexedSeq)
+      p <- Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, word).map(_.toIndexedSeq))
+    } yield (w, p)
+    val prop = Prop.forAll(gen) { case (w, p) =>
+      val w2 = p ++ w
+      (5 to w.length).forall(i => brk(w, i) == brk(w2, i + p.length))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("q142 bloom screen: no false negatives, genuinely approximate, both probe classes occur") {
     // The no-FN row (n_missed = 0) is the Bloom guarantee the accounting
     // verifies against ground truth; the oracle replays the arithmetic
