@@ -409,25 +409,6 @@ object Multimodal {
       media_id: Long, source: String, pcm16_8k: Boolean,
       n_samples: Long, sum_samples: Long, sum_abs: Long, peak: Long)
 
-  /** q114: REAL audio decode audit — the third modality leg (image =
-    * q108, frames/video = q65). One genuine RIFF/WAV per document is
-    * staged, ingested through `binaryFile`, and decoded executor-side
-    * with `javax.sound.sampled` (JDK, zero external codecs): the judged
-    * numbers are the decoder-reported format check (8 kHz mono 16-bit
-    * signed LE) and exact integer sample statistics — frame count,
-    * signed sum, L1 sum, per-clip peak — aggregated per source.
-    *
-    * The oracle never touches a codec: samples are a pure integer
-    * function of `doc_id` ([[AudioGen]]), so DuckDB recomputes every
-    * judged number arithmetically. WAV PCM is lossless and
-    * byte-transparent, so a single header-offset or endianness mistake
-    * anywhere in encode/decode shifts integer sums over ~500 samples
-    * per clip and hash-mismatches.
-    *
-    * Scale: decode is per-split (`mapPartitions`, the documented
-    * codec-boundary case), no payload crosses a shuffle; exchanges are
-    * the 20-row rollup and the sort — the q108 plan shape exactly.
-    */
   /** Per-clip audit rows through the REAL `javax.sound.sampled` decode
     * path — the q114 leg, shared with the q131 manifest join.
     */
@@ -455,6 +436,25 @@ object Multimodal {
       }
   }
 
+  /** q114: REAL audio decode audit — the third modality leg (image =
+    * q108, frames/video = q65). One genuine RIFF/WAV per document is
+    * staged, ingested through `binaryFile`, and decoded executor-side
+    * with `javax.sound.sampled` (JDK, zero external codecs): the judged
+    * numbers are the decoder-reported format check (8 kHz mono 16-bit
+    * signed LE) and exact integer sample statistics — frame count,
+    * signed sum, L1 sum, per-clip peak — aggregated per source.
+    *
+    * The oracle never touches a codec: samples are a pure integer
+    * function of `doc_id` ([[AudioGen]]), so DuckDB recomputes every
+    * judged number arithmetically. WAV PCM is lossless and
+    * byte-transparent, so a single header-offset or endianness mistake
+    * anywhere in encode/decode shifts integer sums over ~500 samples
+    * per clip and hash-mismatches.
+    *
+    * Scale: decode is per-split (`mapPartitions`, the documented
+    * codec-boundary case), no payload crosses a shuffle; exchanges are
+    * the 20-row rollup and the sort — the q108 plan shape exactly.
+    */
   val q114AudioDecode: graft.QuerySpec = graft.QuerySpec(
     (s, dir) => {
       val clips = audioAudits(s, dir)
@@ -502,29 +502,6 @@ object Multimodal {
       media_id: Long, source: String, frame_idx: Int,
       width: Int, height: Int, gray: Boolean, gray_sum: Long)
 
-  /** q118: REAL multi-frame decode — the MOTION leg that completes the
-    * modality triad (still image = q108, audio = q114; q65's byte-slice
-    * "frames" remain the container-agnostic accounting). One genuine
-    * animated GIF per document is staged, ingested through
-    * `binaryFile`, and decoded FRAME BY FRAME executor-side with the
-    * same `javax.imageio` stack q108 uses (`ImageReader.getNumImages` +
-    * per-index `read`) — the judged rows are per-(source, frame_idx)
-    * exact integer pixel statistics, so the per-frame decode itself is
-    * under the hash gate, not just a clip-level rollup.
-    *
-    * Why the round-trip is exact: frames are written INDEXED with an
-    * identity grayscale palette (≤256 colors/frame), and GIF's LZW is
-    * lossless on indexed data — so `getRGB & 0xFF` must recover every
-    * generated gray value bit-exactly, and the `gray` flag (r==g==b on
-    * every pixel) certifies the palette survived. The oracle never
-    * touches a codec: it replays [[GifGen]]'s integer formula over the
-    * (doc × frame × pixel) grid arithmetically.
-    *
-    * Scale: decode is per-split `mapPartitions` (the documented codec
-    * boundary); each clip fans out ≤ 5 narrow 7-scalar rows and no
-    * payload crosses a shuffle; exchanges are the ≤(sources ×
-    * max-frames)-row rollup and the sort — the q108 plan shape.
-    */
   /** Per-frame audit rows through the REAL `javax.imageio` GIF decode
     * path — the q118 leg, shared with the q131 manifest join.
     */
@@ -563,6 +540,29 @@ object Multimodal {
       }
   }
 
+  /** q118: REAL multi-frame decode — the MOTION leg that completes the
+    * modality triad (still image = q108, audio = q114; q65's byte-slice
+    * "frames" remain the container-agnostic accounting). One genuine
+    * animated GIF per document is staged, ingested through
+    * `binaryFile`, and decoded FRAME BY FRAME executor-side with the
+    * same `javax.imageio` stack q108 uses (`ImageReader.getNumImages` +
+    * per-index `read`) — the judged rows are per-(source, frame_idx)
+    * exact integer pixel statistics, so the per-frame decode itself is
+    * under the hash gate, not just a clip-level rollup.
+    *
+    * Why the round-trip is exact: frames are written INDEXED with an
+    * identity grayscale palette (≤256 colors/frame), and GIF's LZW is
+    * lossless on indexed data — so `getRGB & 0xFF` must recover every
+    * generated gray value bit-exactly, and the `gray` flag (r==g==b on
+    * every pixel) certifies the palette survived. The oracle never
+    * touches a codec: it replays [[GifGen]]'s integer formula over the
+    * (doc × frame × pixel) grid arithmetically.
+    *
+    * Scale: decode is per-split `mapPartitions` (the documented codec
+    * boundary); each clip fans out ≤ 5 narrow 7-scalar rows and no
+    * payload crosses a shuffle; exchanges are the ≤(sources ×
+    * max-frames)-row rollup and the sort — the q108 plan shape.
+    */
   val q118GifFrames: graft.QuerySpec = graft.QuerySpec(
     (s, dir) => {
       val frames = gifFrameAudits(s, dir)
@@ -820,12 +820,6 @@ object Multimodal {
   private[graft] val DHashBandBits = 14
   private[graft] val DHashHamMax = 3
 
-  /** q133's banded Hamming pairing over ANY (media_id, sig) signature
-    * frame — shared verbatim by the q135 audio/GIF legs so the dup-pair
-    * scheme cannot drift across modalities. Output: (media_id_a,
-    * media_id_b, hamming) with hamming ≤ [[DHashHamMax]], exact by
-    * pigeonhole (bands = HamMax + 1), bucket-capped.
-    */
   /** (media_id, sig, band, v) band rows — one posexplode pass over a
     * signature frame (the minhashBands shape). Shared by
     * [[hammingDupPairs]] and the streaming q137, so the banding scheme
@@ -838,6 +832,12 @@ object Multimodal {
           .bitwiseAND(lit((1L << DHashBandBits) - 1))): _*)))
       .select(col("media_id"), col("sig"), col("pos").as("band"), col("col").as("v"))
 
+  /** q133's banded Hamming pairing over ANY (media_id, sig) signature
+    * frame — shared verbatim by the q135 audio/GIF legs so the dup-pair
+    * scheme cannot drift across modalities. Output: (media_id_a,
+    * media_id_b, hamming) with hamming ≤ [[DHashHamMax]], exact by
+    * pigeonhole (bands = HamMax + 1), bucket-capped.
+    */
   private[graft] def hammingDupPairs(sigs: DataFrame): DataFrame = {
     val bands = dhashBandRows(sigs)
     val ok = bands.groupBy(col("band"), col("v"))
@@ -865,32 +865,6 @@ object Multimodal {
     */
   private[graft] val DHashBucketCap = 64
 
-  /** q133: image near-dup (perceptual hash) — the image leg of the
-    * dedup family (exact/fuzzy/semantic text dedup: q12/q17/q25). One
-    * real PNG per document is staged from a generator that plants
-    * small-edit families (shared motif per 4 doc_ids; per-doc uniform
-    * brightness shift — dHash-invariant by construction — plus ≤2
-    * spike pixels that flip ≤2 gradient bits each), ingested through
-    * `binaryFile`, decoded executor-side, and reduced to a 56-bit
-    * [[dhash56]] at the codec boundary. Candidates come from a
-    * banded self-join (4×14-bit bands, exact for Hamming ≤ 3);
-    * survivors are the pairs with bit_count(sig_a XOR sig_b) ≤ 3.
-    *
-    * The oracle never touches a codec: pixel content is a pure integer
-    * function of doc_id ([[NearDupImageGen]]), so DuckDB rebuilds every
-    * signature arithmetically (8×8 grid unnest, lead() for the
-    * horizontal comparison, sum of powers of two), bands it with the
-    * same shift/mask arithmetic, and replays the identical banded join
-    * + Hamming filter.
-    *
-    * Scale: decode + signature are per-split map work (payloads never
-    * leave the scan partition — only 8-byte signatures shuffle); the
-    * signature frame is pinned once for its three consumers (both join
-    * sides + the bucket cap); candidate generation is bucket-keyed with
-    * a replayed cap, never all-pairs. At 100 TB the knobs are band
-    * width (more bits per band as the corpus grows) and the cap — the
-    * plan shape is unchanged.
-    */
   /** The pinned (media_id, sig) dHash frame over the q133 staged PNG
     * corpus — decode + signature at the codec boundary. Shared by q133
     * (the pair listing), q135's image leg, and the streaming q137 so
@@ -917,6 +891,32 @@ object Multimodal {
         .toDF("media_id", "sig"))
   }
 
+  /** q133: image near-dup (perceptual hash) — the image leg of the
+    * dedup family (exact/fuzzy/semantic text dedup: q12/q17/q25). One
+    * real PNG per document is staged from a generator that plants
+    * small-edit families (shared motif per 4 doc_ids; per-doc uniform
+    * brightness shift — dHash-invariant by construction — plus ≤2
+    * spike pixels that flip ≤2 gradient bits each), ingested through
+    * `binaryFile`, decoded executor-side, and reduced to a 56-bit
+    * [[dhash56]] at the codec boundary. Candidates come from a
+    * banded self-join (4×14-bit bands, exact for Hamming ≤ 3);
+    * survivors are the pairs with bit_count(sig_a XOR sig_b) ≤ 3.
+    *
+    * The oracle never touches a codec: pixel content is a pure integer
+    * function of doc_id ([[NearDupImageGen]]), so DuckDB rebuilds every
+    * signature arithmetically (8×8 grid unnest, lead() for the
+    * horizontal comparison, sum of powers of two), bands it with the
+    * same shift/mask arithmetic, and replays the identical banded join
+    * + Hamming filter.
+    *
+    * Scale: decode + signature are per-split map work (payloads never
+    * leave the scan partition — only 8-byte signatures shuffle); the
+    * signature frame is pinned once for its three consumers (both join
+    * sides + the bucket cap); candidate generation is bucket-keyed with
+    * a replayed cap, never all-pairs. At 100 TB the knobs are band
+    * width (more bits per band as the corpus grows) and the cap — the
+    * plan shape is unchanged.
+    */
   val q133ImageNearDup: graft.QuerySpec = graft.QuerySpec(
     (s, dir) =>
       hammingDupPairs(imageSigFrame(s, dir))

@@ -226,24 +226,6 @@ object TextOps {
        |  $qualitySql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin)
 
-  /** q113: quality-filter CASCADE funnel — how a real curation pipeline
-    * applies quality gates: ordered, each stage seeing only the prior
-    * stage's survivors, with per-stage survival counts (the funnel
-    * report that tells an operator WHICH gate is eating the corpus
-    * before a 100 TB run). Five Gopher/C4-style gates over the q15
-    * signal set: min length (≥100 chars), min tokens (≥20), stopword
-    * floor (hits·25 ≥ tokens, i.e. ≥4% — prose has stopwords; token
-    * soup from OCR/boilerplate doesn't), type-token ratio (distinct·2 ≥
-    * tokens — the repetition gate), punctuation ceiling (punct·5 ≤
-    * chars — a no-op on this punctuation-free corpus, kept to show a
-    * gate that passes clean data through). All thresholds are
-    * cross-multiplied integers — no float ratio ever compared.
-    *
-    * Scale: one scan, all five signals computed in a single projection
-    * (codegen'd regex/array expressions), map-side partial aggregation,
-    * a 20-row source rollup — the funnel costs one pass no matter how
-    * many gates.
-    */
   /** The five q113 quality gates as CUMULATIVE predicates g1..g5 (each
     * gate sees only the prior gate's survivors). ONE definition shared
     * by q113 (the per-gate funnel accounting) and q134 (the data card,
@@ -278,6 +260,24 @@ object TextOps {
   private val gateAllSql: String =
     "nc >= 100 AND toks >= 20 AND stop * 25 >= toks AND dtoks * 2 >= toks AND punct * 5 <= nc"
 
+  /** q113: quality-filter CASCADE funnel — how a real curation pipeline
+    * applies quality gates: ordered, each stage seeing only the prior
+    * stage's survivors, with per-stage survival counts (the funnel
+    * report that tells an operator WHICH gate is eating the corpus
+    * before a 100 TB run). Five Gopher/C4-style gates over the q15
+    * signal set: min length (≥100 chars), min tokens (≥20), stopword
+    * floor (hits·25 ≥ tokens, i.e. ≥4% — prose has stopwords; token
+    * soup from OCR/boilerplate doesn't), type-token ratio (distinct·2 ≥
+    * tokens — the repetition gate), punctuation ceiling (punct·5 ≤
+    * chars — a no-op on this punctuation-free corpus, kept to show a
+    * gate that passes clean data through). All thresholds are
+    * cross-multiplied integers — no float ratio ever compared.
+    *
+    * Scale: one scan, all five signals computed in a single projection
+    * (codegen'd regex/array expressions), map-side partial aggregation,
+    * a 20-row source rollup — the funnel costs one pass no matter how
+    * many gates.
+    */
   val q113FilterFunnel: QuerySpec = QuerySpec(
     (s, dir) => {
       val Seq(g1, g2, g3, g4, g5) = qualityGates
@@ -332,12 +332,6 @@ object TextOps {
     (s, dir) => minhashSig(Tables.documents(s, dir)).orderBy(col("doc_id")),
     shSql + minhashSigSql + "\nSELECT * FROM sig ORDER BY doc_id")
 
-  /** MinHash LSH candidate pairs (doc_a < doc_b, distinct, unordered):
-    * 4 bands × 2 rows; docs sharing any band bucket become candidates.
-    * The join is per-(band, bucket) — bucket-local, never all-pairs.
-    * Shared by q18 (the pair listing) and q46/q47 (dedup clustering) so
-    * the candidate scheme cannot drift between them.
-    */
   /** (doc_id, band_id, bucket) band rows — one posexplode pass over the
     * signature frame (NOT a 4-way union, which would recompute the whole
     * signature aggregation once per band). Shared by [[lshPairs]] and
@@ -350,6 +344,12 @@ object TextOps {
           concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("bucket"))
 
+  /** MinHash LSH candidate pairs (doc_a < doc_b, distinct, unordered):
+    * 4 bands × 2 rows; docs sharing any band bucket become candidates.
+    * The join is per-(band, bucket) — bucket-local, never all-pairs.
+    * Shared by q18 (the pair listing) and q46/q47 (dedup clustering) so
+    * the candidate scheme cannot drift between them.
+    */
   private[graft] def lshPairs(docs: DataFrame): DataFrame =
     lshPairsFrom(minhashBands(docs))
 
@@ -445,28 +445,6 @@ object TextOps {
     },
     dedupClustersOracle)
 
-  /** q151: incremental connected-components maintenance — the graph
-    * twin of the q141 admission proof, and how near-dup CLUSTERING
-    * stays affordable at 100 TB: when a shard arrives you do not re-run
-    * components over the full corpus; you CONTRACT the at-rest
-    * components to supernodes (their labels), solve the tiny graph of
-    * shard-touching edges over (supernodes ∪ shard ids), and compose.
-    * Correct because the label convention is min-member-id: the
-    * contracted component's min over (base labels, shard ids) IS the
-    * union component's min member, so composed labels equal the batch
-    * labels exactly — the judged `equiv_diff` (full-outer doc-keyed
-    * compare against the q46 batch clustering) must be 0. The judged
-    * row also carries the work accounting that is the point: the
-    * incremental leg's component solve touches only the shard-incident
-    * edge set (spec-pinned ≪ the full edge set) plus a
-    * component-contracted vertex set, while batch re-touches
-    * everything.
-    *
-    * Split is the q101 80/20 convention (base = doc_id < t); edges are
-    * the SAME [[lshPairs]] frame q18/q46/q58 judge, so the proof runs
-    * on the production candidate graph, not a toy. The at-rest label
-    * frame is pinned for its four consumers.
-    */
   /** Core of q151, parameterized so [[graft.ext.TextOpsSpec]] can drive
     * the merge leg with an engineered graph (the judged corpus's shard
     * edges happen not to bridge two base components — the spec pins
@@ -522,6 +500,28 @@ object TextOps {
         col("equiv_diff"))
   }
 
+  /** q151: incremental connected-components maintenance — the graph
+    * twin of the q141 admission proof, and how near-dup CLUSTERING
+    * stays affordable at 100 TB: when a shard arrives you do not re-run
+    * components over the full corpus; you CONTRACT the at-rest
+    * components to supernodes (their labels), solve the tiny graph of
+    * shard-touching edges over (supernodes ∪ shard ids), and compose.
+    * Correct because the label convention is min-member-id: the
+    * contracted component's min over (base labels, shard ids) IS the
+    * union component's min member, so composed labels equal the batch
+    * labels exactly — the judged `equiv_diff` (full-outer doc-keyed
+    * compare against the q46 batch clustering) must be 0. The judged
+    * row also carries the work accounting that is the point: the
+    * incremental leg's component solve touches only the shard-incident
+    * edge set (spec-pinned ≪ the full edge set) plus a
+    * component-contracted vertex set, while batch re-touches
+    * everything.
+    *
+    * Split is the q101 80/20 convention (base = doc_id < t); edges are
+    * the SAME [[lshPairs]] frame q18/q46/q58 judge, so the proof runs
+    * on the production candidate graph, not a toy. The at-rest label
+    * frame is pinned for its four consumers.
+    */
   val q151IncrementalCc: QuerySpec = QuerySpec(
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -626,24 +626,6 @@ object TextOps {
     */
   val JaccardDfCap = 50
 
-  /** n-gram Jaccard near-dup pairs, blocked by source: |A∩B| / |A∪B| over
-    * distinct word 3-shingles in the df-capped universe (see
-    * [[JaccardDfCap]]); only same-source pairs are candidates. df is
-    * computed with a map-side-combinable groupBy, never a window over the
-    * skewed shingle key.
-    *
-    * Exchange discipline: at scale (rare exceeds broadcast range) the
-    * df-join shuffle leaves `kept` hash-partitioned on (source, sh) —
-    * exactly the self-join's keys — so candidate generation adds ZERO
-    * further full-data exchanges (the second branch reuses the same
-    * shuffle). At test scale AQE broadcasts `rare` instead and lets the
-    * self-join shuffle — its call, both correct. Set sizes are
-    * aggregated separately and joined to the (cap-bounded)
-    * candidate-pair aggregate afterward; the earlier form attached
-    * sizes via a doc-window BEFORE the self-join, which re-shuffled the
-    * full shingle set unconditionally — window + two join branches —
-    * at every scale.
-    */
   /** The q20 plan with an explicit df cap — `cap = Int.MaxValue` is the
     * exact (uncapped) Jaccard, kept callable so `TextOpsSpec` can
     * cross-check the judged capped form against brute-force exact
@@ -709,6 +691,24 @@ object TextOps {
       |  FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id JOIN sz sb ON cm.doc_b = sb.doc_id
       |  WHERE cast(n_common AS double) / cast(sa.n_sh + sb.n_sh - n_common AS double) >= cast(0.5 AS double))""".stripMargin
 
+  /** n-gram Jaccard near-dup pairs, blocked by source: |A∩B| / |A∪B| over
+    * distinct word 3-shingles in the df-capped universe (see
+    * [[JaccardDfCap]]); only same-source pairs are candidates. df is
+    * computed with a map-side-combinable groupBy, never a window over the
+    * skewed shingle key.
+    *
+    * Exchange discipline: at scale (rare exceeds broadcast range) the
+    * df-join shuffle leaves `kept` hash-partitioned on (source, sh) —
+    * exactly the self-join's keys — so candidate generation adds ZERO
+    * further full-data exchanges (the second branch reuses the same
+    * shuffle). At test scale AQE broadcasts `rare` instead and lets the
+    * self-join shuffle — its call, both correct. Set sizes are
+    * aggregated separately and joined to the (cap-bounded)
+    * candidate-pair aggregate afterward; the earlier form attached
+    * sizes via a doc-window BEFORE the self-join, which re-shuffled the
+    * full shingle set unconditionally — window + two join branches —
+    * at every scale.
+    */
   val q20JaccardPairs: QuerySpec = QuerySpec(
     (s, dir) => jaccardPairs(Tables.documents(s, dir), JaccardDfCap),
     shSql + "\n" + jaccardTruthSql +
@@ -832,17 +832,6 @@ object TextOps {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin)
 
-  /** Winnowing fingerprints (the MOSS scheme): rolling hash every 8-char
-    * gram of the normalized text, then keep the minimum of each 4-hash
-    * window — a position-robust fingerprint *set* per document whose size
-    * is ~n/w regardless of alignment. Computed by the single codegen'd
-    * [[graft.functions.WinnowFingerprints]] expression (true O(1) rolling
-    * update + one-pass window minima); the earlier
-    * transform/slice/array_min lambda chain was CodegenFallback per
-    * element and 7× slower at bench scale
-    * (`WinnowFingerprintsSpec` pins parity with that chain). The oracle
-    * reproduces gram hashing + window minima with list folds.
-    */
   /** DuckDB winnowing CTEs `n/h/w` — `w` = one (doc_id, source, fp) row
     * per distinct window-min fingerprint per document. Shared by q39
     * (the fingerprint dump) and q111 (fingerprint-overlap
@@ -866,6 +855,17 @@ object TextOps {
       |      i -> list_aggregate(hashes[i:i+3], 'min')))) AS fp
       |  FROM h)""".stripMargin
 
+  /** Winnowing fingerprints (the MOSS scheme): rolling hash every 8-char
+    * gram of the normalized text, then keep the minimum of each 4-hash
+    * window — a position-robust fingerprint *set* per document whose size
+    * is ~n/w regardless of alignment. Computed by the single codegen'd
+    * [[graft.functions.WinnowFingerprints]] expression (true O(1) rolling
+    * update + one-pass window minima); the earlier
+    * transform/slice/array_min lambda chain was CodegenFallback per
+    * element and 7× slower at bench scale
+    * (`WinnowFingerprintsSpec` pins parity with that chain). The oracle
+    * reproduces gram hashing + window minima with list folds.
+    */
   val q39Winnowing: QuerySpec = QuerySpec(
     (s, dir) => {
       graft.functions.WinnowFingerprints.register(s)
@@ -1257,32 +1257,6 @@ object TextOps {
         |FROM bc JOIN un ux ON bc.x = ux.x JOIN un uy ON bc.y = uy.x CROSS JOIN tot
         |ORDER BY lift DESC, x, y""".stripMargin)
 
-  /** q140: LM-coherence quality filter — the bigram-transition stand-in
-    * for the n-gram-LM fluency gate (CCNet/KenLM-style) that every
-    * production curation stack runs between the shape gates (q15/q113)
-    * and the rarity gate (q132): a document whose adjacent-token
-    * transitions are mostly UNSUPPORTED by the corpus bigram statistics
-    * (lift < 1, i.e. the pair co-occurs less than its unigram
-    * frequencies predict) reads as incoherent token salad even when
-    * every individual token is common. A transition is supported when
-    * cxy·N ≥ cx·cy — the q87 lift signal as an exact integer
-    * cross-multiplication (decimal(38,0)/HUGEINT products: at 100 TB,
-    * N ~ 1e14 and counts ≤ N keep cxy·N ≤ 1e28, well inside the 38-digit
-    * window — no floats, no logs, bit-identical across engines). A doc
-    * is flagged when fewer than HALF its transitions are supported
-    * (calibrated: per-doc supported fraction spans ~0.11–1.0, median
-    * ~0.52 at sf0.1, so the 1/2 cut flags the incoherent tail without
-    * degenerating; [[graft.TextOpsSpec]] pins non-degeneracy). Judged as
-    * the per-source funnel accounting.
-    *
-    * Scale: margins ride the shared [[bigramStream]] scheme — the
-    * bigram-count and unigram-count tables are vocabulary²-/vocabulary-
-    * bounded, and the unigram margin is pinned once for its three
-    * consumers; the corpus-sized instance stream joins them by UNHINTED
-    * equi-joins (broadcast at test scale by AQE, shuffle join with AQE
-    * skew-split on the zipf-hot pairs at 100 TB); the N scalar rides a
-    * 1-row broadcast cross join; both rollups are map-side combined.
-    */
   /** Per-document coherence frame (doc_id, source, n_trans, n_sup) —
     * the ONE definition of "how many of this doc's transitions are
     * corpus-supported", shared by the q140 point filter and the q144
@@ -1322,6 +1296,32 @@ object TextOps {
          |       CROSS JOIN tot
          |  GROUP BY bi.doc_id, bi.source)""".stripMargin
 
+  /** q140: LM-coherence quality filter — the bigram-transition stand-in
+    * for the n-gram-LM fluency gate (CCNet/KenLM-style) that every
+    * production curation stack runs between the shape gates (q15/q113)
+    * and the rarity gate (q132): a document whose adjacent-token
+    * transitions are mostly UNSUPPORTED by the corpus bigram statistics
+    * (lift < 1, i.e. the pair co-occurs less than its unigram
+    * frequencies predict) reads as incoherent token salad even when
+    * every individual token is common. A transition is supported when
+    * cxy·N ≥ cx·cy — the q87 lift signal as an exact integer
+    * cross-multiplication (decimal(38,0)/HUGEINT products: at 100 TB,
+    * N ~ 1e14 and counts ≤ N keep cxy·N ≤ 1e28, well inside the 38-digit
+    * window — no floats, no logs, bit-identical across engines). A doc
+    * is flagged when fewer than HALF its transitions are supported
+    * (calibrated: per-doc supported fraction spans ~0.11–1.0, median
+    * ~0.52 at sf0.1, so the 1/2 cut flags the incoherent tail without
+    * degenerating; [[graft.TextOpsSpec]] pins non-degeneracy). Judged as
+    * the per-source funnel accounting.
+    *
+    * Scale: margins ride the shared [[bigramStream]] scheme — the
+    * bigram-count and unigram-count tables are vocabulary²-/vocabulary-
+    * bounded, and the unigram margin is pinned once for its three
+    * consumers; the corpus-sized instance stream joins them by UNHINTED
+    * equi-joins (broadcast at test scale by AQE, shuffle join with AQE
+    * skew-split on the zipf-hot pairs at 100 TB); the N scalar rides a
+    * 1-row broadcast cross join; both rollups are map-side combined.
+    */
   val q140BigramCoherence: QuerySpec = QuerySpec(
     (s, dir) => {
       coherencePerDoc(Tables.documents(s, dir))
@@ -2358,35 +2358,6 @@ object TextOps {
   private val SpanDfCap = 8
   private val SpanMinRun = 16
 
-  /** q119: exact repeated-span detection — for each document pair, the
-    * LONGEST verbatim token run they share (plus run count and total
-    * shared-run mass), the exact-substring dedup signal of Lee et al.'s
-    * "Deduplicating Training Data" line of work. This is the missing
-    * rung between q98 (fixed 16-token chunk identity — misses runs that
-    * straddle chunk boundaries or shift by one token) and the LSH
-    * family (set-similarity — blind to WHERE the overlap is and whether
-    * it is contiguous): memorization risk tracks long VERBATIM spans,
-    * which only position-aware matching sees.
-    *
-    * Method: [[SpanGram]]-token grams with their positions; two docs
-    * matching at positions (pa, pb) and (pa+1, pb+1) are the SAME span
-    * continued, so maximal runs are diagonal islands — group matches by
-    * (pair, pb − pa) and split on gaps in pa (the classic
-    * `pa − row_number()` island key); a run of k consecutive grams is
-    * k + [[SpanGram]] − 1 shared tokens. Exact integers end-to-end, so
-    * the DuckDB oracle replays the identical chain.
-    *
-    * Scale: gram postings are df-banded (2..[[SpanDfCap]] distinct
-    * docs) BEFORE pairing — df=1 grams cannot match cross-doc and
-    * hot grams are boilerplate (q102's mandate), so per-gram join
-    * fan-out is ≤ cap² — and every stage is keyed: the pair join on the
-    * gram, the island window on (pair, diagonal) whose per-key row
-    * count is the run length itself, the rollup on the pair. No global
-    * window, no unblocked pairing. At 100 TB the same plan composes
-    * with q18's LSH candidates as a pre-filter (probe only candidate
-    * pairs), trading recall for the postings join — not needed at gate
-    * scale where the df band alone bounds the work.
-    */
   /** Cross-doc positioned gram matches (doc_a < doc_b, pa, pb) over the
     * df-banded [[SpanGram]]-gram universe — the shared core of q119
     * (pairwise runs) and q121 (per-doc coverage), one frame so the two
@@ -2418,6 +2389,35 @@ object TextOps {
        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
        |      FROM grf a JOIN grf b ON a.gram = b.gram AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** q119: exact repeated-span detection — for each document pair, the
+    * LONGEST verbatim token run they share (plus run count and total
+    * shared-run mass), the exact-substring dedup signal of Lee et al.'s
+    * "Deduplicating Training Data" line of work. This is the missing
+    * rung between q98 (fixed 16-token chunk identity — misses runs that
+    * straddle chunk boundaries or shift by one token) and the LSH
+    * family (set-similarity — blind to WHERE the overlap is and whether
+    * it is contiguous): memorization risk tracks long VERBATIM spans,
+    * which only position-aware matching sees.
+    *
+    * Method: [[SpanGram]]-token grams with their positions; two docs
+    * matching at positions (pa, pb) and (pa+1, pb+1) are the SAME span
+    * continued, so maximal runs are diagonal islands — group matches by
+    * (pair, pb − pa) and split on gaps in pa (the classic
+    * `pa − row_number()` island key); a run of k consecutive grams is
+    * k + [[SpanGram]] − 1 shared tokens. Exact integers end-to-end, so
+    * the DuckDB oracle replays the identical chain.
+    *
+    * Scale: gram postings are df-banded (2..[[SpanDfCap]] distinct
+    * docs) BEFORE pairing — df=1 grams cannot match cross-doc and
+    * hot grams are boilerplate (q102's mandate), so per-gram join
+    * fan-out is ≤ cap² — and every stage is keyed: the pair join on the
+    * gram, the island window on (pair, diagonal) whose per-key row
+    * count is the run length itself, the rollup on the pair. No global
+    * window, no unblocked pairing. At 100 TB the same plan composes
+    * with q18's LSH candidates as a pre-filter (probe only candidate
+    * pairs), trading recall for the postings join — not needed at gate
+    * scale where the df band alone bounds the work.
+    */
   val q119RepeatedSpans: QuerySpec = QuerySpec(
     (s, dir) => {
       val m = spanMatches(Tables.documents(s, dir))
@@ -2713,32 +2713,6 @@ object TextOps {
         |FROM deg d LEFT JOIN vt v USING (doc_id)
         |WHERE d.degree >= 2 ORDER BY doc_id""".stripMargin)
 
-  /** q129: the decontamination pipeline END-PRODUCT — the q117 pattern
-    * applied to the contamination family: both detection legs run
-    * against ONE eval slice (doc_id % 97, q111's convention), their
-    * drop verdicts are unioned, and the judged output is what an
-    * operator actually ships — the per-source keep/drop accounting of
-    * the CLEANED corpus (docs dropped by the exact leg only / the
-    * fuzzy leg only / both, docs kept, training tokens surviving).
-    * Composing the legs catches interface drift the per-leg queries
-    * can't: a slice-convention or threshold mismatch between legs
-    * changes every downstream number here.
-    *
-    * Legs: exact = any shared word 3-shingle with the eval slice (the
-    * q71 containment scheme re-anchored to %97); fuzzy = ≥40% winnowing
-    * fingerprint overlap (q111's threshold, same integer
-    * cross-multiplication). Documents too short to fingerprint
-    * (norm < 11 chars) can only be exact-flagged — stated here because
-    * the accounting makes it visible.
-    *
-    * Scale: both legs are eval-keyed joins (semi-join for containment
-    * — no fan-out on hot shingles; fp-keyed left join for overlap);
-    * neither side carries a broadcast hint — this slice is
-    * corpus-proportional by construction (the q101/q111 lesson), while
-    * a real KB-sized benchmark set would be AQE-broadcast on its own.
-    * The verdict frames are distinct doc_id sets, the final rollup
-    * shuffles ≤ sources rows.
-    */
   /** The two q129 contamination legs over the non-eval corpus
     * (doc_id % 97 ≠ 0; the %97 slice IS the eval set), as flag frames
     * ((doc_id, ex=1), (doc_id, fz=1)). Exact = any shared word
@@ -2785,6 +2759,32 @@ object TextOps {
       |         WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id)
       |       WHERE n_hits * 5 >= n_fps * 2)""".stripMargin
 
+  /** q129: the decontamination pipeline END-PRODUCT — the q117 pattern
+    * applied to the contamination family: both detection legs run
+    * against ONE eval slice (doc_id % 97, q111's convention), their
+    * drop verdicts are unioned, and the judged output is what an
+    * operator actually ships — the per-source keep/drop accounting of
+    * the CLEANED corpus (docs dropped by the exact leg only / the
+    * fuzzy leg only / both, docs kept, training tokens surviving).
+    * Composing the legs catches interface drift the per-leg queries
+    * can't: a slice-convention or threshold mismatch between legs
+    * changes every downstream number here.
+    *
+    * Legs: exact = any shared word 3-shingle with the eval slice (the
+    * q71 containment scheme re-anchored to %97); fuzzy = ≥40% winnowing
+    * fingerprint overlap (q111's threshold, same integer
+    * cross-multiplication). Documents too short to fingerprint
+    * (norm < 11 chars) can only be exact-flagged — stated here because
+    * the accounting makes it visible.
+    *
+    * Scale: both legs are eval-keyed joins (semi-join for containment
+    * — no fan-out on hot shingles; fp-keyed left join for overlap);
+    * neither side carries a broadcast hint — this slice is
+    * corpus-proportional by construction (the q101/q111 lesson), while
+    * a real KB-sized benchmark set would be AQE-broadcast on its own.
+    * The verdict frames are distinct doc_id sets, the final rollup
+    * shuffles ≤ sources rows.
+    */
   val q129DecontamPipeline: QuerySpec = QuerySpec(
     (s, dir) => {
       val docs = Tables.documents(s, dir)

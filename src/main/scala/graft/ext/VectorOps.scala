@@ -127,22 +127,6 @@ object VectorOps {
     neardupPairsSql +
       "\nSELECT id_a, id_b, label, cosine FROM pairs ORDER BY id_a, id_b")
 
-  /** q115: embedding-space dedup CLUSTERS — the semantic-dedup grouping
-    * step: q25's near-dup pairs closed into connected components, one
-    * cluster label (minimum member vec_id) per vector. Completes the
-    * embedding dedup path the way q46 completes the text-LSH path:
-    * pairs are a candidate listing; what a curation pipeline acts on is
-    * the transitive grouping (keep one representative per semantic
-    * cluster).
-    *
-    * The float cosine threshold lives entirely in the SHARED pair
-    * scheme (q25-judged: both engines produce the identical pair set);
-    * everything above it — the closure and labeling — is integer-exact.
-    * Scale: the iterative CC engine is the q46 label-propagation
-    * machinery (per-round pin via [[graft.core.Checkpoints]], reliable
-    * mode one conf away); the oracle is the same recursive-CTE
-    * transitive closure the text clusterings use.
-    */
   /** Shared Spark closure (q115 labels, q128 membership) — one cluster
     * label (minimum member vec_id) per vector via the q46 CC machinery.
     */
@@ -182,6 +166,22 @@ object VectorOps {
       |             FROM embeddings m LEFT JOIN reach r ON m.vec_id = r.u
       |             GROUP BY m.vec_id)""".stripMargin
 
+  /** q115: embedding-space dedup CLUSTERS — the semantic-dedup grouping
+    * step: q25's near-dup pairs closed into connected components, one
+    * cluster label (minimum member vec_id) per vector. Completes the
+    * embedding dedup path the way q46 completes the text-LSH path:
+    * pairs are a candidate listing; what a curation pipeline acts on is
+    * the transitive grouping (keep one representative per semantic
+    * cluster).
+    *
+    * The float cosine threshold lives entirely in the SHARED pair
+    * scheme (q25-judged: both engines produce the identical pair set);
+    * everything above it — the closure and labeling — is integer-exact.
+    * Scale: the iterative CC engine is the q46 label-propagation
+    * machinery (per-round pin via [[graft.core.Checkpoints]], reliable
+    * mode one conf away); the oracle is the same recursive-CTE
+    * transitive closure the text clusterings use.
+    */
   val q115EmbeddingClusters: QuerySpec = QuerySpec(
     (s, dir) => embClusters(s, dir).orderBy(col("vec_id")),
     "WITH RECURSIVE " + neardupPairsSql.stripPrefix("WITH ") + embClustersSql +
@@ -511,30 +511,6 @@ object VectorOps {
   // must be initialized before any QuerySpec that embeds them — a
   // forward reference silently interpolates 0.)
 
-  /** IVF (inverted-file) ANN: partition the corpus into K inverted lists
-    * by nearest centroid, then answer a query by exact-rescoring only the
-    * `IvfProbes` lists whose centroids are closest to the query — the
-    * classic coarse-quantizer trade (recall vs lists scanned).
-    *
-    * Centroids are the TRAINED coarse codebook ([[ivfCentroids]] —
-    * q64's exact-integer Lloyd refinement of the first-K seed set,
-    * dequantized): training is deterministic DataFrame jobs whose
-    * arithmetic the DuckDB oracle replays CTE-for-CTE
-    * ([[trainedChainSql]]), so the whole operator stays bit-exact and
-    * oracle-verified end-to-end — assignment, probing, rescoring AND
-    * the training that produced the codebook (unlike the
-    * hyperplane-LSH path q22, which is rows-only). `VectorOpsSpec`
-    * pins trained recall ≥ the seed-set baseline it replaced.
-    *
-    * Scale design: assignment is ONE broadcast pass over the corpus (K
-    * centroid vectors broadcast; no shuffle of the big side); at rest the
-    * corpus is written partitioned by `list_id`, so a probe reads
-    * IvfProbes/K of the data via partition pruning — demonstrated by
-    * `VectorOpsSpec`, which writes [[ivfAssignments]] partitioned and
-    * asserts the probe scan's PartitionFilters select exactly the probed
-    * lists. The probe set is (n_queries × IvfProbes) rows — broadcast to
-    * the corpus side, so search is also shuffle-free on the corpus.
-    */
   /** The IVF corpus: zero-norm vectors can't rank by cosine and would
     * make the division throw under ANSI mode — excluded identically in
     * the oracle (none exist in the corpus; the guard is for the
@@ -697,6 +673,30 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into K inverted lists
+    * by nearest centroid, then answer a query by exact-rescoring only the
+    * `IvfProbes` lists whose centroids are closest to the query — the
+    * classic coarse-quantizer trade (recall vs lists scanned).
+    *
+    * Centroids are the TRAINED coarse codebook ([[ivfCentroids]] —
+    * q64's exact-integer Lloyd refinement of the first-K seed set,
+    * dequantized): training is deterministic DataFrame jobs whose
+    * arithmetic the DuckDB oracle replays CTE-for-CTE
+    * ([[trainedChainSql]]), so the whole operator stays bit-exact and
+    * oracle-verified end-to-end — assignment, probing, rescoring AND
+    * the training that produced the codebook (unlike the
+    * hyperplane-LSH path q22, which is rows-only). `VectorOpsSpec`
+    * pins trained recall ≥ the seed-set baseline it replaced.
+    *
+    * Scale design: assignment is ONE broadcast pass over the corpus (K
+    * centroid vectors broadcast; no shuffle of the big side); at rest the
+    * corpus is written partitioned by `list_id`, so a probe reads
+    * IvfProbes/K of the data via partition pruning — demonstrated by
+    * `VectorOpsSpec`, which writes [[ivfAssignments]] partitioned and
+    * asserts the probe scan's PartitionFilters select exactly the probed
+    * lists. The probe set is (n_queries × IvfProbes) rows — broadcast to
+    * the corpus side, so search is also shuffle-free on the corpus.
+    */
   val q48AnnIvf: QuerySpec = QuerySpec(
     (s, dir) => ivfSearch(s, dir, e => stagedCentroids(s, dir, "graft_ivf_cents_f")(e)),
     s"""WITH ${trainedChainSql(
@@ -741,29 +741,6 @@ object VectorOps {
   private def duckL2q(a: String, b: String): String =
     s"list_reduce(list_prepend(cast(0 AS bigint), list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
 
-  /** IVF ANN with TRAINED centroids: q48's seed set refined by
-    * [[KmRounds]] unrolled Lloyd iterations, every step a DataFrame job —
-    * no driver-side training loop state beyond the plan itself.
-    *
-    * Exactness contract (what makes *training* oracle-checkable):
-    *   - vectors are quantized to bigint at 2^20 (above), so the
-    *     per-cluster sums that feed each centroid update are exact
-    *     integers — no float accumulation order anywhere in training;
-    *   - assignment is argmin of squared L2 on the quantized vectors
-    *     (min over a (dist, cent_id) struct = tie-break on cent_id);
-    *   - the centroid mean is floor(sum/count) per dimension in PURE
-    *     bigint arithmetic (subtract the mathematical mod, then exact
-    *     integer division) — no double round-trip, so it stays exact
-    *     even when a giant cluster's sum passes 2^53;
-    *   - the final probe + rerank is q48's: probe the 2 nearest lists,
-    *     exact double-cosine rerank via the bounded TopKCarry aggregator.
-    *
-    * Scale design: per round, assignment is one broadcast pass over the
-    * corpus (K tiny centroid rows broadcast) feeding a map-side-combined
-    * argmin; the update explodes dims and aggregates (K × dims) rows —
-    * both shuffle only combined aggregates, never raw corpus. Empty
-    * clusters simply drop out (both engines identically).
-    */
   /** q64's unrolled-Lloyd training, factored for the WHOLE IVF family
     * ([[ivfCentroids]]): refine the first-[[IvfK]] seed set by
     * [[KmRounds]] exact-integer iterations. Input must carry (vec_id,
@@ -795,6 +772,29 @@ object VectorOps {
     cents
   }
 
+  /** IVF ANN with TRAINED centroids: q48's seed set refined by
+    * [[KmRounds]] unrolled Lloyd iterations, every step a DataFrame job —
+    * no driver-side training loop state beyond the plan itself.
+    *
+    * Exactness contract (what makes *training* oracle-checkable):
+    *   - vectors are quantized to bigint at 2^20 (above), so the
+    *     per-cluster sums that feed each centroid update are exact
+    *     integers — no float accumulation order anywhere in training;
+    *   - assignment is argmin of squared L2 on the quantized vectors
+    *     (min over a (dist, cent_id) struct = tie-break on cent_id);
+    *   - the centroid mean is floor(sum/count) per dimension in PURE
+    *     bigint arithmetic (subtract the mathematical mod, then exact
+    *     integer division) — no double round-trip, so it stays exact
+    *     even when a giant cluster's sum passes 2^53;
+    *   - the final probe + rerank is q48's: probe the 2 nearest lists,
+    *     exact double-cosine rerank via the bounded TopKCarry aggregator.
+    *
+    * Scale design: per round, assignment is one broadcast pass over the
+    * corpus (K tiny centroid rows broadcast) feeding a map-side-combined
+    * argmin; the update explodes dims and aggregates (K × dims) rows —
+    * both shuffle only combined aggregates, never raw corpus. Empty
+    * clusters simply drop out (both engines identically).
+    */
   val q64AnnIvfKmeans: QuerySpec = {
     val run = (s: org.apache.spark.sql.SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir).filter(norm2(s, "embedding") > 0.0)
@@ -854,27 +854,6 @@ object VectorOps {
   private val PqK = 16     // codebook entries per subspace
   private val Dim = 64
 
-  /** q100: product-quantization ANN — the memory-bounded vector-search
-    * path at 100 TB: each 64-dim float vector (256 B) is encoded as
-    * [[PqM]] codebook codes (4 B), so the searchable index is 64×
-    * smaller than the raw embeddings and fits executor memory at corpus
-    * sizes where raw vectors cannot. Codebooks are seed-set (the first
-    * [[PqK]] corpus vectors' sub-slices — the q48 coarse-quantizer
-    * convention), broadcast as a single-row frame.
-    *
-    * Encoding is a PER-ROW expression (argmin over PqK centroids per
-    * subspace via `array_min` of (dist, code) structs — lexicographic
-    * struct order makes the code tie-break deterministic): zero
-    * shuffles, no K× row amplification. Scoring uses the
-    * reconstruction identity — because subspaces partition the dims,
-    * the classic ADC table-lookup distance IS the exact L2² between
-    * the query and the decoded reconstruction — so both engines
-    * compute one 64-dim left fold and stay bit-identical. Top-k is the
-    * bounded [[graft.functions.TopK]] aggregator on negated distance
-    * (distance asc, id asc — q21's shape, no window funnel); recall of
-    * the PQ top-10 against the exact-L2 top-10 is judged per query, so
-    * a quantization-quality regression is a red CORRECTNESS row.
-    */
   /** Single-row codebook frame: the first [[PqK]] corpus vectors in id
     * order — shared by q100 and q120 so the codebooks cannot drift.
     */
@@ -914,6 +893,27 @@ object VectorOps {
        |  ${sq(s"cast(element_at($a, d + 1) AS double)", s"cast(element_at($b, d + 1) AS double)")})""".stripMargin
   }
 
+  /** q100: product-quantization ANN — the memory-bounded vector-search
+    * path at 100 TB: each 64-dim float vector (256 B) is encoded as
+    * [[PqM]] codebook codes (4 B), so the searchable index is 64×
+    * smaller than the raw embeddings and fits executor memory at corpus
+    * sizes where raw vectors cannot. Codebooks are seed-set (the first
+    * [[PqK]] corpus vectors' sub-slices — the q48 coarse-quantizer
+    * convention), broadcast as a single-row frame.
+    *
+    * Encoding is a PER-ROW expression (argmin over PqK centroids per
+    * subspace via `array_min` of (dist, code) structs — lexicographic
+    * struct order makes the code tie-break deterministic): zero
+    * shuffles, no K× row amplification. Scoring uses the
+    * reconstruction identity — because subspaces partition the dims,
+    * the classic ADC table-lookup distance IS the exact L2² between
+    * the query and the decoded reconstruction — so both engines
+    * compute one 64-dim left fold and stay bit-identical. Top-k is the
+    * bounded [[graft.functions.TopK]] aggregator on negated distance
+    * (distance asc, id asc — q21's shape, no window funnel); recall of
+    * the PQ top-10 against the exact-L2 top-10 is judged per query, so
+    * a quantization-quality regression is a red CORRECTNESS row.
+    */
   val q100PqAnn: QuerySpec = QuerySpec(
     (s, dir) => {
       graft.functions.PqRecon.register(s)

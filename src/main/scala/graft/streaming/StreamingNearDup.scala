@@ -3,29 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-/** Streaming near-duplicate detection over MinHash LSH band buckets: a
-  * document is a near-dup candidate when some band bucket contains a
-  * document with a SMALLER doc_id — the streaming twin of the batch
-  * `DISTINCT doc_b FROM lshPairs` set.
-  *
-  * State per (band, bucket) key is the MINIMUM doc_id seen — 8 bytes,
-  * O(1) — never a member list: on a 100 TB stream the hot buckets
-  * (boilerplate-heavy shingle space) would otherwise accumulate
-  * unbounded membership. The emission protocol makes the bounded state
-  * sufficient:
-  *
-  *  - a batch's ids above the running min are flagged immediately;
-  *  - when a batch SUPERSEDES the running min, the old min is flagged
-  *    retroactively (it has a bucket-mate with a smaller id now).
-  *
-  * Each id is emitted at most once per key (ids arrive once per key —
-  * one band row per doc per band — and an id is emitted exactly when it
-  * first stops being, or never was, the key's min), so append mode
-  * needs no converged-state selection. The FINAL flagged set is "bucket
-  * members except the global min" regardless of arrival order or batch
-  * boundaries — asserted equal to the batch form by
-  * `StreamingNearDupSpec`.
-  */
 /** Streaming PERCEPTUAL near-dup over dHash band buckets (the image
   * q133 scheme run as a stream): unlike [[StreamingNearDup]]'s
   * candidate-level flags, a flag here requires the EXACT Hamming
@@ -93,6 +70,29 @@ object StreamingHammingDup {
   }
 }
 
+/** Streaming near-duplicate detection over MinHash LSH band buckets: a
+  * document is a near-dup candidate when some band bucket contains a
+  * document with a SMALLER doc_id — the streaming twin of the batch
+  * `DISTINCT doc_b FROM lshPairs` set.
+  *
+  * State per (band, bucket) key is the MINIMUM doc_id seen — 8 bytes,
+  * O(1) — never a member list: on a 100 TB stream the hot buckets
+  * (boilerplate-heavy shingle space) would otherwise accumulate
+  * unbounded membership. The emission protocol makes the bounded state
+  * sufficient:
+  *
+  *  - a batch's ids above the running min are flagged immediately;
+  *  - when a batch SUPERSEDES the running min, the old min is flagged
+  *    retroactively (it has a bucket-mate with a smaller id now).
+  *
+  * Each id is emitted at most once per key (ids arrive once per key —
+  * one band row per doc per band — and an id is emitted exactly when it
+  * first stops being, or never was, the key's min), so append mode
+  * needs no converged-state selection. The FINAL flagged set is "bucket
+  * members except the global min" regardless of arrival order or batch
+  * boundaries — asserted equal to the batch form by
+  * `StreamingNearDupSpec`.
+  */
 object StreamingNearDup {
 
   case class BandRow(doc_id: Long, band_id: Int, bucket: String)
