@@ -3062,9 +3062,9 @@ object TextOps {
       // a source whose docs all fail the cascade keeps its card row
       // (zeros), so the card always lists the whole corpus
       val card = raw.join(agg, Seq("source"), "left_outer")
-        .select(col("source") +: col("n_raw") +:
-          agg.columns.filter(_ != "source").map(c =>
-            coalesce(col(c), lit(0L)).as(c)): _*)
+        .select((col("source") +: col("n_raw") +:
+          agg.columns.filter(_ != "source").toIndexedSeq.map(c =>
+            coalesce(col(c), lit(0L)).as(c))): _*)
       val wgt = card.withColumn("weight",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("source"))).cast("long"))
