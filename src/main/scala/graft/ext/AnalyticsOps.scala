@@ -929,6 +929,164 @@ object AnalyticsOps {
        |FROM e LEFT JOIN p ON e.source = p.source
        |ORDER BY source""".stripMargin)
 
+  /** q152: subset-selection append-stability audit — WHICH sampler can a
+    * growing corpus trust? Training-data curation selects subsets two
+    * ways: a per-source over-representation CAP (keep each source's top
+    * `Cap` documents in deterministic hash-priority order — the
+    * C4/CCNet-style control that stops one crawl host from dominating
+    * the mix) and HASH-THRESHOLD sampling (keep every document whose
+    * 48-bit priority falls below a fixed cut — here 2^46, a 25% sample).
+    * The judged rows re-run both selectors after the standard re-crawl
+    * shard lands (the q141/q142/q143 scenario: same doc_id%7 slices,
+    * same +10M/+20M id offsets, re-derived here with token counts) and
+    * carry the before/after proof: `thr_evicted` is ZERO for every
+    * source — a threshold decision depends only on the document's own
+    * key, so growth NEVER churns the selected set — while `cap_evicted`
+    * is positive (rank competition: new arrivals with better priorities
+    * push out standing members). At 100 TB that difference is the cost
+    * of every downstream stage: a churned selection re-runs dedup,
+    * decontamination and packing over evicted+admitted documents per
+    * shard, an append-stable one touches only genuine arrivals. The
+    * token sums make the oracle sensitive to WHICH documents each
+    * selector kept, not just how many.
+    *
+    * Scale design: the cap is the bounded map-side-combinable
+    * [[graft.functions.TopKCarry]] aggregator — O(Cap) state per
+    * source, k+k merges, never a per-source `row_number` window over
+    * the corpus (the hot-reducer shape q127 exists to avoid; the
+    * window form survives only as the oracle's replay). The threshold
+    * leg is a stateless filter — zero shuffles to decide membership.
+    * Churn accounting anti-joins the bounded kept-sets (sources × Cap
+    * rows, pinned once for their two consumers) and the doc_id-keyed
+    * 25% samples; the narrow corpus frames (id, source, tok, pri — no
+    * text) are pinned once for their four consumers each.
+    */
+  val q152SamplingStability: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val Cap = 16
+      val Thr = 1L << 46 // 25% of the 48-bit priority space
+      def pri(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        graft.ext.PortableHash.hexSliceCol(
+          md5(concat(lit("sample:"), id.cast("string"))), 1, 12)
+      def tokOf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        size(split(trim(t), "\\s+")).cast("long")
+      val docs = Tables.documents(s, dir)
+      val base = graft.core.Checkpoints.pin(docs.select(col("doc_id"),
+        col("source"), tokOf(col("text")).as("tok"),
+        pri(col("doc_id")).as("pri")))
+      val shard = docs.filter(col("doc_id") % 7 < 2)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+          tokOf(col("text")).as("tok"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("source"),
+            tokOf(concat(col("text"), lit(" rev2"))).as("tok")))
+        .withColumn("pri", pri(col("doc_id")))
+      val app = graft.core.Checkpoints.pin(base.unionByName(shard))
+      // (-pri) as the double score ranks smallest priority first; 48-bit
+      // values sit inside the 53-bit exact mantissa, ties fall to the
+      // aggregator's id-asc order = the oracle's (pri, doc_id)
+      val topk = udaf(new graft.functions.TopKCarry(Cap))
+      def capKept(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.groupBy(col("source"))
+          .agg(topk(negate(col("pri")).cast("double"), col("doc_id"), col("tok")).as("top"))
+          .select(col("source"), explode(col("top")).as("m"))
+          .select(col("source"), col("m._2").as("doc_id"), col("m._3").as("tok"))
+      val ckb = graft.core.Checkpoints.pin(capKept(base))
+      val cka = graft.core.Checkpoints.pin(capKept(app))
+      val nb = base.groupBy(col("source")).agg(count(lit(1)).as("n_base"))
+      val na = app.groupBy(col("source")).agg(count(lit(1)).as("n_appended"))
+      val cb = ckb.groupBy(col("source")).agg(count(lit(1)).as("cap_kept_base"),
+        sum(col("tok")).as("cap_tokens_base"))
+      val ca = cka.groupBy(col("source")).agg(count(lit(1)).as("cap_kept_app"),
+        sum(col("tok")).as("cap_tokens_app"))
+      val cev = ckb.join(cka.select(col("source"), col("doc_id")),
+          Seq("source", "doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("cap_evicted"))
+      val tb = base.filter(col("pri") < Thr).groupBy(col("source"))
+        .agg(count(lit(1)).as("thr_kept_base"))
+      val ta = app.filter(col("pri") < Thr).groupBy(col("source"))
+        .agg(count(lit(1)).as("thr_kept_app"))
+      val tev = base.filter(col("pri") < Thr).select(col("source"), col("doc_id"))
+        .join(app.filter(col("pri") < Thr).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("thr_evicted"))
+      nb.join(na, Seq("source"))
+        .join(cb, Seq("source"), "left_outer")
+        .join(ca, Seq("source"), "left_outer")
+        .join(cev, Seq("source"), "left_outer")
+        .join(tb, Seq("source"), "left_outer")
+        .join(ta, Seq("source"), "left_outer")
+        .join(tev, Seq("source"), "left_outer")
+        .select(col("source"), col("n_base"), col("n_appended"),
+          coalesce(col("cap_kept_base"), lit(0L)).as("cap_kept_base"),
+          coalesce(col("cap_tokens_base"), lit(0L)).as("cap_tokens_base"),
+          coalesce(col("cap_kept_app"), lit(0L)).as("cap_kept_app"),
+          coalesce(col("cap_tokens_app"), lit(0L)).as("cap_tokens_app"),
+          coalesce(col("cap_evicted"), lit(0L)).as("cap_evicted"),
+          coalesce(col("thr_kept_base"), lit(0L)).as("thr_kept_base"),
+          coalesce(col("thr_kept_app"), lit(0L)).as("thr_kept_app"),
+          coalesce(col("thr_evicted"), lit(0L)).as("thr_evicted"))
+        .orderBy(col("source"))
+    },
+    s"""WITH b AS (SELECT doc_id, source,
+       |    cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS tok,
+       |    ${PortableHash.hexSliceSql("md5('sample:' || cast(doc_id AS varchar))", 1, 12)} AS pri
+       |  FROM documents),
+       |sh AS (SELECT doc_id + 10000000 AS doc_id, source,
+       |    cast(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS tok,
+       |    ${PortableHash.hexSliceSql("md5('sample:' || cast(doc_id + 10000000 AS varchar))", 1, 12)} AS pri
+       |  FROM documents WHERE doc_id % 7 < 2
+       |  UNION ALL
+       |  SELECT doc_id + 20000000, source,
+       |    cast(len(string_split_regex(trim(text || ' rev2'), '\\s+')) AS bigint),
+       |    ${PortableHash.hexSliceSql("md5('sample:' || cast(doc_id + 20000000 AS varchar))", 1, 12)}
+       |  FROM documents WHERE doc_id % 7 = 2),
+       |a AS (SELECT * FROM b UNION ALL SELECT * FROM sh),
+       |ckb AS (SELECT source, doc_id, tok FROM (
+       |    SELECT source, doc_id, tok,
+       |      row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+       |    FROM b) WHERE rn <= 16),
+       |cka AS (SELECT source, doc_id, tok FROM (
+       |    SELECT source, doc_id, tok,
+       |      row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+       |    FROM a) WHERE rn <= 16),
+       |nb AS (SELECT source, cast(count(*) AS bigint) AS n_base FROM b GROUP BY source),
+       |na AS (SELECT source, cast(count(*) AS bigint) AS n_appended FROM a GROUP BY source),
+       |cb AS (SELECT source, cast(count(*) AS bigint) AS cap_kept_base,
+       |         ${OracleSql.bigSum("tok")} AS cap_tokens_base FROM ckb GROUP BY source),
+       |ca AS (SELECT source, cast(count(*) AS bigint) AS cap_kept_app,
+       |         ${OracleSql.bigSum("tok")} AS cap_tokens_app FROM cka GROUP BY source),
+       |cev AS (SELECT k.source, cast(count(*) AS bigint) AS cap_evicted FROM ckb k
+       |        WHERE NOT EXISTS (SELECT 1 FROM cka x
+       |                          WHERE x.source = k.source AND x.doc_id = k.doc_id)
+       |        GROUP BY k.source),
+       |tb AS (SELECT source, cast(count(*) AS bigint) AS thr_kept_base
+       |       FROM b WHERE pri < 70368744177664 GROUP BY source),
+       |ta AS (SELECT source, cast(count(*) AS bigint) AS thr_kept_app
+       |       FROM a WHERE pri < 70368744177664 GROUP BY source),
+       |tev AS (SELECT s.source, cast(count(*) AS bigint) AS thr_evicted
+       |        FROM (SELECT source, doc_id FROM b WHERE pri < 70368744177664) s
+       |        WHERE NOT EXISTS (SELECT 1 FROM a x
+       |                          WHERE x.doc_id = s.doc_id AND x.pri < 70368744177664)
+       |        GROUP BY s.source)
+       |SELECT nb.source AS source, nb.n_base AS n_base, na.n_appended AS n_appended,
+       |  cast(coalesce(cb.cap_kept_base, 0) AS bigint) AS cap_kept_base,
+       |  cast(coalesce(cb.cap_tokens_base, 0) AS bigint) AS cap_tokens_base,
+       |  cast(coalesce(ca.cap_kept_app, 0) AS bigint) AS cap_kept_app,
+       |  cast(coalesce(ca.cap_tokens_app, 0) AS bigint) AS cap_tokens_app,
+       |  cast(coalesce(cev.cap_evicted, 0) AS bigint) AS cap_evicted,
+       |  cast(coalesce(tb.thr_kept_base, 0) AS bigint) AS thr_kept_base,
+       |  cast(coalesce(ta.thr_kept_app, 0) AS bigint) AS thr_kept_app,
+       |  cast(coalesce(tev.thr_evicted, 0) AS bigint) AS thr_evicted
+       |FROM nb JOIN na ON nb.source = na.source
+       |LEFT JOIN cb ON nb.source = cb.source
+       |LEFT JOIN ca ON nb.source = ca.source
+       |LEFT JOIN cev ON nb.source = cev.source
+       |LEFT JOIN tb ON nb.source = tb.source
+       |LEFT JOIN ta ON nb.source = ta.source
+       |LEFT JOIN tev ON nb.source = tev.source
+       |ORDER BY source""".stripMargin)
+
   /** q149: consistent-hash shard assignment with a rebalance proof —
     * how 100 TB of keyed state (the fingerprint stores, the near-dup
     * band state, the IVF lists) survives changing the shard count:
@@ -1092,6 +1250,7 @@ object AnalyticsOps {
        |ORDER BY level""".stripMargin)
 
   val all: Map[String, QuerySpec] = Map(
+    "q152_sampling_stability" -> q152SamplingStability,
     "q150_merkle_diff" -> q150MerkleDiff,
     "q149_consistent_hashing" -> q149ConsistentHashing,
     "q127_mixing_schedule" -> q127MixingSchedule,

@@ -72,7 +72,7 @@ class ReferenceDataSpec extends AnyFunSuite {
     // one of the 822 never-ordered products
     val unordered = inv.join(orders.select("product_id").distinct(), Seq("product_id"), "left_anti")
     assert(unordered.count() == 822)
-    val pid = unordered.orderBy("product_id").select("product_id").head.getString(0)
+    val pid = unordered.orderBy("product_id").select("product_id").head().getString(0)
     val status = Reports.inventoryStatus(orders, inv, pid).collect()
     assert(status.length == 1)
     assert(status.head.isNullAt(status.head.fieldIndex("total_sold")))

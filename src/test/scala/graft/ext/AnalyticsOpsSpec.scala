@@ -36,7 +36,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey").as("x"), floor(col("o_totalprice")).cast("long").as("y"))
     val Array(mnx, mxx, mny, mxy) =
-      o.agg(min("x"), max("x"), min("y"), max("y")).head.toSeq.map(_.asInstanceOf[Long]).toArray
+      o.agg(min("x"), max("x"), min("y"), max("y")).head().toSeq.map(_.asInstanceOf[Long]).toArray
     def cell(v: Long, mn: Long, mx: Long): Long = ((v - mn) * 256) / (mx - mn + 1) / 32
     assert(out.length > 1, "single bucket — rectangle test is vacuous")
     out.foreach { r =>
@@ -114,7 +114,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val pruned = spark.read.parquet(s"$stage/z")
-        .filter(col("zbucket").isin(survivors.map(Integer.valueOf): _*) && col("yi") <= 31)
+        .filter(col("zbucket").isin(survivors.toIndexedSeq.map(Integer.valueOf): _*) && col("yi") <= 31)
       val qe = pruned.queryExecution
       val scan = qe.executedPlan.collectFirst { case f: FileSourceScanExec => f }.get
       assert(scan.partitionFilters.nonEmpty, "bucket predicate missed the partition layout")
@@ -245,5 +245,60 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(docs > 0L)
     assert(flagged > 0L, "rank-quality filter flags nothing — threshold degenerated low")
     assert(flagged < docs, "rank-quality filter flags everything — threshold degenerated high")
+  }
+
+  test("q152: threshold churn zero, cap churn real, brute-force selection parity") {
+    val rows = AnalyticsOps.q152SamplingStability.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // proof columns: threshold sampling NEVER churns (per-key decision),
+    // and the cap must both BIND (else the judged row is a vacuous
+    // n == kept identity) and actually evict somewhere (else the
+    // before/after comparison proves nothing on this corpus). The
+    // oracle replays the same generator, so only this spec sees these.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("thr_evicted") == 0L, s"threshold sampler churned: $r")
+      assert(r.getAs[Long]("cap_kept_base") == 16L, s"cap does not bind: $r")
+    }
+    assert(rows.map(_.getAs[Long]("cap_evicted")).sum > 0L,
+      "cap eviction proof is vacuous — no source lost a member to the shard")
+    val thrTot = rows.map(_.getAs[Long]("thr_kept_base")).sum
+    val nTot = rows.map(_.getAs[Long]("n_base")).sum
+    assert(thrTot > 0L && thrTot < nTot,
+      "threshold sampler must keep a non-trivial strict subset")
+    // independent brute force: recompute both selections in memory (JVM
+    // MD5, plain sorts) and compare the churn counts and the
+    // selection-sensitive token sums — proves the TopKCarry negation +
+    // tie-break wiring against a second implementation, which oracle
+    // equality cannot (both engines share the SQL formulation)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def pri(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    def tok(t: String): Long = t.trim.split("\\s+").length.toLong
+    val base = docs.map { case (id, s, t) => (id, s, tok(t), pri(id)) }
+    val shard =
+      docs.filter(_._1 % 7 < 2).map { case (id, s, t) =>
+        (id + 10000000L, s, tok(t), pri(id + 10000000L)) } ++
+      docs.filter(_._1 % 7 == 2).map { case (id, s, t) =>
+        (id + 20000000L, s, tok(t + " rev2"), pri(id + 20000000L)) }
+    def kept(xs: Array[(Long, String, Long, Long)]): Map[String, Set[Long]] =
+      xs.groupBy(_._2).map { case (src, ys) =>
+        src -> ys.sortBy(y => (y._4, y._1)).take(16).map(_._1).toSet }
+    val kb = kept(base)
+    val ka = kept(base ++ shard)
+    val toks = (base ++ shard).map(x => x._1 -> x._3).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("cap_evicted") == (kb(src) -- ka(src)).size.toLong,
+        s"$src: cap eviction count diverges from brute force")
+      assert(r.getAs[Long]("cap_tokens_base") == kb(src).toSeq.map(toks).sum,
+        s"$src: kept-set token sum diverges from brute force")
+      assert(r.getAs[Long]("cap_tokens_app") == ka(src).toSeq.map(toks).sum,
+        s"$src: appended kept-set token sum diverges from brute force")
+    }
   }
 }

@@ -304,12 +304,12 @@ class MultimodalSpec extends AnyFunSuite {
     val sigs = Multimodal.imageSigFrame(spark, sfDir)
     val maxBucket = Multimodal.dhashBandRows(sigs)
       .groupBy(col("band"), col("v")).count()
-      .agg(max(col("count"))).head.getLong(0)
+      .agg(max(col("count"))).head().getLong(0)
     assert(maxBucket <= Multimodal.DHashBucketCap / 2,
       s"largest dHash bucket $maxBucket is within 2x of the cap ${Multimodal.DHashBucketCap}")
     // and the streaming rollup actually flags something
     val flagged = graft.streaming.StreamingQueries.q137StreamingImageNearDup
-      .run(spark, sfDir).agg(sum(col("n_neardup"))).head.getLong(0)
+      .run(spark, sfDir).agg(sum(col("n_neardup"))).head().getLong(0)
     assert(flagged > 0, "q137 flagged nothing")
   }
 
@@ -320,7 +320,7 @@ class MultimodalSpec extends AnyFunSuite {
     // populated on this corpus
     val sums = Multimodal.q139ImageShardAdmission.run(spark, sfDir)
       .agg(sum(col("n_incoming")), sum(col("n_dup_corpus")),
-        sum(col("n_dup_shard_only")), sum(col("n_new"))).head
+        sum(col("n_dup_shard_only")), sum(col("n_new"))).head()
     assert(sums.getLong(0) > 0, "no incoming shard")
     assert(sums.getLong(1) > 0, "corpus screen found nothing (boundary re-aligned with families?)")
     assert(sums.getLong(2) > 0, "no within-shard duplicates")
@@ -330,7 +330,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("feature extraction yields normalized fixed-width float vectors") {
     val feats = Multimodal.withFeatures(Multimodal.mediaFromDocuments(docs)).cache()
     assert(feats.schema("features").dataType == ArrayType(FloatType, containsNull = false))
-    val row = feats.select(col("features")).head.getSeq[Float](0)
+    val row = feats.select(col("features")).head().getSeq[Float](0)
     assert(row.length == 16)
     assert(math.abs(row.sum - 1.0f) < 1e-3)
   }

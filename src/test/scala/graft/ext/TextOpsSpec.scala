@@ -85,7 +85,7 @@ class TextOpsSpec extends AnyFunSuite {
     try {
       // global invariant: the surviving chunk multiset IS the distinct
       // chunk set — sum(n_kept) equals the corpus's distinct chunk count
-      val kept = out.agg(sum("n_kept")).head.getLong(0)
+      val kept = out.agg(sum("n_kept")).head().getLong(0)
       val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
       val distinctChunks = docs
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))

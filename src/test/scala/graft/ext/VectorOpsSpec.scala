@@ -345,7 +345,7 @@ class VectorOpsSpec extends AnyFunSuite {
     // swaps the min-member cluster key for a run-dependent dense
     // renumbering, which the oracle gate (same-run replay) cannot see.
     val e = graft.tables.Tables.embeddings(spark, sfDir)
-    val t = math.floor((e.agg(max(col("vec_id"))).head.getLong(0) + 1) * 0.8).toLong
+    val t = math.floor((e.agg(max(col("vec_id"))).head().getLong(0) + 1) * 0.8).toLong
     def byCluster(df: org.apache.spark.sql.DataFrame): Map[Long, (Set[Long], String)] =
       df.collect()
         .map(r => (r.getLong(1), r.getLong(0), r.getString(2)))

@@ -14,14 +14,14 @@ class FunctionsSpec extends AnyFunSuite {
   test("rolling_hash: codegen expression matches the reference fold") {
     RollingHash.register(spark)
     // h('abc') = ((0*31+97)*31+98)*31+99 mod 1e9+7 = 96354
-    assert(spark.sql("SELECT rolling_hash('abc')").head.getLong(0) == 96354L)
-    assert(spark.sql("SELECT rolling_hash('')").head.getLong(0) == 0L)
-    assert(spark.sql("SELECT rolling_hash(cast(null AS string))").head.isNullAt(0))
+    assert(spark.sql("SELECT rolling_hash('abc')").head().getLong(0) == 96354L)
+    assert(spark.sql("SELECT rolling_hash('')").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT rolling_hash(cast(null AS string))").head().isNullAt(0))
   }
 
   test("rolling_hash rejects non-string input at analysis") {
     RollingHash.register(spark)
-    intercept[Exception] { spark.sql("SELECT rolling_hash(42)").head }
+    intercept[Exception] { spark.sql("SELECT rolling_hash(42)").head() }
   }
 
   test("Money: scaled-long revenue path is value-identical to the decimal path") {
@@ -157,7 +157,7 @@ class FunctionsSpec extends AnyFunSuite {
       ("ffffffffffffffffffffffffffffffff", 13, 12), ("a0b1c2d3e4f5061728394a5b6c7d8e9f", 7, 14))
     samples.foreach { case (hex, st, ln) =>
       val got = spark.range(1).select(
-        PortableHash.hexSliceCol(lit(hex), st, ln).as("v")).head.getLong(0)
+        PortableHash.hexSliceCol(lit(hex), st, ln).as("v")).head().getLong(0)
       assert(got == BigInt(hex.substring(st - 1, st - 1 + ln), 16).toLong,
         s"conv mismatch for ($hex, $st, $ln)")
     }

@@ -28,6 +28,6 @@ class SkewSpec extends AnyFunSuite {
 
   test("extensions-registered rolling_hash works without manual register") {
     // TestSpark session is built withExtensions(GraftExtensions)
-    assert(spark.sql("SELECT rolling_hash('abc')").head.getLong(0) == 96354L)
+    assert(spark.sql("SELECT rolling_hash('abc')").head().getLong(0) == 96354L)
   }
 }

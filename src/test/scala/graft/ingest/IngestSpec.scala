@@ -18,7 +18,7 @@ class IngestSpec extends AnyFunSuite {
     assert(df.filter(col("campaign").isNull).count() == 3)
     // both timestamp variants parsed; nothing null
     assert(df.filter(col("date_time").isNull).count() == 0)
-    val secondsLess = df.filter(col("order_id") === "ord-002").select("date_time").head.getTimestamp(0)
+    val secondsLess = df.filter(col("order_id") === "ord-002").select("date_time").head().getTimestamp(0)
     assert(secondsLess.toInstant.toString == "2023-02-01T06:16:00Z")
   }
 

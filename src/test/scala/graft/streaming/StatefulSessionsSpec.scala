@@ -35,7 +35,7 @@ class StatefulSessionsSpec extends AnyFunSuite {
     // session_end + gap — so everything except at most one trailing open
     // session per user is emitted, and nothing is invented.
     val expectAll = graft.ext.EventOps.q30Sessionize.run(spark, "/root/testdata/sf0.001")
-    val users = expectAll.select(countDistinct(col("user_id"))).head.getLong(0)
+    val users = expectAll.select(countDistinct(col("user_id"))).head().getLong(0)
     assert(got.count() >= expectAll.count() - users)
     assert(got.count() <= expectAll.count())
 

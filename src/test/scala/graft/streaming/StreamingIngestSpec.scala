@@ -37,7 +37,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(cur.count() == 8) // same as the batch path in StateTableSpec
     val updated = cur.filter(col("order_id") === "ord-001" && col("campaign") === "updated_camp2")
     assert(updated.count() == 1)
-    assert(updated.head.getAs[Int]("quantity") == 9)
+    assert(updated.head().getAs[Int]("quantity") == 9)
   }
 
   test("stateful dedup state survives a query RESTART from its checkpoint") {
@@ -256,8 +256,8 @@ class StreamingIngestSpec extends AnyFunSuite {
     val expect = graft.ext.EventOps.q23TumblingWindows.run(spark, "/root/testdata/sf0.001")
     assert(got.count() == expect.count())
     // spot-check one window against the batch twin
-    val g = got.orderBy(col("window_start"), col("event_type")).head
-    val e = expect.head
+    val g = got.orderBy(col("window_start"), col("event_type")).head()
+    val e = expect.head()
     assert(g.getAs[Long]("n_events") == e.getAs[Long]("n_events"))
     assert(g.getAs[Double]("total_value") == e.getAs[Double]("total_value"))
   }
