@@ -522,9 +522,13 @@ object EventOps {
     * duplicated upstream feed) without any single hour looking odd.
     *
     * The recursive CUSUM s_i = max(0, s_{i-1} + (x_i − k)) is
-    * de-recursed by the prefix-sum identity s_i = P_i − min_{j≤i} P_j
-    * (P = running sum of deviations) — two per-type windows over the
-    * HOURLY rate series, never over raw events. Everything is exact
+    * de-recursed by the prefix-sum identity s_i = P_i − min_{0≤j≤i} P_j
+    * (P = running sum of deviations, with the EMPTY prefix P_0 = 0
+    * included — the running min is clamped at zero via least(0, ·),
+    * because a window over rows 1..i alone would omit P_0 and
+    * underestimate s_i whenever every prefix sum stays positive, i.e.
+    * exactly when drift starts at the first hours) — two per-type
+    * windows over the HOURLY rate series, never over raw events. Everything is exact
     * integer: deviations are scaled by n_hours (x·nh − total, so the
     * reference rate k = total/nh needs no division) and the threshold
     * is the cross-multiplication 8·cusum > total·nh (an eighth of total
@@ -555,7 +559,7 @@ object EventOps {
         .rowsBetween(Window.unboundedPreceding, 0)
       val c = h.join(tot, Seq("event_type"))
         .withColumn("pre", sum(col("x") * col("nh") - col("total")).over(wSum))
-        .withColumn("cusum", col("pre") - min(col("pre")).over(wSum))
+        .withColumn("cusum", col("pre") - least(lit(0L), min(col("pre")).over(wSum)))
       c.select(col("event_type"), col("hr"), col("total"), col("nh"),
           when(col("cusum") * 8 > col("total") * col("nh"), 1L).otherwise(0L).as("f"),
           col("cusum"))
@@ -578,8 +582,8 @@ object EventOps {
       |        sum(h.x * t.nh - t.total) OVER (PARTITION BY h.event_type ORDER BY h.hr
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
       |      FROM h JOIN tot t USING (event_type)),
-      |c AS (SELECT *, pre - min(pre) OVER (PARTITION BY event_type ORDER BY hr
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM p)
+      |c AS (SELECT *, pre - least(0, min(pre) OVER (PARTITION BY event_type ORDER BY hr
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum FROM p)
       |SELECT event_type, cast(count(*) AS bigint) AS n_hours,
       |  cast(max(total) AS bigint) AS total_events,
       |  cast(sum(CASE WHEN cusum * 8 > total * nh THEN 1 ELSE 0 END) AS bigint) AS n_drift_hours,

@@ -561,6 +561,12 @@ object VectorOps {
     * `key` distinguishes the norm-filtered (q48/q120) and unfiltered
     * (q116/q125) training corpora; identical in content on corpora
     * without zero-norm vectors, kept separate for correctness.
+    *
+    * Concurrency contract: `this.synchronized` covers the only writers
+    * that can share this dir — [[graft.core.Staging.sharedDir]] embeds
+    * the JVM pid in the path, so two PROCESSES (e.g. a bench and a test
+    * run side by side) stage into disjoint dirs by construction and the
+    * marker-file check never races across JVMs.
     */
   private def stagedCentroids(s: SparkSession, dir: String, key: String)(
       e: => DataFrame): DataFrame = {

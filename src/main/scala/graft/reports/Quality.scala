@@ -65,8 +65,14 @@ object Quality {
       val dupO = o.groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("c")).filter(col("c") > 1)
         .agg(coalesce(sum(col("c") - 1), lit(0L)).as("value"))
+      // orphan = NON-NULL fk with no matching pk, in BOTH engines: a
+      // bare left_anti counts a NULL fk row (NULL never equi-matches)
+      // while SQL's NOT IN would skip it (NULL comparison), so the
+      // explicit IS NOT NULL on both sides is what keeps the check's
+      // definition engine-independent if a future table carries NULL FKs
       def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String): DataFrame =
-        fact.join(dim.select(col(pk)), fact(fk) === dim(pk), "left_anti")
+        fact.filter(col(fk).isNotNull)
+          .join(dim.select(col(pk)), fact(fk) === dim(pk), "left_anti")
           .agg(count(lit(1)).as("value"))
       val shipBefore = li.select(col("l_orderkey"), col("l_shipdate"))
         .join(o.select(col("o_orderkey"), col("o_orderdate")),
@@ -120,16 +126,16 @@ object Quality {
       |       SELECT count(*) AS c FROM o GROUP BY o_orderkey HAVING count(*) > 1)),
       |    (SELECT count(*) FROM o)
       |  UNION ALL SELECT 'integrity_lineitem_part',
-      |    (SELECT count(*) FROM li WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+      |    (SELECT count(*) FROM li WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part d WHERE d.p_partkey = l_partkey)),
       |    (SELECT count(*) FROM li)
       |  UNION ALL SELECT 'integrity_lineitem_order',
-      |    (SELECT count(*) FROM li WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o)),
+      |    (SELECT count(*) FROM li WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM o d WHERE d.o_orderkey = l_orderkey)),
       |    (SELECT count(*) FROM li)
       |  UNION ALL SELECT 'integrity_lineitem_supplier',
-      |    (SELECT count(*) FROM li WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+      |    (SELECT count(*) FROM li WHERE l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM supplier d WHERE d.s_suppkey = l_suppkey)),
       |    (SELECT count(*) FROM li)
       |  UNION ALL SELECT 'integrity_orders_customer',
-      |    (SELECT count(*) FROM o WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      |    (SELECT count(*) FROM o WHERE o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer d WHERE d.c_custkey = o_custkey)),
       |    (SELECT count(*) FROM o)
       |  UNION ALL SELECT 'consistency_ship_after_order',
       |    (SELECT count(*) FROM li JOIN o ON l_orderkey = o_orderkey

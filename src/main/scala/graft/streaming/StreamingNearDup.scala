@@ -8,64 +8,148 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * candidate-level flags, a flag here requires the EXACT Hamming
   * predicate (bit_count(xor) ≤ hamMax), so state must hold (id, sig)
   * members — bounded by the SAME bucket cap the batch scheme drops
-  * mega-buckets at (q133's `DHashBucketCap`): arrivals beyond the cap
-  * are ignored for the bucket, exactly the batch cap semantics when no
-  * bucket saturates (spec-pinned none do on the corpus).
+  * mega-buckets at (q133's `DHashBucketCap`).
   *
-  * Order independence inside the cap: every in-bucket pair within
-  * hamMax flags its LARGER id regardless of arrival order — an arrival
-  * is flagged when a smaller-id member is within hamMax, and existing
-  * larger-id members within hamMax of the arrival are flagged
-  * retroactively (the q99 superseded-min protocol generalized to
-  * pairs). A member's `flagged` bit makes per-key emission
-  * exactly-once; the same id may still be flagged via several band
-  * keys — the judged rollup distincts, as q99's does.
+  * The protocol is PURGE-AWARE (q153): input rows carry an op bit —
+  * admit (a new corpus member) or purge (a deletion request, q136's
+  * right-to-be-forgotten leg, routed to exactly the buckets holding
+  * the id because band values derive from the id's own signature).
+  * Emissions are NET deltas: +1 when a member's flag turns on, −1 when
+  * it turns off (its own purge, or the purge of its only smaller-id
+  * near mate). The consumer keeps ids whose per-bucket net is
+  * positive, so the converged set is a pure function of the final
+  * admitted-minus-purged membership.
   *
-  * The final flagged set equals the batch `DISTINCT media_id_b FROM
-  * pairs` of q133's banded scheme, which is what the DuckDB oracle
-  * replays.
+  * Cap semantics MIRROR the batch `HAVING count(*) <= cap`: a bucket
+  * that exceeds the cap contributes NO pairs at all. Append mode
+  * cannot retract already-emitted rows wholesale, so the arrival that
+  * overflows a bucket emits the bucket's single saturation TOMBSTONE —
+  * the consumer drops tombstoned buckets, cancelling every delta the
+  * bucket emitted before it overflowed. Saturation counts DISTINCT ids
+  * ever referenced in the bucket (admitted or purged) — a set, so
+  * order- and batch-boundary-blind — and is permanent: a purge does
+  * NOT resurrect a saturated bucket even if it would bring the live
+  * count back under the cap (members were dropped; reviving the
+  * bucket is the q136-style re-seed maintenance leg from the at-rest
+  * corpus, not a state transition). The judged corpora sit far under
+  * the cap (spec-pinned headroom), so the conservative rule never
+  * diverges from the batch filter there; the divergence class is
+  * spec-documented under forced saturation.
+  *
+  * Order independence: the final member SET, purged SET and saturation
+  * bit are order-blind, the flag bit is maintained as the invariant
+  * "has an ALIVE smaller-id member within hamMax" after every
+  * transition, and each emission is exactly one flag-bit transition —
+  * so the deltas telescope to the final bits under any arrival order
+  * or batch boundaries (the q99 superseded-min protocol generalized to
+  * pairs, plus retraction). Purge-before-admit commutes: a purged id
+  * is remembered as a dead member, so its later admit is a no-op. The
+  * same id may still be flagged via several band keys — the judged
+  * rollup distincts, as q99's does.
+  *
+  * The surviving flagged set (net-positive ids in non-tombstoned
+  * buckets) equals the batch `DISTINCT media_id_b FROM pairs` of
+  * q133's banded scheme over the admitted-minus-purged corpus —
+  * including its cap filter — which is what the DuckDB oracle replays.
+  * Asserted under forced saturation, adversarial order and interleaved
+  * purges by `StreamingNearDupSpec`.
   */
 object StreamingHammingDup {
 
-  case class SigBandRow(media_id: Long, sig: Long, band: Int, v: Long)
+  case class SigBandRow(media_id: Long, sig: Long, band: Int, v: Long, purge: Boolean)
 
-  case class Flagged(media_id: Long)
+  /** A net flag transition for `media_id` in its (band, v) bucket
+    * (delta ∈ {+1, −1}), or — when `tomb` — that bucket's saturation
+    * tombstone (media_id = -1, delta = 0), cancelling all of the
+    * bucket's deltas.
+    */
+  case class NetEvent(media_id: Long, band: Int, v: Long, delta: Int, tomb: Boolean)
 
-  // public: the kryo state encoder rejects non-public classes
-  case class Member(id: Long, sig: Long, flagged: Boolean)
-  case class BucketState(members: List[Member])
+  // public: the kryo state encoder rejects non-public classes.
+  // A purged member stays in the list as a dead entry (purged = true):
+  // it keeps counting toward the saturation set and blocks re-admission,
+  // which is what makes admit/purge order-commutative. Live size and
+  // dead size are both ≤ cap, so state stays bounded.
+  case class Member(id: Long, sig: Long, flagged: Boolean, purged: Boolean)
+  case class BucketState(members: List[Member], saturated: Boolean)
 
-  def flagged(rows: Dataset[SigBandRow], cap: Int, hamMax: Int): Dataset[Flagged] = {
-    implicit val outEnc = Encoders.product[Flagged]
+  def flagged(rows: Dataset[SigBandRow], cap: Int, hamMax: Int): Dataset[NetEvent] = {
+    implicit val outEnc = Encoders.product[NetEvent]
     implicit val stateEnc = Encoders.kryo[BucketState]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
 
     rows
       .groupByKey(r => (r.band, r.v))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Int, Long), arrivals: Iterator[SigBandRow],
+        (key: (Int, Long), arrivals: Iterator[SigBandRow],
          state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = List.newBuilder[Long]
-          // ascending-id processing makes within-batch emission match
-          // the cross-batch protocol (smaller ids are "earlier")
-          arrivals.toSeq.sortBy(_.media_id).foreach { r =>
-            if (members.lengthCompare(cap) < 0 && !members.exists(_.id == r.media_id)) {
-              def near(m: Member): Boolean =
-                java.lang.Long.bitCount(m.sig ^ r.sig) <= hamMax
-              // retroactive: existing LARGER-id mates of the arrival
-              members = members.map { m =>
-                if (!m.flagged && m.id > r.media_id && near(m)) {
-                  out += m.id; m.copy(flagged = true)
-                } else m
+          val prior = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+          if (prior.saturated) {
+            // tombstone already emitted; drain and stay silent forever
+            arrivals.foreach(_ => ())
+            Iterator.empty
+          } else {
+            var members = prior.members
+            var saturated = false
+            val out = List.newBuilder[NetEvent]
+            def emit(id: Long, delta: Int): Unit =
+              out += NetEvent(id, key._1, key._2, delta, tomb = false)
+            def near(a: Long, b: Long): Boolean =
+              java.lang.Long.bitCount(a ^ b) <= hamMax
+            // invariant after every transition: m.flagged ⇔ m alive and
+            // some ALIVE member with a smaller id is within hamMax
+            def justified(m: Member): Boolean =
+              members.exists(o => !o.purged && o.id < m.id && near(o.sig, m.sig))
+            // ascending-id processing makes within-batch emission match
+            // the cross-batch protocol (smaller ids are "earlier")
+            val it = arrivals.toSeq.sortBy(r => (r.media_id, r.purge)).iterator
+            while (it.hasNext && !saturated) {
+              val r = it.next()
+              members.find(_.id == r.media_id) match {
+                case Some(m) if r.purge && !m.purged =>
+                  // kill the member; its own flag nets to zero
+                  if (m.flagged) emit(m.id, -1)
+                  members = members.map(x =>
+                    if (x.id == m.id) x.copy(flagged = false, purged = true) else x)
+                  // retract survivors whose ONLY justification was m
+                  // (removing a member never creates new flags)
+                  members = members.map { x =>
+                    if (x.flagged && x.id > m.id && near(m.sig, x.sig) && !justified(x)) {
+                      emit(x.id, -1); x.copy(flagged = false)
+                    } else x
+                  }
+                case Some(_) => () // duplicate admit, or purge of a dead id
+                case None =>
+                  if (members.lengthCompare(cap) >= 0) saturated = true
+                  else if (r.purge)
+                    // purge ahead of its admit: remember the id as dead
+                    members = Member(r.media_id, r.sig, flagged = false, purged = true) :: members
+                  else {
+                    // retroactive: existing LARGER-id alive mates of the arrival
+                    members = members.map { m =>
+                      if (!m.purged && !m.flagged && m.id > r.media_id && near(m.sig, r.sig)) {
+                        emit(m.id, +1); m.copy(flagged = true)
+                      } else m
+                    }
+                    val isDup = members.exists(m =>
+                      !m.purged && m.id < r.media_id && near(m.sig, r.sig))
+                    if (isDup) emit(r.media_id, +1)
+                    members = Member(r.media_id, r.sig, isDup, purged = false) :: members
+                  }
               }
-              val isDup = members.exists(m => m.id < r.media_id && near(m))
-              if (isDup) out += r.media_id
-              members = Member(r.media_id, r.sig, isDup) :: members
+            }
+            if (saturated) {
+              it.foreach(_ => ()) // drain the rest of the batch
+              state.update(BucketState(Nil, saturated = true))
+              // this batch's pending deltas are dropped (the tombstone
+              // would cancel them anyway); prior batches' deltas are
+              // cancelled by the tombstone downstream
+              Iterator.single(NetEvent(-1L, key._1, key._2, 0, tomb = true))
+            } else {
+              state.update(BucketState(members, saturated = false))
+              out.result().iterator
             }
           }
-          state.update(BucketState(members))
-          out.result().iterator.map(Flagged)
         })
   }
 }

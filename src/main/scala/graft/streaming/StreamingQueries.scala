@@ -112,6 +112,28 @@ object StreamingQueries {
     }
   }
 
+  /** The surviving flagged ids of a [[StreamingHammingDup.NetEvent]]
+    * sink: per (band, v, media_id) the deltas are netted (+1 flag / −1
+    * retraction telescope to the final flag bit), tombstoned buckets
+    * are dropped wholesale (the batch cap's HAVING filter), and an id
+    * survives when ANY live bucket nets positive. Shared by q137 and
+    * q153 so the two judged consumers cannot drift. One bucket-keyed
+    * window + one rollup over the (bounded) event sink; never a
+    * self-join on the sink relation (conflicting-refs trap on memory
+    * views).
+    */
+  private def survivingFlags(events: DataFrame): DataFrame = {
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("v"))
+    events
+      .withColumn("sat", max(when(col("tomb"), 1).otherwise(0)).over(byBucket))
+      .filter(col("sat") === 0 && !col("tomb"))
+      .groupBy(col("band"), col("v"), col("media_id"))
+      .agg(sum(col("delta")).as("net"))
+      .filter(col("net") > 0)
+      .select(col("media_id")).distinct()
+  }
+
   /** Per-event-type top-5 events by value, computed by replaying events
     * as micro-batches through [[StreamingTopK]] (`mapGroupsWithState`,
     * k-bounded state per key).
@@ -353,11 +375,14 @@ object StreamingQueries {
     * band rows from the REAL codec-path signature frame are replayed as
     * micro-batches, per-bucket bounded state applies the exact Hamming
     * predicate with the batch scheme's cap, and the judged rollup is
-    * the per-source flagged accounting. The oracle replays q133's
-    * batch pairs and takes `DISTINCT media_id_b` — the set the
-    * order-independent emission protocol converges to regardless of
-    * batch boundaries (the q99 contract, generalized from min-tracking
-    * to pair predicates).
+    * the per-source flagged accounting. Flags arrive attributed to
+    * their (band, v) bucket; the rollup anti-joins them against the
+    * saturation tombstones so an over-cap bucket contributes nothing —
+    * the batch `HAVING count(*) <= cap` semantics, exactly. The oracle
+    * replays q133's batch pairs (cap filter included) and takes
+    * `DISTINCT media_id_b` — the set the order-independent emission
+    * protocol converges to regardless of batch boundaries (the q99
+    * contract, generalized from min-tracking to pair predicates).
     *
     * Scale: state per (band, v) bucket is ≤ cap (id, sig, bit)
     * entries — bounded exactly where the batch join is; everything
@@ -371,13 +396,14 @@ object StreamingQueries {
       val bandRows = graft.ext.Multimodal.dhashBandRows(sigs)
         .select(col("media_id"), col("sig"),
           col("band").cast("integer").as("band"), col("v"))
-      val flaggedDf = replayToSink(s, bandRows, "q137", dir) { stream =>
+      val events = replayToSink(s, bandRows.withColumn("purge", lit(false)),
+        "q137", dir) { stream =>
         (StreamingHammingDup.flagged(stream.as[StreamingHammingDup.SigBandRow],
           graft.ext.Multimodal.DHashBucketCap,
           graft.ext.Multimodal.DHashHamMax).toDF(), "append")
       }
       Tables.documents(s, dir)
-        .join(flaggedDf.select(col("media_id").as("doc_id")).distinct()
+        .join(survivingFlags(events).select(col("media_id").as("doc_id"))
           .withColumn("f", lit(1L)), Seq("doc_id"), "left_outer")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_images"), count(col("f")).as("n_neardup"))
@@ -390,6 +416,96 @@ object StreamingQueries {
         |SELECT d.source AS source, cast(count(*) AS bigint) AS n_images,
         |       cast(count(f.doc_id) AS bigint) AS n_neardup
         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+
+  /** q153: DELETION PROPAGATION INTO STREAMING STATE — the leg q136
+    * couldn't reach: q136 purges the corpus, the inverted index and the
+    * BATCH near-dup frames, but a stateful streaming near-dup operator
+    * holds (band, bucket) member state that would still contain purged
+    * ids after a restart-from-checkpoint. Here the purge list (the SAME
+    * `doc_id % 83` deletion-request slice as q136) is fed INTO the
+    * running [[StreamingHammingDup]] as control rows — routed to
+    * exactly the buckets holding each purged id, because band values
+    * derive from the id's own signature (no bucket directory needed) —
+    * and the operator evicts the member and RETRACTS flags whose only
+    * justification it was (−1 net deltas). The judged row per source
+    * carries the full accounting (images, purged, pre/post flag
+    * counts, retractions) plus the q141-style equivalence certificate:
+    * `equiv_diff` is the symmetric difference between the STREAMED
+    * post-purge flag set and the BATCH near-dup flags recomputed from
+    * scratch on the purged corpus — judged 0, so the maintained
+    * streaming state provably converges to the rebuild answer.
+    * `n_neardup_post` itself is the streamed value hash-matched against
+    * the oracle's batch replay — the equivalence is certified twice.
+    *
+    * Purge rows interleave with admits under the replay's arbitrary
+    * file scheduling, so the run genuinely exercises the protocol's
+    * purge/admit commutativity (a purged id is remembered as a dead
+    * member; its later admit is a no-op). Saturated buckets stay
+    * conservatively dead post-purge (see [[StreamingHammingDup]]) —
+    * none exist on this corpus (spec-pinned headroom), and the judged
+    * certificate would catch any divergence.
+    *
+    * Scale: the purge leg costs |purged| × bands control rows — shard-
+    * incident work, never a state rebuild; per-bucket state stays ≤ cap
+    * members (dead entries included); the certificate's from-scratch
+    * batch leg is the one intentionally-full verification pass, exactly
+    * q136's maintenance-vs-rebuild convention.
+    */
+  val q153StreamingNearDupPurge: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      def isDel(c: org.apache.spark.sql.Column) = c % 83 === 0
+      val sigs = graft.ext.Multimodal.imageSigFrame(s, dir)
+      def bandRows(f: DataFrame, purge: Boolean): DataFrame =
+        graft.ext.Multimodal.dhashBandRows(f)
+          .select(col("media_id"), col("sig"),
+            col("band").cast("integer").as("band"), col("v"),
+            lit(purge).as("purge"))
+      val rows = bandRows(sigs, purge = false)
+        .unionByName(bandRows(sigs.filter(isDel(col("media_id"))), purge = true))
+      val events = replayToSink(s, rows, "q153", dir) { stream =>
+        (StreamingHammingDup.flagged(stream.as[StreamingHammingDup.SigBandRow],
+          graft.ext.Multimodal.DHashBucketCap,
+          graft.ext.Multimodal.DHashHamMax).toDF(), "append")
+      }
+      val streamed = survivingFlags(events)
+        .select(col("media_id").as("doc_id")).withColumn("st", lit(1L))
+      val batchPost = graft.ext.Multimodal
+        .hammingDupPairs(sigs.filter(!isDel(col("media_id"))))
+        .select(col("media_id_b").as("doc_id")).distinct().withColumn("bp", lit(1L))
+      val batchPre = graft.ext.Multimodal.hammingDupPairs(sigs)
+        .select(col("media_id_b").as("doc_id")).distinct().withColumn("pr", lit(1L))
+      Tables.documents(s, dir)
+        .join(streamed, Seq("doc_id"), "left_outer")
+        .join(batchPost, Seq("doc_id"), "left_outer")
+        .join(batchPre, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(isDel(col("doc_id")), 1L).otherwise(0L)).as("n_purged"),
+          count(col("pr")).as("n_neardup_pre"),
+          count(col("st")).as("n_neardup_post"),
+          sum(when(col("pr").isNotNull && col("st").isNull && !isDel(col("doc_id")), 1L)
+            .otherwise(0L)).as("n_retracted"),
+          sum(when(coalesce(col("st"), lit(0L)) =!= coalesce(col("bp"), lit(0L)), 1L)
+            .otherwise(0L)).as("equiv_diff"))
+        .orderBy(col("source"))
+    },
+    "WITH " + graft.ext.Multimodal.imageSigCtes("") +
+      graft.ext.Multimodal.dhashPairsSql("sig", "") +
+      ",\npsig AS (SELECT * FROM sig WHERE doc_id % 83 <> 0)" +
+      graft.ext.Multimodal.dhashPairsSql("psig", "p") +
+      s"""
+        |, fpre AS (SELECT DISTINCT media_id_b AS doc_id FROM pairs),
+        |fpost AS (SELECT DISTINCT media_id_b AS doc_id FROM ppairs)
+        |SELECT d.source AS source, cast(count(*) AS bigint) AS n_images,
+        |  ${graft.ext.OracleSql.bigSum("CASE WHEN d.doc_id % 83 = 0 THEN 1 ELSE 0 END")} AS n_purged,
+        |  cast(count(a.doc_id) AS bigint) AS n_neardup_pre,
+        |  cast(count(b.doc_id) AS bigint) AS n_neardup_post,
+        |  ${graft.ext.OracleSql.bigSum("CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NULL AND d.doc_id % 83 <> 0 THEN 1 ELSE 0 END")} AS n_retracted,
+        |  cast(0 AS bigint) AS equiv_diff
+        |FROM documents d LEFT JOIN fpre a ON d.doc_id = a.doc_id
+        |LEFT JOIN fpost b ON d.doc_id = b.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
   /** q143: STREAMING shard admission — the streaming twin of q141's
@@ -460,6 +576,7 @@ object StreamingQueries {
     "q143_streaming_admission" -> q143StreamingAdmission,
     "q99_streaming_neardup" -> q99StreamingNearDup,
     "q137_streaming_image_neardup" -> q137StreamingImageNearDup,
+    "q153_streaming_neardup_purge" -> q153StreamingNearDupPurge,
     "q84_stream_stream_join" -> q84StreamStreamJoin,
     "q66_streaming_topk" -> q66StreamingTopK,
     "q68_streaming_retention" -> q68StreamingRetention,

@@ -641,6 +641,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // PROOF being judged, not the serving path — the incremental leg
       // alone touches only the shard-incident edges
       "q151_incremental_cc" -> 42,
+      // q152 (round-10, audited at introduction): the base/appended
+      // corpus pins' exchanges happen once before their four consumers;
+      // after them the two TopKCarry cap rollups (map-side-combined,
+      // O(Cap) state — never a per-source window over the corpus), the
+      // four per-source count rollups, the cap-eviction anti-join on
+      // the bounded kept-sets, the threshold-eviction doc_id anti-join
+      // and the ≤sources output sort
+      "q152_sampling_stability" -> 9,
       // q141 (round-9, audited at introduction): every exchange is
       // fingerprint-keyed (base/batch/shard-first groupBys, the anti
       // probe, the full-outer equivalence compare) or a ≤sources rollup;
