@@ -221,8 +221,10 @@ object Bench {
     "q148_pit_features" -> 0.33, "q149_consistent_hashing" -> 0.37,
     "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.22,
     // round-10 additions: introduced at their quiet-window
-    // (loadavg < 0.8) introduction-run minima
-    "q152_sampling_stability" -> 1.50,
+    // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
+    // (0.712 in the round-11 full run — the introduction value was an
+    // inflated first-process measurement)
+    "q152_sampling_stability" -> 0.712,
     "q153_streaming_neardup_purge" -> 3.00)
 
   private val NoiseFactor = 2.0
@@ -279,13 +281,26 @@ object Bench {
     require(args.forall(headline.contains),
       s"unknown headline queries: ${args.filterNot(headline.contains).mkString(", ")}")
     // rotation policy entry point: unset (the driver's mode) = full
-    // headline; set = class members only on every third round
-    val active = sys.env.get("SPARK_GRAFT_ROTATION_ROUND")
-      .map(r => rotatedHeadline(r.toInt)).getOrElse(headline)
+    // headline; set = class members only on every third round. The env
+    // var is parsed fail-fast with its name in the message — a bare
+    // toInt NumberFormatException before any measurement would give no
+    // hint which knob was malformed.
+    val active = sys.env.get("SPARK_GRAFT_ROTATION_ROUND").map { r =>
+      val n = try r.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ROTATION_ROUND must be an integer round number, got '$r'")
+      }
+      rotatedHeadline(n)
+    }.getOrElse(headline)
     if (active.size != headline.size)
       System.err.println(s"[bench] rotation active: ${headline.size - active.size} " +
         s"class-1 entries deferred to the spot-check round")
-    val wanted = if (args.isEmpty) active else active.filter(args.contains)
+    // explicit args OVERRIDE rotation: a by-name request is a local
+    // iteration aid and must never be silently dropped because the
+    // requested query happens to sit in a deferred rotation class (the
+    // fail-fast require above already vetted every name against the
+    // full headline).
+    val wanted = if (args.isEmpty) active else headline.filter(args.contains)
     val warmDir = "/root/testdata/sf0.001"
     val warmup = if (new java.io.File(warmDir).exists()) warmDir else sfDir
     wanted.filter(SparkEntry.queries.contains).foreach { name =>

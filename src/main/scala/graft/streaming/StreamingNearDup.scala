@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming PERCEPTUAL near-dup over dHash band buckets (the image
@@ -31,10 +32,13 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * NOT resurrect a saturated bucket even if it would bring the live
   * count back under the cap (members were dropped; reviving the
   * bucket is the q136-style re-seed maintenance leg from the at-rest
-  * corpus, not a state transition). The judged corpora sit far under
-  * the cap (spec-pinned headroom), so the conservative rule never
-  * diverges from the batch filter there; the divergence class is
-  * spec-documented under forced saturation.
+  * corpus, not a state transition). That leg is IMPLEMENTED:
+  * [[StreamingHammingDup.exactFlags]] composes the netted deltas with
+  * [[StreamingHammingDup.reseedFlags]] over tombstoned buckets, making
+  * the consumer equal to the batch filter in ALL cases — certified
+  * under forced saturation + purge-below-cap by StreamingNearDupSpec.
+  * The judged corpora additionally sit far under the cap (spec-pinned
+  * headroom), so the leg runs empty there.
   *
   * Order independence: the final member SET, purged SET and saturation
   * bit are order-blind, the flag bit is maintained as the invariant
@@ -152,6 +156,86 @@ object StreamingHammingDup {
           }
         })
   }
+
+  /** The surviving flagged ids of a [[NetEvent]] sink: per (band, v,
+    * media_id) the deltas are netted (+1 flag / −1 retraction telescope
+    * to the final flag bit), tombstoned buckets are dropped wholesale
+    * (the batch cap's HAVING filter), and an id survives when ANY live
+    * bucket nets positive. Shared by the judged q137/q153 consumers AND
+    * `StreamingNearDupSpec`'s assertions so consumer semantics cannot
+    * drift between the gate and the certificate. One bucket-keyed
+    * window + one rollup over the (bounded) event sink; never a
+    * self-join on the sink relation (conflicting-refs trap on memory
+    * views).
+    */
+  def survivingFlags(events: DataFrame): DataFrame = {
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("v"))
+    events
+      .withColumn("sat", max(when(col("tomb"), 1).otherwise(0)).over(byBucket))
+      .filter(col("sat") === 0 && !col("tomb"))
+      .groupBy(col("band"), col("v"), col("media_id"))
+      .agg(sum(col("delta")).as("net"))
+      .filter(col("net") > 0)
+      .select(col("media_id")).distinct()
+  }
+
+  /** The RE-SEED maintenance leg (the q136 convention, closing the one
+    * divergence class [[flagged]] documents): a tombstoned (saturated)
+    * bucket holds no streaming state, so its flag contribution is
+    * recomputed in BATCH from the at-rest LIVE corpus — `liveBandRows`
+    * = (media_id, sig, band, v) band rows of the admitted-minus-purged
+    * membership. The batch `HAVING count(*) <= cap` is applied to the
+    * bucket's LIVE count, so a bucket saturated by ever-referenced ids
+    * but purged back under the cap is revived with exactly the batch
+    * pairs, and a bucket still over the cap live contributes nothing —
+    * in both cases the batch answer. Cost is bounded: only tombstoned
+    * buckets are touched (a semi join), and the pair self-join runs
+    * only inside buckets that passed the ≤ cap live filter, so fan-out
+    * is ≤ cap² per revived bucket.
+    */
+  def reseedFlags(events: DataFrame, liveBandRows: DataFrame,
+      cap: Int, hamMax: Int): DataFrame = {
+    val tombs = events.filter(col("tomb")).select(col("band"), col("v")).distinct()
+    val bucketRows = liveBandRows.join(tombs, Seq("band", "v"), "left_semi")
+    val ok = bucketRows.groupBy(col("band"), col("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= cap)
+      .select(col("band"), col("v"))
+    val rows = bucketRows.join(ok, Seq("band", "v"), "left_semi")
+    val a = rows.select(col("band"), col("v"),
+      col("media_id").as("id_a"), col("sig").as("sig_a"))
+    val b = rows.select(col("band").as("band_b"), col("v").as("v_b"),
+      col("media_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("v") === col("v_b")
+        && col("id_a") < col("id_b")
+        && expr("bit_count(sig_a ^ sig_b)") <= hamMax)
+      .select(col("id_b").as("media_id")).distinct()
+  }
+
+  /** TOTAL consumer: streamed deltas for live buckets ∪ the re-seed leg
+    * for tombstoned ones — equal to the batch banded scheme (cap filter
+    * included) over the live corpus in ALL cases, not just under the
+    * judged corpora's headroom:
+    *
+    *  - a never-tombstoned bucket has ever-referenced ≤ cap, hence live
+    *    count ≤ cap: the batch HAVING keeps it, and the netted deltas
+    *    already converge to its batch flags ([[flagged]]'s invariant);
+    *  - a tombstoned bucket is recomputed from live members under the
+    *    same ≤ cap filter ([[reseedFlags]]), so over-cap-live buckets
+    *    contribute nothing (as batch) and purged-below-cap buckets are
+    *    revived with exactly the batch pairs.
+    *
+    * Certified under forced saturation + purge-below-cap by
+    * `StreamingNearDupSpec` (where [[survivingFlags]] alone is proven
+    * to diverge and this composition to close the gap); the judged
+    * q137/q153 run it with an empty tombstone set (headroom pinned), so
+    * the leg costs one AQE-sized empty semi join there.
+    */
+  def exactFlags(events: DataFrame, liveBandRows: DataFrame,
+      cap: Int, hamMax: Int): DataFrame =
+    survivingFlags(events)
+      .unionByName(reseedFlags(events, liveBandRows, cap, hamMax))
+      .distinct()
 }
 
 /** Streaming near-duplicate detection over MinHash LSH band buckets: a

@@ -112,27 +112,11 @@ object StreamingQueries {
     }
   }
 
-  /** The surviving flagged ids of a [[StreamingHammingDup.NetEvent]]
-    * sink: per (band, v, media_id) the deltas are netted (+1 flag / −1
-    * retraction telescope to the final flag bit), tombstoned buckets
-    * are dropped wholesale (the batch cap's HAVING filter), and an id
-    * survives when ANY live bucket nets positive. Shared by q137 and
-    * q153 so the two judged consumers cannot drift. One bucket-keyed
-    * window + one rollup over the (bounded) event sink; never a
-    * self-join on the sink relation (conflicting-refs trap on memory
-    * views).
-    */
-  private def survivingFlags(events: DataFrame): DataFrame = {
-    val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("v"))
-    events
-      .withColumn("sat", max(when(col("tomb"), 1).otherwise(0)).over(byBucket))
-      .filter(col("sat") === 0 && !col("tomb"))
-      .groupBy(col("band"), col("v"), col("media_id"))
-      .agg(sum(col("delta")).as("net"))
-      .filter(col("net") > 0)
-      .select(col("media_id")).distinct()
-  }
+  // The judged q137/q153 flag consumer is
+  // [[StreamingHammingDup.exactFlags]] — streamed deltas for live
+  // buckets + the re-seed leg for tombstoned ones — shared with
+  // StreamingNearDupSpec's certificates so the gate and the spec
+  // cannot drift.
 
   /** Per-event-type top-5 events by value, computed by replaying events
     * as micro-batches through [[StreamingTopK]] (`mapGroupsWithState`,
@@ -402,8 +386,10 @@ object StreamingQueries {
           graft.ext.Multimodal.DHashBucketCap,
           graft.ext.Multimodal.DHashHamMax).toDF(), "append")
       }
+      val flags = StreamingHammingDup.exactFlags(events, bandRows,
+        graft.ext.Multimodal.DHashBucketCap, graft.ext.Multimodal.DHashHamMax)
       Tables.documents(s, dir)
-        .join(survivingFlags(events).select(col("media_id").as("doc_id"))
+        .join(flags.select(col("media_id").as("doc_id"))
           .withColumn("f", lit(1L)), Seq("doc_id"), "left_outer")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_images"), count(col("f")).as("n_neardup"))
@@ -441,10 +427,13 @@ object StreamingQueries {
     * Purge rows interleave with admits under the replay's arbitrary
     * file scheduling, so the run genuinely exercises the protocol's
     * purge/admit commutativity (a purged id is remembered as a dead
-    * member; its later admit is a no-op). Saturated buckets stay
-    * conservatively dead post-purge (see [[StreamingHammingDup]]) —
-    * none exist on this corpus (spec-pinned headroom), and the judged
-    * certificate would catch any divergence.
+    * member; its later admit is a no-op). Saturated buckets are revived
+    * from the live at-rest corpus by the re-seed leg
+    * ([[StreamingHammingDup.exactFlags]] — the consumer is exact in ALL
+    * cases, not just under headroom); none exist on this corpus
+    * (spec-pinned headroom, so the leg runs empty here), and the
+    * forced-saturation + purge-below-cap certificate lives in
+    * StreamingNearDupSpec.
     *
     * Scale: the purge leg costs |purged| × bands control rows — shard-
     * incident work, never a state rebuild; per-bucket state stays ≤ cap
@@ -469,7 +458,10 @@ object StreamingQueries {
           graft.ext.Multimodal.DHashBucketCap,
           graft.ext.Multimodal.DHashHamMax).toDF(), "append")
       }
-      val streamed = survivingFlags(events)
+      val liveBand = bandRows(sigs.filter(!isDel(col("media_id"))), purge = false)
+        .drop("purge")
+      val streamed = StreamingHammingDup.exactFlags(events, liveBand,
+        graft.ext.Multimodal.DHashBucketCap, graft.ext.Multimodal.DHashHamMax)
         .select(col("media_id").as("doc_id")).withColumn("st", lit(1L))
       val batchPost = graft.ext.Multimodal
         .hammingDupPairs(sigs.filter(!isDel(col("media_id"))))

@@ -70,19 +70,28 @@ class StreamingNearDupSpec extends AnyFunSuite {
     spark.table(sinkName)
   }
 
-  /** The q137/q153 consumer rollup: net deltas per (bucket, id), drop
-    * tombstoned buckets, keep net-positive ids.
+  /** The streamed-deltas-only consumer rollup (net per (bucket, id),
+    * drop tombstoned buckets, keep net-positive) — THE production
+    * helper, not a spec copy, so the assertions here certify the exact
+    * code the judged q137/q153 consumers run.
     */
-  private def surviving(events: org.apache.spark.sql.DataFrame): Set[Long] = {
-    val byBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("v"))
-    events
-      .withColumn("sat", max(when(col("tomb"), 1).otherwise(0)).over(byBucket))
-      .filter(col("sat") === 0 && !col("tomb"))
-      .groupBy(col("band"), col("v"), col("media_id"))
-      .agg(sum(col("delta")).as("net"))
-      .filter(col("net") > 0)
-      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+  private def surviving(events: org.apache.spark.sql.DataFrame): Set[Long] =
+    StreamingHammingDup.survivingFlags(events)
+      .collect().map(_.getLong(0)).toSet
+
+  /** The TOTAL consumer (streamed deltas + re-seed of tombstoned
+    * buckets from the live corpus) over engineered rows: liveBandRows
+    * is admits minus purged ids, the at-rest membership the judged
+    * q153 would hold post-purge.
+    */
+  private def exact(events: org.apache.spark.sql.DataFrame,
+      admits: Seq[StreamingHammingDup.SigBandRow], purged: Set[Long],
+      cap: Int, hamMax: Int): Set[Long] = {
+    import spark.implicits._
+    val live = admits.filterNot(r => purged.contains(r.media_id))
+      .toDS().toDF().drop("purge")
+    StreamingHammingDup.exactFlags(events, live, cap, hamMax)
+      .collect().map(_.getLong(0)).toSet
   }
 
   /** Batch semantics brute-forced in memory: pairs within hamMax inside
@@ -142,6 +151,11 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val survived = surviving(events)
     assert(survived == batch,
       s"streamed-only=${survived -- batch}, batch-only=${batch -- survived}")
+    // the TOTAL consumer's over-cap-live case: bucket A is tombstoned
+    // AND still over the cap live, so the re-seed leg must contribute
+    // nothing — exactFlags equals the batch set here too
+    assert(exact(events, a ++ b ++ c, Set.empty, cap, hamMax) == batch,
+      "exactFlags diverged from batch on an over-cap-live tombstoned bucket")
   }
 
   /** q153's purge protocol under adversarial interleavings: retraction
@@ -191,16 +205,28 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val survived = surviving(events)
     assert(survived == batch,
       s"streamed-only=${survived -- batch}, batch-only=${batch -- survived}")
+    // no bucket tombstoned here, so the TOTAL consumer's re-seed leg
+    // runs empty and exactFlags must coincide with the deltas alone
+    assert(exact(events, admits, purgedIds, cap, hamMax) == batch,
+      "exactFlags diverged from survivingFlags with no tombstones")
   }
 
-  /** The documented conservative divergence: a SATURATED bucket stays
-    * dead even when purges would bring its live membership back under
-    * the cap — reviving it is the q136-style re-seed maintenance leg,
-    * not a state transition. Pinned here so the behavior is a contract,
-    * not an accident; the judged corpora never saturate (headroom pin
-    * in MultimodalSpec), so the judged equivalence is unaffected.
+  /** The saturate → purge-below-cap → re-seed certificate. In STREAMING
+    * state the contract is conservative: a saturated bucket stays dead
+    * even when purges bring its live membership back under the cap
+    * (members were dropped — reviving it from state alone is
+    * impossible). That half is pinned first: the deltas-only consumer
+    * returns nothing. The RE-SEED maintenance leg
+    * ([[StreamingHammingDup.reseedFlags]], the q136 convention) then
+    * recomputes exactly the tombstoned bucket from the live at-rest
+    * corpus, and the TOTAL consumer must equal the batch
+    * `HAVING count(*) <= cap` answer — which KEEPS this bucket (live
+    * count 2 ≤ cap 3) and flags the larger of the near pair. Both-ways
+    * degeneration guards: the tombstone genuinely fired, the batch set
+    * is genuinely non-empty (so survivingFlags alone genuinely
+    * diverges and the re-seed leg is load-bearing, not vacuous).
     */
-  test("hamming-dup purge does not resurrect a saturated bucket") {
+  test("hamming-dup saturated bucket purged below cap is revived by the re-seed leg") {
     val cap = 3
     val hamMax = 2
     def admit(id: Long, v: Long) =
@@ -212,7 +238,18 @@ class StreamingNearDupSpec extends AnyFunSuite {
       (1 to 3).map(i => purge(i.toLong, 7L))
     val events = replayHamDup(rows, cap, hamMax, "hamdup_dead_sink")
     assert(events.filter(col("tomb")).count() == 1, "bucket never tombstoned")
+    // streaming-state half of the contract: conservatively dead
     assert(surviving(events).isEmpty,
       "saturated bucket emitted surviving flags after purge")
+
+    val admits = rows.filter(!_.purge)
+    val purgedIds = rows.filter(_.purge).map(_.media_id).toSet
+    val batch = bruteForce(admits, purgedIds, cap, hamMax)
+    // live members are {4, 5} (sig-equal): batch keeps the bucket and
+    // flags 5 — non-empty, so the divergence the re-seed closes is real
+    assert(batch == Set(5L), s"brute-force sanity: $batch")
+    val total = exact(events, admits, purgedIds, cap, hamMax)
+    assert(total == batch,
+      s"re-seeded-only=${total -- batch}, batch-only=${batch -- total}")
   }
 }
