@@ -115,7 +115,8 @@ object Bench {
     // in the round-9 snapshot commit without its bench artifacts) and
     // the streaming-state deletion-propagation certificate
     "q152_sampling_stability",
-    "q153_streaming_neardup_purge")
+    "q153_streaming_neardup_purge",
+    "q154_watermark_funnel")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -225,7 +226,13 @@ object Bench {
     // (0.712 in the round-11 full run — the introduction value was an
     // inflated first-process measurement)
     "q152_sampling_stability" -> 0.712,
-    "q153_streaming_neardup_purge" -> 3.00)
+    "q153_streaming_neardup_purge" -> 3.00,
+    // round-11 addition: introduction-run minimum under loadavg ~2.2
+    // (a loaded-window ceiling — re-base DOWN at the next quiet
+    // window; the replay cost class is q99's — two AvailableNow jobs
+    // over 8 staged files, the second a checkpoint RESTART — plus the
+    // batch margin/certificate legs)
+    "q154_watermark_funnel" -> 4.50)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+/** EVENT-TIME-WATERMARKED funnel — the judged q154 machine, closing the
+  * one Structured Streaming capability the replay-order contract kept
+  * out of the gate (StreamingQueries' header): the order-SENSITIVE q50
+  * funnel stays batch-parity-only, but its FIRST-TOUCH variant is a
+  * semilattice and can be judged, and the watermark bounds late data
+  * deterministically under the two-phase replay below.
+  *
+  * Funnel semantics (first-touch): per user, over the ADMITTED events,
+  *   stage ≥ 1  iff a view exists,
+  *   stage ≥ 2  iff min(click) > min(view),
+  *   stage ≥ 3  iff stage ≥ 2 and min(purchase) > min(click).
+  * State per user is three min-timestamps — each an unconditional MIN
+  * over admitted events of one type, i.e. a semilattice merge, so the
+  * converged state (and the stage, a pure function of it) is blind to
+  * arrival order and batch boundaries. (q50's sequential semantics —
+  * "first click after the first view" — is NOT boundedly computable
+  * under arbitrary order: a late earlier view can re-qualify a click
+  * that bounded state already discarded. First-touch is the standard
+  * order-independent funnel refinement; the completeness difference vs
+  * q50 on full data is a definition choice, not an approximation.)
+  *
+  * Watermark admission: the stream declares `withWatermark(ts, delay)`,
+  * and the state function drops an arrival iff its event time (micros)
+  * is ≤ the CURRENT WATERMARK ([[org.apache.spark.sql.streaming.GroupState.getCurrentWatermarkMs]])
+  * — the explicit custom-late-handling pattern for
+  * `flatMapGroupsWithState`, where Spark defines watermark semantics
+  * but leaves the drop policy to the operator. Emission is the q66/q68
+  * update protocol in Append form: each batch that admits rows for a
+  * user emits the user's current stage with a per-user `seq`; the
+  * consumer keeps `max_by(stage, seq)` — the converged state.
+  *
+  * Determinism (why this is judgeable): Spark's watermark is
+  * `max(event time seen in prior batches) − delay`, which depends on
+  * replay order — UNLESS the replay is phased so the watermark is
+  * pinned when late rows arrive. [[replayTwoPhase]] stages the ON-TIME
+  * slice (ts > cut, where cut = global max ts − delay) and runs it to
+  * completion first: every on-time row has ts > cut ≥ watermark at any
+  * point of phase 1 (the running max never exceeds the global max), so
+  * NONE is dropped, in any file order. The job then RESTARTS FROM
+  * CHECKPOINT (the real fault-tolerance machinery — file sink +
+  * `_spark_metadata` exactly-once) over the added LATE slice: the
+  * restored watermark is exactly `global max − delay` = cut, so EVERY
+  * late row (ts ≤ cut) is dropped, in any file order. Admitted set ≡
+  * the batch slice `ts > cut` — deterministic, SQL-expressible, judged.
+  *
+  * The completeness/latency trade this makes measurable: `delay` bounds
+  * how long state waits for stragglers (latency/retention cost ∝
+  * delay); everything later is EXCLUDED from the funnel (completeness
+  * cost = the judged full-vs-admitted margin columns). At 100 TB the
+  * per-user state is three longs — |users| entries regardless of event
+  * volume — and production would add a state TTL keyed off the same
+  * watermark.
+  */
+object StreamingWatermarkFunnel {
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** One per (user, admitting batch); the consumer keeps max_by(seq). */
+  case class StageRow(user_id: Long, stage: Int, seq: Int)
+
+  // public: the kryo state encoder rejects non-public classes
+  case class MinState(minV: Long, minC: Long, minP: Long, seq: Int)
+
+  /** Sentinel for "no event of this type admitted yet". */
+  val NoTs: Long = Long.MaxValue
+
+  /** The first-touch chain on (min view, min click, min purchase) —
+    * shared by the state function and the spec's in-memory brute force
+    * so the stage rule cannot drift.
+    */
+  def stageOf(minV: Long, minC: Long, minP: Long): Int =
+    if (minV == NoTs) 0
+    else if (minC == NoTs || minC <= minV) 1
+    else if (minP == NoTs || minP <= minC) 2
+    else 3
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  def stages(events: Dataset[Ev]): Dataset[StageRow] = {
+    implicit val outEnc = Encoders.product[StageRow]
+    implicit val stateEnc = Encoders.kryo[MinState]
+    implicit val longEnc = Encoders.scalaLong
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[MinState]) => {
+          // watermark in ms (0 on the very first batch); the corpus
+          // carries whole-second timestamps (spec-pinned), so the
+          // ms-granular watermark and the micros-exact event times
+          // agree on the admission boundary
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.getOrElse(MinState(NoTs, NoTs, NoTs, 0))
+          var (v, c, p) = (prior.minV, prior.minC, prior.minP)
+          var admitted = false
+          rows.foreach { e =>
+            val t = toMicros(e.ts)
+            if (t > wmMicros) {
+              admitted = true
+              e.event_type match {
+                case "view" => if (t < v) v = t
+                case "click" => if (t < c) c = t
+                case "purchase" => if (t < p) p = t
+                case _ => ()
+              }
+            }
+          }
+          if (!admitted) Iterator.empty
+          else {
+            val next = MinState(v, c, p, prior.seq + 1)
+            state.update(next)
+            Iterator.single(StageRow(userId, stageOf(v, c, p), next.seq))
+          }
+        })
+  }
+
+  private val PhaseFiles = 4
+
+  /** Stage `slice` as [[PhaseFiles]] parquet files ONCE per (tag, scale,
+    * process) — the replayToSink memoized-stage contract — and return
+    * the staged file paths.
+    */
+  private def stageSlice(slice: DataFrame, tag: String, dir: String): Seq[java.nio.file.Path] = {
+    val staged = graft.core.Staging.sharedDir(s"graft_replay_$tag", dir)
+    val marker = Paths.get(staged, "_STAGED")
+    if (!Files.exists(marker)) {
+      slice.repartition(PhaseFiles).write.mode("overwrite").parquet(staged)
+      Files.createFile(marker): Unit
+    }
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(staged)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+  }
+
+  /** The deterministic two-phase watermark replay (see the object doc):
+    * phase 1 streams the staged on-time files through [[stages]] into a
+    * PARQUET sink (append, checkpointed), phase 2 hard-links the late
+    * files into the same source dir and RESTARTS the identical query
+    * from the checkpoint — the restored watermark (= cut) then drops
+    * every late row. Staged slices are shared per process; the work dir
+    * (source links + sink + checkpoint) is per-invocation, swept by the
+    * sequential drivers between queries. Serialized on this object for
+    * the same session-global shuffle-partition sizing reason as
+    * StreamingQueries.replayToSink (replays are harness, sized to the
+    * replay, restored after).
+    */
+  def replayTwoPhase(s: SparkSession, onTime: DataFrame, late: DataFrame,
+      tag: String, dir: String, delay: String): DataFrame = this.synchronized {
+    val onTimeFiles = stageSlice(onTime, s"${tag}_ontime", dir)
+    val lateFiles = stageSlice(late, s"${tag}_late", dir)
+    val work = graft.core.Staging.invocationDir(s"graft_replay_${tag}_work", dir)
+    val src = Paths.get(work, "src"); Files.createDirectories(src)
+    val out = Paths.get(work, "out").toString
+    val cp = Paths.get(work, "cp").toString
+    val partsConf = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsConf)
+    try {
+      s.conf.set(partsConf, PhaseFiles.toString)
+      def runPhase(): Unit = {
+        import s.implicits._
+        val stream = s.readStream.schema(onTime.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src.toString)
+          .withWatermark("ts", delay)
+          .as[Ev]
+        val q = stages(stream).toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      onTimeFiles.zipWithIndex.foreach { case (f, i) =>
+        Files.createLink(src.resolve(f"a$i%03d.parquet"), f): Unit
+      }
+      runPhase()
+      lateFiles.zipWithIndex.foreach { case (f, i) =>
+        Files.createLink(src.resolve(f"b$i%03d.parquet"), f): Unit
+      }
+      runPhase()
+      s.read.parquet(out)
+    } finally {
+      s.conf.set(partsConf, prevParts)
+    }
+  }
+}

@@ -665,7 +665,41 @@ class PlanAuditSpec extends AnyFunSuite {
       // right 100 TB shape — stage scans shrink instead of shuffling
       // non-survivors); the differing injected filters change subtree
       // canonical forms, costing one exchange reuse at test scale
-      "q50_funnel" -> 5)
+      "q50_funnel" -> 5,
+      // STREAMING family (round-11 close of the budget-regime gap):
+      // what plan(n) audits for a streaming query is the judged
+      // CONSUMER plan — the replay harness runs as a construction side
+      // effect and its micro-batch plans are not part of the returned
+      // DataFrame, so these budgets bound the batch composition over
+      // the (bounded) sink: rollups, certificate joins and batch
+      // margin legs. The stateful operator's own exchanges are sized
+      // by the replay's state partitions (ReplayFiles), asserted
+      // order-independent by the streaming specs, and are not
+      // exchange-countable here by construction.
+      // q66/q68: max_by(seq) convergence rollup + output sort/explode
+      "q66_streaming_topk" -> 2, "q68_streaming_retention" -> 3,
+      // q70: one windowed rollup over the sink
+      "q70_streaming_windows" -> 1,
+      // q77: per-(source) rollup + output sort on the deduped sink
+      "q77_streaming_dedup" -> 2,
+      // q84: join-count rollup + output sort
+      "q84_stream_stream_join" -> 2,
+      // q99: flagged-distinct + per-source rollup + output sort
+      "q99_streaming_neardup" -> 3,
+      // q137: the netted-delta window/rollup pair over the sink + the
+      // exactFlags re-seed leg's (empty-at-headroom) semi-join sides
+      // against the live band rows + the doc rollup and output sort
+      "q137_streaming_image_neardup" -> 12,
+      // q143: static-fingerprint distinct (pinned), seen/blocked margin
+      // rollups, admitted rollup + output sort
+      "q143_streaming_admission" -> 4,
+      // q153: q137's consumer plus the pre/post batch hammingDupPairs
+      // margin legs and the equivalence certificate's accounting
+      "q153_streaming_neardup_purge" -> 16,
+      // q154: the max_by convergence rollup, the three first-touch
+      // groupBys (full / admitted / certificate), the full-outer
+      // certificate join sides and the broadcast 1-row scalar frames
+      "q154_watermark_funnel" -> 9)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Certificates for the q154 watermark funnel that the DuckDB oracle
+  * cannot see (the oracle replays the same admitted-slice definition,
+  * so a broken watermark that admitted everything — or nothing — could
+  * still hash-match a correspondingly broken slice). Engineered events
+  * prove the two-phase replay drops EXACTLY the late slice and that the
+  * drop changes stages in both directions; the sf0.001 run proves the
+  * judged row is non-degenerate on real data.
+  */
+class WatermarkFunnelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Engineered corpus, delay "1 days", max = 2024-01-10 00:00:00 so
+    * cut = 2024-01-09 00:00:00 (whole-second max ⇒ the ms floor is
+    * exact). Late events sit strictly before the cut; every divergence
+    * mode is represented:
+    *  - u1: full chain LATE + one on-time view → admitted 1, full 3
+    *    (the funnel happened, but before the horizon — completeness
+    *    loss)
+    *  - u2: only a LATE view                   → absent (0), full 1
+    *  - u3: LATE click before its on-time view → admitted 2, full 1
+    *    (dropping the early click RAISES the first-touch stage — the
+    *    completeness trade is not monotone)
+    *  - u4: on-time click at/before its view   → stage 1 both ways
+    *  - u5: the full on-time chain + max anchor → stage 3 both ways
+    */
+  private val onTime = Seq(
+    (1L, "2024-01-09 10:00:00", "view"),
+    (3L, "2024-01-09 10:00:00", "view"), (3L, "2024-01-09 12:00:00", "click"),
+    (4L, "2024-01-09 10:00:00.25", "click"), (4L, "2024-01-09 10:00:00.25", "view"),
+    (5L, "2024-01-09 08:00:00", "view"), (5L, "2024-01-09 09:00:00", "click"),
+    (5L, "2024-01-09 09:30:00", "purchase"), (5L, "2024-01-10 00:00:00", "view"))
+  private val late = Seq(
+    (1L, "2024-01-05 10:00:00", "view"), (1L, "2024-01-06 10:00:00", "click"),
+    (1L, "2024-01-08 10:00:00", "purchase"),
+    (2L, "2024-01-05 10:00:00", "view"),
+    (3L, "2024-01-05 10:00:00", "click"))
+  private val admittedStages = Map(1L -> 1, 3L -> 2, 4L -> 1, 5L -> 3)
+  private val fullStages = Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 3)
+
+  private def df(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (u, t, e) => (u, ts(t), e) }
+      .toDF("user_id", "ts", "event_type")
+  }
+
+  private def streamedStages(tag: String): Map[Long, Int] =
+    StreamingWatermarkFunnel.replayTwoPhase(spark, df(onTime), df(late),
+      tag, "specwmf", "1 days")
+      .groupBy(col("user_id")).agg(max_by(col("stage"), col("seq")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("two-phase replay admits exactly the on-time slice, both divergence directions") {
+    // the engineered maps are themselves cross-checked against the
+    // shared stage rule before anything streams
+    def brute(rows: Seq[(Long, String, String)]): Map[Long, Int] =
+      rows.groupBy(_._1).map { case (u, es) =>
+        def m(t: String) = es.filter(_._3 == t).map(e => ts(e._2).getTime * 1000L)
+          .minOption.getOrElse(StreamingWatermarkFunnel.NoTs)
+        u -> StreamingWatermarkFunnel.stageOf(m("view"), m("click"), m("purchase"))
+      }
+    assert(brute(onTime) == admittedStages, "on-time brute-force sanity")
+    assert(brute(onTime ++ late) == fullStages, "full brute-force sanity")
+    // the watermark is load-bearing in BOTH directions: late data
+    // raises u1 (2→3) and LOWERS u3 (2→1)
+    assert(admittedStages(1L) < fullStages(1L) && admittedStages(3L) > fullStages(3L))
+
+    val streamed = streamedStages("wmfspec")
+    assert(streamed == admittedStages,
+      s"streamed=$streamed expected=$admittedStages")
+  }
+
+  test("two-phase replay is reproducible run-to-run (fresh checkpoint, same staged input)") {
+    assert(streamedStages("wmfspec") == admittedStages)
+  }
+
+  test("judged q154 row is non-degenerate at sf0.001") {
+    val row = graft.SparkEntry.queries("q154_watermark_funnel")(
+      spark, TestSpark.testdata("0.001")).collect().head
+    def g(n: String) = row.getLong(row.fieldIndex(n))
+    assert(g("n_late_events") > 0L, "late slice empty — watermark vacuous")
+    assert(g("n_admitted_events") > 0L, "admitted slice empty — funnel vacuous")
+    assert(g("equiv_diff") == 0L)
+    val adm = (g("adm_view"), g("adm_click"), g("adm_purchase"))
+    val full = (g("full_view"), g("full_click"), g("full_purchase"))
+    assert(adm != full,
+      s"admitted funnel $adm equals full funnel $full — the completeness trade is invisible")
+  }
+}
