@@ -116,7 +116,8 @@ object Bench {
     // the streaming-state deletion-propagation certificate
     "q152_sampling_stability",
     "q153_streaming_neardup_purge",
-    "q154_watermark_funnel")
+    "q154_watermark_funnel",
+    "q155_watermark_calibration")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -232,7 +233,9 @@ object Bench {
     // window; the replay cost class is q99's — two AvailableNow jobs
     // over 8 staged files, the second a checkpoint RESTART — plus the
     // batch margin/certificate legs)
-    "q154_watermark_funnel" -> 4.50)
+    "q154_watermark_funnel" -> 4.50,
+    // q155 introduction minimum under loadavg ~2.6 (loaded ceiling)
+    "q155_watermark_calibration" -> 1.00)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

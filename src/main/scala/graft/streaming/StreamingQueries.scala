@@ -35,6 +35,13 @@ object StreamingQueries {
     */
   private val WatermarkDelayDays = 21
 
+  /** q155's delay lattice. Contains [[WatermarkDelayDays]] so the
+    * curve's 21-day row is exactly q154's operating point
+    * (spec-pinned equal to the streamed certificate — the q144 ≡ q140
+    * convention).
+    */
+  private val CalibrationDelaysDays = Seq(3, 7, 14, WatermarkDelayDays, 28)
+
   /** Stage `batch` as [[ReplayFiles]] parquet files — ONCE per (query,
     * scale, process) under [[graft.core.Staging.sharedDir]]'s
     * memoized-stage contract — then run the streaming transform
@@ -548,7 +555,7 @@ object StreamingQueries {
       // the watermark boundary in Spark's own terms: max event time is
       // tracked ms-floored, so cut = (floor(max_us/1000) − delay_ms)·1000
       val maxMicros = ev.agg(max(col("t"))).as[Long].head()
-      val cutMicros = (Math.floorDiv(maxMicros, 1000L) - delayMs) * 1000L
+      val cutMicros = StreamingWatermarkFunnel.cutMicros(maxMicros, delayMs)
       val onTime = ev.filter(col("t") > cutMicros)
       val late = ev.filter(col("t") <= cutMicros)
       val sink = StreamingWatermarkFunnel.replayTwoPhase(s,
@@ -617,6 +624,124 @@ object StreamingQueries {
        |  cast((SELECT count(*) FROM fsr WHERE stage >= 3) AS bigint) AS full_purchase,
        |  cast(0 AS bigint) AS equiv_diff""".stripMargin)
 
+  /** q155: WATERMARK-DELAY CALIBRATION CURVE — the q144/q148 pattern
+    * applied to q154: for each delay in [[CalibrationDelaysDays]], the
+    * admitted-slice first-touch funnel, the late/admitted event split,
+    * and `n_stage_changed` (users whose admitted stage differs from
+    * their full-corpus stage — the churn can go BOTH directions, see
+    * q154's spec). The 21-day row IS q154's operating point: same cut
+    * rule ([[StreamingWatermarkFunnel.cutMicros]]), same stage chain —
+    * spec-pinned equal to the streamed certificate, so the curve is
+    * anchored to measured watermark behavior, not a parallel
+    * definition. This is how the delay is CHOSEN in production: the
+    * completeness cost of each candidate horizon, priced before
+    * committing state-retention budget to it.
+    *
+    * Scale: one events scan rides the broadcast 5-row delay lattice
+    * (each event fans out only to the horizons that admit it), the
+    * per-(delay, user) rollup is map-side combinable, the full-corpus
+    * stage frame is computed once and joined user-keyed, and the
+    * per-user churn frame is |users| × 5 rows — everything after the
+    * first rollup is user- or lattice-bounded; output is 5 rows.
+    */
+  val q155WatermarkCalibration: QuerySpec = QuerySpec(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val maxMicros = ev.agg(max(col("t"))).as[Long].head()
+      val lattice = CalibrationDelaysDays
+        .map(d => (d, StreamingWatermarkFunnel.cutMicros(maxMicros, d * 86400000L)))
+        .toDF("delay_days", "cut")
+      def stageCol = when(col("mv").isNull, 0)
+        .when(col("mc").isNull || col("mc") <= col("mv"), 1)
+        .when(col("mp").isNull || col("mp") <= col("mc"), 2)
+        .otherwise(3)
+      def minsAgg = Seq(
+        min(when(col("event_type") === "view", col("t"))).as("mv"),
+        min(when(col("event_type") === "click", col("t"))).as("mc"),
+        min(when(col("event_type") === "purchase", col("t"))).as("mp"))
+      val adm = ev.join(broadcast(lattice), col("t") > col("cut"))
+        .groupBy(col("delay_days"), col("user_id"))
+        .agg(minsAgg.head, (minsAgg.tail :+ count(lit(1)).as("n_ev")): _*)
+        .select(col("delay_days"), col("user_id"), col("n_ev"),
+          stageCol.as("adm_stage"))
+      val full = ev.groupBy(col("user_id"))
+        .agg(minsAgg.head, minsAgg.tail: _*)
+        .select(col("user_id"), stageCol.as("full_stage"))
+      // every admitted user has full-corpus events, so the per-user
+      // churn frame left-joins the admitted stages onto full × lattice
+      val perUser = full
+        .crossJoin(broadcast(lattice.select(col("delay_days"))))
+        .join(adm.select(col("delay_days"), col("user_id"), col("adm_stage")),
+          Seq("delay_days", "user_id"), "left_outer")
+      val stages = perUser.groupBy(col("delay_days")).agg(
+        sum(when(coalesce(col("adm_stage"), lit(0)) >= 1, 1L).otherwise(0L)).as("adm_view"),
+        sum(when(coalesce(col("adm_stage"), lit(0)) >= 2, 1L).otherwise(0L)).as("adm_click"),
+        sum(when(coalesce(col("adm_stage"), lit(0)) >= 3, 1L).otherwise(0L)).as("adm_purchase"),
+        sum(when(coalesce(col("adm_stage"), lit(0)) =!= col("full_stage"), 1L)
+          .otherwise(0L)).as("n_stage_changed"))
+      val admitted = adm.groupBy(col("delay_days"))
+        .agg(sum(col("n_ev")).as("n_admitted_events"))
+      stages.join(admitted, Seq("delay_days"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_events"))))
+        .select(col("delay_days"),
+          (col("n_events") - col("n_admitted_events")).as("n_late_events"),
+          col("n_admitted_events"), col("adm_view"), col("adm_click"),
+          col("adm_purchase"), col("n_stage_changed"))
+        .orderBy(col("delay_days"))
+    },
+    s"""WITH ev AS (SELECT user_id, event_type, ts FROM events
+       |            WHERE event_type IN ('view', 'click', 'purchase')),
+       |mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m FROM ev),
+       |lat AS (SELECT cast(x.delay_days AS integer) AS delay_days
+       |        FROM (VALUES ${CalibrationDelaysDays.map(d => s"($d)").mkString(", ")}) x(delay_days)),
+       |cuts AS (SELECT delay_days, m - delay_days * INTERVAL 1 DAY AS c FROM lat, mx),
+       |adm AS (SELECT c.delay_days, e.user_id, e.event_type, e.ts
+       |        FROM ev e JOIN cuts c ON e.ts > c.c),
+       |ast AS (SELECT delay_days, user_id,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS mv,
+       |    min(CASE WHEN event_type = 'click' THEN ts END) AS mc,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS mp,
+       |    count(*) AS n_ev
+       |  FROM adm GROUP BY delay_days, user_id),
+       |asr AS (SELECT delay_days, user_id, n_ev,
+       |          CASE WHEN mv IS NULL THEN 0
+       |               WHEN mc IS NULL OR mc <= mv THEN 1
+       |               WHEN mp IS NULL OR mp <= mc THEN 2
+       |               ELSE 3 END AS stage FROM ast),
+       |fst AS (SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS mv,
+       |    min(CASE WHEN event_type = 'click' THEN ts END) AS mc,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+       |  FROM ev GROUP BY user_id),
+       |fsr AS (SELECT user_id,
+       |          CASE WHEN mv IS NULL THEN 0
+       |               WHEN mc IS NULL OR mc <= mv THEN 1
+       |               WHEN mp IS NULL OR mp <= mc THEN 2
+       |               ELSE 3 END AS stage FROM fst),
+       |pu AS (SELECT l.delay_days, f.user_id, f.stage AS full_stage,
+       |         coalesce(a.stage, 0) AS adm_stage
+       |       FROM fsr f CROSS JOIN lat l
+       |       LEFT JOIN asr a ON a.delay_days = l.delay_days AND a.user_id = f.user_id),
+       |stg AS (SELECT delay_days,
+       |    ${graft.ext.OracleSql.bigSum("CASE WHEN adm_stage >= 1 THEN 1 ELSE 0 END")} AS adm_view,
+       |    ${graft.ext.OracleSql.bigSum("CASE WHEN adm_stage >= 2 THEN 1 ELSE 0 END")} AS adm_click,
+       |    ${graft.ext.OracleSql.bigSum("CASE WHEN adm_stage >= 3 THEN 1 ELSE 0 END")} AS adm_purchase,
+       |    ${graft.ext.OracleSql.bigSum("CASE WHEN adm_stage <> full_stage THEN 1 ELSE 0 END")} AS n_stage_changed
+       |  FROM pu GROUP BY delay_days),
+       |cnt AS (SELECT delay_days, cast(sum(n_ev) AS bigint) AS n_admitted_events
+       |        FROM asr GROUP BY delay_days),
+       |tot AS (SELECT cast(count(*) AS bigint) AS n FROM ev)
+       |SELECT s.delay_days AS delay_days,
+       |  cast(t.n - c.n_admitted_events AS bigint) AS n_late_events,
+       |  c.n_admitted_events AS n_admitted_events,
+       |  s.adm_view AS adm_view, s.adm_click AS adm_click,
+       |  s.adm_purchase AS adm_purchase, s.n_stage_changed AS n_stage_changed
+       |FROM stg s JOIN cnt c ON s.delay_days = c.delay_days CROSS JOIN tot t
+       |ORDER BY delay_days""".stripMargin)
+
   /** q143: STREAMING shard admission — the streaming twin of q141's
     * incremental path, and the last unjudged Structured Streaming join
     * surface: a STREAM-STATIC anti-join. The q141/q142 re-crawl shard
@@ -682,6 +807,7 @@ object StreamingQueries {
        |FROM cls GROUP BY source ORDER BY source""".stripMargin)
 
   val all: Map[String, QuerySpec] = Map(
+    "q155_watermark_calibration" -> q155WatermarkCalibration,
     "q154_watermark_funnel" -> q154WatermarkFunnel,
     "q143_streaming_admission" -> q143StreamingAdmission,
     "q99_streaming_neardup" -> q99StreamingNearDup,

@@ -84,6 +84,17 @@ object StreamingWatermarkFunnel {
   private def toMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** The admission boundary in micros for a corpus max event time
+    * (micros) and a watermark delay (ms): Spark tracks max event time
+    * MS-FLOORED, so the watermark — and therefore the admitted slice
+    * `t > cut` — sits at `(floor(max/1000) − delay)·1000`. Shared by
+    * the judged q154 and the q155 calibration curve so the cut rule
+    * cannot drift between the streamed certificate and its batch
+    * replay lattice.
+    */
+  def cutMicros(maxMicros: Long, delayMs: Long): Long =
+    (Math.floorDiv(maxMicros, 1000L) - delayMs) * 1000L
+
   def stages(events: Dataset[Ev]): Dataset[StageRow] = {
     implicit val outEnc = Encoders.product[StageRow]
     implicit val stateEnc = Encoders.kryo[MinState]

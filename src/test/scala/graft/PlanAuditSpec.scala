@@ -699,7 +699,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // q154: the max_by convergence rollup, the three first-touch
       // groupBys (full / admitted / certificate), the full-outer
       // certificate join sides and the broadcast 1-row scalar frames
-      "q154_watermark_funnel" -> 9)
+      "q154_watermark_funnel" -> 9,
+      // q155 (batch calibration over the q154 cut rule, audited at
+      // introduction): the (delay, user) admitted rollup riding the
+      // broadcast 5-row lattice, the full-stage groupBy, the per-user
+      // churn join sides, the two ≤5-row delay rollups, the 1-row
+      // total scalar and the 5-row output sort
+      "q155_watermark_calibration" -> 7)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

@@ -85,6 +85,29 @@ class WatermarkFunnelSpec extends AnyFunSuite {
     assert(streamedStages("wmfspec") == admittedStages)
   }
 
+  test("q155's 21-day row is exactly q154's streamed operating point at sf0.001") {
+    // anchors the calibration curve to MEASURED watermark behavior: the
+    // shared cut rule + stage chain mean the 21-day batch row must
+    // reproduce what the two-phase streamed run certified
+    val sf = TestSpark.testdata("0.001")
+    val q154 = graft.SparkEntry.queries("q154_watermark_funnel")(spark, sf).collect().head
+    val row21 = graft.SparkEntry.queries("q155_watermark_calibration")(spark, sf)
+      .filter(col("delay_days") === 21).collect().head
+    def g(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    for (c <- Seq("n_late_events", "n_admitted_events",
+        "adm_view", "adm_click", "adm_purchase"))
+      assert(g(row21, c) == g(q154, c), s"$c: curve=${g(row21, c)} streamed=${g(q154, c)}")
+
+    // curve non-degeneracy: admitted volume must grow with the horizon
+    // and the endpoints must genuinely differ (a flat curve would make
+    // the calibration meaningless)
+    val curve = graft.SparkEntry.queries("q155_watermark_calibration")(spark, sf)
+      .orderBy(col("delay_days")).collect().toSeq
+    val admitted = curve.map(r => g(r, "n_admitted_events"))
+    assert(admitted == admitted.sorted, s"admitted not monotone: $admitted")
+    assert(admitted.last > admitted.head, s"flat calibration curve: $admitted")
+  }
+
   test("judged q154 row is non-degenerate at sf0.001") {
     val row = graft.SparkEntry.queries("q154_watermark_funnel")(
       spark, TestSpark.testdata("0.001")).collect().head
