@@ -77,6 +77,80 @@ object StreamingHammingDup {
   case class Member(id: Long, sig: Long, flagged: Boolean, purged: Boolean)
   case class BucketState(members: List[Member], saturated: Boolean)
 
+  /** The per-bucket transition, PURE: (prior state, one micro-batch of
+    * arrivals) → (successor state, emitted net events). This is the
+    * whole state machine — [[flagged]] only wires it into
+    * `flatMapGroupsWithState` — so the order/batching-independence and
+    * batch-equivalence contracts are property-testable without a
+    * streaming harness: StreamingNearDupPropSpec folds random
+    * interleavings, batchings and purge mixes through this function
+    * against the in-memory batch brute force.
+    */
+  def bucketTransition(key: (Int, Long), prior: BucketState,
+      arrivals: Seq[SigBandRow], cap: Int, hamMax: Int): (BucketState, List[NetEvent]) = {
+    if (prior.saturated) {
+      // tombstone already emitted; stay silent forever
+      (prior, Nil)
+    } else {
+      var members = prior.members
+      var saturated = false
+      val out = List.newBuilder[NetEvent]
+      def emit(id: Long, delta: Int): Unit =
+        out += NetEvent(id, key._1, key._2, delta, tomb = false)
+      def near(a: Long, b: Long): Boolean =
+        java.lang.Long.bitCount(a ^ b) <= hamMax
+      // invariant after every transition: m.flagged ⇔ m alive and
+      // some ALIVE member with a smaller id is within hamMax
+      def justified(m: Member): Boolean =
+        members.exists(o => !o.purged && o.id < m.id && near(o.sig, m.sig))
+      // ascending-id processing makes within-batch emission match
+      // the cross-batch protocol (smaller ids are "earlier")
+      val it = arrivals.sortBy(r => (r.media_id, r.purge)).iterator
+      while (it.hasNext && !saturated) {
+        val r = it.next()
+        members.find(_.id == r.media_id) match {
+          case Some(m) if r.purge && !m.purged =>
+            // kill the member; its own flag nets to zero
+            if (m.flagged) emit(m.id, -1)
+            members = members.map(x =>
+              if (x.id == m.id) x.copy(flagged = false, purged = true) else x)
+            // retract survivors whose ONLY justification was m
+            // (removing a member never creates new flags)
+            members = members.map { x =>
+              if (x.flagged && x.id > m.id && near(m.sig, x.sig) && !justified(x)) {
+                emit(x.id, -1); x.copy(flagged = false)
+              } else x
+            }
+          case Some(_) => () // duplicate admit, or purge of a dead id
+          case None =>
+            if (members.lengthCompare(cap) >= 0) saturated = true
+            else if (r.purge)
+              // purge ahead of its admit: remember the id as dead
+              members = Member(r.media_id, r.sig, flagged = false, purged = true) :: members
+            else {
+              // retroactive: existing LARGER-id alive mates of the arrival
+              members = members.map { m =>
+                if (!m.purged && !m.flagged && m.id > r.media_id && near(m.sig, r.sig)) {
+                  emit(m.id, +1); m.copy(flagged = true)
+                } else m
+              }
+              val isDup = members.exists(m =>
+                !m.purged && m.id < r.media_id && near(m.sig, r.sig))
+              if (isDup) emit(r.media_id, +1)
+              members = Member(r.media_id, r.sig, isDup, purged = false) :: members
+            }
+        }
+      }
+      if (saturated)
+        // this batch's pending deltas are dropped (the tombstone
+        // would cancel them anyway); prior batches' deltas are
+        // cancelled by the tombstone downstream
+        (BucketState(Nil, saturated = true),
+          List(NetEvent(-1L, key._1, key._2, 0, tomb = true)))
+      else (BucketState(members, saturated = false), out.result())
+    }
+  }
+
   def flagged(rows: Dataset[SigBandRow], cap: Int, hamMax: Int): Dataset[NetEvent] = {
     implicit val outEnc = Encoders.product[NetEvent]
     implicit val stateEnc = Encoders.kryo[BucketState]
@@ -88,72 +162,9 @@ object StreamingHammingDup {
         (key: (Int, Long), arrivals: Iterator[SigBandRow],
          state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
           val prior = state.getOption.getOrElse(BucketState(Nil, saturated = false))
-          if (prior.saturated) {
-            // tombstone already emitted; drain and stay silent forever
-            arrivals.foreach(_ => ())
-            Iterator.empty
-          } else {
-            var members = prior.members
-            var saturated = false
-            val out = List.newBuilder[NetEvent]
-            def emit(id: Long, delta: Int): Unit =
-              out += NetEvent(id, key._1, key._2, delta, tomb = false)
-            def near(a: Long, b: Long): Boolean =
-              java.lang.Long.bitCount(a ^ b) <= hamMax
-            // invariant after every transition: m.flagged ⇔ m alive and
-            // some ALIVE member with a smaller id is within hamMax
-            def justified(m: Member): Boolean =
-              members.exists(o => !o.purged && o.id < m.id && near(o.sig, m.sig))
-            // ascending-id processing makes within-batch emission match
-            // the cross-batch protocol (smaller ids are "earlier")
-            val it = arrivals.toSeq.sortBy(r => (r.media_id, r.purge)).iterator
-            while (it.hasNext && !saturated) {
-              val r = it.next()
-              members.find(_.id == r.media_id) match {
-                case Some(m) if r.purge && !m.purged =>
-                  // kill the member; its own flag nets to zero
-                  if (m.flagged) emit(m.id, -1)
-                  members = members.map(x =>
-                    if (x.id == m.id) x.copy(flagged = false, purged = true) else x)
-                  // retract survivors whose ONLY justification was m
-                  // (removing a member never creates new flags)
-                  members = members.map { x =>
-                    if (x.flagged && x.id > m.id && near(m.sig, x.sig) && !justified(x)) {
-                      emit(x.id, -1); x.copy(flagged = false)
-                    } else x
-                  }
-                case Some(_) => () // duplicate admit, or purge of a dead id
-                case None =>
-                  if (members.lengthCompare(cap) >= 0) saturated = true
-                  else if (r.purge)
-                    // purge ahead of its admit: remember the id as dead
-                    members = Member(r.media_id, r.sig, flagged = false, purged = true) :: members
-                  else {
-                    // retroactive: existing LARGER-id alive mates of the arrival
-                    members = members.map { m =>
-                      if (!m.purged && !m.flagged && m.id > r.media_id && near(m.sig, r.sig)) {
-                        emit(m.id, +1); m.copy(flagged = true)
-                      } else m
-                    }
-                    val isDup = members.exists(m =>
-                      !m.purged && m.id < r.media_id && near(m.sig, r.sig))
-                    if (isDup) emit(r.media_id, +1)
-                    members = Member(r.media_id, r.sig, isDup, purged = false) :: members
-                  }
-              }
-            }
-            if (saturated) {
-              it.foreach(_ => ()) // drain the rest of the batch
-              state.update(BucketState(Nil, saturated = true))
-              // this batch's pending deltas are dropped (the tombstone
-              // would cancel them anyway); prior batches' deltas are
-              // cancelled by the tombstone downstream
-              Iterator.single(NetEvent(-1L, key._1, key._2, 0, tomb = true))
-            } else {
-              state.update(BucketState(members, saturated = false))
-              out.result().iterator
-            }
-          }
+          val (next, events) = bucketTransition(key, prior, arrivals.toSeq, cap, hamMax)
+          state.update(next)
+          events.iterator
         })
   }
 
