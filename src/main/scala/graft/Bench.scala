@@ -228,14 +228,12 @@ object Bench {
     // inflated first-process measurement)
     "q152_sampling_stability" -> 0.712,
     "q153_streaming_neardup_purge" -> 3.00,
-    // round-11 addition: introduction-run minimum under loadavg ~2.2
-    // (a loaded-window ceiling — re-base DOWN at the next quiet
-    // window; the replay cost class is q99's — two AvailableNow jobs
-    // over 8 staged files, the second a checkpoint RESTART — plus the
-    // batch margin/certificate legs)
-    "q154_watermark_funnel" -> 4.50,
-    // q155 introduction minimum under loadavg ~2.6 (loaded ceiling)
-    "q155_watermark_calibration" -> 1.00)
+    // round-11 additions: re-based to the round-11 targeted
+    // quiet-start run (the replay cost class is q99's — two
+    // AvailableNow jobs over 8 staged files, the second a checkpoint
+    // RESTART — plus the batch margin/certificate legs)
+    "q154_watermark_funnel" -> 3.69,
+    "q155_watermark_calibration" -> 0.52)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

