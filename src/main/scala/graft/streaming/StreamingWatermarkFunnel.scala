@@ -95,6 +95,36 @@ object StreamingWatermarkFunnel {
   def cutMicros(maxMicros: Long, delayMs: Long): Long =
     (Math.floorDiv(maxMicros, 1000L) - delayMs) * 1000L
 
+  /** The per-user transition, PURE: (prior state, current watermark in
+    * micros, one micro-batch of the user's arrivals) → (successor
+    * state, emitted stage rows). [[stages]] only wires it into
+    * `flatMapGroupsWithState`, so the semilattice (order/batching
+    * independence) and late-drop contracts are property-testable
+    * without a streaming harness (WatermarkFunnelPropSpec).
+    */
+  def userTransition(userId: Long, prior: MinState, wmMicros: Long,
+      arrivals: Seq[Ev]): (MinState, List[StageRow]) = {
+    var (v, c, p) = (prior.minV, prior.minC, prior.minP)
+    var admitted = false
+    arrivals.foreach { e =>
+      val t = toMicros(e.ts)
+      if (t > wmMicros) {
+        admitted = true
+        e.event_type match {
+          case "view" => if (t < v) v = t
+          case "click" => if (t < c) c = t
+          case "purchase" => if (t < p) p = t
+          case _ => ()
+        }
+      }
+    }
+    if (!admitted) (prior, Nil)
+    else {
+      val next = MinState(v, c, p, prior.seq + 1)
+      (next, List(StageRow(userId, stageOf(v, c, p), next.seq)))
+    }
+  }
+
   def stages(events: Dataset[Ev]): Dataset[StageRow] = {
     implicit val outEnc = Encoders.product[StageRow]
     implicit val stateEnc = Encoders.kryo[MinState]
@@ -105,32 +135,14 @@ object StreamingWatermarkFunnel {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Ev],
          state: org.apache.spark.sql.streaming.GroupState[MinState]) => {
-          // watermark in ms (0 on the very first batch); the corpus
-          // carries whole-second timestamps (spec-pinned), so the
-          // ms-granular watermark and the micros-exact event times
-          // agree on the admission boundary
+          // watermark in ms (0 on the very first batch); event times
+          // compare in micros, so the ms-granular watermark boundary is
+          // exactly the ms-floored cut [[cutMicros]] encodes
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val prior = state.getOption.getOrElse(MinState(NoTs, NoTs, NoTs, 0))
-          var (v, c, p) = (prior.minV, prior.minC, prior.minP)
-          var admitted = false
-          rows.foreach { e =>
-            val t = toMicros(e.ts)
-            if (t > wmMicros) {
-              admitted = true
-              e.event_type match {
-                case "view" => if (t < v) v = t
-                case "click" => if (t < c) c = t
-                case "purchase" => if (t < p) p = t
-                case _ => ()
-              }
-            }
-          }
-          if (!admitted) Iterator.empty
-          else {
-            val next = MinState(v, c, p, prior.seq + 1)
-            state.update(next)
-            Iterator.single(StageRow(userId, stageOf(v, c, p), next.seq))
-          }
+          val (next, out) = userTransition(userId, prior, wmMicros, rows.toSeq)
+          if (out.nonEmpty) state.update(next)
+          out.iterator
         })
   }
 
