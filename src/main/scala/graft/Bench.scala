@@ -211,7 +211,10 @@ object Bench {
     "q133_image_neardup" -> 1.21, "q134_training_data_card" -> 4.06,
     "q135_multimodal_neardup" -> 4.95, "q136_deletion_purge" -> 3.95,
     "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95,
-    "q139_image_shard_admission" -> 2.36,
+    // q139/q151 re-based round 11 (targeted ceiling run, best window
+    // of the round; the other round-9 ceilings measured just ABOVE
+    // their refs in the same run — the refs stand as quiet floors)
+    "q139_image_shard_admission" -> 2.27,
     // round-9 second batch: per-query min of matching sf0.1 runs at
     // introduction (loadavg recorded in bench_diag.json)
     // re-based to the 83-query warm full run (95.3 s total, 1 retime,
@@ -221,7 +224,7 @@ object Bench {
     "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.20,
     "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.18,
     "q148_pit_features" -> 0.33, "q149_consistent_hashing" -> 0.37,
-    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.22,
+    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.08,
     // round-10 additions: introduced at their quiet-window
     // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
     // (0.712 in the round-11 full run — the introduction value was an
