@@ -687,14 +687,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // q99: flagged-distinct + per-source rollup + output sort
       "q99_streaming_neardup" -> 3,
       // q137: the netted-delta window/rollup pair over the sink + the
-      // exactFlags re-seed leg's (empty-at-headroom) semi-join sides
-      // against the live band rows + the doc rollup and output sort
+      // doc rollup and output sort; headroom for the exactFlags
+      // re-seed legs, which the tombstone short-circuit removes from
+      // the audited (headroom-corpus) plan but which join in whenever
+      // a saturated bucket exists
       "q137_streaming_image_neardup" -> 12,
       // q143: static-fingerprint distinct (pinned), seen/blocked margin
       // rollups, admitted rollup + output sort
       "q143_streaming_admission" -> 4,
       // q153: q137's consumer plus the pre/post batch hammingDupPairs
-      // margin legs and the equivalence certificate's accounting
+      // margin legs and the equivalence certificate's accounting (the
+      // re-seed legs short-circuit out at headroom, as in q137)
       "q153_streaming_neardup_purge" -> 16,
       // q154: the max_by convergence rollup, the three first-touch
       // groupBys (full / admitted / certificate), the full-outer
