@@ -22,6 +22,16 @@ import graft.tables.Tables
   * funnel's FIRST-TOUCH refinement is a semilattice and is judged with
   * an event-time watermark as q154 ([[StreamingWatermarkFunnel]]).
   */
+/** One lock for EVERY streaming replay harness in the process
+  * ([[StreamingQueries.replayToSink]], [[StreamingWatermarkFunnel
+  * .replayTwoPhase]]): each harness resizes the session-global
+  * `spark.sql.shuffle.partitions` for its streaming job and restores
+  * it after, so two replays synchronized on their OWN objects could
+  * still interleave set/restore and leave the session with a replay-
+  * sized conf (or run one replay's state at the other's sizing).
+  */
+private[streaming] object ReplayLock
+
 object StreamingQueries {
 
   private val TopN = 5
@@ -74,7 +84,7 @@ object StreamingQueries {
     * relation eagerly.
     */
   private def replayToSink(s: SparkSession, batch: DataFrame, tag: String, dir: String)(
-      build: DataFrame => (DataFrame, String)): DataFrame = this.synchronized {
+      build: DataFrame => (DataFrame, String)): DataFrame = ReplayLock.synchronized {
     // The whole replay holds the monitor, not just the staging: the
     // state-partition sizing below mutates the SESSION-GLOBAL
     // spark.sql.shuffle.partitions and restores it after, and two
@@ -684,11 +694,17 @@ object StreamingQueries {
           .otherwise(0L)).as("n_stage_changed"))
       val admitted = adm.groupBy(col("delay_days"))
         .agg(sum(col("n_ev")).as("n_admitted_events"))
-      stages.join(admitted, Seq("delay_days"))
+      // LEFT join + coalesce: a horizon that admits ZERO events (no
+      // `adm` rows) must still report its lattice row — all-late with
+      // n_admitted_events = 0 — not vanish from the curve; `stages`
+      // always carries all 5 rows (it's built from full × lattice).
+      stages.join(admitted, Seq("delay_days"), "left_outer")
         .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_events"))))
         .select(col("delay_days"),
-          (col("n_events") - col("n_admitted_events")).as("n_late_events"),
-          col("n_admitted_events"), col("adm_view"), col("adm_click"),
+          (col("n_events") - coalesce(col("n_admitted_events"), lit(0L)))
+            .as("n_late_events"),
+          coalesce(col("n_admitted_events"), lit(0L)).as("n_admitted_events"),
+          col("adm_view"), col("adm_click"),
           col("adm_purchase"), col("n_stage_changed"))
         .orderBy(col("delay_days"))
     },
@@ -735,11 +751,11 @@ object StreamingQueries {
        |        FROM asr GROUP BY delay_days),
        |tot AS (SELECT cast(count(*) AS bigint) AS n FROM ev)
        |SELECT s.delay_days AS delay_days,
-       |  cast(t.n - c.n_admitted_events AS bigint) AS n_late_events,
-       |  c.n_admitted_events AS n_admitted_events,
+       |  cast(t.n - coalesce(c.n_admitted_events, 0) AS bigint) AS n_late_events,
+       |  cast(coalesce(c.n_admitted_events, 0) AS bigint) AS n_admitted_events,
        |  s.adm_view AS adm_view, s.adm_click AS adm_click,
        |  s.adm_purchase AS adm_purchase, s.n_stage_changed AS n_stage_changed
-       |FROM stg s JOIN cnt c ON s.delay_days = c.delay_days CROSS JOIN tot t
+       |FROM stg s LEFT JOIN cnt c ON s.delay_days = c.delay_days CROSS JOIN tot t
        |ORDER BY delay_days""".stripMargin)
 
   /** q143: STREAMING shard admission — the streaming twin of q141's

@@ -159,9 +159,8 @@ object StreamingWatermarkFunnel {
       slice.repartition(PhaseFiles).write.mode("overwrite").parquet(staged)
       Files.createFile(marker): Unit
     }
-    import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(staged)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    graft.core.Fs.listDir(Paths.get(staged))
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
   }
 
   /** The deterministic two-phase watermark replay (see the object doc):
@@ -171,13 +170,13 @@ object StreamingWatermarkFunnel {
     * from the checkpoint — the restored watermark (= cut) then drops
     * every late row. Staged slices are shared per process; the work dir
     * (source links + sink + checkpoint) is per-invocation, swept by the
-    * sequential drivers between queries. Serialized on this object for
-    * the same session-global shuffle-partition sizing reason as
-    * StreamingQueries.replayToSink (replays are harness, sized to the
-    * replay, restored after).
+    * sequential drivers between queries. Serialized on [[ReplayLock]]
+    * — SHARED with StreamingQueries.replayToSink, because both
+    * harnesses resize the same session-global shuffle-partition conf
+    * (replays are harness, sized to the replay, restored after).
     */
   def replayTwoPhase(s: SparkSession, onTime: DataFrame, late: DataFrame,
-      tag: String, dir: String, delay: String): DataFrame = this.synchronized {
+      tag: String, dir: String, delay: String): DataFrame = ReplayLock.synchronized {
     val onTimeFiles = stageSlice(onTime, s"${tag}_ontime", dir)
     val lateFiles = stageSlice(late, s"${tag}_late", dir)
     val work = graft.core.Staging.invocationDir(s"graft_replay_${tag}_work", dir)
