@@ -694,10 +694,14 @@ object StreamingQueries {
           .otherwise(0L)).as("n_stage_changed"))
       val admitted = adm.groupBy(col("delay_days"))
         .agg(sum(col("n_ev")).as("n_admitted_events"))
-      // LEFT join + coalesce: a horizon that admits ZERO events (no
-      // `adm` rows) must still report its lattice row — all-late with
-      // n_admitted_events = 0 — not vanish from the curve; `stages`
-      // always carries all 5 rows (it's built from full × lattice).
+      // LEFT join + coalesce (defensive): a horizon admitting ZERO
+      // events would report an all-late lattice row instead of
+      // vanishing from the curve. Unreachable under the CURRENT cut
+      // rule — the cut is the ms-floored max of the same filtered
+      // event set, so the max-ts event is admitted at every delay —
+      // but the 5-row lattice contract shouldn't depend on that
+      // coupling; `stages` always carries all 5 rows (full × lattice)
+      // and the oracle mirrors the LEFT join.
       stages.join(admitted, Seq("delay_days"), "left_outer")
         .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_events"))))
         .select(col("delay_days"),
