@@ -823,34 +823,44 @@ object Multimodal {
   /** (media_id, sig, band, v) band rows — one posexplode pass over a
     * signature frame (the minhashBands shape). Shared by
     * [[hammingDupPairs]] and the streaming q137, so the banding scheme
-    * cannot drift between batch and streaming.
+    * cannot drift between batch and streaming. `keyCols` (q135's
+    * modality tag) are carried through in front of the band columns.
     */
-  private[graft] def dhashBandRows(sigs: DataFrame): DataFrame =
-    sigs.select(col("media_id"), col("sig"),
+  private[graft] def dhashBandRows(sigs: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
+    sigs.select(keyCols.map(col) ++ Seq(col("media_id"), col("sig"),
       posexplode(array((0 until DHashBands).map(b =>
         shiftright(col("sig"), b * DHashBandBits)
-          .bitwiseAND(lit((1L << DHashBandBits) - 1))): _*)))
-      .select(col("media_id"), col("sig"), col("pos").as("band"), col("col").as("v"))
+          .bitwiseAND(lit((1L << DHashBandBits) - 1))): _*))): _*)
+      .select(keyCols.map(col) ++ Seq(col("media_id"), col("sig"),
+        col("pos").as("band"), col("col").as("v")): _*)
 
   /** q133's banded Hamming pairing over ANY (media_id, sig) signature
-    * frame — shared verbatim by the q135 audio/GIF legs so the dup-pair
-    * scheme cannot drift across modalities. Output: (media_id_a,
+    * frame — shared verbatim by the q135 legs so the dup-pair scheme
+    * cannot drift across modalities. Output: (keyCols…, media_id_a,
     * media_id_b, hamming) with hamming ≤ [[DHashHamMax]], exact by
     * pigeonhole (bands = HamMax + 1), bucket-capped.
+    *
+    * `keyCols` partition the pairing: the bucket key, the cap rollup
+    * and the join condition all extend to (keyCols, band, v), so one
+    * shuffle pass pairs several independent signature families (q135's
+    * three modalities) without ever crossing them — identical results
+    * to running the Nil-key pairing once per family, in a third of the
+    * jobs.
     */
-  private[graft] def hammingDupPairs(sigs: DataFrame): DataFrame = {
-    val bands = dhashBandRows(sigs)
-    val ok = bands.groupBy(col("band"), col("v"))
+  private[graft] def hammingDupPairs(sigs: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val bands = dhashBandRows(sigs, keyCols)
+    val keys = keyCols ++ Seq("band", "v")
+    val ok = bands.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") <= DHashBucketCap)
-      .select(col("band"), col("v"))
-    val a = bands.join(ok, Seq("band", "v"))
-      .select(col("band"), col("v"), col("media_id").as("media_id_a"), col("sig").as("sig_a"))
-    val b = bands.select(col("band").as("band_b"), col("v").as("v_b"),
-      col("media_id").as("media_id_b"), col("sig").as("sig_b"))
-    a.join(b, col("band") === col("band_b") && col("v") === col("v_b")
+      .select(keys.map(col): _*)
+    val a = bands.join(ok, keys)
+      .select(keys.map(col) ++ Seq(col("media_id").as("media_id_a"), col("sig").as("sig_a")): _*)
+    val b = bands.select(keys.map(c => col(c).as(s"${c}_b")) ++ Seq(
+      col("media_id").as("media_id_b"), col("sig").as("sig_b")): _*)
+    a.join(b, keys.map(c => col(c) === col(s"${c}_b")).reduce(_ && _)
         && col("media_id_a") < col("media_id_b"))
-      .select(col("media_id_a"), col("media_id_b"),
-        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .select(keyCols.map(col) ++ Seq(col("media_id_a"), col("media_id_b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming")): _*)
       .filter(col("hamming") <= DHashHamMax)
       .distinct()
   }
@@ -865,10 +875,31 @@ object Multimodal {
     */
   private[graft] val DHashBucketCap = 64
 
+  /** Per-payload signature functions — ONE definition per modality,
+    * shared by [[imageSigFrame]] and q135's one-scan dispatch so the
+    * payload→signature chains cannot drift across consumers.
+    */
+  private[graft] def imagePayloadSig(id: Long, payload: Array[Byte]): Long = {
+    val img = JdkCodec.decode(payload).getOrElse(
+      throw new IllegalStateException(s"undecodable staged image $id"))
+    dhash56(img)
+  }
+  private[graft] def audioPayloadSig(payload: Array[Byte]): Long = {
+    val (ok, samples) = JdkAudio.decodePcm16(payload)
+    if (!ok) throw new IllegalStateException("undecodable staged wav")
+    audioSig56(samples)
+  }
+  private[graft] def gifPayloadSig(payload: Array[Byte]): Long = {
+    val frames = JdkCodec.decodeGifFrames(payload)
+    if (frames.isEmpty) throw new IllegalStateException("undecodable staged gif")
+    frames.map(dhash56).reduce(_ ^ _)
+  }
+
   /** The pinned (media_id, sig) dHash frame over the q133 staged PNG
     * corpus — decode + signature at the codec boundary. Shared by q133
-    * (the pair listing), q135's image leg, and the streaming q137 so
-    * the signature pipeline cannot drift between them.
+    * (the pair listing), the streaming q137 and q139 so the signature
+    * pipeline cannot drift between them (q135 shares the same
+    * [[imagePayloadSig]] through its one-scan dispatch).
     */
   private[graft] def imageSigFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -882,11 +913,7 @@ object Multimodal {
           col("content").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
-          it.map { case (id, payload) =>
-            val img = JdkCodec.decode(payload).getOrElse(
-              throw new IllegalStateException(s"undecodable staged image $id"))
-            (id, dhash56(img))
-          }
+          it.map { case (id, payload) => (id, imagePayloadSig(id, payload)) }
         }
         .toDF("media_id", "sig"))
   }
@@ -1028,49 +1055,66 @@ object Multimodal {
     * via bit_xor), then the SAME banding/pair SQL per modality.
     *
     * Scale: decode + signature are per-split map work (payloads never
-    * cross an exchange; each pinned signature frame is 8 bytes/item);
-    * pairing is bucket-keyed with the replayed cap; the accounting
-    * rollup is 3 rows. The q133 scale notes apply per modality.
+    * cross an exchange; the pinned signature frame is 8 bytes/item).
+    * All three staged corpora are read by ONE `binaryFile` scan
+    * (extension-dispatched decode via the shared payload-sig functions
+    * — one file listing, one decode pass, one pin, instead of three
+    * sequential scan+pin jobs), then through ONE modality-keyed pairing
+    * pass ([[hammingDupPairs]] with `keyCols = modality` — the bucket
+    * key is (modality, band, v), so families never cross and the
+    * results are identical to three separate passes, in a third of the
+    * jobs); the pair frame is pinned once for its two accounting
+    * consumers; the rollup is 3 rows. A pair-free modality reports
+    * 0 pairs / 0 flagged (coalesce after the left joins), exactly the
+    * oracle's `count(*)` over an empty pair CTE. The q133 scale notes
+    * apply per modality.
     */
   val q135MultimodalNearDup: graft.QuerySpec = graft.QuerySpec(
     (s, dir) => {
       import s.implicits._
-      def sigsOf(staged: String, ext: String)(f: Array[Byte] => Long): DataFrame =
-        graft.core.Checkpoints.pin(
-          s.read.format("binaryFile")
-            .option("pathGlobFilter", s"*.$ext")
-            .load(staged)
-            .select(
-              regexp_extract(col("path"), s"/(\\d+)\\.$ext$$", 1).cast(LongType).as("media_id"),
-              col("content").as("payload"))
-            .as[(Long, Array[Byte])]
-            .mapPartitions(it => it.map { case (id, payload) => (id, f(payload)) })
-            .toDF("media_id", "sig"))
-      val imgSigs = imageSigFrame(s, dir)
-      val audSigs = sigsOf(stagedNearDupAudioDir(s, dir), "wav") { p =>
-        val (ok, samples) = JdkAudio.decodePcm16(p)
-        if (!ok) throw new IllegalStateException("undecodable staged wav")
-        audioSig56(samples)
-      }
-      val gifSigs = sigsOf(stagedNearDupGifDir(s, dir), "gif") { p =>
-        val frames = JdkCodec.decodeGifFrames(p)
-        if (frames.isEmpty) throw new IllegalStateException("undecodable staged gif")
-        frames.map(dhash56).reduce(_ ^ _)
-      }
-      def leg(modality: String, sigs: DataFrame): DataFrame = {
-        val pairs = hammingDupPairs(sigs)
-        val nItems = sigs.agg(count(lit(1)).as("n_items"))
-        val stats = pairs.agg(
-          count(lit(1)).as("n_dup_pairs"),
-          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact_pairs"))
-        val flagged = pairs.select(col("media_id_a").as("id"))
-          .unionAll(pairs.select(col("media_id_b").as("id")))
-          .agg(count_distinct(col("id")).as("n_flagged"))
-        nItems.crossJoin(stats).crossJoin(flagged)
-          .select(lit(modality).as("modality"), col("n_items"),
-            col("n_dup_pairs"), col("n_exact_pairs"), col("n_flagged"))
-      }
-      leg("audio", audSigs).unionAll(leg("gif", gifSigs)).unionAll(leg("image", imgSigs))
+      val staged = Seq(stagedNearDupAudioDir(s, dir),
+        stagedNearDupGifDir(s, dir), stagedNearDupImageDir(s, dir))
+      val tagged = graft.core.Checkpoints.pin(
+        s.read.format("binaryFile")
+          // one flat recursive listing across the three staged roots
+          // (their src=… layout stays a plain path here — no partition
+          // inference across roots); the glob keeps markers out
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.{wav,gif,png}")
+          .load(staged: _*)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            val re = "/(\\d+)\\.(wav|gif|png)$".r
+            it.map { case (path, payload) =>
+              val m = re.findFirstMatchIn(path).getOrElse(
+                throw new IllegalStateException(s"unexpected staged blob path $path"))
+              val id = m.group(1).toLong
+              m.group(2) match {
+                case "wav" => ("audio", id, audioPayloadSig(payload))
+                case "gif" => ("gif", id, gifPayloadSig(payload))
+                case _     => ("image", id, imagePayloadSig(id, payload))
+              }
+            }
+          }
+          .toDF("modality", "media_id", "sig"))
+      val pairs = graft.core.Checkpoints.pin(
+        hammingDupPairs(tagged, Seq("modality")))
+      val items = tagged.groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_items"))
+      val stats = pairs.groupBy(col("modality")).agg(
+        count(lit(1)).as("n_dup_pairs"),
+        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact_pairs"))
+      val flagged = pairs
+        .select(col("modality"),
+          explode(array(col("media_id_a"), col("media_id_b"))).as("id"))
+        .groupBy(col("modality")).agg(count_distinct(col("id")).as("n_flagged"))
+      items.join(stats, Seq("modality"), "left")
+        .join(flagged, Seq("modality"), "left")
+        .select(col("modality"), col("n_items"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
         .orderBy(col("modality"))
     },
     "WITH " + imageSigCtes("i") + dhashPairsSql("isig", "i") + "," +

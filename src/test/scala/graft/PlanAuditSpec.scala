@@ -553,14 +553,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // the output sort; both banded join sides are planner-sized
       // (broadcast at test scale, (band,v)-keyed SMJ at corpus scale)
       "q133_image_neardup" -> 3,
-      // q135 (round-9, audited at introduction): three q133-shaped legs
-      // (bucket-cap rollup + pair distinct each) plus per-leg accounting
-      // scalar aggregates (n_items / pair stats / flagged distinct —
-      // 1-row frames, the q101/q116 scalar-exchange accounting) and the
-      // 3-row output sort; signatures are pinned at the codec
-      // boundaries, so no payload and nothing corpus-proportional
-      // crosses an exchange
-      "q135_multimodal_neardup" -> 30,
+      // q135 (reworked round 11): the three modalities run through ONE
+      // (modality, band, v)-keyed pairing pass whose exchanges happen
+      // behind the pair pin (the pairing scheme itself stays audited by
+      // q133's unpinned 3-exchange budget — same shared helper — and by
+      // MultimodalSpec's keyed-pairing plan + equivalence tests); the
+      // judged consumer plan is the three per-modality rollups (items /
+      // pair stats / flagged distinct), the modality joins reusing the
+      // rollups' hash partitioning, and the 3-row output sort
+      "q135_multimodal_neardup" -> 5,
       // q136 (round-9, audited at introduction): the purge accounting —
       // the (sh, doc_id) distinct + touched-term recount feed the pinned
       // aff frame (read by five 1-row metric aggregates — scalar

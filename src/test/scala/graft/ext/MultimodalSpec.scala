@@ -293,6 +293,38 @@ class MultimodalSpec extends AnyFunSuite {
         if j.leftKeys.isEmpty && !j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] => j
     }
     assert(unkeyed.isEmpty, s"q135 contains an unkeyed non-scalar join: $unkeyed")
+    // The pairing itself now runs behind the pair pin, so the final plan
+    // above no longer contains it — audit the keyed pairing plan directly:
+    // every join must key on (modality, band, v), never all-pairs.
+    val sigs = Multimodal.imageSigFrame(spark, sfDir)
+    val tagged = sigs.select(lit("x").as("modality"), col("media_id"), col("sig"))
+    val pp = staticPlan(Multimodal.hammingDupPairs(tagged, Seq("modality")))
+    val ppUnkeyed = pp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.leftKeys.isEmpty => j
+    }
+    assert(ppUnkeyed.isEmpty, s"keyed pairing contains an unkeyed (all-pairs) join: $ppUnkeyed")
+  }
+
+  test("modality-keyed pairing ≡ per-family pairing (families never cross)") {
+    // q135 runs all three modalities through ONE (modality, band, v)-keyed
+    // pairing pass; prove on real signature frames that this equals the
+    // Nil-key pairing run once per family. Family 'y' is a deterministic
+    // 8-bit rotation of the image signatures — a distinct but structurally
+    // identical signature population.
+    val x = Multimodal.imageSigFrame(spark, sfDir)
+    val y = x.select(col("media_id"),
+      (shiftleft(col("sig"), 8).bitwiseOR(shiftright(col("sig"), 48)))
+        .bitwiseAND(lit((1L << 56) - 1)).as("sig"))
+    def tag(m: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(m).as("modality"), col("media_id"), col("sig"))
+    val keyed = Multimodal.hammingDupPairs(tag("x", x).unionAll(tag("y", y)), Seq("modality"))
+      .orderBy(col("modality"), col("media_id_a"), col("media_id_b")).collect().toSeq
+    val perFamily = (Multimodal.hammingDupPairs(x).select(lit("x").as("modality"), col("*"))
+        unionAll Multimodal.hammingDupPairs(y).select(lit("y").as("modality"), col("*")))
+      .orderBy(col("modality"), col("media_id_a"), col("media_id_b")).collect().toSeq
+    assert(keyed.nonEmpty, "equivalence is vacuous: keyed pairing found no pairs")
+    assert(keyed == perFamily,
+      s"keyed pairing diverged from per-family pairing: ${keyed.size} vs ${perFamily.size} rows")
   }
 
   test("q137's bounded streaming state never saturates: dHash buckets stay far under the cap") {
