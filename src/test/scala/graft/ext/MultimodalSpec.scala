@@ -308,13 +308,14 @@ class MultimodalSpec extends AnyFunSuite {
   test("modality-keyed pairing ≡ per-family pairing (families never cross)") {
     // q135 runs all three modalities through ONE (modality, band, v)-keyed
     // pairing pass; prove on real signature frames that this equals the
-    // Nil-key pairing run once per family. Family 'y' is a deterministic
-    // 8-bit rotation of the image signatures — a distinct but structurally
-    // identical signature population.
+    // Nil-key pairing run once per family. Family 'y' is the WORST-CASE
+    // cross-family bait: identical signatures under disjoint ids, so every
+    // y item is an exact (Hamming-0, same band buckets) twin of an x item —
+    // a broken modality key would emit the cross pairs loudly, where a
+    // merely perturbed second family could fail to collide and hide it.
     val x = Multimodal.imageSigFrame(spark, sfDir)
-    val y = x.select(col("media_id"),
-      (shiftleft(col("sig"), 8).bitwiseOR(shiftright(col("sig"), 48)))
-        .bitwiseAND(lit((1L << 56) - 1)).as("sig"))
+    val shift = 1000000L
+    val y = x.select((col("media_id") + shift).as("media_id"), col("sig"))
     def tag(m: String, df: org.apache.spark.sql.DataFrame) =
       df.select(lit(m).as("modality"), col("media_id"), col("sig"))
     val keyed = Multimodal.hammingDupPairs(tag("x", x).unionAll(tag("y", y)), Seq("modality"))
