@@ -1064,10 +1064,12 @@ object Multimodal {
     * key is (modality, band, v), so families never cross and the
     * results are identical to three separate passes, in a third of the
     * jobs); the pair frame is pinned once for its two accounting
-    * consumers; the rollup is 3 rows. A pair-free modality reports
-    * 0 pairs / 0 flagged (coalesce after the left joins), exactly the
-    * oracle's `count(*)` over an empty pair CTE. The q133 scale notes
-    * apply per modality.
+    * consumers; the rollup is 3 rows. The output is built on a static
+    * 3-row modality spine, so a pair-free modality reports 0 pairs /
+    * 0 flagged and an item-free modality still emits its
+    * (modality, 0, 0, 0, 0) row — exactly the oracle's UNION ALL of
+    * scalar-subquery counts, which emits all three rows
+    * unconditionally. The q133 scale notes apply per modality.
     */
   val q135MultimodalNearDup: graft.QuerySpec = graft.QuerySpec(
     (s, dir) => {
@@ -1109,9 +1111,15 @@ object Multimodal {
         .select(col("modality"),
           explode(array(col("media_id_a"), col("media_id_b"))).as("id"))
         .groupBy(col("modality")).agg(count_distinct(col("id")).as("n_flagged"))
-      items.join(stats, Seq("modality"), "left")
+      // static 3-row modality spine: the oracle's UNION ALL emits all
+      // three rows unconditionally, so an item-free modality must still
+      // report a (modality, 0, 0, 0, 0) row, not vanish from a groupBy
+      Seq("audio", "gif", "image").toDF("modality")
+        .join(items, Seq("modality"), "left")
+        .join(stats, Seq("modality"), "left")
         .join(flagged, Seq("modality"), "left")
-        .select(col("modality"), col("n_items"),
+        .select(col("modality"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
           coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
           coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
           coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))

@@ -559,9 +559,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q133's unpinned 3-exchange budget — same shared helper — and by
       // MultimodalSpec's keyed-pairing plan + equivalence tests); the
       // judged consumer plan is the three per-modality rollups (items /
-      // pair stats / flagged distinct), the modality joins reusing the
-      // rollups' hash partitioning, and the 3-row output sort
-      "q135_multimodal_neardup" -> 5,
+      // pair stats / flagged distinct), the static 3-row modality spine
+      // join (oracle emits all three rows unconditionally), the modality
+      // joins reusing the rollups' hash partitioning, and the 3-row
+      // output sort
+      "q135_multimodal_neardup" -> 6,
       // q136 (round-9, audited at introduction): the purge accounting —
       // the (sh, doc_id) distinct + touched-term recount feed the pinned
       // aff frame (read by five 1-row metric aggregates — scalar

@@ -294,15 +294,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(unkeyed.isEmpty, s"q135 contains an unkeyed non-scalar join: $unkeyed")
     // The pairing itself now runs behind the pair pin, so the final plan
-    // above no longer contains it — audit the keyed pairing plan directly:
-    // every join must key on (modality, band, v), never all-pairs.
+    // above no longer contains it — audit the keyed pairing plan directly.
+    // The tag must be DATA-DERIVED: a foldable lit() tag gets constant-
+    // folded out of the grouping/join keys and the audit would inspect
+    // the Nil-key plan while claiming to audit the keyed one.
     val sigs = Multimodal.imageSigFrame(spark, sfDir)
-    val tagged = sigs.select(lit("x").as("modality"), col("media_id"), col("sig"))
+    val tagged = sigs.select(
+      when(pmod(col("media_id"), lit(2L)) === 0L, "even").otherwise("odd").as("modality"),
+      col("media_id"), col("sig"))
     val pp = staticPlan(Multimodal.hammingDupPairs(tagged, Seq("modality")))
     val ppUnkeyed = pp.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.leftKeys.isEmpty => j
     }
     assert(ppUnkeyed.isEmpty, s"keyed pairing contains an unkeyed (all-pairs) join: $ppUnkeyed")
+    // and the pairing join itself must carry all three keys — a
+    // regression dropping keyCols from the join would leave (band, v)
+    val fullyKeyed = pp.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec if j.leftKeys.size >= 3 => j
+    }
+    assert(fullyKeyed.nonEmpty,
+      s"no (modality, band, v)-keyed join in the keyed pairing plan:\n$pp")
   }
 
   test("modality-keyed pairing ≡ per-family pairing (families never cross)") {
@@ -326,6 +337,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(keyed.nonEmpty, "equivalence is vacuous: keyed pairing found no pairs")
     assert(keyed == perFamily,
       s"keyed pairing diverged from per-family pairing: ${keyed.size} vs ${perFamily.size} rows")
+  }
+
+  test("bucket cap is modality-scoped: combined-over-cap buckets survive per family") {
+    // The corpus bait above cannot catch a cap regression that groups the
+    // bucket-cap rollup by (band, v) only: the corpus canary pins buckets
+    // to <= cap/2, so even doubled counts stay under the cap. Engineer the
+    // case directly — two exact-twin families of 40 constant signatures:
+    // per-family buckets hold 40 <= 64 (kept), combined they hold 80 > 64
+    // (dropped by a mis-scoped cap). Correct code pairs each family fully.
+    import spark.implicits._
+    val n = 40
+    val fx = (0 until n).map(i => ("x", i.toLong, 12345L))
+    val fy = (0 until n).map(i => ("y", 1000L + i, 12345L))
+    assert(2 * n > Multimodal.DHashBucketCap && n <= Multimodal.DHashBucketCap,
+      "bait must straddle the cap: per-family under, combined over")
+    val tagged = (fx ++ fy).toDF("modality", "media_id", "sig")
+    val pairs = Multimodal.hammingDupPairs(tagged, Seq("modality"))
+      .groupBy(col("modality")).agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = n.toLong * (n - 1) / 2
+    assert(pairs == Map("x" -> full, "y" -> full),
+      s"modality-scoped cap broken: expected $full pairs per family, got $pairs")
   }
 
   test("q137's bounded streaming state never saturates: dHash buckets stay far under the cap") {
