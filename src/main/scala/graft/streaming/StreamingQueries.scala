@@ -585,10 +585,17 @@ object StreamingQueries {
             .when(col("mc").isNull || col("mc") <= col("mv"), 1)
             .when(col("mp").isNull || col("mp") <= col("mc"), 2)
             .otherwise(3).as("stage"))
+      // coalesce: a global sum over ZERO users returns NULL where the
+      // oracle's counting subqueries return 0 — unreachable on real
+      // corpora (the max-ts event is always admitted), but the frame
+      // should encode the zero-row edge, not rely on the corpus
       def reach(stages: DataFrame, prefix: String): DataFrame = stages.agg(
-        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as(s"${prefix}_view"),
-        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as(s"${prefix}_click"),
-        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as(s"${prefix}_purchase"))
+        coalesce(sum(when(col("stage") >= 1, 1L).otherwise(0L)), lit(0L))
+          .as(s"${prefix}_view"),
+        coalesce(sum(when(col("stage") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as(s"${prefix}_click"),
+        coalesce(sum(when(col("stage") >= 3, 1L).otherwise(0L)), lit(0L))
+          .as(s"${prefix}_purchase"))
       val counts = late.agg(count(lit(1)).as("n_late_events"))
         .crossJoin(broadcast(onTime.agg(count(lit(1)).as("n_admitted_events"))))
         .crossJoin(broadcast(reach(streamed, "adm")))
@@ -596,8 +603,8 @@ object StreamingQueries {
       val cert = streamed.withColumnRenamed("stage", "st")
         .join(firstTouch(onTime).withColumnRenamed("stage", "bt"),
           Seq("user_id"), "full_outer")
-        .agg(sum(when(coalesce(col("st"), lit(0)) =!= coalesce(col("bt"), lit(0)),
-          1L).otherwise(0L)).as("equiv_diff"))
+        .agg(coalesce(sum(when(coalesce(col("st"), lit(0)) =!= coalesce(col("bt"), lit(0)),
+          1L).otherwise(0L)), lit(0L)).as("equiv_diff"))
       counts.crossJoin(broadcast(cert))
     },
     s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
@@ -681,7 +688,12 @@ object StreamingQueries {
         .agg(minsAgg.head, minsAgg.tail: _*)
         .select(col("user_id"), stageCol.as("full_stage"))
       // every admitted user has full-corpus events, so the per-user
-      // churn frame left-joins the admitted stages onto full × lattice
+      // churn frame left-joins the admitted stages onto full × lattice.
+      // Zero-event edge (degenerate corpus): `full` is empty, so the
+      // curve is 0 rows — and the oracle's `pu` (fsr × lat) is empty
+      // too, so BOTH sides agree; the per-group sums below can never
+      // see an empty frame (groups exist only where perUser has rows),
+      // unlike q154's global reach aggregates (coalesced there)
       val perUser = full
         .crossJoin(broadcast(lattice.select(col("delay_days"))))
         .join(adm.select(col("delay_days"), col("user_id"), col("adm_stage")),

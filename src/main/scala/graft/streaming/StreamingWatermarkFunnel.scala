@@ -205,11 +205,28 @@ object StreamingWatermarkFunnel {
         Files.createLink(src.resolve(f"a$i%03d.parquet"), f): Unit
       }
       runPhase()
+      val phase1Rows = s.read.parquet(out).count()
       lateFiles.zipWithIndex.foreach { case (f, i) =>
         Files.createLink(src.resolve(f"b$i%03d.parquet"), f): Unit
       }
       runPhase()
-      s.read.parquet(out)
+      val sink = s.read.parquet(out)
+      // The determinism contract asserted DIRECTLY, not left to the
+      // judged equiv_diff: phase 2 replays only late rows (ts ≤ cut),
+      // and the restored watermark equals cut only because Spark's
+      // commit log persists the next-batch watermark across a restart
+      // — a version-sensitive internal. If an upgrade changes that,
+      // late rows would be admitted and emit stage rows; fail fast
+      // here with the cause named instead of surfacing as a silent
+      // oracle mismatch downstream.
+      val phase2Rows = sink.count()
+      if (phase2Rows != phase1Rows) throw new IllegalStateException(
+        s"watermark replay contract violated: the checkpoint-restarted " +
+        s"phase 2 emitted ${phase2Rows - phase1Rows} rows over the late " +
+        s"slice (sink $phase1Rows -> $phase2Rows). The restored watermark " +
+        s"no longer pins at the cut — Spark's commit-log watermark " +
+        s"persistence semantics have changed.")
+      sink
     } finally {
       s.conf.set(partsConf, prevParts)
     }
