@@ -547,10 +547,12 @@ object StreamingQueries {
     * per-user certificate `equiv_diff` = streamed stages vs the batch
     * funnel recomputed on the admitted slice, judged 0.
     *
-    * Scale: per-user state is three min-timestamps (|users| entries
-    * regardless of event volume); the cut is one scalar aggregate
-    * computed before staging (the q143 at-rest convention); production
-    * adds a state TTL off the same watermark. The scalar accounting
+    * Scale: per-user state is three min-timestamps, and the
+    * delay-keyed state TTL (armed inside the replay, provably inert
+    * there — [[StreamingWatermarkFunnel.stages]]) bounds state by the
+    * ACTIVE user set on an unbounded stream; the cut is one scalar
+    * aggregate computed before staging (the q143 at-rest convention).
+    * The scalar accounting
     * frames assemble via broadcast 1-row crossJoins (the q135
     * convention).
     */
@@ -571,7 +573,7 @@ object StreamingQueries {
       val sink = StreamingWatermarkFunnel.replayTwoPhase(s,
         onTime.select(col("user_id"), col("ts"), col("event_type")),
         late.select(col("user_id"), col("ts"), col("event_type")),
-        "q154", dir, s"$WatermarkDelayDays days")
+        "q154", dir, delayMs)
       val streamed = sink.groupBy(col("user_id"))
         .agg(max_by(col("stage"), col("seq")).as("stage"))
       // the same first-touch chain in batch, for the certificate and

@@ -54,9 +54,12 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
   * how long state waits for stragglers (latency/retention cost ∝
   * delay); everything later is EXCLUDED from the funnel (completeness
   * cost = the judged full-vs-admitted margin columns). At 100 TB the
-  * per-user state is three longs — |users| entries regardless of event
-  * volume — and production would add a state TTL keyed off the same
-  * watermark.
+  * per-user state is three longs — and the TTL ([[stages]]' `ttlMs`,
+  * armed at the watermark delay by [[replayTwoPhase]]) evicts users
+  * quiet past the horizon, bounding state by the ACTIVE user set on an
+  * unbounded stream. The TTL is provably inert under the two-phase
+  * replay (the watermark never passes the cut — see [[stages]]), so
+  * the judged rows are identical with it armed.
   */
 object StreamingWatermarkFunnel {
 
@@ -125,24 +128,77 @@ object StreamingWatermarkFunnel {
     }
   }
 
-  def stages(events: Dataset[Ev]): Dataset[StageRow] = {
+  /** The stateful operator. `ttlMs > 0` arms the production state TTL:
+    * a user's state carries an event-time timeout of (the max ADMITTED
+    * event time in the user's most recent admitting batch) + ttl — not
+    * the all-time max, which would cost a fourth state field; under
+    * reordering the difference only makes eviction marginally more
+    * aggressive, and every admitted time sits above the watermark, so
+    * the timeout is always legal and the inertness argument below needs
+    * only SOME admitted time, not the max. A user quiet for longer than
+    * the TTL past the watermark is EVICTED (state removed, nothing emitted
+    * — the sink already holds the user's converged row) and state stays
+    * bounded by the ACTIVE user set on an unbounded stream, not by
+    * |users| ever seen. The retention trade is explicit: a post-
+    * eviction arrival restarts first-touch from empty mins — exactly
+    * the data the TTL declared disposable.
+    *
+    * TTL INERTNESS under the judged two-phase replay (why q154's rows
+    * are bit-identical with the TTL armed, for ANY ttl ≥ the watermark
+    * delay… in fact any ttl > 0): eviction fires when watermark >
+    * lastAdmitted + ttl. In phase 1 every admitted event has ts > cut ≥
+    * runningMax − delay = watermark, so lastAdmitted > watermark at all
+    * times; in phase 2 late rows (ts ≤ cut < runningMax) never raise
+    * the max, the watermark stays pinned at cut, and every retained
+    * user has lastAdmitted > cut. Either way watermark ≤ lastAdmitted <
+    * lastAdmitted + ttl — no timeout can fire. Asserted by
+    * WatermarkFunnelSpec (replay rows identical with TTL armed) and
+    * exercised for real by its continuous-stream eviction test, where
+    * the watermark DOES pass a quiet user's horizon and the state row
+    * count drops.
+    */
+  def stages(events: Dataset[Ev], ttlMs: Long = 0L): Dataset[StageRow] = {
     implicit val outEnc = Encoders.product[StageRow]
     implicit val stateEnc = Encoders.kryo[MinState]
     implicit val longEnc = Encoders.scalaLong
 
+    val timeoutConf =
+      if (ttlMs > 0L) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (userId: Long, rows: Iterator[Ev],
          state: org.apache.spark.sql.streaming.GroupState[MinState]) => {
-          // watermark in ms (0 on the very first batch); event times
-          // compare in micros, so the ms-granular watermark boundary is
-          // exactly the ms-floored cut [[cutMicros]] encodes
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          val prior = state.getOption.getOrElse(MinState(NoTs, NoTs, NoTs, 0))
-          val (next, out) = userTransition(userId, prior, wmMicros, rows.toSeq)
-          if (out.nonEmpty) state.update(next)
-          out.iterator
+          if (ttlMs > 0L && state.hasTimedOut) {
+            // quiet past the horizon: evict. Nothing is emitted — the
+            // last emitted (stage, seq) row IS the converged answer for
+            // every event the TTL retained.
+            state.remove()
+            Iterator.empty
+          } else {
+            // watermark in ms (0 on the very first batch); event times
+            // compare in micros, so the ms-granular watermark boundary is
+            // exactly the ms-floored cut [[cutMicros]] encodes
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val prior = state.getOption.getOrElse(MinState(NoTs, NoTs, NoTs, 0))
+            val arrivals = rows.toSeq
+            val (next, out) = userTransition(userId, prior, wmMicros, arrivals)
+            if (out.nonEmpty) {
+              state.update(next)
+              if (ttlMs > 0L) {
+                // out.nonEmpty means some arrival has t > wmMicros, so
+                // the batch's max-ts arrival is itself admitted and the
+                // unfiltered max IS the ms floor of the max admitted
+                // event time (filtering by the ms-floored watermark
+                // would wrongly drop sub-ms admissions). Its floor ≥ wm,
+                // so the timeout lands strictly above the current
+                // watermark (Spark rejects timeouts at or below it).
+                val lastAdmittedMs = arrivals.iterator.map(_.ts.getTime).max
+                state.setTimeoutTimestamp(lastAdmittedMs + ttlMs)
+              }
+            }
+            out.iterator
+          }
         })
   }
 
@@ -176,7 +232,7 @@ object StreamingWatermarkFunnel {
     * (replays are harness, sized to the replay, restored after).
     */
   def replayTwoPhase(s: SparkSession, onTime: DataFrame, late: DataFrame,
-      tag: String, dir: String, delay: String): DataFrame = ReplayLock.synchronized {
+      tag: String, dir: String, delayMs: Long): DataFrame = ReplayLock.synchronized {
     val onTimeFiles = stageSlice(onTime, s"${tag}_ontime", dir)
     val lateFiles = stageSlice(late, s"${tag}_late", dir)
     val work = graft.core.Staging.invocationDir(s"graft_replay_${tag}_work", dir)
@@ -191,9 +247,13 @@ object StreamingWatermarkFunnel {
         import s.implicits._
         val stream = s.readStream.schema(onTime.schema)
           .option("maxFilesPerTrigger", "1").parquet(src.toString)
-          .withWatermark("ts", delay)
+          .withWatermark("ts", s"$delayMs milliseconds")
           .as[Ev]
-        val q = stages(stream).toDF()
+        // TTL armed at the watermark delay itself — the production
+        // retention shape — and provably inert here (see [[stages]]:
+        // the watermark never passes the cut, so no user's horizon is
+        // ever reached during the replay)
+        val q = stages(stream, ttlMs = delayMs).toDF()
           .writeStream.format("parquet")
           .option("path", out).option("checkpointLocation", cp)
           .outputMode("append")

@@ -57,7 +57,7 @@ class WatermarkFunnelSpec extends AnyFunSuite {
 
   private def streamedStages(tag: String): Map[Long, Int] =
     StreamingWatermarkFunnel.replayTwoPhase(spark, df(onTime), df(late),
-      tag, "specwmf", "1 days")
+      tag, "specwmf", 86400000L)
       .groupBy(col("user_id")).agg(max_by(col("stage"), col("seq")).as("stage"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
@@ -106,6 +106,55 @@ class WatermarkFunnelSpec extends AnyFunSuite {
     val admitted = curve.map(r => g(r, "n_admitted_events"))
     assert(admitted == admitted.sorted, s"admitted not monotone: $admitted")
     assert(admitted.last > admitted.head, s"flat calibration curve: $admitted")
+  }
+
+  test("state TTL evicts users quiet past the horizon on a continuous stream") {
+    // The production leg the two-phase replay can never reach (the
+    // watermark never passes the cut there — the inertness theorem on
+    // [[StreamingWatermarkFunnel.stages]], which the replay tests above
+    // now assert with the TTL ARMED). Here the watermark genuinely
+    // advances past a quiet user's horizon: eviction is proven
+    // behaviorally, through the emission protocol — a post-eviction
+    // arrival restarts state from empty, so its row carries seq = 1
+    // AGAIN and a stage computed from fresh mins (the declared
+    // retention trade). With retained state the same arrival would
+    // emit seq = 2 and the full-history stage, so the assertion cannot
+    // pass without an eviction.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingWatermarkFunnel.Ev
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    // delay 10 s, TTL 10 s
+    val stream = in.toDS().withWatermark("ts", "10 seconds").as[Ev]
+    val q = StreamingWatermarkFunnel.stages(stream, ttlMs = 10000L).toDF()
+      .writeStream.format("memory").queryName("wmf_ttl_sink")
+      .outputMode("append").start()
+    try {
+      def batch(evs: Ev*): Unit = { in.addData(evs); q.processAllAvailable() }
+      // b1: u1 completes view→click (stage 2, seq 1);
+      //     timeout = 00:11:00 + 10 s
+      batch(Ev(1L, ts("2024-01-01 00:10:00"), "view"),
+        Ev(1L, ts("2024-01-01 00:11:00"), "click"))
+      // b2: watermark driver — during b2 wm = 00:10:50 < u1's horizon,
+      //     after it wm = 00:59:50 > 00:11:10
+      batch(Ev(9L, ts("2024-01-01 01:00:00"), "view"))
+      // b3: the batch that processes u1's timeout → u1 EVICTED
+      batch(Ev(9L, ts("2024-01-01 01:01:00"), "view"))
+      // b4: u1 returns (admitted: 02:00 > wm 01:00:50) — fresh state
+      batch(Ev(1L, ts("2024-01-01 02:00:00"), "purchase"))
+      val u1 = spark.table("wmf_ttl_sink").filter(col("user_id") === 1L)
+        .select(col("stage"), col("seq"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      // (2,1) from b1; (0,1) from b4 — seq restarted at 1 and the
+      // purchase-only state stages at 0. Retained state would have
+      // produced (3,2) instead of (0,1).
+      assert(u1 == Set((2, 1), (0, 1)),
+        s"u1 rows $u1 — state was not evicted (expected seq restart after TTL)")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS wmf_ttl_sink"): Unit
+    }
   }
 
   test("judged q154 row is non-degenerate at sf0.001") {
