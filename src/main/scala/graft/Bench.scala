@@ -117,7 +117,10 @@ object Bench {
     "q152_sampling_stability",
     "q153_streaming_neardup_purge",
     "q154_watermark_funnel",
-    "q155_watermark_calibration")
+    "q155_watermark_calibration",
+    // round-12 additions: the state-table compaction certificate and
+    // the streaming shard-ingest composition
+    "q156_compaction_cert")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the

@@ -1,0 +1,132 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** Judged certificates for the [[StateTable]] lifecycle ops that the
+  * SURVEY §2 upsert queries (q10/q11 — pure frame algebra) don't reach:
+  * the maintenance legs that run against the REAL versioned store.
+  *
+  * q156 is the compaction certificate, the q136 purge-certificate
+  * convention applied to the small-files maintenance path
+  * ([[StateTable.compact]]): an upsert-heavy table is built through the
+  * real `upsert` path (first-load append + §2.4 last-write-wins re-run,
+  * `flows/data_ingestion.py:99–216` semantics), compacted, and the
+  * judged row certifies BOTH directions of the contract —
+  *
+  *  - contents are invariant: the per-part content aggregates replay in
+  *    the oracle from the upsert semantics alone (so a compaction that
+  *    dropped, duplicated or reordered-into-wrongness any row breaks
+  *    the hash), and `equiv_diff` is the measured full-row multiset
+  *    symmetric difference between the pre-compact and post-compact
+  *    versions (both retained — versions are immutable until vacuum),
+  *    judged 0;
+  *  - the layout actually changed: `n_files` is the MEASURED post-
+  *    compact file count per partition directory (distinct
+  *    `_metadata.file_path` — computed distributed, no filesystem
+  *    walk), judged against the oracle's contract value 1 (targetFiles
+  *    = 1 ⇒ the (part, salt) repartition puts each directory's rows in
+  *    exactly one task); `frag_before` certifies the scenario is
+  *    non-degenerate — the pre-compact version really was fragmented
+  *    (the upsert's updated ∪ inserts union writes ≥ 2 files into
+  *    every directory both branches touch), so the certificate cannot
+  *    pass vacuously on an already-compact table.
+  *
+  * Scale: the store round-trip is the measured operator (the q74/q103
+  * staging convention, invocation-scoped dir); everything judged is
+  * per-part aggregation over two parquet scans — file-count accounting
+  * rides the same scans via `_metadata`, and the multiset diff is one
+  * full-outer join on the (bounded) distinct-row frames. At 100 TB the
+  * same compact() runs per partition directory with `targetFiles` sized
+  * to the table, and the certificate's cost stays two scans of the
+  * table, the price of any content-invariance proof.
+  */
+object StateQueries {
+
+  /** The shared fixture arithmetic: 5 hive partitions keyed off the
+    * order key, base = keys ≢ 0 (mod 3) (first load), re-run batch =
+    * even keys at 1.1× price — so the batch both UPDATES live keys
+    * (even, ≢0 mod 3) and INSERTS unseen ones (≡ 0 mod 6), exercising
+    * the §2.4 split through the real store.
+    */
+  private def withPart(df: DataFrame): DataFrame =
+    df.withColumn("part", (col("o_orderkey") % 5).cast("int"))
+
+  val q156CompactionCert: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val base = withPart(o.filter(col("o_orderkey") % 3 =!= 0))
+        .withColumn("ord", col("o_orderkey"))
+      val batch = withPart(o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * lit(1.1)))
+        .withColumn("ord", col("o_orderkey"))
+      val st = new StateTable(s,
+        graft.core.Staging.invocationDir("graft_q156_state", dir),
+        Seq("o_orderkey"), partitionCols = Seq("part"))
+      st.upsert(base, Some("ord"))
+      st.upsert(batch, Some("ord"))
+      val preV = st.currentVersion.get
+      st.compact(targetFiles = 1)
+      val postV = st.currentVersion.get
+
+      def version(v: String): DataFrame =
+        s.read.parquet(java.nio.file.Paths.get(st.root).resolve(v).toString)
+      // distinct data files per partition directory, measured on the
+      // scan itself (the writer's actual layout, not a directory walk)
+      def filesPerPart(v: String, as: String): DataFrame =
+        version(v).groupBy(col("part"))
+          .agg(countDistinct(col("_metadata.file_path")).as(as))
+      // full-row multiset counts (o_orderkey, o_totalprice, part, _seq
+      // — compaction must preserve even the bookkeeping column)
+      def rowCounts(v: String, as: String): DataFrame = {
+        val df = version(v)
+        df.groupBy(df.columns.map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as(as))
+      }
+      val keyCols = version(postV).columns.toSeq
+      val equiv = rowCounts(preV, "c_pre")
+        .join(rowCounts(postV, "c_post"), keyCols, "full_outer")
+        .groupBy(col("part"))
+        .agg(sum(abs(coalesce(col("c_pre"), lit(0L)) - coalesce(col("c_post"), lit(0L))))
+          .as("equiv_diff"))
+      val content = version(postV).groupBy(col("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("price_cents"))
+      content
+        .join(filesPerPart(postV, "n_files"), Seq("part"))
+        .join(filesPerPart(preV, "nf_pre"), Seq("part"))
+        .join(equiv, Seq("part"))
+        .select(col("part"), col("n_rows"), col("key_sum"), col("price_cents"),
+          col("n_files"),
+          when(col("nf_pre") > col("n_files"), 1L).otherwise(0L).as("frag_before"),
+          col("equiv_diff"))
+        .orderBy(col("part"))
+    },
+    s"""WITH base AS (SELECT o_orderkey, o_totalprice,
+       |                     cast(o_orderkey % 5 AS integer) AS part
+       |              FROM orders WHERE o_orderkey % 3 <> 0),
+       |batch AS (SELECT o_orderkey, o_totalprice * cast(1.1 AS double) AS o_totalprice,
+       |                 cast(o_orderkey % 5 AS integer) AS part
+       |          FROM orders WHERE o_orderkey % 2 = 0),
+       |state AS (SELECT b.o_orderkey,
+       |                 coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       |                 b.part
+       |          FROM base b LEFT JOIN batch u ON b.o_orderkey = u.o_orderkey
+       |          UNION ALL
+       |          SELECT o_orderkey, o_totalprice, part FROM batch
+       |          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base))
+       |SELECT part, cast(count(*) AS bigint) AS n_rows,
+       |  ${graft.ext.OracleSql.bigSum("o_orderkey")} AS key_sum,
+       |  ${graft.ext.OracleSql.bigSum("cast(floor(o_totalprice * 100) AS bigint)")} AS price_cents,
+       |  cast(1 AS bigint) AS n_files,
+       |  cast(1 AS bigint) AS frag_before,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM state GROUP BY part ORDER BY part""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q156_compaction_cert" -> q156CompactionCert)
+}

@@ -711,7 +711,16 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast 5-row lattice, the full-stage groupBy, the per-user
       // churn join sides, the two ≤5-row delay rollups, the 1-row
       // total scalar and the 5-row output sort
-      "q155_watermark_calibration" -> 7)
+      "q155_watermark_calibration" -> 7,
+      // q156 (round-12, audited at introduction): the store round-trip
+      // is a construction side effect (q74/q103 staging convention);
+      // the judged plan is per-part aggregation over the two retained
+      // versions — the content rollup, the two _metadata file-count
+      // rollups, the full-row multiset groupBy pair + their full-outer
+      // SMJ (the content-invariance certificate, intentionally
+      // whole-table), the equiv per-part rollup and the 5-row output
+      // sort; the part-keyed assembly joins broadcast
+      "q156_compaction_cert" -> 11)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
