@@ -120,7 +120,8 @@ object Bench {
     "q155_watermark_calibration",
     // round-12 additions: the state-table compaction certificate and
     // the streaming shard-ingest composition
-    "q156_compaction_cert")
+    "q156_compaction_cert",
+    "q157_streaming_shard_ingest")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the

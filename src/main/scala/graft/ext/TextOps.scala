@@ -2209,6 +2209,59 @@ object TextOps {
     * collapses each leg to a one-row aggregate BEFORE the union, so
     * the final assembly moves ~12 rows regardless of corpus size.
     */
+  /** The batch shard-admission verdicts (q117's job 1): each shard doc
+    * (doc_id ≥ t) classified dup_of_corpus / dup_in_batch / new over
+    * the shared [[minhashBands]]. ONE frame for q117 (which persists it
+    * as the nightly artifact) and for q157's batch certificate leg
+    * (`streaming/StreamingQueries`), so the streamed composition is
+    * proven against the exact plan the batch pipeline runs — not a
+    * parallel re-derivation that could drift.
+    */
+  private[graft] def admissionVerdicts(docs: DataFrame, t: Long): DataFrame = {
+    val bands = minhashBands(docs)
+    val incB = bands.filter(col("doc_id") >= t)
+      .select(col("doc_id"), col("band_id"), col("bucket"))
+    val dupOfCorpus = bands.filter(col("doc_id") < t)
+      .join(incB.select(col("band_id").as("bi"), col("bucket").as("bu"),
+        col("doc_id").as("inc_id")),
+        col("band_id") === col("bi") && col("bucket") === col("bu"))
+      .select(col("inc_id").as("doc_id")).distinct()
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("bucket")).orderBy(col("doc_id"))
+    val dupInBatch = incB.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") > 1).select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= t)
+      .join(dupOfCorpus.withColumn("dc", lit(1)), Seq("doc_id"), "left_outer")
+      .join(dupInBatch.withColumn("db", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("text"), col("lang"),
+        when(col("dc").isNotNull, "dup_of_corpus")
+          .when(col("db").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"))
+  }
+
+  /** Oracle twin of [[admissionVerdicts]]: the thr/incb/dc/db/st CTE
+    * fragment over [[lshChainSql]]'s bands — shared by q117's and
+    * q157's oracles (a def: oracle vals interpolate it at object init).
+    */
+  private[graft] def admissionStatusSql: String =
+    s"""
+       |, thr AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) AS bigint) AS t FROM documents),
+       |incb AS (SELECT doc_id, band_id, bucket FROM bands CROSS JOIN thr WHERE doc_id >= t),
+       |dc AS (SELECT DISTINCT i.doc_id FROM bands b CROSS JOIN thr
+       |       JOIN incb i ON b.band_id = i.band_id AND b.bucket = i.bucket
+       |       WHERE b.doc_id < t),
+       |db AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY band_id, bucket ORDER BY doc_id) AS rn
+       |    FROM incb) WHERE rn > 1),
+       |st AS (SELECT d.doc_id, d.source, d.text,
+       |         CASE WHEN dc.doc_id IS NOT NULL THEN 'dup_of_corpus'
+       |              WHEN db.doc_id IS NOT NULL THEN 'dup_in_batch'
+       |              ELSE 'new' END AS status
+       |       FROM documents d CROSS JOIN thr
+       |       LEFT JOIN dc ON d.doc_id = dc.doc_id
+       |       LEFT JOIN db ON d.doc_id = db.doc_id
+       |       WHERE d.doc_id >= t)""".stripMargin
+
   val q117ShardIngestE2e: QuerySpec = QuerySpec(
     (s, dir) => {
       val bdistinct = udaf(new graft.functions.BoundedDistinct(IndexDfMax + 1))
@@ -2217,25 +2270,7 @@ object TextOps {
       val stage = graft.core.Staging.invocationDir("graft_q117_state", dir)
 
       // job 1: admission verdicts (q101 scheme, shared bands) → artifact
-      val bands = minhashBands(docs)
-      val incB = bands.filter(col("doc_id") >= t)
-        .select(col("doc_id"), col("band_id"), col("bucket"))
-      val dupOfCorpus = bands.filter(col("doc_id") < t)
-        .join(incB.select(col("band_id").as("bi"), col("bucket").as("bu"),
-          col("doc_id").as("inc_id")),
-          col("band_id") === col("bi") && col("bucket") === col("bu"))
-        .select(col("inc_id").as("doc_id")).distinct()
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_id"), col("bucket")).orderBy(col("doc_id"))
-      val dupInBatch = incB.withColumn("rn", row_number().over(wb))
-        .filter(col("rn") > 1).select(col("doc_id")).distinct()
-      docs.filter(col("doc_id") >= t)
-        .join(dupOfCorpus.withColumn("dc", lit(1)), Seq("doc_id"), "left_outer")
-        .join(dupInBatch.withColumn("db", lit(1)), Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("source"), col("text"), col("lang"),
-          when(col("dc").isNotNull, "dup_of_corpus")
-            .when(col("db").isNotNull, "dup_in_batch")
-            .otherwise("new").as("status"))
+      admissionVerdicts(docs, t)
         .write.mode("overwrite").parquet(s"$stage/admissions")
       val adm = s.read.parquet(s"$stage/admissions")
       val admitted = adm.filter(col("status") === "new")
@@ -2301,25 +2336,9 @@ object TextOps {
         .unionByName(kv(idxSummary)).unionByName(kv(novelty))
         .orderBy(col("metric"))
     },
-    lshChainSql +
+    lshChainSql + admissionStatusSql +
       s"""
-         |, thr AS (SELECT cast(floor((max(doc_id) + 1) * 0.8) AS bigint) AS t FROM documents),
-         |incb AS (SELECT doc_id, band_id, bucket FROM bands CROSS JOIN thr WHERE doc_id >= t),
-         |dc AS (SELECT DISTINCT i.doc_id FROM bands b CROSS JOIN thr
-         |       JOIN incb i ON b.band_id = i.band_id AND b.bucket = i.bucket
-         |       WHERE b.doc_id < t),
-         |db AS (SELECT DISTINCT doc_id FROM (
-         |    SELECT doc_id, row_number() OVER (PARTITION BY band_id, bucket ORDER BY doc_id) AS rn
-         |    FROM incb) WHERE rn > 1),
-         |st AS (SELECT d.doc_id, d.text,
-         |         CASE WHEN dc.doc_id IS NOT NULL THEN 'dup_of_corpus'
-         |              WHEN db.doc_id IS NOT NULL THEN 'dup_in_batch'
-         |              ELSE 'new' END AS status
-         |       FROM documents d CROSS JOIN thr
-         |       LEFT JOIN dc ON d.doc_id = dc.doc_id
-         |       LEFT JOIN db ON d.doc_id = db.doc_id
-         |       WHERE d.doc_id >= t),
-         |admitted AS (SELECT doc_id, text FROM st WHERE status = 'new'),
+         |, admitted AS (SELECT doc_id, text FROM st WHERE status = 'new'),
          |-- merged index over rest ∪ admitted: the bounded-set merge is
          |-- exact under the df cap (q103's argument), so the one-shot
          |-- recompute here IS the merge's oracle

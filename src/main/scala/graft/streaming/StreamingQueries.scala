@@ -840,7 +840,121 @@ object StreamingQueries {
        |  ${graft.ext.OracleSql.bigSum("1 - blocked")} AS n_admitted
        |FROM cls GROUP BY source ORDER BY source""".stripMargin)
 
+  /** q157: the STREAMING shard-ingest composition — q117 certifies the
+    * batch nightly pipeline end-to-end; this is its streaming twin, and
+    * the proof that the judged streaming operators COMPOSE under one
+    * checkpoint rather than only working in isolation. ONE file-source
+    * replay carries the shard's band rows through BOTH admission legs
+    * simultaneously:
+    *
+    *  - the stream-static corpus probe (q143's operator class): each
+    *    arriving band row is probed against the pinned at-rest corpus
+    *    bucket set — stateless, so corpus-dup evidence never enters
+    *    streaming state;
+    *  - the in-batch near-dup detector (q99's operator, verbatim):
+    *    [[StreamingNearDup.flagged]] with its O(1) min-doc_id state per
+    *    bucket, flagging shard docs that share a bucket with a smaller
+    *    shard doc.
+    *
+    * The two legs union into one append sink under one checkpoint — a
+    * stateless and a stateful operator fed by the SAME micro-batches.
+    * The consumer derives each shard doc's verdict with q117's priority
+    * (dup_of_corpus ≻ dup_in_batch ≻ new; admission = the doc-grain
+    * anti probe on both flag sets) and certifies the composition with
+    * `equiv_diff`: a full-outer per-doc compare against the batch
+    * verdicts frame — the SAME [[graft.ext.TextOps.admissionVerdicts]]
+    * plan q117 persists as its nightly artifact, so the certificate is
+    * streamed-vs-batch on shared code, not a parallel re-derivation.
+    * Judged 0: the streamed composition admits exactly the batch set.
+    *
+    * Order independence: the corpus probe is per-row set membership
+    * (order-blind) and the near-dup leg's flagged set converges to
+    * "bucket members except the bucket min" under any batching (q99's
+    * contract) — so the union's distinct-doc rollup is replay-order
+    * independent, which is what makes the row judgeable.
+    *
+    * Scale: the at-rest bucket set is corpus-proportional and pinned
+    * once, NEVER broadcast-hinted (planner-adaptive per micro-batch —
+    * the q101/q143 lesson); streaming state is one 8-byte min per
+    * touched bucket; the consumer moves distinct doc_ids and ≤sources
+    * rows. The batch certificate leg is the intentionally-full
+    * verification pass, exactly q141/q153's convention.
+    */
+  /** The streamed half of q157 for a given corpus and split: replays
+    * the shard band rows through the two composed legs (one checkpoint)
+    * and derives each shard doc's verdict with q117's priority. Shared
+    * by the judged q157 and StreamingShardIngestSpec's engineered
+    * priority bait (the corpora never produce a doc that is BOTH
+    * corpus-dup and in-batch-dup, so the priority branch needs an
+    * engineered corpus to be exercised at all).
+    */
+  private[graft] def shardIngestStatuses(s: SparkSession, docs: DataFrame,
+      t: Long, tag: String, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = graft.ext.TextOps.minhashBands(docs)
+      .select(col("doc_id"), col("band_id").cast("integer").as("band_id"),
+        col("bucket"))
+    // at-rest state materialized once before the stream starts (the
+    // q143 convention: a stored artifact, not a per-batch recompute)
+    val corpusBuckets = graft.core.Checkpoints.pin(
+      bands.filter(col("doc_id") < t)
+        .select(col("band_id"), col("bucket")).distinct())
+    val events = replayToSink(s, bands.filter(col("doc_id") >= t),
+      tag, dir) { stream =>
+      val corpusHits = stream
+        .join(corpusBuckets, Seq("band_id", "bucket"), "left_semi")
+        .select(col("doc_id"), lit("c").as("kind"))
+      val batchDups = StreamingNearDup.flagged(stream.as[StreamingNearDup.BandRow])
+        .toDF().select(col("doc_id"), lit("b").as("kind"))
+      (corpusHits.unionByName(batchDups), "append")
+    }
+    def flagSet(kind: String, as: String): DataFrame =
+      events.filter(col("kind") === kind)
+        .select(col("doc_id")).distinct().withColumn(as, lit(1))
+    docs.filter(col("doc_id") >= t)
+      .join(flagSet("c", "dc"), Seq("doc_id"), "left_outer")
+      .join(flagSet("b", "db"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        when(col("dc").isNotNull, "dup_of_corpus")
+          .when(col("db").isNotNull, "dup_in_batch")
+          .otherwise("new").as("status"))
+  }
+
+  val q157StreamingShardIngest: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+        .head().getLong(0)
+      val streamedStatus = shardIngestStatuses(s, docs, t, "q157", dir)
+      val batchStatus = graft.ext.TextOps.admissionVerdicts(docs, t)
+        .select(col("doc_id"), col("status").as("status_b"))
+      // full outer: a doc present on only one side counts as a diff
+      // (both legs derive from the same shard slice, so any asymmetry
+      // IS a composition bug and must not vanish from the certificate)
+      streamedStatus.join(batchStatus, Seq("doc_id"), "full_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shard"),
+          sum(when(col("status") === "dup_of_corpus", 1L).otherwise(0L))
+            .as("n_dup_corpus"),
+          sum(when(col("status") === "dup_in_batch", 1L).otherwise(0L))
+            .as("n_dup_batch"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(coalesce(col("status"), lit("?"))
+            =!= coalesce(col("status_b"), lit("!")), 1L).otherwise(0L))
+            .as("equiv_diff"))
+        .orderBy(col("source"))
+    },
+    graft.ext.TextOps.lshChainSql + graft.ext.TextOps.admissionStatusSql +
+      s"""
+         |SELECT source, cast(count(*) AS bigint) AS n_shard,
+         |  ${graft.ext.OracleSql.bigSum("CASE WHEN status = 'dup_of_corpus' THEN 1 ELSE 0 END")} AS n_dup_corpus,
+         |  ${graft.ext.OracleSql.bigSum("CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END")} AS n_dup_batch,
+         |  ${graft.ext.OracleSql.bigSum("CASE WHEN status = 'new' THEN 1 ELSE 0 END")} AS n_admitted,
+         |  cast(0 AS bigint) AS equiv_diff
+         |FROM st GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
+    "q157_streaming_shard_ingest" -> q157StreamingShardIngest,
     "q155_watermark_calibration" -> q155WatermarkCalibration,
     "q154_watermark_funnel" -> q154WatermarkFunnel,
     "q143_streaming_admission" -> q143StreamingAdmission,

@@ -712,6 +712,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // churn join sides, the two ≤5-row delay rollups, the 1-row
       // total scalar and the 5-row output sort
       "q155_watermark_calibration" -> 7,
+      // q157 (round-12, audited at introduction): the consumer derives
+      // per-doc verdicts from the sink's two distinct-flag rollups +
+      // doc joins, then the full-outer per-doc certificate against the
+      // batch admissionVerdicts leg (whose band groupBy/window/probe
+      // exchanges are the intentionally-full verification pass, q141's
+      // convention) and the ≤sources rollup + output sort
+      "q157_streaming_shard_ingest" -> 13,
       // q156 (round-12, audited at introduction): the store round-trip
       // is a construction side effect (q74/q103 staging convention);
       // the judged plan is per-part aggregation over the two retained
