@@ -146,6 +146,18 @@ object Bench {
     if (round % 3 == 0) headline
     else headline.filterNot(rotationClass1.contains)
 
+  /** Execution order for a FULL run (no explicit args): heaviest
+    * reference first, ties on stable headline position, never-measured
+    * entries (introduction runs) first of all — see main() for the
+    * round-11 forensics this encodes. Orthogonal to rotation: rotation
+    * decides MEMBERSHIP, this decides sequence. Guarded by
+    * BenchOrderSpec — the execution order shapes the judged official
+    * record, so it must not drift silently.
+    */
+  private[graft] def fullRunOrder(active: Seq[String]): Seq[String] =
+    active.sortBy(n =>
+      (-reference.getOrElse(n, Double.MaxValue), active.indexOf(n)))
+
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
     * re-based round 8 from the final 62-query quiet run (54.9 s, five
@@ -364,9 +376,7 @@ object Bench {
     // deterministic round to round. A not-yet-referenced entry (an
     // introduction run) sorts FIRST — its introduction minimum deserves
     // the quietest window of all.
-    val byCostDesc = active.sortBy(n =>
-      (-reference.getOrElse(n, Double.MaxValue), active.indexOf(n)))
-    val wanted = if (args.isEmpty) byCostDesc else args.toIndexedSeq.distinct
+    val wanted = if (args.isEmpty) fullRunOrder(active) else args.toIndexedSeq.distinct
     val warmDir = "/root/testdata/sf0.001"
     val warmup = if (new java.io.File(warmDir).exists()) warmDir else sfDir
     wanted.filter(SparkEntry.queries.contains).foreach { name =>
