@@ -283,7 +283,16 @@ object Bench {
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
     "q154_watermark_funnel" -> 3.69,
-    "q155_watermark_calibration" -> 0.52)
+    "q155_watermark_calibration" -> 0.52,
+    // round-12 additions: introduction minima from a SEMI-LOADED window
+    // (loadavg 1.3 at start, external spike to 8.5 by the tail —
+    // bench_diag preserved in git) — possible ceilings, re-base DOWN at
+    // the next quiet window. q156 is the store round-trip (2 upserts +
+    // compact + two-version certificate scans); q157 is the replay cost
+    // class (q99/q143's: one AvailableNow job over 8 staged files) plus
+    // the batch admissionVerdicts certificate leg
+    "q156_compaction_cert" -> 3.23,
+    "q157_streaming_shard_ingest" -> 6.82)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
