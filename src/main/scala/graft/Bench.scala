@@ -147,16 +147,20 @@ object Bench {
     else headline.filterNot(rotationClass1.contains)
 
   /** Execution order for a FULL run (no explicit args): heaviest
-    * reference first, ties on stable headline position, never-measured
-    * entries (introduction runs) first of all — see main() for the
-    * round-11 forensics this encodes. Orthogonal to rotation: rotation
-    * decides MEMBERSHIP, this decides sequence. Guarded by
+    * reference first, ties on stable headline position — see main() for
+    * the round-11 forensics this encodes. Every headline entry HAS a
+    * reference (main()'s sync require refuses to run otherwise), so an
+    * INTRODUCTION entry enters with a deliberately-high provisional
+    * reference (e.g. 999 — which also suppresses its retime pass), and
+    * the descending sort gives it the quietest first minutes for free;
+    * the measured minimum replaces the provisional value in the same
+    * round (the q156/q157 round-12 convention). Orthogonal to rotation:
+    * rotation decides MEMBERSHIP, this decides sequence. Guarded by
     * BenchOrderSpec — the execution order shapes the judged official
     * record, so it must not drift silently.
     */
   private[graft] def fullRunOrder(active: Seq[String]): Seq[String] =
-    active.sortBy(n =>
-      (-reference.getOrElse(n, Double.MaxValue), active.indexOf(n)))
+    active.sortBy(n => (-reference(n), active.indexOf(n)))
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -385,9 +389,8 @@ object Bench {
     // sub-second tail is noise-robust anywhere. Ordering is orthogonal
     // to rotation (rotation decides MEMBERSHIP, this decides sequence),
     // and ties break on the stable headline position so the order is
-    // deterministic round to round. A not-yet-referenced entry (an
-    // introduction run) sorts FIRST — its introduction minimum deserves
-    // the quietest window of all.
+    // deterministic round to round (introduction entries ride a high
+    // provisional reference to the front — see fullRunOrder's doc).
     val wanted = if (args.isEmpty) fullRunOrder(active) else args.toIndexedSeq.distinct
     val warmDir = "/root/testdata/sf0.001"
     val warmup = if (new java.io.File(warmDir).exists()) warmDir else sfDir

@@ -36,13 +36,16 @@ import graft.tables.Tables
   *    pass vacuously on an already-compact table.
   *
   * Scale: the store round-trip is the measured operator (the q74/q103
-  * staging convention, invocation-scoped dir); everything judged is
-  * per-part aggregation over two parquet scans — file-count accounting
-  * rides the same scans via `_metadata`, and the multiset diff is one
-  * full-outer join on the (bounded) distinct-row frames. At 100 TB the
-  * same compact() runs per partition directory with `targetFiles` sized
-  * to the table, and the certificate's cost stays two scans of the
-  * table, the price of any content-invariance proof.
+  * staging convention, invocation-scoped dir). The certificate costs
+  * FOUR scans of the (bounded) store, and honestly so: one full-row
+  * scan per version feeding the multiset groupBy pair + full-outer
+  * diff — the irreducible price of a content-invariance proof — plus
+  * the post version's part-grain rollup (content aggregates and
+  * `countDistinct(_metadata.file_path)` riding ONE scan) and the pre
+  * version's column-pruned (part, file) accounting scan. At 100 TB the
+  * same compact() runs per partition directory with `targetFiles`
+  * sized to the table, and the two full-row certificate scans are what
+  * any rebuild-vs-maintenance proof pays (the q136/q153 convention).
   */
 object StateQueries {
 
@@ -74,11 +77,6 @@ object StateQueries {
 
       def version(v: String): DataFrame =
         s.read.parquet(java.nio.file.Paths.get(st.root).resolve(v).toString)
-      // distinct data files per partition directory, measured on the
-      // scan itself (the writer's actual layout, not a directory walk)
-      def filesPerPart(v: String, as: String): DataFrame =
-        version(v).groupBy(col("part"))
-          .agg(countDistinct(col("_metadata.file_path")).as(as))
       // full-row multiset counts (o_orderkey, o_totalprice, part, _seq
       // — compaction must preserve even the bookkeeping column)
       def rowCounts(v: String, as: String): DataFrame = {
@@ -92,13 +90,19 @@ object StateQueries {
         .groupBy(col("part"))
         .agg(sum(abs(coalesce(col("c_pre"), lit(0L)) - coalesce(col("c_post"), lit(0L))))
           .as("equiv_diff"))
+      // content aggregates and the post-compact file accounting share
+      // ONE part-grain rollup (distinct _metadata.file_path rides the
+      // same scan — the writer's actual layout, no directory walk); the
+      // pre version needs only its pruned (part, file) accounting scan
       val content = version(postV).groupBy(col("part"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("key_sum"),
-          sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("price_cents"))
+          sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("price_cents"),
+          countDistinct(col("_metadata.file_path")).as("n_files"))
+      val preFiles = version(preV).groupBy(col("part"))
+        .agg(countDistinct(col("_metadata.file_path")).as("nf_pre"))
       content
-        .join(filesPerPart(postV, "n_files"), Seq("part"))
-        .join(filesPerPart(preV, "nf_pre"), Seq("part"))
+        .join(preFiles, Seq("part"))
         .join(equiv, Seq("part"))
         .select(col("part"), col("n_rows"), col("key_sum"), col("price_cents"),
           col("n_files"),

@@ -574,8 +574,12 @@ object StreamingQueries {
         onTime.select(col("user_id"), col("ts"), col("event_type")),
         late.select(col("user_id"), col("ts"), col("event_type")),
         "q154", dir, delayMs)
+      // (mark, seq) is the convergence key — strictly increasing over a
+      // user's whole emission history INCLUDING TTL evictions/revivals
+      // (StreamingWatermarkFunnel.StageRow doc); seq alone collides
+      // across lifetimes
       val streamed = sink.groupBy(col("user_id"))
-        .agg(max_by(col("stage"), col("seq")).as("stage"))
+        .agg(max_by(col("stage"), struct(col("mark"), col("seq"))).as("stage"))
       // the same first-touch chain in batch, for the certificate and
       // the completeness margin — min-per-type then the stage rule
       def firstTouch(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
@@ -908,15 +912,18 @@ object StreamingQueries {
         .toDF().select(col("doc_id"), lit("b").as("kind"))
       (corpusHits.unionByName(batchDups), "append")
     }
-    def flagSet(kind: String, as: String): DataFrame =
-      events.filter(col("kind") === kind)
-        .select(col("doc_id")).distinct().withColumn(as, lit(1))
+    // ONE scan of the bounded sink derives both flag kinds (the same
+    // single-materialization discipline the round applied to q153's
+    // exactFlags — a per-kind filter+distinct+join pair would scan and
+    // join the sink twice for no information gain)
+    val flags = events.groupBy(col("doc_id")).agg(
+      max(when(col("kind") === "c", 1)).as("dc"),
+      max(when(col("kind") === "b", 1)).as("db"))
     docs.filter(col("doc_id") >= t)
-      .join(flagSet("c", "dc"), Seq("doc_id"), "left_outer")
-      .join(flagSet("b", "db"), Seq("doc_id"), "left_outer")
+      .join(flags, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"),
-        when(col("dc").isNotNull, "dup_of_corpus")
-          .when(col("db").isNotNull, "dup_in_batch")
+        when(col("dc") === 1, "dup_of_corpus")
+          .when(col("db") === 1, "dup_in_batch")
           .otherwise("new").as("status"))
   }
 

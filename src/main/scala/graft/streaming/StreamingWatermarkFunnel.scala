@@ -65,11 +65,30 @@ object StreamingWatermarkFunnel {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
-  /** One per (user, admitting batch); the consumer keeps max_by(seq). */
-  case class StageRow(user_id: Long, stage: Int, seq: Int)
+  /** One per (user, admitting batch); the consumer keeps
+    * max_by(stage, (mark, seq)) — lexicographic. `seq` alone is NOT a
+    * valid convergence key once the TTL can evict and a user can
+    * revive: the revived lifetime restarts seq at 1, so two lifetimes
+    * collide on seq and max_by would resolve the tie arbitrarily
+    * (possibly resurrecting the stale pre-eviction stage). `mark` — the
+    * user's running max ADMITTED event time (ms) — repairs the order:
+    * within a lifetime mark is non-decreasing and seq strictly
+    * increments, and ACROSS an eviction every revived emission's mark
+    * strictly exceeds every prior one's, because eviction requires
+    * watermark > mark + ttl and every later admitted event sits above
+    * that watermark. So (mark, seq) strictly increases over a user's
+    * entire emission history, evictions included, and the max_by pick
+    * is always the latest — certified by WatermarkFunnelPropSpec's
+    * eviction/revival property.
+    */
+  case class StageRow(user_id: Long, stage: Int, seq: Int, mark: Long)
 
-  // public: the kryo state encoder rejects non-public classes
-  case class MinState(minV: Long, minC: Long, minP: Long, seq: Int)
+  // public: the kryo state encoder rejects non-public classes.
+  // maxA = running max admitted event time (ms) — the emission mark and
+  // the TTL anchor (timeout = maxA + ttl, so eviction means the user
+  // was quiet for ttl past their NEWEST admitted event time, and the
+  // revival-dominance argument on [[StageRow]] holds).
+  case class MinState(minV: Long, minC: Long, minP: Long, seq: Int, maxA: Long)
 
   /** Sentinel for "no event of this type admitted yet". */
   val NoTs: Long = Long.MaxValue
@@ -108,11 +127,14 @@ object StreamingWatermarkFunnel {
   def userTransition(userId: Long, prior: MinState, wmMicros: Long,
       arrivals: Seq[Ev]): (MinState, List[StageRow]) = {
     var (v, c, p) = (prior.minV, prior.minC, prior.minP)
+    var maxA = prior.maxA
     var admitted = false
     arrivals.foreach { e =>
       val t = toMicros(e.ts)
       if (t > wmMicros) {
         admitted = true
+        val tMs = Math.floorDiv(t, 1000L)
+        if (tMs > maxA) maxA = tMs
         e.event_type match {
           case "view" => if (t < v) v = t
           case "click" => if (t < c) c = t
@@ -123,20 +145,21 @@ object StreamingWatermarkFunnel {
     }
     if (!admitted) (prior, Nil)
     else {
-      val next = MinState(v, c, p, prior.seq + 1)
-      (next, List(StageRow(userId, stageOf(v, c, p), next.seq)))
+      val next = MinState(v, c, p, prior.seq + 1, maxA)
+      (next, List(StageRow(userId, stageOf(v, c, p), next.seq, maxA)))
     }
   }
 
   /** The stateful operator. `ttlMs > 0` arms the production state TTL:
-    * a user's state carries an event-time timeout of (the max ADMITTED
-    * event time in the user's most recent admitting batch) + ttl — not
-    * the all-time max, which would cost a fourth state field; under
-    * reordering the difference only makes eviction marginally more
-    * aggressive, and every admitted time sits above the watermark, so
-    * the timeout is always legal and the inertness argument below needs
-    * only SOME admitted time, not the max. A user quiet for longer than
-    * the TTL past the watermark is EVICTED (state removed, nothing emitted
+    * a user's state carries an event-time timeout of (the user's
+    * RUNNING max admitted event time — the state's `maxA`, also emitted
+    * as [[StageRow]]'s `mark`) + ttl. Anchoring on the running max
+    * rather than the latest batch's max is load-bearing twice: it makes
+    * eviction mean "quiet for ttl past the newest admitted EVENT TIME"
+    * under any arrival reordering, and it is what guarantees a revived
+    * user's mark strictly dominates every pre-eviction mark (the
+    * consumer-convergence argument on [[StageRow]]). A user quiet for
+    * longer than the TTL past the watermark is EVICTED (state removed, nothing emitted
     * — the sink already holds the user's converged row) and state stays
     * bounded by the ACTIVE user set on an unbounded stream, not by
     * |users| ever seen. The retention trade is explicit: a post-
@@ -171,8 +194,9 @@ object StreamingWatermarkFunnel {
          state: org.apache.spark.sql.streaming.GroupState[MinState]) => {
           if (ttlMs > 0L && state.hasTimedOut) {
             // quiet past the horizon: evict. Nothing is emitted — the
-            // last emitted (stage, seq) row IS the converged answer for
-            // every event the TTL retained.
+            // user's max-(mark, seq) row already in the sink IS the
+            // converged answer for every event the TTL retained, and a
+            // revival's emissions strictly dominate it (StageRow doc).
             state.remove()
             Iterator.empty
           } else {
@@ -180,22 +204,18 @@ object StreamingWatermarkFunnel {
             // compare in micros, so the ms-granular watermark boundary is
             // exactly the ms-floored cut [[cutMicros]] encodes
             val wmMicros = state.getCurrentWatermarkMs() * 1000L
-            val prior = state.getOption.getOrElse(MinState(NoTs, NoTs, NoTs, 0))
-            val arrivals = rows.toSeq
-            val (next, out) = userTransition(userId, prior, wmMicros, arrivals)
+            val prior = state.getOption
+              .getOrElse(MinState(NoTs, NoTs, NoTs, 0, Long.MinValue))
+            val (next, out) = userTransition(userId, prior, wmMicros, rows.toSeq)
             if (out.nonEmpty) {
               state.update(next)
-              if (ttlMs > 0L) {
-                // out.nonEmpty means some arrival has t > wmMicros, so
-                // the batch's max-ts arrival is itself admitted and the
-                // unfiltered max IS the ms floor of the max admitted
-                // event time (filtering by the ms-floored watermark
-                // would wrongly drop sub-ms admissions). Its floor ≥ wm,
-                // so the timeout lands strictly above the current
-                // watermark (Spark rejects timeouts at or below it).
-                val lastAdmittedMs = arrivals.iterator.map(_.ts.getTime).max
-                state.setTimeoutTimestamp(lastAdmittedMs + ttlMs)
-              }
+              // timeout off the RUNNING max admitted event time (the
+              // state's mark): an admitted event's ms floor is ≥ the
+              // ms watermark, so the timeout lands strictly above the
+              // current watermark (Spark rejects timeouts at or below
+              // it) — and anchoring on the running max is what makes
+              // the post-eviction mark dominance on [[StageRow]] hold.
+              if (ttlMs > 0L) state.setTimeoutTimestamp(next.maxA + ttlMs)
             }
             out.iterator
           }

@@ -13,14 +13,14 @@ class BenchOrderSpec extends AnyFunSuite {
   test("full-run order is heaviest-reference-first and total-covering") {
     val order = Bench.fullRunOrder(Bench.headline)
     assert(order.sorted == Bench.headline.sorted, "ordering must not drop or add entries")
-    val known = order.filter(Bench.reference.contains)
-    val refs = known.map(Bench.reference)
-    assert(refs == refs.sortBy(-_), s"known-reference entries not descending: ${refs.take(10)}")
-    // never-measured entries (introduction runs) take the quietest
-    // earliest window of all
-    val unknown = order.filterNot(Bench.reference.contains)
-    assert(order.take(unknown.size) == unknown,
-      s"introduction entries must run first, got head=${order.take(3)}")
+    // main()'s sync require guarantees every headline entry has a
+    // reference (introductions enter with a high provisional one that
+    // fronts them — fullRunOrder's doc), so the order is simply
+    // descending references
+    assert(Bench.headline.forall(Bench.reference.contains),
+      "headline/reference out of sync — main() would refuse to run")
+    val refs = order.map(Bench.reference)
+    assert(refs == refs.sortBy(-_), s"not descending: ${refs.take(10)}")
   }
 
   test("ordering is deterministic and composes with rotation membership") {

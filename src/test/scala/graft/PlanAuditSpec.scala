@@ -713,21 +713,22 @@ class PlanAuditSpec extends AnyFunSuite {
       // total scalar and the 5-row output sort
       "q155_watermark_calibration" -> 7,
       // q157 (round-12, audited at introduction): the consumer derives
-      // per-doc verdicts from the sink's two distinct-flag rollups +
-      // doc joins, then the full-outer per-doc certificate against the
+      // per-doc verdicts from ONE doc-keyed rollup over the sink + the
+      // doc join, then the full-outer per-doc certificate against the
       // batch admissionVerdicts leg (whose band groupBy/window/probe
       // exchanges are the intentionally-full verification pass, q141's
       // convention) and the ≤sources rollup + output sort
-      "q157_streaming_shard_ingest" -> 13,
+      "q157_streaming_shard_ingest" -> 11,
       // q156 (round-12, audited at introduction): the store round-trip
       // is a construction side effect (q74/q103 staging convention);
       // the judged plan is per-part aggregation over the two retained
-      // versions — the content rollup, the two _metadata file-count
-      // rollups, the full-row multiset groupBy pair + their full-outer
-      // SMJ (the content-invariance certificate, intentionally
-      // whole-table), the equiv per-part rollup and the 5-row output
-      // sort; the part-keyed assembly joins broadcast
-      "q156_compaction_cert" -> 11)
+      // versions — the post version's shared content+file rollup, the
+      // pre version's pruned file rollup, the full-row multiset groupBy
+      // pair + their full-outer SMJ (the content-invariance
+      // certificate, intentionally whole-table), the equiv per-part
+      // rollup and the 5-row output sort; the part-keyed assembly
+      // joins broadcast
+      "q156_compaction_cert" -> 10)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

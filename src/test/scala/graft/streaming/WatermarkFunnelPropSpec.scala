@@ -19,9 +19,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    equals the batch stage over exactly the events that were above
   *    the watermark AT THEIR ARRIVAL batch — dropped rows leave no
   *    trace in state;
-  *  - EMISSION: the row with the highest seq (the consumer's
-  *    max_by(seq) pick) always carries the final stage, and seq
-  *    increments exactly on admitting batches.
+  *  - EMISSION: within a lifetime, the row with the highest seq always
+  *    carries the final stage and seq increments exactly on admitting
+  *    batches; ACROSS a TTL eviction/revival, the consumer's real key
+  *    (mark, seq) strictly dominates lifetime-over-lifetime (second
+  *    property below), which is what makes max_by(stage, (mark, seq))
+  *    converge on the latest lifetime despite the seq restart.
   */
 class WatermarkFunnelPropSpec extends AnyFunSuite {
   import StreamingWatermarkFunnel._
@@ -37,8 +40,10 @@ class WatermarkFunnelPropSpec extends AnyFunSuite {
   /** Fold batches through the pure transition under a per-batch
     * watermark schedule; return final state and all emissions.
     */
+  private val Fresh = MinState(NoTs, NoTs, NoTs, 0, Long.MinValue)
+
   private def replay(batches: Seq[(Long, Seq[Ev])]): (MinState, List[StageRow]) =
-    batches.foldLeft((MinState(NoTs, NoTs, NoTs, 0), List.empty[StageRow])) {
+    batches.foldLeft((Fresh, List.empty[StageRow])) {
       case ((st, acc), (wm, rows)) =>
         val (next, out) = userTransition(1L, st, wm, rows)
         (next, acc ++ out)
@@ -102,6 +107,53 @@ class WatermarkFunnelPropSpec extends AnyFunSuite {
       val (st2, _) = replay(b2.map(b => (0L, b)))
       assert(stageOf(st2.minV, st2.minC, st2.minP) == bruteStage(events),
         s"wm-0 replay != batch stage: events=$events")
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: post-eviction revival emissions strictly dominate on (mark, seq)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the TTL consumer-convergence theorem (StageRow doc) at the pure
+    // level: evict only when the watermark has passed mark + ttl (the
+    // operator's own timeout rule), revive with any admitted events
+    // above that watermark — every revived emission's (mark, seq) must
+    // lexicographically dominate every pre-eviction emission's, so the
+    // sink consumer's max_by pick is always the latest lifetime.
+    val caseGen = for {
+      n1 <- Gen.chooseNum(1, 12)
+      times1 <- Gen.listOfN(n1, Gen.chooseNum(1000L, 40000000L)) // micros
+      types1 <- Gen.listOfN(n1, Gen.oneOf(Types))
+      ttlMs <- Gen.chooseNum(1L, 10L)
+      n2 <- Gen.chooseNum(1, 12)
+      offs2 <- Gen.listOfN(n2, Gen.chooseNum(1L, 40000L)) // micros above the wm
+      types2 <- Gen.listOfN(n2, Gen.oneOf(Types))
+    } yield (times1.zip(types1), ttlMs, offs2.zip(types2))
+
+    val prop = Prop.forAll(caseGen) { case (evs1, ttlMs, evs2) =>
+      def batched(evs: Seq[Ev], wm: Long) =
+        evs.grouped(4).map(b => (wm, b)).toSeq
+      val (st1, out1) = replay(batched(evs1.map { case (t, e) => ev(t, e) }, 0L))
+      // eviction precondition: the watermark passed mark + ttl
+      val wmMs = (if (st1.maxA == Long.MinValue) 0L else st1.maxA) + ttlMs + 1L
+      val wmMicros = wmMs * 1000L
+      val revived = evs2.map { case (off, e) => ev(wmMicros + off, e) }
+      // fresh state = the eviction; the revival batches run above wm
+      val (_, out2) = replay(batched(revived, wmMicros))
+      val key = (r: StageRow) => (r.mark, r.seq)
+      if (out1.nonEmpty && out2.nonEmpty) {
+        val maxOld = out1.map(key).max
+        val minNew = out2.map(key).min
+        assert(Ordering[(Long, Int)].gt(minNew, maxOld),
+          s"revival does not dominate: old=$maxOld new=$minNew ttl=$ttlMs")
+      }
+      // and within each lifetime the key is strictly increasing
+      def strictlyInc(rs: List[StageRow]) =
+        rs.map(key).sliding(2).forall {
+          case List(a, b) => Ordering[(Long, Int)].lt(a, b); case _ => true
+        }
+      assert(strictlyInc(out1) && strictlyInc(out2))
       true
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)

@@ -58,7 +58,8 @@ class WatermarkFunnelSpec extends AnyFunSuite {
   private def streamedStages(tag: String): Map[Long, Int] =
     StreamingWatermarkFunnel.replayTwoPhase(spark, df(onTime), df(late),
       tag, "specwmf", 86400000L)
-      .groupBy(col("user_id")).agg(max_by(col("stage"), col("seq")).as("stage"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("stage"), struct(col("mark"), col("seq"))).as("stage"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
   test("two-phase replay admits exactly the on-time slice, both divergence directions") {
@@ -151,6 +152,17 @@ class WatermarkFunnelSpec extends AnyFunSuite {
       // produced (3,2) instead of (0,1).
       assert(u1 == Set((2, 1), (0, 1)),
         s"u1 rows $u1 — state was not evicted (expected seq restart after TTL)")
+      // the convergence key survives the seq collision: both u1 rows
+      // carry seq 1, and max_by(stage, (mark, seq)) must pick the
+      // POST-eviction row (stage 0 — the declared retention trade),
+      // never resurrect the stale pre-eviction stage 2
+      val converged = spark.table("wmf_ttl_sink")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("stage"), struct(col("mark"), col("seq"))).as("stage"))
+        .filter(col("user_id") === 1L)
+        .collect().head.getInt(1)
+      assert(converged == 0,
+        s"consumer resurrected a pre-eviction stage: got $converged, want 0")
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS wmf_ttl_sink"): Unit
