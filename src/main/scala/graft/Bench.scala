@@ -295,7 +295,10 @@ object Bench {
     // compact + two-version certificate scans); q157 is the replay cost
     // class (q99/q143's: one AvailableNow job over 8 staged files) plus
     // the batch admissionVerdicts certificate leg
-    "q156_compaction_cert" -> 3.23,
+    // q156 re-based DOWN 3.23 → 2.95 late round 12 (watcher-fired
+    // post-gate window, loadavg 0.0/1.1): the introduction value was a
+    // semi-loaded ceiling, per its own flag
+    "q156_compaction_cert" -> 2.95,
     // q157 re-based DOWN 6.82 → 6.02 in the same round: the full
     // heavy-first run's offset-0 sample (the quietest instant of the
     // round) — cross-run introduction minimum per the MIN rule
