@@ -295,10 +295,10 @@ object Bench {
     // compact + two-version certificate scans); q157 is the replay cost
     // class (q99/q143's: one AvailableNow job over 8 staged files) plus
     // the batch admissionVerdicts certificate leg
-    // q156 re-based DOWN 3.23 → 2.95 late round 12 (watcher-fired
-    // post-gate window, loadavg 0.0/1.1): the introduction value was a
-    // semi-loaded ceiling, per its own flag
-    "q156_compaction_cert" -> 2.95,
+    // q156 re-based DOWN 3.23 → 2.95 → 2.81 across the round-12
+    // watcher firings (introduction was a semi-loaded ceiling, per its
+    // own flag; successive loaded-window minima per the MIN rule)
+    "q156_compaction_cert" -> 2.81,
     // q157 re-based DOWN twice in its introduction round per the MIN
     // rule (6.82 → 6.02 full-run offset-0 sample → 5.80 in a late
     // watcher-fired ceiling run, measured UNDER load 9 — a loaded
