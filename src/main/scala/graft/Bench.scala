@@ -121,7 +121,8 @@ object Bench {
     // round-12 additions: the state-table compaction certificate and
     // the streaming shard-ingest composition
     "q156_compaction_cert",
-    "q157_streaming_shard_ingest")
+    "q157_streaming_shard_ingest",
+    "q158_state_cdc_vacuum")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -303,7 +304,11 @@ object Bench {
     // rule (6.82 → 6.02 full-run offset-0 sample → 5.80 in a late
     // watcher-fired ceiling run, measured UNDER load 9 — a loaded
     // sample can only overestimate the floor, so the min stands)
-    "q157_streaming_shard_ingest" -> 5.80)
+    "q157_streaming_shard_ingest" -> 5.80,
+    // q158: introduction minimum of two matching sf0.1 runs
+    // (3.295/3.400, loadavg ~1.8 — flag with the other round-12
+    // semi-loaded intros for re-base DOWN at a quiet window)
+    "q158_state_cdc_vacuum" -> 3.30)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -131,6 +131,110 @@ object StateQueries {
        |  cast(0 AS bigint) AS equiv_diff
        |FROM state GROUP BY part ORDER BY part""".stripMargin)
 
+  /** q158: VERSION-CDC + VACUUM certificate — the two [[StateTable]]
+    * lifecycle ops q156 left spec-only, judged together because they
+    * are two sides of the same versioned-store contract: CDC is what
+    * retained versions BUY (change capture as a pure join — no log, no
+    * triggers), vacuum is what bounds their cost, and vacuum must
+    * never touch the version CDC just read.
+    *
+    * Three real versions through the store: v1 = first load (append
+    * semantics), v2 = the §2.4 LWW re-run (updates + inserts), v3 = a
+    * deletion-slice purge (`o_orderkey % 83`, q136's right-to-be-
+    * forgotten convention applied to the STATE STORE). The judged
+    * (metric, value) rows carry [[StateTable.diff]]'s per-`_change`
+    * key counts and key sums for BOTH hops — v1→v2 must surface
+    * exactly the LWW updates and the unseen-key inserts (and zero
+    * deletes), v2→v3 exactly the purged keys (and zero
+    * inserts/updates) — plus the vacuum accounting: versions 3 → 1
+    * (measured from the store, contract-pinned by the oracle) and the
+    * post-vacuum CURRENT contents replayed by the oracle from the
+    * upsert+purge semantics, proving the destructive op removed only
+    * history.
+    *
+    * Harness note: the CDC aggregates are PINNED (eagerly
+    * materialized, ≤3 rows each) BEFORE vacuum runs — the diff frames
+    * read the version directories lazily, and vacuum deletes exactly
+    * those directories; an unpinned plan would fail (or silently read
+    * nothing) at materialization. That ordering constraint is itself
+    * part of the production contract this query certifies (CDC
+    * consumers must drain before retention runs) and is what
+    * StateQueriesSpec's lifecycle test pins.
+    *
+    * Scale: each diff is one key-keyed full-outer join between two
+    * latest-per-key frames (two scans per hop — the CDC price); the
+    * judged assembly moves ≤ a dozen 1-row aggregates; vacuum is
+    * filesystem-only. The store is unpartitioned here, covering the
+    * non-hive path q156's fixture doesn't.
+    */
+  val q158StateCdcVacuum: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      def ord(df: DataFrame): DataFrame = df.withColumn("ord", col("o_orderkey"))
+      val st = new StateTable(s,
+        graft.core.Staging.invocationDir("graft_q158_state", dir),
+        Seq("o_orderkey"))
+      st.upsert(ord(o.filter(col("o_orderkey") % 3 =!= 0)), Some("ord"))
+      val v1 = st.currentVersion.get
+      st.upsert(ord(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))), Some("ord"))
+      val v2 = st.currentVersion.get
+      st.overwrite(st.read().get.filter(col("o_orderkey") % 83 =!= 0))
+      val v3 = st.currentVersion.get
+
+      def cdc(from: String, to: String, tag: String): DataFrame =
+        graft.core.Checkpoints.pin(st.diff(from, to)
+          .groupBy(col("_change"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("ks"))
+          .select(concat(lit(s"${tag}_"), col("_change")).as("m"),
+            col("n"), col("ks")))
+      // pinned BEFORE vacuum (see scaladoc: vacuum deletes the very
+      // directories the lazy diff plans read)
+      val d12 = cdc(v1, v2, "cdc12")
+      val d23 = cdc(v2, v3, "cdc23")
+      val versionsBefore = st.history().size.toLong
+      st.vacuum()
+      val versionsAfter = st.history().size.toLong
+      require(st.currentVersion.contains(v3), "vacuum moved the pointer")
+
+      val post = st.current().get
+      val postAgg = post.agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("ks"))
+      val cdcRows = d12.unionByName(d23)
+        .select(explode(map(
+          concat(col("m"), lit("_keys")), col("n"),
+          concat(col("m"), lit("_keysum")), col("ks"))).as(Seq("metric", "value")))
+      val vacRows = postAgg.select(explode(map(
+        lit("post_vacuum_rows"), col("n"),
+        lit("post_vacuum_keysum"), col("ks"),
+        lit("versions_before_vacuum"), lit(versionsBefore),
+        lit("versions_after_vacuum"), lit(versionsAfter))).as(Seq("metric", "value")))
+      cdcRows.unionByName(vacRows).orderBy(col("metric"))
+    },
+    s"""WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0),
+       |batch AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+       |-- v1->v2: LWW updates are the keys present in both (the 1.1x
+       |-- price always differs on positive prices); inserts are the
+       |-- batch keys unseen by the first load
+       |upd AS (SELECT o_orderkey FROM base INTERSECT SELECT o_orderkey FROM batch),
+       |ins AS (SELECT o_orderkey FROM batch EXCEPT SELECT o_orderkey FROM base),
+       |s2 AS (SELECT o_orderkey FROM base UNION SELECT o_orderkey FROM batch),
+       |del AS (SELECT o_orderkey FROM s2 WHERE o_orderkey % 83 = 0),
+       |s3 AS (SELECT o_orderkey FROM s2 WHERE o_orderkey % 83 <> 0)
+       |SELECT metric, value FROM (
+       |  SELECT 'cdc12_update_keys' AS metric, cast(count(*) AS bigint) AS value FROM upd
+       |  UNION ALL SELECT 'cdc12_update_keysum', ${graft.ext.OracleSql.bigSum("o_orderkey")} FROM upd
+       |  UNION ALL SELECT 'cdc12_insert_keys', cast(count(*) AS bigint) FROM ins
+       |  UNION ALL SELECT 'cdc12_insert_keysum', ${graft.ext.OracleSql.bigSum("o_orderkey")} FROM ins
+       |  UNION ALL SELECT 'cdc23_delete_keys', cast(count(*) AS bigint) FROM del
+       |  UNION ALL SELECT 'cdc23_delete_keysum', ${graft.ext.OracleSql.bigSum("o_orderkey")} FROM del
+       |  UNION ALL SELECT 'post_vacuum_rows', cast(count(*) AS bigint) FROM s3
+       |  UNION ALL SELECT 'post_vacuum_keysum', ${graft.ext.OracleSql.bigSum("o_orderkey")} FROM s3
+       |  UNION ALL SELECT 'versions_before_vacuum', cast(3 AS bigint)
+       |  UNION ALL SELECT 'versions_after_vacuum', cast(1 AS bigint)
+       |) ORDER BY metric""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
-    "q156_compaction_cert" -> q156CompactionCert)
+    "q156_compaction_cert" -> q156CompactionCert,
+    "q158_state_cdc_vacuum" -> q158StateCdcVacuum)
 }

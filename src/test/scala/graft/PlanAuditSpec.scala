@@ -728,7 +728,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // certificate, intentionally whole-table), the equiv per-part
       // rollup and the 5-row output sort; the part-keyed assembly
       // joins broadcast
-      "q156_compaction_cert" -> 10)
+      "q156_compaction_cert" -> 10,
+      // q158 (round-12, audited at introduction): the CDC aggregates
+      // are pinned ≤3-row frames materialized at construction (they
+      // MUST drain before vacuum deletes the version dirs they read —
+      // the lifecycle contract the query certifies), so the judged
+      // plan is the post-vacuum 1-row rollup + the kv output sort
+      "q158_state_cdc_vacuum" -> 2)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

@@ -35,6 +35,22 @@ class StateQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 certificate rows are non-degenerate and the store ends vacuumed") {
+    val sf = TestSpark.testdata("0.001")
+    val rows = graft.SparkEntry.queries("q158_state_cdc_vacuum")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every lifecycle leg must actually fire on the corpus: LWW
+    // updates, unseen-key inserts, purge deletes — a fixture where any
+    // slice is empty would certify nothing for that change type (and
+    // the spurious-change direction is oracle-visible: an unexpected
+    // _change emits a metric row the oracle lacks)
+    assert(rows("cdc12_update_keys") > 0L, "no LWW updates captured")
+    assert(rows("cdc12_insert_keys") > 0L, "no inserts captured")
+    assert(rows("cdc23_delete_keys") > 0L, "no purge deletes captured")
+    assert(rows("versions_before_vacuum") == 3L && rows("versions_after_vacuum") == 1L)
+    assert(rows("post_vacuum_rows") > 0L)
+  }
+
   test("q156's store leaves both versions retained and LWW visible post-compact") {
     import spark.implicits._
     val sf = TestSpark.testdata("0.001")
