@@ -161,7 +161,9 @@ object Bench {
     * record, so it must not drift silently.
     */
   private[graft] def fullRunOrder(active: Seq[String]): Seq[String] =
-    active.sortBy(n => (-reference(n), active.indexOf(n)))
+    active.zipWithIndex.sortBy { case (n, i) =>
+      (-reference.getOrElse(n, sys.error(s"no reference for $n")), i)
+    }.map(_._1)
 
   /** Steady-state per-query reference times (sec, sf0.1, local[32]):
     * the per-query MIN across all verified quiet-window rounds — last
@@ -300,11 +302,11 @@ object Bench {
     // watcher firings (introduction was a semi-loaded ceiling, per its
     // own flag; successive loaded-window minima per the MIN rule)
     "q156_compaction_cert" -> 2.81,
-    // q157 re-based DOWN twice in its introduction round per the MIN
-    // rule (6.82 → 6.02 full-run offset-0 sample → 5.80 in a late
-    // watcher-fired ceiling run, measured UNDER load 9 — a loaded
-    // sample can only overestimate the floor, so the min stands)
-    "q157_streaming_shard_ingest" -> 5.80,
+    // q157 re-based DOWN three times per the MIN rule (6.82 → 6.02
+    // full-run offset-0 sample → 5.80 late watcher ceiling run under
+    // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
+    // slot at load 7 — a loaded sample can only overestimate the floor)
+    "q157_streaming_shard_ingest" -> 5.37,
     // q158: re-based DOWN 3.30 → 2.20 within its introduction round
     // (the MIN rule across three sf0.1 runs: 3.295/3.400 first-process
     // samples, then 2.200 in a warm grouped run — the earlier values

@@ -1264,8 +1264,10 @@ object AnalyticsOps {
     "q55_grouping_sets" -> q55GroupingSets,
     "q56_gapfill" -> q56GapFill,
     "q57_histogram" -> q57Histogram,
-    // both decile names run the scale-safe distributed plan; the naive
-    // ntile window (q62NtileNaive) is a test-only cross-check
-    "q62_deciles" -> q62bDecilesDist,
+    // one registry name per distinct plan: the legacy "q62_deciles"
+    // alias (same QuerySpec) double-ran this plan in every Verify pass
+    // and inflated the judged-query count by one, so it was dropped in
+    // round 13; the naive ntile window (q62NtileNaive) remains a
+    // test-only cross-check
     "q62b_deciles_dist" -> q62bDecilesDist)
 }

@@ -120,8 +120,7 @@ object MinHashSigs {
 
   /** Register `minhash_sigs(arr, k)` (k must be a literal). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs", builder, "scala_udf")
+    Registration.once(spark, "minhash_sigs", builder)
 }
 
 /** One MessageDigest per thread for the hash kernels — getInstance per

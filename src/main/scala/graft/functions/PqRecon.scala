@@ -157,6 +157,5 @@ object PqRecon {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_recon", builder, "scala_udf")
+    Registration.once(spark, "pq_recon", builder)
 }

@@ -72,6 +72,5 @@ object RollingHash {
     * build time instead.)
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    Registration.once(spark, "rolling_hash", exprs => RollingHash(exprs.head))
 }

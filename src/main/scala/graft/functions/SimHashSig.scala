@@ -99,6 +99,5 @@ object SimHashSig {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_sig", builder, "scala_udf")
+    Registration.once(spark, "simhash_sig", builder)
 }

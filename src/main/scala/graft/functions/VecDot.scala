@@ -93,6 +93,5 @@ object VecDot {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", builder, "scala_udf")
+    Registration.once(spark, "vec_dot", builder)
 }

@@ -87,6 +87,5 @@ object VecL2 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_l2", builder, "scala_udf")
+    Registration.once(spark, "vec_l2", builder)
 }

@@ -107,6 +107,5 @@ object WinnowFingerprints {
     * built with [[graft.GraftExtensions]] get it injected at build time).
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps", exprs => WinnowFingerprints(exprs.head), "scala_udf")
+    Registration.once(spark, "winnow_fps", exprs => WinnowFingerprints(exprs.head))
 }

@@ -99,8 +99,23 @@ object StateQueries {
           sum(col("o_orderkey")).as("key_sum"),
           sum(floor(col("o_totalprice") * lit(100)).cast("long")).as("price_cents"),
           countDistinct(col("_metadata.file_path")).as("n_files"))
-      val preFiles = version(preV).groupBy(col("part"))
-        .agg(countDistinct(col("_metadata.file_path")).as("nf_pre"))
+      // Pinned (≤5 rows) so the fragmentation PRECONDITION can be
+      // asserted here with a named error: the oracle pins frag_before
+      // = 1, which holds only while the upsert's updated ∪ inserts
+      // union physically writes ≥ 2 files into every directory. A
+      // writer-layout change (single-task union, AQE rebalance) must
+      // surface as this precondition failure, not as an opaque judged
+      // hash mismatch. The join below reuses the pinned frame — same
+      // single accounting scan as before.
+      val preFiles = graft.core.Checkpoints.pin(version(preV).groupBy(col("part"))
+        .agg(countDistinct(col("_metadata.file_path")).as("nf_pre")))
+      val minPre = preFiles.agg(min(col("nf_pre"))).head().getLong(0)
+      require(minPre >= 2,
+        s"q156 fixture precondition: pre-compact version $preV has a " +
+          s"partition directory with only $minPre file(s); the upsert " +
+          "writer no longer fragments (updated ∪ inserts must write ≥ 2 " +
+          "files per touched directory) — the compaction certificate " +
+          "would be vacuous")
       content
         .join(preFiles, Seq("part"))
         .join(equiv, Seq("part"))
@@ -169,7 +184,14 @@ object StateQueries {
     */
   val q158StateCdcVacuum: QuerySpec = QuerySpec(
     (s, dir) => {
+      // Positive-price fixture filter, mirrored in the oracle: the
+      // oracle equates cdc12 updates with base ∩ batch, which relies on
+      // o_totalprice * 1.1 ≠ o_totalprice for every fixture row. True
+      // for all TPC-H data, but make it structural rather than assumed —
+      // a zero-price row would silently drop its key from diff's update
+      // set and fail the judged row for a non-CDC reason.
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_totalprice") > 0)
       def ord(df: DataFrame): DataFrame = df.withColumn("ord", col("o_orderkey"))
       val st = new StateTable(s,
         graft.core.Staging.invocationDir("graft_q158_state", dir),
@@ -211,8 +233,10 @@ object StateQueries {
         lit("versions_after_vacuum"), lit(versionsAfter))).as(Seq("metric", "value")))
       cdcRows.unionByName(vacRows).orderBy(col("metric"))
     },
-    s"""WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0),
-       |batch AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+    s"""WITH base AS (SELECT o_orderkey FROM orders
+       |              WHERE o_orderkey % 3 <> 0 AND o_totalprice > 0),
+       |batch AS (SELECT o_orderkey FROM orders
+       |          WHERE o_orderkey % 2 = 0 AND o_totalprice > 0),
        |-- v1->v2: LWW updates are the keys present in both (the 1.1x
        |-- price always differs on positive prices); inserts are the
        |-- batch keys unseen by the first load

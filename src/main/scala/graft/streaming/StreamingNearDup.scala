@@ -267,6 +267,16 @@ object StreamingHammingDup {
     import events.sparkSession.implicits._
     val tombKeys = events.filter(col("tomb"))
       .select(col("band"), col("v")).distinct().as[(Int, Long)].collect().toSeq
+    // Enforce the boundedness argument above instead of trusting it: the
+    // set is ≤ distinct-band-rows/cap by construction, so crossing an
+    // absolute sanity bound means the cap is misconfigured (or the band
+    // distribution is adversarial) and the driver materialization + the
+    // re-seed broadcast would both be unsafe — fail with the cap named
+    // rather than OOM the driver.
+    require(tombKeys.size <= 500000,
+      s"exactFlags: tombstoned (band, v) set has ${tombKeys.size} keys " +
+        s"(> 500000 sanity bound); cap=$cap is too small for this band " +
+        "distribution — the driver-side re-seed set is no longer bounded")
     if (tombKeys.isEmpty) survivingFlags(events)
     else survivingFlags(events)
       .unionByName(reseedFlags(tombKeys, liveBandRows, cap, hamMax))

@@ -335,7 +335,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // RangePartitioning) — the regression this test locks out. Every
     // hash exchange left must carry pre-aggregated (bounded) rows.
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    for (n <- Seq("q62_deciles", "q62b_deciles_dist", "q75_shard_packing")) {
+    for (n <- Seq("q62b_deciles_dist", "q75_shard_packing")) {
       plan(n).collect {
         case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
       }.foreach { e =>
