@@ -122,7 +122,9 @@ object Bench {
     // the streaming shard-ingest composition
     "q156_compaction_cert",
     "q157_streaming_shard_ingest",
-    "q158_state_cdc_vacuum")
+    "q158_state_cdc_vacuum",
+    // round-13 addition: the CSV-ingestion certificate
+    "q159_csv_ingest_cert")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -311,7 +313,11 @@ object Bench {
     // (the MIN rule across three sf0.1 runs: 3.295/3.400 first-process
     // samples, then 2.200 in a warm grouped run — the earlier values
     // carried fresh-JVM store-staging cost)
-    "q158_state_cdc_vacuum" -> 2.20)
+    "q158_state_cdc_vacuum" -> 2.20,
+    // q159 introduced round 13: min of the introduction targeted run
+    // (2.60/1.80/1.51 at load 2.5 — staging write + multi-file CSV scan
+    // dominate; re-base DOWN on any later quiet sub-ref sample)
+    "q159_csv_ingest_cert" -> 1.51)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

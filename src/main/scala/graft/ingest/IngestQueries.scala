@@ -1,0 +1,155 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.tables.Tables
+
+/** q159: the CSV-ingestion certificate — the judged gate for the S1/P1–P5
+  * cleaning contract that was previously spec-only (the one SURVEY §2
+  * block a user hits on every single load).
+  *
+  * The fixture stages a real landing directory of orders-shaped CSV text
+  * with every reference ingestion hazard baked in at byte level, derived
+  * deterministically from the orders table so the oracle can replay the
+  * generator (staged stores are process-scoped and swept before the
+  * oracle runs, so — as with every staged query — the oracle replays the
+  * derivation, it does not re-read the staging):
+  *
+  *  - camelCase headers, one per part file (`flows/utils.py:4–5` rename;
+  *    multi-file landing dirs mean the reader must skip a header line in
+  *    EVERY file, not just the first);
+  *  - both ISO-8601 precision variants the reference corpus mixes
+  *    (`flows/data_ingestion.py:86–91`): with-seconds
+  *    `2024-01-02T03:04:05Z` on even keys, seconds-less
+  *    `2024-01-02T03:04Z` on odd keys — one `timestampFormat` cannot
+  *    express both, which is exactly what [[graft.core.Schemas.parseDateTime]]'s
+  *    coalesce exists for;
+  *  - UNQUOTED empty fields (campaign on keys ≡ 0 mod 5) that must land
+  *    as NULL (pandas NaN→None parity, `flows/data_ingestion.py:109–112`);
+  *  - QUOTED fields containing the delimiter (`"camp,N"`) that must
+  *    round-trip through RFC-4180 unquoting intact — a broken quote path
+  *    shifts every following column and poisons the timestamp parse,
+  *    which the judged `n_ts_null = 0` pins;
+  *  - verbatim duplicate lines (keys ≡ 0 mod 11 emitted twice): the
+  *    reader preserves multiplicity — dedup belongs to the upsert layer
+  *    (§2.4), never the reader;
+  *  - numeric round-trips: int quantity, two-decimal double
+  *    shippingCost, full-precision double amount (shortest-round-trip
+  *    double formatting on write, so parse-back is bit-exact and the
+  *    cent-floor aggregates match the oracle's replay bit-for-bit).
+  *
+  * The measured operator is [[Ingest.readOrdersCsv]] — declared schema
+  * (never inference: at 100 TB an inference pass is a full extra read),
+  * nullValue="" cleaning, rename, dual-format parse — feeding one
+  * 3-group rollup whose every column is sensitive to one hazard. The
+  * fixture lines are built by whole-column expressions and written
+  * line-splittable (header prepended per partition, no driver loop), so
+  * the staging itself is shaped like a distributed extract job, and the
+  * certificate read scans N files in N tasks with zero shuffle before
+  * the final 3-group aggregate.
+  *
+  * What the oracle cannot see — that the staged bytes really carry the
+  * hazards (a degenerate generator would replay green) — IngestCertSpec
+  * pins against the raw staged text: header per file, both timestamp
+  * shapes, unquoted-empty and quoted-comma fields, duplicated lines.
+  */
+object IngestQueries {
+
+  private[graft] val Header =
+    "orderId,productId,currency,quantity,shippingCost,amount," +
+      "channel,channelGroup,campaign,dateTime"
+
+  /** The hazard-laden CSV line set, derived from orders (shared by the
+    * judged query and IngestCertSpec so fixture and assertions cannot
+    * drift). Duplicate lines included; header NOT included.
+    */
+  private[graft] def fixtureLines(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority"), col("o_orderstatus"))
+    val dup = src.unionAll(src.filter(col("k") % 11 === 0))
+    val ts = expr(
+      "o_orderdate + make_interval(0, 0, 0, 0, 0, cast(k % 1440 as int), " +
+        "cast(case when k % 2 = 0 then k % 60 else 0 end as int))")
+    dup.select(concat(
+      col("k").cast("string"), lit(","),
+      col("o_custkey").cast("string"), lit(","),
+      when(col("k") % 3 === 0, "EUR").otherwise("USD"), lit(","),
+      (col("k") % 50 + 1).cast("int").cast("string"), lit(","),
+      ((col("k") % 2000).cast("double") / 100.0).cast("string"), lit(","),
+      col("o_totalprice").cast("string"), lit(","),
+      col("o_orderpriority"), lit(","),
+      col("o_orderstatus"), lit(","),
+      // quoted-delimiter hazard on the live branch, unquoted-empty on
+      // the null branch — both exact bytes, no writer mediation
+      when(col("k") % 5 === 0, lit(""))
+        .otherwise(concat(lit("\"camp,"), (col("k") % 7).cast("string"), lit("\""))),
+      lit(","),
+      when(col("k") % 2 === 0, date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .otherwise(date_format(ts, "yyyy-MM-dd'T'HH:mm'Z'"))).as("value"))
+  }
+
+  /** Stage the fixture as a 4-file landing dir, each file carrying its
+    * own camelCase header line (the CSV reader skips one header line per
+    * file — a multi-file landing dir is the production shape).
+    */
+  private[graft] def stageOrdersCsv(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    fixtureLines(spark, dir).repartition(4).as[String]
+      .mapPartitions(it => Iterator(Header) ++ it)
+      .write.mode("overwrite").text(out)
+  }
+
+  val q159CsvIngestCert: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val staged = graft.core.Staging.invocationDir("graft_q159_csv", dir)
+      stageOrdersCsv(s, dir, staged)
+      val ing = Ingest.readOrdersCsv(s, staged)
+      ing.groupBy(col("channel_group"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("campaign").isNull, 1)).as("null_campaigns"),
+          sum(length(col("campaign"))).cast("long").as("campaign_chars"),
+          count(when(col("currency") === "EUR", 1)).as("n_eur"),
+          sum(col("quantity")).as("qty_sum"),
+          sum(floor(col("shipping_cost") * 100).cast("long")).as("ship_cents"),
+          sum(floor(col("amount") * 100).cast("long")).as("amount_cents"),
+          sum(unix_timestamp(col("date_time"))).as("ts_epoch_sum"),
+          count(when(col("date_time").isNull, 1)).as("n_ts_null"))
+        .orderBy(col("channel_group"))
+    },
+    s"""WITH src AS (
+       |  SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderdate,
+       |         o_orderpriority, o_orderstatus
+       |  FROM orders),
+       |dup AS (SELECT * FROM src UNION ALL SELECT * FROM src WHERE k % 11 = 0),
+       |ing AS (
+       |  SELECT o_orderstatus AS channel_group,
+       |    CASE WHEN k % 5 = 0 THEN NULL
+       |         ELSE 'camp,' || cast(k % 7 AS varchar) END AS campaign,
+       |    CASE WHEN k % 3 = 0 THEN 'EUR' ELSE 'USD' END AS currency,
+       |    cast(k % 50 + 1 AS integer) AS quantity,
+       |    (k % 2000) / 100.0 AS shipping_cost,
+       |    o_totalprice AS amount,
+       |    o_orderdate
+       |      + (k % 1440) * INTERVAL 1 minute
+       |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
+       |      AS date_time
+       |  FROM dup)
+       |SELECT channel_group,
+       |  cast(count(*) AS bigint) AS n_rows,
+       |  cast(count(*) FILTER (campaign IS NULL) AS bigint) AS null_campaigns,
+       |  cast(sum(length(campaign)) AS bigint) AS campaign_chars,
+       |  cast(count(*) FILTER (currency = 'EUR') AS bigint) AS n_eur,
+       |  cast(sum(quantity) AS bigint) AS qty_sum,
+       |  cast(sum(cast(floor(shipping_cost * 100) AS bigint)) AS bigint) AS ship_cents,
+       |  cast(sum(cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(sum(cast(epoch(date_time) AS bigint)) AS bigint) AS ts_epoch_sum,
+       |  cast(count(*) FILTER (date_time IS NULL) AS bigint) AS n_ts_null
+       |FROM ing GROUP BY channel_group ORDER BY channel_group""".stripMargin)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q159_csv_ingest_cert" -> q159CsvIngestCert)
+}

@@ -734,7 +734,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // MUST drain before vacuum deletes the version dirs they read —
       // the lifecycle contract the query certifies), so the judged
       // plan is the post-vacuum 1-row rollup + the kv output sort
-      "q158_state_cdc_vacuum" -> 2)
+      "q158_state_cdc_vacuum" -> 2,
+      // q159 (round-13, audited at introduction): the landing-dir
+      // staging is a construction side effect (q74/q103 convention);
+      // the judged plan is one multi-file CSV scan feeding the 3-group
+      // rollup (one hash exchange) + the 3-row output sort — the
+      // reader path itself is scan-parallel, shuffle-free
+      "q159_csv_ingest_cert" -> 2)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

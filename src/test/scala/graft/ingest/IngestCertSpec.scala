@@ -1,0 +1,82 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Guards for the q159 CSV-ingestion certificate beyond the oracle gate.
+  * The oracle replays the fixture generator, so a DEGENERATE generator —
+  * one that stopped emitting a hazard — would stay green while gating
+  * nothing. These tests pin, against the RAW staged bytes, that every
+  * reference ingestion hazard is physically present in the landing dir,
+  * and that the ingested frame shows each hazard's cleaned footprint.
+  */
+class IngestCertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def staged(): (String, Array[String]) = {
+    val sf = TestSpark.testdata("0.001")
+    val dir = graft.core.Staging.invocationDir("graft_ingest_cert_spec", sf)
+    IngestQueries.stageOrdersCsv(spark, sf, dir)
+    val lines = spark.read.textFile(dir).collect()
+    (dir, lines)
+  }
+
+  test("staged landing dir physically carries every reference hazard") {
+    val (dir, lines) = staged()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(files.length == 4, "fixture is a 4-file landing dir")
+
+    // one camelCase header per FILE (the reader must skip all four, not
+    // just the first — a concatenated-read regression doubles n_rows)
+    val headers = lines.count(_ == IngestQueries.Header)
+    assert(headers == 4, s"expected one header per file, found $headers")
+    assert(IngestQueries.Header.contains("channelGroup") &&
+      IngestQueries.Header.contains("dateTime"),
+      "headers must be camelCase for the rename hazard to exist")
+
+    val data = lines.filterNot(_ == IngestQueries.Header)
+    // unquoted-empty campaign field directly before the timestamp
+    assert(data.exists(_.matches(""".*,,\d{4}-\d{2}-\d{2}T.*""")),
+      "no unquoted-empty campaign field staged")
+    // quoted field containing the delimiter
+    assert(data.exists(_.contains("\"camp,")),
+      "no quoted-comma campaign field staged")
+    // both ISO-8601 precision variants
+    assert(data.exists(_.matches(""".*T\d{2}:\d{2}:\d{2}Z$""")),
+      "no with-seconds timestamp staged")
+    assert(data.exists(_.matches(""".*T\d{2}:\d{2}Z$""")),
+      "no seconds-less timestamp staged")
+    // verbatim duplicate lines (reader must preserve multiplicity)
+    assert(data.groupBy(identity).exists(_._2.length > 1),
+      "no duplicated line staged")
+  }
+
+  test("ingested frame shows each hazard's cleaned footprint") {
+    val sf = TestSpark.testdata("0.001")
+    val df = graft.SparkEntry.queries("q159_csv_ingest_cert")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 3, "one rollup row per o_orderstatus group")
+    rows.foreach { r =>
+      def g(n: String) = r.getLong(r.fieldIndex(n))
+      assert(g("n_ts_null") == 0L,
+        s"a timestamp failed to parse — quoting or dual-format parse broke: $r")
+      assert(g("null_campaigns") > 0L, s"empty->NULL cleaning left no nulls: $r")
+      assert(g("campaign_chars") > 0L && g("n_eur") > 0L)
+      assert(g("n_rows") > 0L && g("ts_epoch_sum") > 0L)
+    }
+    // the quoted comma really survives into the cleaned column
+    val staged2 = graft.core.Staging.invocationDir("graft_ingest_cert_spec2", sf)
+    IngestQueries.stageOrdersCsv(spark, sf, staged2)
+    val ing = Ingest.readOrdersCsv(spark, staged2)
+    assert(ing.filter(col("campaign").startsWith("camp,")).limit(1).count() == 1L,
+      "unquoted campaign lost its embedded delimiter")
+    assert(ing.columns.toSeq ==
+      Seq("order_id", "product_id", "currency", "quantity", "shipping_cost",
+        "amount", "channel", "channel_group", "campaign", "date_time"),
+      "camelCase->snake_case rename drifted")
+  }
+}
