@@ -123,8 +123,10 @@ object Bench {
     "q156_compaction_cert",
     "q157_streaming_shard_ingest",
     "q158_state_cdc_vacuum",
-    // round-13 addition: the CSV-ingestion certificate
-    "q159_csv_ingest_cert")
+    // round-13 additions: the CSV-ingestion and schema-evolution
+    // certificates
+    "q159_csv_ingest_cert",
+    "q160_schema_evolution_cert")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -317,7 +319,11 @@ object Bench {
     // q159 introduced round 13: min of the introduction targeted run
     // (2.60/1.80/1.51 at load 2.5 — staging write + multi-file CSV scan
     // dominate; re-base DOWN on any later quiet sub-ref sample)
-    "q159_csv_ingest_cert" -> 1.51)
+    "q159_csv_ingest_cert" -> 1.51,
+    // q160 introduced round 13: min of the introduction targeted run
+    // (3.76/3.05/2.42 at load 3.9 — three store versions + the sync
+    // rewrite dominate; re-base DOWN on any later quiet sub-ref sample)
+    "q160_schema_evolution_cert" -> 2.42)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

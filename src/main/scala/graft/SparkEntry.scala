@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Relational.all ++ reports.Quality.all ++ ext.TextOps.all ++ ext.VectorOps.all ++
       ext.EventOps.all ++ ext.ProfileOps.all ++ ext.AnalyticsOps.all ++ ext.CorpusOps.all ++
       ext.Multimodal.all ++ ext.BucketedOps.all ++ ext.PiiOps.all ++
-      streaming.StreamingQueries.all ++ state.StateQueries.all ++ ingest.IngestQueries.all
+      streaming.StreamingQueries.all ++ state.StateQueries.all ++ ingest.IngestQueries.all ++
+      schemasync.SchemaSyncQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

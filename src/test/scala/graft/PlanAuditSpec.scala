@@ -740,7 +740,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // the judged plan is one multi-file CSV scan feeding the 3-group
       // rollup (one hash exchange) + the 3-row output sort — the
       // reader path itself is scan-parallel, shuffle-free
-      "q159_csv_ingest_cert" -> 2)
+      "q159_csv_ingest_cert" -> 2,
+      // q160 (round-13, audited at introduction): the store lifecycle
+      // (load → sync rewrite → evolved ingest → no-op syncs) is a
+      // construction side effect; the judged plan is one store scan
+      // into the 1-row content rollup + the 13-row metric sort — the
+      // contract frame is a broadcast-free range(1) explode
+      "q160_schema_evolution_cert" -> 2)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
