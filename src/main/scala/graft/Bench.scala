@@ -245,7 +245,17 @@ object Bench {
     // through most windows — q134/q135 especially carry loaded-window
     // ceilings; future quiet rounds may re-base DOWN)
     "q133_image_neardup" -> 1.21, "q134_training_data_card" -> 4.06,
-    "q135_multimodal_neardup" -> 4.95, "q136_deletion_purge" -> 3.95,
+    // q135 re-based UP round 13 under the introduction-artifact rule's
+    // rework corollary: the 4.95 floor belonged to the PRE-round-11
+    // plan (re-based at 90c80cb, before the one-scan rework at
+    // e1c026d); the reworked plan's quiet floor measured 5.74–5.77 in
+    // THREE truly-quiet round-11 windows, and no later sample across
+    // ~15 round-12/13 observations (best 6.26 loaded, 7.80 from a
+    // 0.04-loadavg round-13 start) ever undercut it — a floor the
+    // current code never reproduces only burns the stall-retime budget
+    // (it fired at 11.1 s in the round-12 full run). MIN rule still
+    // applies: any future quiet sample below 5.74 re-bases DOWN.
+    "q135_multimodal_neardup" -> 5.74, "q136_deletion_purge" -> 3.95,
     "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95,
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
