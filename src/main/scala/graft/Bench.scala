@@ -321,19 +321,17 @@ object Bench {
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
     "q157_streaming_shard_ingest" -> 5.37,
-    // q158: re-based DOWN 3.30 → 2.20 within its introduction round
-    // (the MIN rule across three sf0.1 runs: 3.295/3.400 first-process
-    // samples, then 2.200 in a warm grouped run — the earlier values
-    // carried fresh-JVM store-staging cost)
-    "q158_state_cdc_vacuum" -> 2.20,
-    // q159 introduced round 13: min of the introduction targeted run
-    // (2.60/1.80/1.51 at load 2.5 — staging write + multi-file CSV scan
-    // dominate; re-base DOWN on any later quiet sub-ref sample)
-    "q159_csv_ingest_cert" -> 1.51,
-    // q160 introduced round 13: min of the introduction targeted run
-    // (3.76/3.05/2.42 at load 3.9 — three store versions + the sync
-    // rewrite dominate; re-base DOWN on any later quiet sub-ref sample)
-    "q160_schema_evolution_cert" -> 2.42)
+    // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 in the round-13
+    // full quiet-start run (warm grouped slot, the MIN rule)
+    "q158_state_cdc_vacuum" -> 1.97,
+    // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
+    // 0.87 in the same round's full quiet-start run (warm grouped slot
+    // — the introduction value carried fresh-JVM staging cost)
+    "q159_csv_ingest_cert" -> 0.87,
+    // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
+    // 1.48 in the same round's full quiet-start run (warm grouped slot
+    // — the introduction value carried fresh-JVM store-staging cost)
+    "q160_schema_evolution_cert" -> 1.48)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
