@@ -229,7 +229,7 @@ object Bench {
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.51,
-    "q119_repeated_spans" -> 1.69, "q120_ivfpq_ann" -> 0.4,
+    "q119_repeated_spans" -> 1.66, "q120_ivfpq_ann" -> 0.4,
     "q121_span_coverage" -> 1.66, "q122_bpe_merges" -> 0.78,
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
@@ -321,17 +321,17 @@ object Bench {
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
     "q157_streaming_shard_ingest" -> 5.37,
-    // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 in the round-13
-    // full quiet-start run (warm grouped slot, the MIN rule)
-    "q158_state_cdc_vacuum" -> 1.97,
+    // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 across
+    // the round-13 full runs (warm grouped slots, the MIN rule)
+    "q158_state_cdc_vacuum" -> 1.93,
     // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
     // 0.87 in the same round's full quiet-start run (warm grouped slot
     // — the introduction value carried fresh-JVM staging cost)
     "q159_csv_ingest_cert" -> 0.87,
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
-    // 1.48 in the same round's full quiet-start run (warm grouped slot
-    // — the introduction value carried fresh-JVM store-staging cost)
-    "q160_schema_evolution_cert" -> 1.48)
+    // 1.48 then 1.36 across the same round's full runs (warm grouped
+    // slots — the introduction value carried fresh-JVM staging cost)
+    "q160_schema_evolution_cert" -> 1.36)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -378,9 +378,6 @@ object Bench {
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
       .foreach(d => spark.conf.set(graft.core.Checkpoints.DirConf, d))
 
-    // JVM JIT + codegen warmup: run every headline query once on the
-    // smallest corpus (excluded from timing) so measurements reflect
-    // steady-state executor throughput, not first-call compilation.
     // optional args = subset of headline names to time (local iteration
     // aid; the driver always runs the full list). Unknown names fail
     // fast — silently dropping a typo would print a bogus 0-second run.
@@ -424,10 +421,30 @@ object Bench {
     // deterministic round to round (introduction entries ride a high
     // provisional reference to the front — see fullRunOrder's doc).
     val wanted = if (args.isEmpty) fullRunOrder(active) else args.toIndexedSeq.distinct
-    val warmDir = "/root/testdata/sf0.001"
-    val warmup = if (new java.io.File(warmDir).exists()) warmDir else sfDir
+    // Untimed warmup pass: run every selected query once AT THE TIMED
+    // SCALE before any measurement. This warms three cost classes the
+    // timed samples must not carry: JVM JIT + codegen (first-call
+    // compilation), the OS page cache over the shared sfDir parquet,
+    // and — decisive for the multimodal/blob families — the MEMOIZED
+    // sharedDir corpus staging, which is fixture construction built
+    // once per (prefix, scale, process) and reused by every later
+    // invocation. Historically the warmup ran at sf0.001, which warmed
+    // codegen but left the first timed slot paying the sfDir staging
+    // (round-12 forensics: q114's first sample 17.6 s vs 1.7 s steady,
+    // q135 13.3 → 10.6 within one slot — and the round-12 full run
+    // burned its one stall-retime on exactly that artifact). The
+    // references are MIN-across-quiet-runs, i.e. staging-warm by
+    // construction, so warming the measured process is what makes the
+    // official record comparable to its own baseline. Crucially the
+    // split is principled: sharedDir staging is MEMOIZED fixture
+    // construction (warmup builds it, timed runs reuse it), while
+    // invocation-scoped stores (q74/q103/q156/q158/q159/q160 — where
+    // the store round-trip IS the measured operator) get a FRESH dir
+    // every invocation by design, so their staging stays inside the
+    // timed samples exactly as before; the post-warmup sweep below
+    // reclaims the warmup invocations' dead stores.
     wanted.filter(SparkEntry.queries.contains).foreach { name =>
-      try SparkEntry.queries(name)(spark, warmup).write.mode("overwrite").format("noop").save()
+      try SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
     graft.core.Staging.sweepInvocationDirs(): Unit // warmup stores are dead too
