@@ -151,10 +151,10 @@ object AnalyticsOps {
     * funnels every row through one task, so this form is a scale-killer
     * by construction — it exists solely so `AnalyticsOpsSpec` can assert
     * the distributed plan ([[q62bDecilesDist]]) computes bit-identical
-    * buckets. Both judged decile entries (`q62_deciles`,
-    * `q62b_deciles_dist`) point at the distributed plan. ntile needs a
-    * TOTAL order (ties broken by key) or engines bucket tied rows
-    * differently.
+    * buckets. The one judged decile entry (`q62b_deciles_dist`; the
+    * legacy `q62_deciles` alias was dropped in round 13) runs the
+    * distributed plan. ntile needs a TOTAL order (ties broken by key)
+    * or engines bucket tied rows differently.
     */
   val q62NtileNaive: QuerySpec = QuerySpec(
     (s, dir) => {

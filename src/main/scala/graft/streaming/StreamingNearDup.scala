@@ -265,17 +265,23 @@ object StreamingHammingDup {
   def exactFlags(events: DataFrame, liveBandRows: DataFrame,
       cap: Int, hamMax: Int): DataFrame = {
     import events.sparkSession.implicits._
-    val tombKeys = events.filter(col("tomb"))
-      .select(col("band"), col("v")).distinct().as[(Int, Long)].collect().toSeq
     // Enforce the boundedness argument above instead of trusting it: the
     // set is ≤ distinct-band-rows/cap by construction, so crossing an
     // absolute sanity bound means the cap is misconfigured (or the band
     // distribution is adversarial) and the driver materialization + the
-    // re-seed broadcast would both be unsafe — fail with the cap named
-    // rather than OOM the driver.
-    require(tombKeys.size <= 500000,
-      s"exactFlags: tombstoned (band, v) set has ${tombKeys.size} keys " +
-        s"(> 500000 sanity bound); cap=$cap is too small for this band " +
+    // re-seed broadcast would both be unsafe. The guard must bound the
+    // COLLECT ITSELF, not inspect its result — a size check after an
+    // unbounded collect could never fire, because the materialization it
+    // exists to prevent would OOM the driver first. limit(bound + 1)
+    // caps the driver transfer at O(bound) while still proving a
+    // violation (bound + 1 rows back ⇒ the true set is larger), and the
+    // sink is still read in the ONE scan the consumer contract records.
+    val TombBound = 500000
+    val tombKeys = events.filter(col("tomb")).select(col("band"), col("v"))
+      .distinct().limit(TombBound + 1).as[(Int, Long)].collect().toSeq
+    require(tombKeys.size <= TombBound,
+      s"exactFlags: tombstoned (band, v) set exceeds the $TombBound-key " +
+        s"sanity bound; cap=$cap is too small for this band " +
         "distribution — the driver-side re-seed set is no longer bounded")
     if (tombKeys.isEmpty) survivingFlags(events)
     else survivingFlags(events)

@@ -73,7 +73,7 @@ class IngestCertSpec extends AnyFunSuite {
     IngestQueries.stageOrdersCsv(spark, sf, staged2)
     val ing = Ingest.readOrdersCsv(spark, staged2)
     assert(ing.filter(col("campaign").startsWith("camp,")).limit(1).count() == 1L,
-      "unquoted campaign lost its embedded delimiter")
+      "quoted campaign lost its embedded delimiter — the RFC-4180 quote path broke")
     assert(ing.columns.toSeq ==
       Seq("order_id", "product_id", "currency", "quantity", "shipping_cost",
         "amount", "channel", "channel_group", "campaign", "date_time"),
