@@ -126,7 +126,8 @@ object Bench {
     // round-13 additions: the CSV-ingestion and schema-evolution
     // certificates
     "q159_csv_ingest_cert",
-    "q160_schema_evolution_cert")
+    "q160_schema_evolution_cert",
+    "q161_reference_flow_e2e")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -331,7 +332,11 @@ object Bench {
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost)
-    "q160_schema_evolution_cert" -> 1.36)
+    "q160_schema_evolution_cert" -> 1.36,
+    // q161 introduced round 13: min of the introduction targeted run
+    // (4.54/4.07/3.48 at load 4.0 — two landing-dir stagings + three
+    // store versions dominate; re-base DOWN on any quiet sub-ref sample)
+    "q161_reference_flow_e2e" -> 3.48)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

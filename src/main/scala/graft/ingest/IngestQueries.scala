@@ -61,15 +61,22 @@ object IngestQueries {
     "orderId,productId,currency,quantity,shippingCost,amount," +
       "channel,channelGroup,campaign,dateTime"
 
-  /** The hazard-laden CSV line set, derived from orders (shared by the
-    * judged query and IngestCertSpec so fixture and assertions cannot
-    * drift). Duplicate lines included; header NOT included.
+  /** The hazard row source: orders columns under fixture names, with the
+    * verbatim-duplicate rows (keys ≡ 0 mod 11) already unioned in.
+    * Shared by q159's fixture, q161's two batch slices, and
+    * IngestCertSpec, so fixture and assertions cannot drift.
     */
-  private[graft] def fixtureLines(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def hazardSource(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), col("o_custkey"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority"), col("o_orderstatus"))
-    val dup = src.unionAll(src.filter(col("k") % 11 === 0))
+    src.unionAll(src.filter(col("k") % 11 === 0))
+  }
+
+  /** The hazard-laden CSV line set over a prepared [[hazardSource]]
+    * frame. Header NOT included.
+    */
+  private[graft] def linesFrom(dup: DataFrame): DataFrame = {
     val ts = expr(
       "o_orderdate + make_interval(0, 0, 0, 0, 0, cast(k % 1440 as int), " +
         "cast(case when k % 2 = 0 then k % 60 else 0 end as int))")
@@ -94,10 +101,15 @@ object IngestQueries {
   /** Stage the fixture as a 4-file landing dir, each file carrying its
     * own camelCase header line (the CSV reader skips one header line per
     * file — a multi-file landing dir is the production shape).
+    * `transform` reshapes the hazard source before line building (q161's
+    * batch slices); the default identity keeps q159's fixture
+    * byte-identical to its oracle's replay.
     */
-  private[graft] def stageOrdersCsv(spark: SparkSession, dir: String, out: String): Unit = {
+  private[graft] def stageOrdersCsv(
+      spark: SparkSession, dir: String, out: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
     import spark.implicits._
-    fixtureLines(spark, dir).repartition(4).as[String]
+    linesFrom(transform(hazardSource(spark, dir))).repartition(4).as[String]
       .mapPartitions(it => Iterator(Header) ++ it)
       .write.mode("overwrite").text(out)
   }
@@ -150,6 +162,115 @@ object IngestQueries {
        |  cast(count(*) FILTER (date_time IS NULL) AS bigint) AS n_ts_null
        |FROM ing GROUP BY channel_group ORDER BY channel_group""".stripMargin)
 
+  /** q161: the reference main-flow certificate — `main.py`'s complete
+    * user story composed through the REAL components and judged as one
+    * row set: schema sync BEFORE ingest (R4 sequencing,
+    * `main.py:20–24`), CSV landing dirs through the hazard-bearing
+    * reader (S1/P1–P5), a first load whose within-batch duplicate keys
+    * are APPENDED (§2.4 first-load semantics,
+    * `flows/data_ingestion.py:116,146`), a re-run batch whose matched
+    * keys overwrite only the latest state row (LWW,
+    * `:50–65` + `:197–206`) while unseen keys append — both through
+    * [[graft.state.StateTable.upsert]] on the reference's COMPOSITE
+    * (order_id, product_id) key — and a final report rollup off the
+    * store (S8 shape). Individually these operators are judged by
+    * q159/q10/q11/q156-q160; what no other query certifies is the
+    * COMPOSITION: the cleaned CSV values survive the store round-trip,
+    * the duplicate-key multiplicity survives BOTH upserts, and the LWW
+    * overwrite lands on exactly one copy of a duplicated key (the
+    * oracle's weighted-arms replay: matched keys contribute copies−1
+    * v1-rows plus one v2-row). The sync leg judges `CreateTable` — the
+    * one SchemaSync branch q160 leaves spec-only (the applied change is
+    * require-pinned, so a drift is a named failure).
+    *
+    * Determinism note: the duplicate lines are byte-identical, so
+    * last-write-wins over a multi-file (nondeterministically ordered)
+    * scan is value-deterministic — the same property the reference
+    * relies on when pandas iterates its CSV in file order.
+    *
+    * Scale: two scan-parallel landing-dir reads, two key-window upsert
+    * passes (the store's own algebra), one store-scan rollup — each leg
+    * already individually plan-audited; the composition adds no new
+    * shuffle class. The judged plan is the final store scan + 3-group
+    * rollup + 3-row sort.
+    */
+  val q161ReferenceFlowE2e: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val dirA = graft.core.Staging.invocationDir("graft_q161_b1", dir)
+      val dirB = graft.core.Staging.invocationDir("graft_q161_b2", dir)
+      stageOrdersCsv(s, dir, dirA, _.filter(col("k") % 3 =!= 0))
+      stageOrdersCsv(s, dir, dirB, df => df.filter(col("k") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1)))
+      val st = new graft.state.StateTable(s,
+        graft.core.Staging.invocationDir("graft_q161_state", dir),
+        graft.core.Schemas.ordersKey)
+      // R4: sync runs BEFORE ingest — on a fresh store the declared
+      // schema materializes as the empty CreateTable version
+      val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
+      require(changes == Seq(
+        graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
+        s"q161 precondition: fresh-store sync applied $changes instead of CreateTable")
+      st.upsert(Ingest.readOrdersCsv(s, dirA)) // first load: append, dups kept
+      st.upsert(Ingest.readOrdersCsv(s, dirB)) // re-run: LWW + unseen appends
+      val versions = st.history().size.toLong
+      st.current().get.groupBy(col("channel_group"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("campaign").isNull, 1)).as("null_campaigns"),
+          sum(length(col("campaign"))).cast("long").as("campaign_chars"),
+          sum(col("quantity")).as("qty_sum"),
+          sum(floor(col("shipping_cost") * 100).cast("long")).as("ship_cents"),
+          sum(floor(col("amount") * 100).cast("long")).as("amount_cents"),
+          sum(unix_timestamp(col("date_time"))).as("ts_epoch_sum"))
+        .withColumn("n_versions", lit(versions))
+        .orderBy(col("channel_group"))
+    },
+    s"""WITH src AS (
+       |  SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderdate,
+       |         o_orderpriority, o_orderstatus FROM orders),
+       |keyed AS (
+       |  SELECT *, CASE WHEN k % 11 = 0 THEN 2 ELSE 1 END AS copies,
+       |    CASE WHEN k % 5 = 0 THEN NULL
+       |         ELSE 'camp,' || cast(k % 7 AS varchar) END AS campaign,
+       |    cast(k % 50 + 1 AS integer) AS quantity,
+       |    (k % 2000) / 100.0 AS shipping_cost,
+       |    o_orderdate + (k % 1440) * INTERVAL 1 minute
+       |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
+       |      AS date_time
+       |  FROM src),
+       |-- weighted-arms LWW replay: batch-1 rows keep all copies on
+       |-- unmatched keys and copies-1 on matched keys (the overwrite
+       |-- absorbs exactly one), matched keys add one v2-amount row,
+       |-- unseen batch-2 keys append all copies
+       |arm_old AS (
+       |  SELECT o_orderstatus, campaign, quantity, shipping_cost, date_time,
+       |         o_totalprice AS amount,
+       |         copies - (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS w
+       |  FROM keyed WHERE k % 3 <> 0),
+       |arm_upd AS (
+       |  SELECT o_orderstatus, campaign, quantity, shipping_cost, date_time,
+       |         o_totalprice * cast(1.1 AS double) AS amount, 1 AS w
+       |  FROM keyed WHERE k % 3 <> 0 AND k % 2 = 0),
+       |arm_ins AS (
+       |  SELECT o_orderstatus, campaign, quantity, shipping_cost, date_time,
+       |         o_totalprice * cast(1.1 AS double) AS amount, copies AS w
+       |  FROM keyed WHERE k % 3 = 0 AND k % 2 = 0),
+       |fin AS (SELECT * FROM arm_old WHERE w > 0
+       |        UNION ALL SELECT * FROM arm_upd
+       |        UNION ALL SELECT * FROM arm_ins)
+       |SELECT o_orderstatus AS channel_group,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(CASE WHEN campaign IS NULL THEN w ELSE 0 END) AS bigint) AS null_campaigns,
+       |  cast(sum(CASE WHEN campaign IS NULL THEN 0
+       |                ELSE w * length(campaign) END) AS bigint) AS campaign_chars,
+       |  cast(sum(w * quantity) AS bigint) AS qty_sum,
+       |  cast(sum(w * cast(floor(shipping_cost * 100) AS bigint)) AS bigint) AS ship_cents,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(sum(w * cast(epoch(date_time) AS bigint)) AS bigint) AS ts_epoch_sum,
+       |  cast(3 AS bigint) AS n_versions
+       |FROM fin GROUP BY channel_group ORDER BY channel_group""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
-    "q159_csv_ingest_cert" -> q159CsvIngestCert)
+    "q159_csv_ingest_cert" -> q159CsvIngestCert,
+    "q161_reference_flow_e2e" -> q161ReferenceFlowE2e)
 }

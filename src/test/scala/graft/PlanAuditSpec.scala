@@ -746,7 +746,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // construction side effect; the judged plan is one store scan
       // into the 1-row content rollup + the 13-row metric sort — the
       // contract frame is a broadcast-free range(1) explode
-      "q160_schema_evolution_cert" -> 2)
+      "q160_schema_evolution_cert" -> 2,
+      // q161 (round-13, audited at introduction): the whole reference
+      // flow (stage → sync → two CSV-fed upserts) is construction; the
+      // judged plan is the final store scan into the 3-group rollup +
+      // the 3-row output sort
+      "q161_reference_flow_e2e" -> 2)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

@@ -79,4 +79,43 @@ class IngestCertSpec extends AnyFunSuite {
         "amount", "channel", "channel_group", "campaign", "date_time"),
       "camelCase->snake_case rename drifted")
   }
+
+  test("q161 store lifecycle is non-degenerate behind the judged rollup") {
+    val sf = TestSpark.testdata("0.001")
+    // replicate the flow with version handles (the judged query
+    // encapsulates its store; the guard needs v2 vs v3)
+    val dirA = graft.core.Staging.invocationDir("graft_q161_spec_b1", sf)
+    val dirB = graft.core.Staging.invocationDir("graft_q161_spec_b2", sf)
+    IngestQueries.stageOrdersCsv(spark, sf, dirA, _.filter(col("k") % 3 =!= 0))
+    IngestQueries.stageOrdersCsv(spark, sf, dirB, df => df.filter(col("k") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1)))
+    val st = new graft.state.StateTable(spark,
+      graft.core.Staging.invocationDir("graft_q161_spec_state", sf),
+      graft.core.Schemas.ordersKey)
+    graft.schemasync.SchemaSync.sync(spark, st, graft.core.Schemas.orders)
+    st.upsert(Ingest.readOrdersCsv(spark, dirA))
+    val v2 = st.currentVersion.get
+    st.upsert(Ingest.readOrdersCsv(spark, dirB))
+    val v3 = st.currentVersion.get
+
+    val loaded = st.readVersion(v2)
+    val fin = st.readVersion(v3)
+    // inserts really appended (unseen keys exist: k ≡ 0 mod 6)
+    assert(fin.count() > loaded.count(), "re-run appended no unseen keys")
+    // the LWW really rewrote amounts (v2 vs v3 totals differ)
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(floor(col("amount") * 100).cast("long"))).head().getLong(0)
+    assert(cents(fin) != cents(loaded), "re-run changed no amounts — the LWW leg is vacuous")
+    // duplicate-key multiplicity survived BOTH upserts, and for a
+    // matched duplicated key the overwrite landed on exactly ONE copy
+    // (one v1-amount row + one v2-amount row — the weighted-arms
+    // copies−1 arithmetic the oracle replays)
+    val dupSplit = fin.groupBy(col("order_id"), col("product_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("amount")).as("d"))
+    assert(dupSplit.filter(col("n") === 2).limit(1).count() == 1L,
+      "no duplicated key survived to the final store")
+    assert(dupSplit.filter(col("n") === 2 && col("d") === 2).limit(1).count() == 1L,
+      "no duplicated key shows one updated + one original copy — the LWW " +
+        "overwrote both copies or neither")
+  }
 }
