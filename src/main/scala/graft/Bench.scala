@@ -210,7 +210,7 @@ object Bench {
     // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
     // CodegenFallback lambda chains (6.74 s → 0.97 s standalone, 0.51 s
     // in the warm full-headline run)
-    "q100_pq_ann" -> 0.45, "q101_incremental_neardup" -> 1.08,
+    "q100_pq_ann" -> 0.44, "q101_incremental_neardup" -> 1.08,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
     "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.47,
@@ -333,10 +333,10 @@ object Bench {
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost)
     "q160_schema_evolution_cert" -> 1.36,
-    // q161 introduced round 13: min of the introduction targeted run
-    // (4.54/4.07/3.48 at load 4.0 — two landing-dir stagings + three
+    // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN to
+    // 3.42 in the closing full run (two landing-dir stagings + three
     // store versions dominate; re-base DOWN on any quiet sub-ref sample)
-    "q161_reference_flow_e2e" -> 3.48)
+    "q161_reference_flow_e2e" -> 3.42)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
