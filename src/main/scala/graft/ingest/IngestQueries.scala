@@ -194,24 +194,43 @@ object IngestQueries {
     * shuffle class. The judged plan is the final store scan + 3-group
     * rollup + 3-row sort.
     */
+  /** q161's batch slices over [[hazardSource]] — shared with
+    * IngestCertSpec's lifecycle guard so the guarded flow can never
+    * drift from the judged one (the hazardSource discipline).
+    */
+  private[graft] val q161Batch1: DataFrame => DataFrame =
+    _.filter(col("k") % 3 =!= 0)
+  private[graft] val q161Batch2: DataFrame => DataFrame =
+    df => df.filter(col("k") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+
+  /** Stage both landing dirs and run the full flow (sync → first load →
+    * re-run) through a fresh store; returns the store with its three
+    * retained versions (empty CreateTable, first load, re-run). Shared
+    * by the judged query and the lifecycle guard.
+    */
+  private[graft] def q161BuildStore(s: SparkSession, dir: String): graft.state.StateTable = {
+    val dirA = graft.core.Staging.invocationDir("graft_q161_b1", dir)
+    val dirB = graft.core.Staging.invocationDir("graft_q161_b2", dir)
+    stageOrdersCsv(s, dir, dirA, q161Batch1)
+    stageOrdersCsv(s, dir, dirB, q161Batch2)
+    val st = new graft.state.StateTable(s,
+      graft.core.Staging.invocationDir("graft_q161_state", dir),
+      graft.core.Schemas.ordersKey)
+    // R4: sync runs BEFORE ingest — on a fresh store the declared
+    // schema materializes as the empty CreateTable version
+    val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
+    require(changes == Seq(
+      graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
+      s"q161 precondition: fresh-store sync applied $changes instead of CreateTable")
+    st.upsert(Ingest.readOrdersCsv(s, dirA)) // first load: append, dups kept
+    st.upsert(Ingest.readOrdersCsv(s, dirB)) // re-run: LWW + unseen appends
+    st
+  }
+
   val q161ReferenceFlowE2e: QuerySpec = QuerySpec(
     (s, dir) => {
-      val dirA = graft.core.Staging.invocationDir("graft_q161_b1", dir)
-      val dirB = graft.core.Staging.invocationDir("graft_q161_b2", dir)
-      stageOrdersCsv(s, dir, dirA, _.filter(col("k") % 3 =!= 0))
-      stageOrdersCsv(s, dir, dirB, df => df.filter(col("k") % 2 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1)))
-      val st = new graft.state.StateTable(s,
-        graft.core.Staging.invocationDir("graft_q161_state", dir),
-        graft.core.Schemas.ordersKey)
-      // R4: sync runs BEFORE ingest — on a fresh store the declared
-      // schema materializes as the empty CreateTable version
-      val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
-      require(changes == Seq(
-        graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
-        s"q161 precondition: fresh-store sync applied $changes instead of CreateTable")
-      st.upsert(Ingest.readOrdersCsv(s, dirA)) // first load: append, dups kept
-      st.upsert(Ingest.readOrdersCsv(s, dirB)) // re-run: LWW + unseen appends
+      val st = q161BuildStore(s, dir)
       val versions = st.history().size.toLong
       st.current().get.groupBy(col("channel_group"))
         .agg(
