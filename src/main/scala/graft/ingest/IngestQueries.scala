@@ -98,6 +98,22 @@ object IngestQueries {
         .otherwise(date_format(ts, "yyyy-MM-dd'T'HH:mm'Z'"))).as("value"))
   }
 
+  /** Shared oracle CTE fragment: the cleaned-column derivations from a
+    * `k`/`o_orderdate` source — one definition interpolated into BOTH
+    * the q159 and q161 oracle strings, so the hazard arithmetic (which
+    * must mirror [[linesFrom]] exactly) cannot drift between the two
+    * judged replays. A def, not a val: oracle strings are vals built at
+    * object init and must never read a forward val reference.
+    */
+  private def hazardColsSql: String =
+    """CASE WHEN k % 5 = 0 THEN NULL
+      |         ELSE 'camp,' || cast(k % 7 AS varchar) END AS campaign,
+      |    cast(k % 50 + 1 AS integer) AS quantity,
+      |    (k % 2000) / 100.0 AS shipping_cost,
+      |    o_orderdate + (k % 1440) * INTERVAL 1 minute
+      |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
+      |      AS date_time""".stripMargin
+
   /** Stage the fixture as a 4-file landing dir, each file carrying its
     * own camelCase header line (the CSV reader skips one header line per
     * file — a multi-file landing dir is the production shape).
@@ -139,16 +155,9 @@ object IngestQueries {
        |dup AS (SELECT * FROM src UNION ALL SELECT * FROM src WHERE k % 11 = 0),
        |ing AS (
        |  SELECT o_orderstatus AS channel_group,
-       |    CASE WHEN k % 5 = 0 THEN NULL
-       |         ELSE 'camp,' || cast(k % 7 AS varchar) END AS campaign,
        |    CASE WHEN k % 3 = 0 THEN 'EUR' ELSE 'USD' END AS currency,
-       |    cast(k % 50 + 1 AS integer) AS quantity,
-       |    (k % 2000) / 100.0 AS shipping_cost,
        |    o_totalprice AS amount,
-       |    o_orderdate
-       |      + (k % 1440) * INTERVAL 1 minute
-       |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
-       |      AS date_time
+       |    $hazardColsSql
        |  FROM dup)
        |SELECT channel_group,
        |  cast(count(*) AS bigint) AS n_rows,
@@ -249,13 +258,7 @@ object IngestQueries {
        |         o_orderpriority, o_orderstatus FROM orders),
        |keyed AS (
        |  SELECT *, CASE WHEN k % 11 = 0 THEN 2 ELSE 1 END AS copies,
-       |    CASE WHEN k % 5 = 0 THEN NULL
-       |         ELSE 'camp,' || cast(k % 7 AS varchar) END AS campaign,
-       |    cast(k % 50 + 1 AS integer) AS quantity,
-       |    (k % 2000) / 100.0 AS shipping_cost,
-       |    o_orderdate + (k % 1440) * INTERVAL 1 minute
-       |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
-       |      AS date_time
+       |    $hazardColsSql
        |  FROM src),
        |-- weighted-arms LWW replay: batch-1 rows keep all copies on
        |-- unmatched keys and copies-1 on matched keys (the overwrite
