@@ -127,7 +127,8 @@ object Bench {
     // certificates
     "q159_csv_ingest_cert",
     "q160_schema_evolution_cert",
-    "q161_reference_flow_e2e")
+    "q161_reference_flow_e2e",
+    "q162_streaming_flow_e2e")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -336,7 +337,11 @@ object Bench {
     // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN to
     // 3.42 in the closing full run (two landing-dir stagings + three
     // store versions dominate; re-base DOWN on any quiet sub-ref sample)
-    "q161_reference_flow_e2e" -> 3.42)
+    "q161_reference_flow_e2e" -> 3.42,
+    // q162 introduced round 13: min of the introduction targeted run
+    // (9.16/7.93/7.73 at load 5.9 — two full store lifecycles + two
+    // streaming drains; re-base DOWN on any quiet sub-ref sample)
+    "q162_streaming_flow_e2e" -> 7.73)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

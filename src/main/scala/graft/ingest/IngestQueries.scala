@@ -237,22 +237,27 @@ object IngestQueries {
     st
   }
 
-  val q161ReferenceFlowE2e: QuerySpec = QuerySpec(
-    (s, dir) => {
-      val st = q161BuildStore(s, dir)
-      val versions = st.history().size.toLong
-      st.current().get.groupBy(col("channel_group"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          count(when(col("campaign").isNull, 1)).as("null_campaigns"),
-          sum(length(col("campaign"))).cast("long").as("campaign_chars"),
-          sum(col("quantity")).as("qty_sum"),
-          sum(floor(col("shipping_cost") * 100).cast("long")).as("ship_cents"),
-          sum(floor(col("amount") * 100).cast("long")).as("amount_cents"),
-          sum(unix_timestamp(col("date_time"))).as("ts_epoch_sum"))
-        .withColumn("n_versions", lit(versions))
-        .orderBy(col("channel_group"))
-    },
+  /** The flow's report rollup over a store's cleaned contents — shared
+    * by q161 (batch store) and q162 (streamed store), so the two judged
+    * certificates aggregate identically by construction.
+    */
+  private def flowRollup(contents: DataFrame): DataFrame =
+    contents.groupBy(col("channel_group"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("campaign").isNull, 1)).as("null_campaigns"),
+        sum(length(col("campaign"))).cast("long").as("campaign_chars"),
+        sum(col("quantity")).as("qty_sum"),
+        sum(floor(col("shipping_cost") * 100).cast("long")).as("ship_cents"),
+        sum(floor(col("amount") * 100).cast("long")).as("amount_cents"),
+        sum(unix_timestamp(col("date_time"))).as("ts_epoch_sum"))
+
+  /** The flow oracle: weighted-arms LWW replay shared verbatim by q161
+    * and q162 (whose streamed store must equal the batch one, so the
+    * same replay predicts both); `extraCols` appends the per-query
+    * contract columns. A def for the object-init ordering rule.
+    */
+  private def flowOracleSql(extraCols: String): String =
     s"""WITH src AS (
        |  SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderdate,
        |         o_orderpriority, o_orderstatus FROM orders),
@@ -289,10 +294,123 @@ object IngestQueries {
        |  cast(sum(w * cast(floor(shipping_cost * 100) AS bigint)) AS bigint) AS ship_cents,
        |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
        |  cast(sum(w * cast(epoch(date_time) AS bigint)) AS bigint) AS ts_epoch_sum,
-       |  cast(3 AS bigint) AS n_versions
-       |FROM fin GROUP BY channel_group ORDER BY channel_group""".stripMargin)
+       |  $extraCols
+       |FROM fin GROUP BY channel_group ORDER BY channel_group""".stripMargin
+
+  val q161ReferenceFlowE2e: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val st = q161BuildStore(s, dir)
+      val versions = st.history().size.toLong
+      flowRollup(st.current().get)
+        .withColumn("n_versions", lit(versions))
+        .orderBy(col("channel_group"))
+    },
+    flowOracleSql("cast(3 AS bigint) AS n_versions"))
+
+  /** q162: the STREAMING twin of q161 — the reference's "re-run when a
+    * new file lands" semantics (`main.py:29–32`) as a file-source
+    * stream, judged equal to the shared batch flow. Two `AvailableNow`
+    * drains over ONE landing directory under ONE checkpoint: phase 1
+    * drains the first-load files; the re-run files then LAND in the
+    * same directory and phase 2 drains them — the checkpoint's
+    * file-source log must skip every already-processed file, so the
+    * judged `equiv_diff = 0` against [[q161BuildStore]]'s contents is
+    * also an exactly-once certificate (a reprocessed first-load file
+    * would LWW matched keys back to their v1 amounts and break the
+    * multiset diff across ~half the key space). Each drain's upsert
+    * goes through `foreachBatch` into the SAME `StateTable.upsert` the
+    * batch flow calls — batch–stream parity by construction, judged
+    * rather than assumed (the q117/q157 convention applied to the
+    * reference's own flow).
+    *
+    * Determinism: a drain with no `maxFilesPerTrigger` bound processes
+    * all available files in ONE micro-batch, so the store sees exactly
+    * two upserts; the `history == 3` require names that assumption
+    * (CreateTable + 2 micro-batches) instead of letting a trigger-
+    * chunking change surface as an oracle mismatch. Within a
+    * micro-batch the duplicate lines are byte-identical, so LWW is
+    * value-deterministic under any file order (q161's argument).
+    *
+    * Scale: the file source tracks processed files in the checkpoint
+    * (exactly-once per file at any corpus size); each micro-batch is an
+    * ordinary distributed upsert. The judged plan is the streamed
+    * store's scan-rollup plus the full-row multiset diff against the
+    * batch store — two store scans, the honest price of an equivalence
+    * certificate (q141/q151/q157 convention).
+    */
+  /** The streamed flow's handles: the store plus a re-drain thunk over
+    * the same landing dir + checkpoint, so IngestCertSpec can prove the
+    * exactly-once file log covers every landed file (a third drain with
+    * nothing new must not write a version).
+    */
+  private[graft] final case class StreamedFlow(
+      st: graft.state.StateTable, drain: () => Unit)
+
+  private[graft] def q162BuildStreamedStore(s: SparkSession, dir: String): StreamedFlow = {
+    val landing = graft.core.Staging.invocationDir("graft_q162_landing", dir)
+    val stageB = graft.core.Staging.invocationDir("graft_q162_b2", dir)
+    stageOrdersCsv(s, dir, landing, q161Batch1)
+    stageOrdersCsv(s, dir, stageB, q161Batch2)
+    val st = new graft.state.StateTable(s,
+      graft.core.Staging.invocationDir("graft_q162_state", dir),
+      graft.core.Schemas.ordersKey)
+    val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
+    require(changes == Seq(
+      graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
+      s"q162 precondition: fresh-store sync applied $changes instead of CreateTable")
+    val ckpt = graft.core.Staging.invocationDir("graft_q162_ckpt", dir)
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.runOrdersIngest(s, landing, st, ckpt)
+        .awaitTermination()
+    drain() // phase 1: the first-load files
+    // phase 2: the re-run files land in the SAME directory (fresh names;
+    // the file source keys its processed-log on path)
+    graft.core.Fs.listDir(java.nio.file.Paths.get(stageB))
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(landing, s"rerun-$i-${p.getFileName}")): Unit
+      }
+    drain() // phase 2: only the newly-landed files
+    require(st.history().size == 3,
+      s"q162 precondition: expected CreateTable + 2 micro-batch versions, " +
+        s"got ${st.history().size} — trigger chunking or the checkpoint " +
+        "file log drifted")
+    StreamedFlow(st, () => drain())
+  }
+
+  val q162StreamingFlowE2e: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val streamed = q162BuildStreamedStore(s, dir).st
+      val batch = q161BuildStore(s, dir)
+      val a = streamed.current().get
+      val b = batch.current().get
+      val versions = streamed.history().size.toLong
+      // per-group full-row multiset symmetric difference (q156's
+      // convention): every column participates, so any value the CSV →
+      // clean → upsert chain produced differently in either leg breaks
+      // it. Computed as ±1-weighted union-groupBy, NOT a count join —
+      // campaign is legitimately NULL on cleaned rows, and a join on
+      // the column list can never match NULL keys (NULL = NULL is not
+      // true), which would report every null-campaign row as a
+      // spurious two-sided diff; grouping treats NULLs as equal. One
+      // shuffle instead of two-plus-join, too.
+      val cols = a.columns.toIndexedSeq
+      val diff = a.withColumn("_w", lit(1L)).unionByName(b.withColumn("_w", lit(-1L)))
+        .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_imb"))
+        .groupBy(col("channel_group"))
+        .agg(sum(abs(col("_imb"))).as("equiv_diff"))
+      flowRollup(a)
+        .withColumn("n_versions", lit(versions))
+        .join(diff, Seq("channel_group"), "left")
+        .withColumn("equiv_diff", coalesce(col("equiv_diff"), lit(0L)))
+        .orderBy(col("channel_group"))
+    },
+    flowOracleSql(
+      "cast(3 AS bigint) AS n_versions,\n  cast(0 AS bigint) AS equiv_diff"))
 
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
-    "q161_reference_flow_e2e" -> q161ReferenceFlowE2e)
+    "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
+    "q162_streaming_flow_e2e" -> q162StreamingFlowE2e)
 }

@@ -751,7 +751,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // flow (stage → sync → two CSV-fed upserts) is construction; the
       // judged plan is the final store scan into the 3-group rollup +
       // the 3-row output sort
-      "q161_reference_flow_e2e" -> 2)
+      "q161_reference_flow_e2e" -> 2,
+      // q162 (round-13, audited at introduction): both store lifecycles
+      // (streamed + the shared batch leg) are construction; the judged
+      // plan is the streamed store's rollup, the ±1-weighted union
+      // groupBy pair for the full-row multiset equivalence (one content
+      // exchange + the 3-row re-group), and the output sort
+      "q162_streaming_flow_e2e" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

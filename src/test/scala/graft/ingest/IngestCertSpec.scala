@@ -113,4 +113,30 @@ class IngestCertSpec extends AnyFunSuite {
       "no duplicated key shows one updated + one original copy — the LWW " +
         "overwrote both copies or neither")
   }
+
+  test("q162 streamed flow is non-degenerate and the file log is exactly-once") {
+    val sf = TestSpark.testdata("0.001")
+    val flow = IngestQueries.q162BuildStreamedStore(spark, sf)
+    val st = flow.st
+    val h = st.history()
+    assert(h.size == 3, s"expected CreateTable + 2 micro-batch versions, got $h")
+    val created = st.readVersion(h(0))
+    val p1 = st.readVersion(h(1))
+    val p2 = st.readVersion(h(2))
+    assert(created.count() == 0L, "CreateTable version must be empty")
+    assert(p1.count() > 0L && p2.count() > p1.count(),
+      "phase 2 appended no unseen keys")
+    // the LWW really rewrote amounts on phase-1 keys (q161's guard shape)
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(floor(col("amount") * 100).cast("long"))).head().getLong(0)
+    val p1Keys = p1.select(col("order_id"), col("product_id")).distinct()
+    assert(cents(p2.join(p1Keys, Seq("order_id", "product_id"), "left_semi")) != cents(p1),
+      "the streamed re-run changed no amounts on first-load keys")
+    // exactly-once beyond the judged equiv_diff: a THIRD drain with no
+    // new files must produce no micro-batch and no new version — the
+    // checkpoint's file log provably covers every landed file
+    flow.drain()
+    assert(st.history().size == 3,
+      "an empty drain wrote a version — the file-source log is not exactly-once")
+  }
 }
