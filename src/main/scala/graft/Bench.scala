@@ -223,7 +223,7 @@ object Bench {
     // 0.97 s in the same window)
     "q39_winnowing" -> 0.67, "q42_running_totals" -> 0.41,
     "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.46,
-    "q108_image_decode" -> 0.53, "q109_zorder_prune" -> 0.5,
+    "q108_image_decode" -> 0.46, "q109_zorder_prune" -> 0.5,
     "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.47,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
@@ -236,7 +236,7 @@ object Bench {
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
-    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.8,
+    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.76,
     // round-8 third batch: re-based to the 65-query quiet-window run
     // (64.9 s total, ZERO stall retimes) that followed their
     // introduction runs
@@ -306,7 +306,7 @@ object Bench {
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
     "q154_watermark_funnel" -> 3.69,
-    "q155_watermark_calibration" -> 0.52,
+    "q155_watermark_calibration" -> 0.49,
     // round-12 additions: introduction minima from a SEMI-LOADED window
     // (loadavg 1.3 at start, external spike to 8.5 by the tail —
     // bench_diag preserved in git) — possible ceilings, re-base DOWN at
@@ -323,9 +323,9 @@ object Bench {
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
     "q157_streaming_shard_ingest" -> 5.37,
-    // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 across
-    // the round-13 full runs (warm grouped slots, the MIN rule)
-    "q158_state_cdc_vacuum" -> 1.93,
+    // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
+    // across the round-13 full runs (warm grouped slots, the MIN rule)
+    "q158_state_cdc_vacuum" -> 1.77,
     // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
     // 0.87 in the same round's full quiet-start run (warm grouped slot
     // — the introduction value carried fresh-JVM staging cost)
@@ -334,14 +334,14 @@ object Bench {
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost)
     "q160_schema_evolution_cert" -> 1.36,
-    // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN to
-    // 3.42 in the closing full run (two landing-dir stagings + three
-    // store versions dominate; re-base DOWN on any quiet sub-ref sample)
-    "q161_reference_flow_e2e" -> 3.42,
-    // q162 introduced round 13: min of the introduction targeted run
-    // (9.16/7.93/7.73 at load 5.9 — two full store lifecycles + two
+    // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN
+    // 3.42 → 2.52 across the closing full runs (two landing-dir
+    // stagings + three store versions dominate)
+    "q161_reference_flow_e2e" -> 2.52,
+    // q162 introduced round 13 at 7.73 (targeted run), re-based DOWN
+    // to 6.33 in the closing full run (two full store lifecycles + two
     // streaming drains; re-base DOWN on any quiet sub-ref sample)
-    "q162_streaming_flow_e2e" -> 7.73)
+    "q162_streaming_flow_e2e" -> 6.33)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
