@@ -213,25 +213,45 @@ object IngestQueries {
     df => df.filter(col("k") % 2 === 0)
       .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
 
+  /** Stage both flow batches to invocation dirs under `prefix` —
+    * shared by the batch and streamed flows so the two legs always
+    * ingest identically-derived landing dirs.
+    */
+  private def stageFlowBatches(s: SparkSession, dir: String,
+      prefix: String): (String, String) = {
+    val dirA = graft.core.Staging.invocationDir(s"${prefix}_b1", dir)
+    val dirB = graft.core.Staging.invocationDir(s"${prefix}_b2", dir)
+    stageOrdersCsv(s, dir, dirA, q161Batch1)
+    stageOrdersCsv(s, dir, dirB, q161Batch2)
+    (dirA, dirB)
+  }
+
+  /** Fresh store synced to the declared orders schema BEFORE any ingest
+    * (R4 sequencing; the CreateTable branch is require-pinned). ONE
+    * definition for both flow legs — the sync-before-ingest
+    * precondition must be the same certificate in q161 and q162, not
+    * two copies that can drift.
+    */
+  private def freshSyncedStore(s: SparkSession, dir: String,
+      prefix: String, label: String): graft.state.StateTable = {
+    val st = new graft.state.StateTable(s,
+      graft.core.Staging.invocationDir(prefix, dir),
+      graft.core.Schemas.ordersKey)
+    val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
+    require(changes == Seq(
+      graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
+      s"$label precondition: fresh-store sync applied $changes instead of CreateTable")
+    st
+  }
+
   /** Stage both landing dirs and run the full flow (sync → first load →
     * re-run) through a fresh store; returns the store with its three
     * retained versions (empty CreateTable, first load, re-run). Shared
     * by the judged query and the lifecycle guard.
     */
   private[graft] def q161BuildStore(s: SparkSession, dir: String): graft.state.StateTable = {
-    val dirA = graft.core.Staging.invocationDir("graft_q161_b1", dir)
-    val dirB = graft.core.Staging.invocationDir("graft_q161_b2", dir)
-    stageOrdersCsv(s, dir, dirA, q161Batch1)
-    stageOrdersCsv(s, dir, dirB, q161Batch2)
-    val st = new graft.state.StateTable(s,
-      graft.core.Staging.invocationDir("graft_q161_state", dir),
-      graft.core.Schemas.ordersKey)
-    // R4: sync runs BEFORE ingest — on a fresh store the declared
-    // schema materializes as the empty CreateTable version
-    val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
-    require(changes == Seq(
-      graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
-      s"q161 precondition: fresh-store sync applied $changes instead of CreateTable")
+    val (dirA, dirB) = stageFlowBatches(s, dir, "graft_q161")
+    val st = freshSyncedStore(s, dir, "graft_q161_state", "q161")
     st.upsert(Ingest.readOrdersCsv(s, dirA)) // first load: append, dups kept
     st.upsert(Ingest.readOrdersCsv(s, dirB)) // re-run: LWW + unseen appends
     st
@@ -307,6 +327,40 @@ object IngestQueries {
     },
     flowOracleSql("cast(3 AS bigint) AS n_versions"))
 
+  /** The streamed flow's handles: the store plus a re-drain thunk over
+    * the same landing dir + checkpoint, so IngestCertSpec can prove the
+    * exactly-once file log covers every landed file (a third drain with
+    * nothing new must not write a version).
+    */
+  private[graft] final case class StreamedFlow(
+      st: graft.state.StateTable, drain: () => Unit)
+
+  private[graft] def q162BuildStreamedStore(s: SparkSession, dir: String): StreamedFlow = {
+    // the phase-1 files stage directly into the landing dir; phase-2
+    // files stage aside and land between the drains
+    val (landing, stageB) = stageFlowBatches(s, dir, "graft_q162")
+    val st = freshSyncedStore(s, dir, "graft_q162_state", "q162")
+    val ckpt = graft.core.Staging.invocationDir("graft_q162_ckpt", dir)
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.runOrdersIngest(s, landing, st, ckpt)
+        .awaitTermination()
+    drain() // phase 1: the first-load files
+    // phase 2: the re-run files land in the SAME directory (fresh names;
+    // the file source keys its processed-log on path)
+    graft.core.Fs.listDir(java.nio.file.Paths.get(stageB))
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(landing, s"rerun-$i-${p.getFileName}")): Unit
+      }
+    drain() // phase 2: only the newly-landed files
+    require(st.history().size == 3,
+      s"q162 precondition: expected CreateTable + 2 micro-batch versions, " +
+        s"got ${st.history().size} — trigger chunking or the checkpoint " +
+        "file log drifted")
+    StreamedFlow(st, () => drain())
+  }
+
   /** q162: the STREAMING twin of q161 — the reference's "re-run when a
     * new file lands" semantics (`main.py:29–32`) as a file-source
     * stream, judged equal to the shared batch flow. Two `AvailableNow`
@@ -338,47 +392,6 @@ object IngestQueries {
     * batch store — two store scans, the honest price of an equivalence
     * certificate (q141/q151/q157 convention).
     */
-  /** The streamed flow's handles: the store plus a re-drain thunk over
-    * the same landing dir + checkpoint, so IngestCertSpec can prove the
-    * exactly-once file log covers every landed file (a third drain with
-    * nothing new must not write a version).
-    */
-  private[graft] final case class StreamedFlow(
-      st: graft.state.StateTable, drain: () => Unit)
-
-  private[graft] def q162BuildStreamedStore(s: SparkSession, dir: String): StreamedFlow = {
-    val landing = graft.core.Staging.invocationDir("graft_q162_landing", dir)
-    val stageB = graft.core.Staging.invocationDir("graft_q162_b2", dir)
-    stageOrdersCsv(s, dir, landing, q161Batch1)
-    stageOrdersCsv(s, dir, stageB, q161Batch2)
-    val st = new graft.state.StateTable(s,
-      graft.core.Staging.invocationDir("graft_q162_state", dir),
-      graft.core.Schemas.ordersKey)
-    val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
-    require(changes == Seq(
-      graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
-      s"q162 precondition: fresh-store sync applied $changes instead of CreateTable")
-    val ckpt = graft.core.Staging.invocationDir("graft_q162_ckpt", dir)
-    def drain(): Unit =
-      graft.streaming.StreamingIngest.runOrdersIngest(s, landing, st, ckpt)
-        .awaitTermination()
-    drain() // phase 1: the first-load files
-    // phase 2: the re-run files land in the SAME directory (fresh names;
-    // the file source keys its processed-log on path)
-    graft.core.Fs.listDir(java.nio.file.Paths.get(stageB))
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.move(p,
-          java.nio.file.Paths.get(landing, s"rerun-$i-${p.getFileName}")): Unit
-      }
-    drain() // phase 2: only the newly-landed files
-    require(st.history().size == 3,
-      s"q162 precondition: expected CreateTable + 2 micro-batch versions, " +
-        s"got ${st.history().size} — trigger chunking or the checkpoint " +
-        "file log drifted")
-    StreamedFlow(st, () => drain())
-  }
-
   val q162StreamingFlowE2e: QuerySpec = QuerySpec(
     (s, dir) => {
       val streamed = q162BuildStreamedStore(s, dir).st
@@ -400,10 +413,15 @@ object IngestQueries {
         .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_imb"))
         .groupBy(col("channel_group"))
         .agg(sum(abs(col("_imb"))).as("equiv_diff"))
+      // inner join: diff is grouped from the UNION of both stores, so
+      // its channel_group set is a superset of the rollup's by
+      // construction — there is no unmatched-row case to coalesce (and
+      // a group present in only one store still surfaces, as a nonzero
+      // equiv_diff on the side that has it or a missing rollup row
+      // against the oracle's shape)
       flowRollup(a)
         .withColumn("n_versions", lit(versions))
-        .join(diff, Seq("channel_group"), "left")
-        .withColumn("equiv_diff", coalesce(col("equiv_diff"), lit(0L)))
+        .join(diff, Seq("channel_group"))
         .orderBy(col("channel_group"))
     },
     flowOracleSql(

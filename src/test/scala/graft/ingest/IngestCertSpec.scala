@@ -16,6 +16,22 @@ import graft.TestSpark
 class IngestCertSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  /** The LWW-rewrite guard shared by the q161 and q162 lifecycle
+    * tests: amounts must differ between the first-load version and the
+    * final version RESTRICTED TO first-load keys — the semi-join keeps
+    * the unseen-key insert leg (which also carries ×1.1 amounts) from
+    * satisfying the assertion on its own. One definition so the two
+    * certificates always pin the same property.
+    */
+  private def assertLwwRewrote(loaded: org.apache.spark.sql.DataFrame,
+      fin: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(floor(col("amount") * 100).cast("long"))).head().getLong(0)
+    val loadKeys = loaded.select(col("order_id"), col("product_id")).distinct()
+    assert(cents(fin.join(loadKeys, Seq("order_id", "product_id"), "left_semi"))
+      != cents(loaded), msg)
+  }
+
   private def staged(): (String, Array[String]) = {
     val sf = TestSpark.testdata("0.001")
     val dir = graft.core.Staging.invocationDir("graft_ingest_cert_spec", sf)
@@ -92,14 +108,7 @@ class IngestCertSpec extends AnyFunSuite {
     val fin = st.readVersion(h(2))
     // inserts really appended (unseen keys exist: k ≡ 0 mod 6)
     assert(fin.count() > loaded.count(), "re-run appended no unseen keys")
-    // the LWW really rewrote amounts ON FIRST-LOAD KEYS — restricted to
-    // v2's key set so the unseen-key insert leg (which also carries
-    // ×1.1 amounts) cannot satisfy the assertion on its own
-    def cents(df: org.apache.spark.sql.DataFrame) =
-      df.agg(sum(floor(col("amount") * 100).cast("long"))).head().getLong(0)
-    val v2Keys = loaded.select(col("order_id"), col("product_id")).distinct()
-    val finOnV2Keys = fin.join(v2Keys, Seq("order_id", "product_id"), "left_semi")
-    assert(cents(finOnV2Keys) != cents(loaded),
+    assertLwwRewrote(loaded, fin,
       "re-run changed no amounts on first-load keys — the LWW leg is vacuous")
     // duplicate-key multiplicity survived BOTH upserts, and for a
     // matched duplicated key the overwrite landed on exactly ONE copy
@@ -124,13 +133,9 @@ class IngestCertSpec extends AnyFunSuite {
     val p1 = st.readVersion(h(1))
     val p2 = st.readVersion(h(2))
     assert(created.count() == 0L, "CreateTable version must be empty")
-    assert(p1.count() > 0L && p2.count() > p1.count(),
-      "phase 2 appended no unseen keys")
-    // the LWW really rewrote amounts on phase-1 keys (q161's guard shape)
-    def cents(df: org.apache.spark.sql.DataFrame) =
-      df.agg(sum(floor(col("amount") * 100).cast("long"))).head().getLong(0)
-    val p1Keys = p1.select(col("order_id"), col("product_id")).distinct()
-    assert(cents(p2.join(p1Keys, Seq("order_id", "product_id"), "left_semi")) != cents(p1),
+    assert(p1.count() > 0L, "phase 1 loaded no rows — the first drain is broken")
+    assert(p2.count() > p1.count(), "phase 2 appended no unseen keys")
+    assertLwwRewrote(p1, p2,
       "the streamed re-run changed no amounts on first-load keys")
     // exactly-once beyond the judged equiv_diff: a THIRD drain with no
     // new files must produce no micro-batch and no new version — the
