@@ -45,7 +45,12 @@ object StreamingIngest {
       table: StateTable,
       checkpointDir: String): StreamingQuery =
     ordersStream(spark, landingDir).writeStream
-      .queryName("orders_ingest")
+      // unique per start: Spark forbids two ACTIVE queries sharing a
+      // name in one session, and the invocation-dir convention (q162)
+      // explicitly supports concurrent executions of the same judged
+      // query — a fixed name would make the second start throw
+      .queryName("orders_ingest_" +
+        java.util.UUID.randomUUID().toString.take(8))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
