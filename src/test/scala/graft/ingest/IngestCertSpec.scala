@@ -144,4 +144,29 @@ class IngestCertSpec extends AnyFunSuite {
     assert(st.history().size == 3,
       "an empty drain wrote a version — the file-source log is not exactly-once")
   }
+
+  test("two concurrent streamed flows in one session do not interfere") {
+    // pins the invocation-dir convention's concurrency promise for the
+    // streaming leg: disjoint landing/checkpoint/store dirs AND a
+    // per-start unique query name (Spark forbids two ACTIVE queries
+    // sharing a name — a fixed name makes the second start throw)
+    val sf = TestSpark.testdata("0.001")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val pair = Await.result(Future.sequence(Seq(
+      Future(IngestQueries.q162BuildStreamedStore(spark, sf).st),
+      Future(IngestQueries.q162BuildStreamedStore(spark, sf).st))), 10.minutes)
+    val Seq(s1, s2) = pair
+    assert(s1.root != s2.root, "concurrent flows shared a store dir")
+    val c1 = s1.current().get
+    val c2 = s2.current().get
+    assert(c1.count() == c2.count() && c1.count() > 0L)
+    val diff = c1.withColumn("_w", lit(1L))
+      .unionByName(c2.withColumn("_w", lit(-1L)))
+      .groupBy(c1.columns.map(col).toIndexedSeq: _*).agg(sum(col("_w")).as("imb"))
+      .filter(col("imb") =!= 0L)
+    assert(diff.limit(1).count() == 0L,
+      "concurrent flows produced different store contents")
+  }
 }
