@@ -193,7 +193,7 @@ object Bench {
     "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.30,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
-    "q19_simhash" -> 0.29, "q20_jaccard_pairs" -> 1.00,
+    "q19_simhash" -> 0.279, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
@@ -211,19 +211,19 @@ object Bench {
     // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
     // CodegenFallback lambda chains (6.74 s → 0.97 s standalone, 0.51 s
     // in the warm full-headline run)
-    "q100_pq_ann" -> 0.44, "q101_incremental_neardup" -> 1.08,
+    "q100_pq_ann" -> 0.415, "q101_incremental_neardup" -> 1.053,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.47,
+    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.452,
     // round-7 additions: per-query min of matching sf0.1 runs at
     // introduction (measured in a globally ~1.7× inflated window — see
     // README round-7 notes — so future quiet rounds may re-base DOWN);
     // q39's value is from AFTER the WinnowFingerprints codegen
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
-    "q39_winnowing" -> 0.67, "q42_running_totals" -> 0.41,
+    "q39_winnowing" -> 0.646, "q42_running_totals" -> 0.41,
     "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.46,
-    "q108_image_decode" -> 0.46, "q109_zorder_prune" -> 0.5,
+    "q108_image_decode" -> 0.447, "q109_zorder_prune" -> 0.5,
     "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.47,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
@@ -240,7 +240,7 @@ object Bench {
     // round-8 third batch: re-based to the 65-query quiet-window run
     // (64.9 s total, ZERO stall retimes) that followed their
     // introduction runs
-    "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 2.29,
+    "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 2.11,
     "q132_rank_quality" -> 0.84,
     // round-9 additions: per-query min across the introduction runs and
     // the two end-of-round 70/71-query full runs (external load 1.5–9
@@ -269,15 +269,16 @@ object Bench {
     // loadavg 1.6-5 window): cross-run minima per the stall protocol
     "q140_bigram_coherence" -> 1.00, "q141_dedup_equivalence" -> 0.63,
     "q142_bloom_admission" -> 0.46, "q143_streaming_admission" -> 2.78,
-    "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.20,
+    "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.177,
     "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.18,
-    "q148_pit_features" -> 0.33, "q149_consistent_hashing" -> 0.37,
+    "q148_pit_features" -> 0.291, "q149_consistent_hashing" -> 0.37,
     "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.08,
     // round-10 additions: introduced at their quiet-window
     // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
     // (0.712 in the round-11 full run — the introduction value was an
-    // inflated first-process measurement)
-    "q152_sampling_stability" -> 0.712,
+    // inflated first-process measurement); re-based DOWN round 14 to
+    // the official BENCH_r13 record (MIN rule)
+    "q152_sampling_stability" -> 0.678,
     // q153 re-based UP round 11: the 3.00 introduction value was never
     // reproduced on any later run — round 10's own official record ran
     // it at 5.5, the round-11 quiet-window targeted runs measured
@@ -300,13 +301,19 @@ object Bench {
     // Round-12 observations so far: 6.678 min under a loaded window
     // (loadavg 2.7 rising to 9.3, bench_diag preserved in git) —
     // above the ref, ratchet holds.
-    "q153_streaming_neardup_purge" -> 5.22,
+    // RESOLVED round 14: the round-13 OFFICIAL quiet-launch record
+    // (BENCH_r13.json) ran q153 at 4.938 — BELOW the disputed 5.22
+    // floor — which settles the two-round "unreachable floor" flag in
+    // the DOWNWARD direction (the guard-before-collect fix did not
+    // change the plan; the ref was a ceiling, not a floor). Re-based
+    // DOWN per the MIN rule; the flag is retired.
+    "q153_streaming_neardup_purge" -> 4.938,
     // round-11 additions: re-based to the round-11 targeted
     // quiet-start run (the replay cost class is q99's — two
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
     "q154_watermark_funnel" -> 3.69,
-    "q155_watermark_calibration" -> 0.49,
+    "q155_watermark_calibration" -> 0.479,
     // round-12 additions: introduction minima from a SEMI-LOADED window
     // (loadavg 1.3 at start, external spike to 8.5 by the tail —
     // bench_diag preserved in git) — possible ceilings, re-base DOWN at
@@ -324,24 +331,28 @@ object Bench {
     // slot at load 7 — a loaded sample can only overestimate the floor)
     "q157_streaming_shard_ingest" -> 5.37,
     // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
-    // across the round-13 full runs (warm grouped slots, the MIN rule)
-    "q158_state_cdc_vacuum" -> 1.77,
+    // across the round-13 full runs → 1.699 (round 14, off the official
+    // BENCH_r13 quiet-launch record — the MIN rule)
+    "q158_state_cdc_vacuum" -> 1.699,
     // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
     // 0.87 in the same round's full quiet-start run (warm grouped slot
-    // — the introduction value carried fresh-JVM staging cost)
-    "q159_csv_ingest_cert" -> 0.87,
+    // — the introduction value carried fresh-JVM staging cost), then
+    // 0.821 round 14 off the official BENCH_r13 record
+    "q159_csv_ingest_cert" -> 0.821,
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
     // 1.48 then 1.36 across the same round's full runs (warm grouped
-    // slots — the introduction value carried fresh-JVM staging cost)
-    "q160_schema_evolution_cert" -> 1.36,
+    // slots — the introduction value carried fresh-JVM staging cost),
+    // then 1.253 round 14 off the official BENCH_r13 record
+    "q160_schema_evolution_cert" -> 1.253,
     // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN
     // 3.42 → 2.52 across the closing full runs (two landing-dir
     // stagings + three store versions dominate)
     "q161_reference_flow_e2e" -> 2.52,
     // q162 introduced round 13 at 7.73 (targeted run), re-based DOWN
     // to 6.33 in the closing full run (two full store lifecycles + two
-    // streaming drains; re-base DOWN on any quiet sub-ref sample)
-    "q162_streaming_flow_e2e" -> 6.33)
+    // streaming drains), then 5.892 round 14 off the official
+    // BENCH_r13 quiet-launch record (the MIN rule)
+    "q162_streaming_flow_e2e" -> 5.892)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
