@@ -128,7 +128,9 @@ object Bench {
     "q159_csv_ingest_cert",
     "q160_schema_evolution_cert",
     "q161_reference_flow_e2e",
-    "q162_streaming_flow_e2e")
+    "q162_streaming_flow_e2e",
+    // round-14 addition: the store-to-store A4 report certificate
+    "q163_store_report_cert")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -352,7 +354,15 @@ object Bench {
     // to 6.33 in the closing full run (two full store lifecycles + two
     // streaming drains), then 5.892 round 14 off the official
     // BENCH_r13 quiet-launch record (the MIN rule)
-    "q162_streaming_flow_e2e" -> 5.892)
+    "q162_streaming_flow_e2e" -> 5.892,
+    // q163 introduced round 14 at its targeted-run measurement (launch
+    // loadavg 2.6 — a loaded sample only overestimates the floor; the
+    // MIN rule re-bases DOWN on any quieter sub-ref sample). Cost class:
+    // the full q161 orders flow (two landing dirs + three store
+    // versions) plus the inventories flow (two more landing dirs +
+    // three versions) are construction inside every timed sample by
+    // design — the store round-trips ARE the measured operator
+    "q163_store_report_cert" -> 5.52)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -226,20 +226,20 @@ object IngestQueries {
     (dirA, dirB)
   }
 
-  /** Fresh store synced to the declared orders schema BEFORE any ingest
-    * (R4 sequencing; the CreateTable branch is require-pinned). ONE
-    * definition for both flow legs — the sync-before-ingest
-    * precondition must be the same certificate in q161 and q162, not
-    * two copies that can drift.
+  /** Fresh store synced to a declared schema BEFORE any ingest (R4
+    * sequencing; the CreateTable branch is require-pinned). ONE
+    * definition for every flow leg — the sync-before-ingest
+    * precondition must be the same certificate in q161/q162 (orders)
+    * and q163 (inventories), not copies that can drift.
     */
   private def freshSyncedStore(s: SparkSession, dir: String,
-      prefix: String, label: String): graft.state.StateTable = {
+      prefix: String, label: String,
+      schema: org.apache.spark.sql.types.StructType = graft.core.Schemas.orders,
+      key: Seq[String] = graft.core.Schemas.ordersKey): graft.state.StateTable = {
     val st = new graft.state.StateTable(s,
-      graft.core.Staging.invocationDir(prefix, dir),
-      graft.core.Schemas.ordersKey)
-    val changes = graft.schemasync.SchemaSync.sync(s, st, graft.core.Schemas.orders)
-    require(changes == Seq(
-      graft.schemasync.SchemaSync.CreateTable(graft.core.Schemas.orders)),
+      graft.core.Staging.invocationDir(prefix, dir), key)
+    val changes = graft.schemasync.SchemaSync.sync(s, st, schema)
+    require(changes == Seq(graft.schemasync.SchemaSync.CreateTable(schema)),
       s"$label precondition: fresh-store sync applied $changes instead of CreateTable")
     st
   }
@@ -272,12 +272,16 @@ object IngestQueries {
         sum(floor(col("amount") * 100).cast("long")).as("amount_cents"),
         sum(unix_timestamp(col("date_time"))).as("ts_epoch_sum"))
 
-  /** The flow oracle: weighted-arms LWW replay shared verbatim by q161
-    * and q162 (whose streamed store must equal the batch one, so the
-    * same replay predicts both); `extraCols` appends the per-query
-    * contract columns. A def for the object-init ordering rule.
+  /** The weighted-arms LWW replay of the flow-built ORDERS store — the
+    * `WITH … fin` CTE prefix shared verbatim by q161, q162, and q163
+    * (the streamed store must equal the batch one and the A4 report
+    * reads the same store, so one replay predicts all three; a drift
+    * in the LWW weights would have to break every consumer at once).
+    * `fin` carries o_custkey — the flow's product_id — so store-level
+    * consumers can group by product as well as by channel_group.
+    * A def for the object-init ordering rule.
     */
-  private def flowOracleSql(extraCols: String): String =
+  private def flowStoreReplaySql: String =
     s"""WITH src AS (
        |  SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderdate,
        |         o_orderpriority, o_orderstatus FROM orders),
@@ -290,21 +294,28 @@ object IngestQueries {
        |-- absorbs exactly one), matched keys add one v2-amount row,
        |-- unseen batch-2 keys append all copies
        |arm_old AS (
-       |  SELECT o_orderstatus, campaign, quantity, shipping_cost, date_time,
-       |         o_totalprice AS amount,
+       |  SELECT o_orderstatus, o_custkey, campaign, quantity, shipping_cost,
+       |         date_time, o_totalprice AS amount,
        |         copies - (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS w
        |  FROM keyed WHERE k % 3 <> 0),
        |arm_upd AS (
-       |  SELECT o_orderstatus, campaign, quantity, shipping_cost, date_time,
-       |         o_totalprice * cast(1.1 AS double) AS amount, 1 AS w
+       |  SELECT o_orderstatus, o_custkey, campaign, quantity, shipping_cost,
+       |         date_time, o_totalprice * cast(1.1 AS double) AS amount, 1 AS w
        |  FROM keyed WHERE k % 3 <> 0 AND k % 2 = 0),
        |arm_ins AS (
-       |  SELECT o_orderstatus, campaign, quantity, shipping_cost, date_time,
-       |         o_totalprice * cast(1.1 AS double) AS amount, copies AS w
+       |  SELECT o_orderstatus, o_custkey, campaign, quantity, shipping_cost,
+       |         date_time, o_totalprice * cast(1.1 AS double) AS amount, copies AS w
        |  FROM keyed WHERE k % 3 = 0 AND k % 2 = 0),
        |fin AS (SELECT * FROM arm_old WHERE w > 0
        |        UNION ALL SELECT * FROM arm_upd
-       |        UNION ALL SELECT * FROM arm_ins)
+       |        UNION ALL SELECT * FROM arm_ins)""".stripMargin
+
+  /** The flow oracle: [[flowStoreReplaySql]] rolled up by channel_group
+    * — shared by q161 and q162; `extraCols` appends the per-query
+    * contract columns.
+    */
+  private def flowOracleSql(extraCols: String): String =
+    s"""$flowStoreReplaySql
        |SELECT o_orderstatus AS channel_group,
        |  cast(sum(w) AS bigint) AS n_rows,
        |  cast(sum(CASE WHEN campaign IS NULL THEN w ELSE 0 END) AS bigint) AS null_campaigns,
@@ -427,8 +438,159 @@ object IngestQueries {
     flowOracleSql(
       "cast(3 AS bigint) AS n_versions,\n  cast(0 AS bigint) AS equiv_diff"))
 
+  // ------------------------------------------------------------------
+  // q163: the inventories flow leg + the A4 report off TWO flow-built
+  // stores — the last literal leg of the reference user story
+  // ------------------------------------------------------------------
+
+  private[graft] val InvHeader = "productId,name,quantity,category,subCategory"
+
+  /** The inventories fixture source: the product catalog derived from
+    * the customer table (its key space is exactly the orders fixture's
+    * productId space — [[linesFrom]] emits o_custkey as productId — so
+    * catalog/sales overlap is structural, not coincidental). `quant` is
+    * the batch-1 base quantity; batch transforms reshape it. Every
+    * k ≡ 0 mod 10 row maps to a DISJOINT 'new_'-prefixed product id — a
+    * just-listed product no order can reference — which makes A4's NULL
+    * branch (never-sold products) load-bearing by construction: this
+    * corpus has no customer without orders, so without the ghost block
+    * the LEFT JOIN would never exercise NULL propagation.
+    */
+  private[graft] def invSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"), col("c_name"), col("c_mktsegment"))
+      .withColumn("quant", (col("k") % 500 + 1).cast("int"))
+
+  /** Inventory CSV lines (header NOT included) — no new byte hazards by
+    * design: the S2 reader is the S1 path minus the timestamp parse
+    * (q159 judges the cleaning contract); this fixture's job is the
+    * simple-key store flow and the store-to-store report.
+    */
+  private[graft] def invLinesFrom(src: DataFrame): DataFrame =
+    src.select(concat(
+      when(col("k") % 10 === 0, concat(lit("new_"), col("k").cast("string")))
+        .otherwise(col("k").cast("string")), lit(","),
+      col("c_name"), lit(","),
+      col("quant").cast("string"), lit(","),
+      col("c_mktsegment"), lit(","),
+      concat(lit("sub_"), (col("k") % 13).cast("string"))).as("value"))
+
+  /** Stage an inventories landing dir (2 part files, camelCase header
+    * per file — the production multi-file shape, as in
+    * [[stageOrdersCsv]]).
+    */
+  private[graft] def stageInventoriesCsv(
+      spark: SparkSession, dir: String, out: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    import spark.implicits._
+    invLinesFrom(transform(invSource(spark, dir))).repartition(2).as[String]
+      .mapPartitions(it => Iterator(InvHeader) ++ it)
+      .write.mode("overwrite").text(out)
+  }
+
+  /** q163's inventory batch slices — batch 1 is the catalog minus the
+    * k ≡ 0 mod 7 block (those arrive later), batch 2 re-lists every
+    * even-k product with a restock of +7 units: matched even keys are
+    * LWW-updated, unseen even multiples of 7 are inserted, odd
+    * multiples of 7 never reach the store. Shared with IngestCertSpec's
+    * lifecycle guard (the hazardSource discipline).
+    */
+  private[graft] val q163InvBatch1: DataFrame => DataFrame =
+    _.filter(col("k") % 7 =!= 0)
+  private[graft] val q163InvBatch2: DataFrame => DataFrame =
+    df => df.filter(col("k") % 2 === 0)
+      .withColumn("quant", (col("quant") + 7).cast("int"))
+
+  /** The inventories flow leg (`flows/data_ingestion.py:250–272` runs it
+    * after the orders leg, same task shapes: read → split → upsert):
+    * sync CreateTable on the SIMPLE product_id key, first load, re-run.
+    * Shared by the judged query and the lifecycle guard.
+    */
+  private[graft] def q163BuildInvStore(s: SparkSession, dir: String): graft.state.StateTable = {
+    val dirA = graft.core.Staging.invocationDir("graft_q163_inv_b1", dir)
+    val dirB = graft.core.Staging.invocationDir("graft_q163_inv_b2", dir)
+    stageInventoriesCsv(s, dir, dirA, q163InvBatch1)
+    stageInventoriesCsv(s, dir, dirB, q163InvBatch2)
+    val st = freshSyncedStore(s, dir, "graft_q163_inv_state", "q163",
+      graft.core.Schemas.inventories, graft.core.Schemas.inventoriesKey)
+    st.upsert(Ingest.readInventoriesCsv(s, dirA))
+    st.upsert(Ingest.readInventoriesCsv(s, dirB))
+    st
+  }
+
+  /** q163: the store-to-store report certificate — the reference's
+    * reports read POSTGRES TABLES the flow built, not raw extracts
+    * (`README.md:31`, the psql surface), and the flow ingests BOTH
+    * datasets (`flows/data_ingestion.py:250–272`). q161 judged the
+    * orders leg + a rollup off its store; q00–q09 judge the report
+    * algebra off raw corpus parquet. What no query certified is the
+    * production read path END TO END: CSV landing dirs → the orders
+    * store (composite key, LWW) AND the inventories store (simple key,
+    * LWW restock) → A4's LEFT JOIN report (`README.md:112–130`)
+    * computed off the two StateTables — catalog joined to sales with
+    * NULL total_sold/remaining_stock propagating for never-sold
+    * products (no coalesce, the reference's own semantics, generalized
+    * from its single-product WHERE to the full catalog as in q04).
+    *
+    * The judged frame pins, per catalog row: the LWW-final stock
+    * (batch-2 restock on even keys, batch-1 base on odd, absent for
+    * odd multiples of 7), the orders store's per-product quantity sum
+    * through ITS two-upsert lifecycle (q161's weighted-arms replay,
+    * grouped by product instead of channel), and the NULL branch
+    * (every 'new_' ghost product and nothing else).
+    *
+    * Scale: aggregate-before-join (the fact side collapses to one row
+    * per product BEFORE the join — q04's discipline); the catalog side
+    * is corpus-proportional, so no broadcast hint — the house rule —
+    * and the join shuffles on the key both sides are already
+    * aggregated/unique on. Store builds are construction (q74/q103
+    * convention); the judged plan is two store scans, one partial-agg
+    * shuffle, one key-exchange join, the output sort.
+    */
+  val q163StoreReportCert: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val ordersSt = q161BuildStore(s, dir)
+      val invSt = q163BuildInvStore(s, dir)
+      require(invSt.history().size == 3,
+        s"q163 precondition: expected CreateTable + 2 load versions on " +
+          s"the inventories store, got ${invSt.history().size}")
+      val sold = ordersSt.current().get
+        .groupBy(col("product_id"))
+        .agg(sum(col("quantity")).as("total_sold"))
+      invSt.current().get
+        .select(col("product_id"), col("name"), col("quantity").as("current_stock"))
+        .join(sold, Seq("product_id"), "left_outer")
+        .select(col("product_id"), col("name"), col("current_stock"),
+          col("total_sold"),
+          (col("current_stock") - col("total_sold")).as("remaining_stock"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql,
+       |sold AS (
+       |  SELECT cast(o_custkey AS varchar) AS product_id,
+       |         cast(sum(w * quantity) AS bigint) AS total_sold
+       |  FROM fin GROUP BY 1),
+       |-- the inventories store replay: even keys carry the batch-2
+       |-- restock (+7 over the base k % 500 + 1), odd non-multiples of 7
+       |-- keep their batch-1 base, odd multiples of 7 never landed;
+       |-- k ≡ 0 mod 10 products carry the disjoint 'new_' id space
+       |inv AS (
+       |  SELECT CASE WHEN c_custkey % 10 = 0
+       |              THEN 'new_' || cast(c_custkey AS varchar)
+       |              ELSE cast(c_custkey AS varchar) END AS product_id,
+       |         c_name AS name,
+       |         cast(CASE WHEN c_custkey % 2 = 0 THEN c_custkey % 500 + 8
+       |                   ELSE c_custkey % 500 + 1 END AS integer) AS current_stock
+       |  FROM customer
+       |  WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 2 = 1))
+       |SELECT i.product_id, i.name, i.current_stock, s.total_sold,
+       |       cast(i.current_stock - s.total_sold AS bigint) AS remaining_stock
+       |FROM inv i LEFT JOIN sold s ON i.product_id = s.product_id
+       |ORDER BY i.product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
-    "q162_streaming_flow_e2e" -> q162StreamingFlowE2e)
+    "q162_streaming_flow_e2e" -> q162StreamingFlowE2e,
+    "q163_store_report_cert" -> q163StoreReportCert)
 }

@@ -757,7 +757,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // plan is the streamed store's rollup, the ±1-weighted union
       // groupBy pair for the full-row multiset equivalence (one content
       // exchange + the 3-row re-group), and the output sort
-      "q162_streaming_flow_e2e" -> 4)
+      "q162_streaming_flow_e2e" -> 4,
+      // q163 (round-14, audited at introduction): both store builds are
+      // construction (q161's orders flow + the inventories leg); the
+      // judged plan is the orders store scan into the per-product
+      // partial-agg exchange, the catalog join riding a BROADCAST of
+      // the post-agg sold side (stats-sized at audit scale; the catalog
+      // side itself is corpus-proportional and carries NO hint — the
+      // house rule), and the output range sort
+      "q163_store_report_cert" -> 2)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

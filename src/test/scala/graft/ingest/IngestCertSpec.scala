@@ -169,4 +169,69 @@ class IngestCertSpec extends AnyFunSuite {
     assert(diff.limit(1).count() == 0L,
       "concurrent flows produced different store contents")
   }
+
+  test("q163 staged inventories dirs physically carry the reader contract") {
+    val sf = TestSpark.testdata("0.001")
+    val dir = graft.core.Staging.invocationDir("graft_q163_cert_spec", sf)
+    IngestQueries.stageInventoriesCsv(spark, sf, dir, IngestQueries.q163InvBatch1)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(files.length == 2, "inventories fixture is a 2-file landing dir")
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.count(_ == IngestQueries.InvHeader) == 2,
+      "expected one camelCase header per file")
+    assert(IngestQueries.InvHeader.contains("subCategory"),
+      "header must be camelCase for the rename hazard to exist")
+    val data = lines.filterNot(_ == IngestQueries.InvHeader)
+    assert(data.exists(_.startsWith("new_")),
+      "no ghost 'new_' product staged — the NULL branch would be vacuous")
+    assert(data.exists(l => l.nonEmpty && l.charAt(0).isDigit),
+      "no catalog product with a sales-matching id staged")
+  }
+
+  test("q163 inventories lifecycle + NULL branch are non-degenerate") {
+    val sf = TestSpark.testdata("0.001")
+    // the SAME flow builder the judged query runs (shared so guard and
+    // judged flow cannot drift); history = [empty CreateTable, first
+    // load, restock re-run]
+    val st = IngestQueries.q163BuildInvStore(spark, sf)
+    val h = st.history()
+    assert(h.size == 3, s"inventories flow must retain 3 versions, got $h")
+    assert(st.readVersion(h(0)).count() == 0L, "CreateTable version must be empty")
+    val v2 = st.readVersion(h(1))
+    val v3 = st.readVersion(h(2))
+    // the re-run really inserted unseen products (even multiples of 7)
+    assert(v3.count() > v2.count(), "re-run inserted no unseen products")
+    // the LWW restock really rewrote matched keys: quantity sums differ
+    // restricted to FIRST-LOAD product ids (semi-join keeps the insert
+    // leg from satisfying this on its own — assertLwwRewrote's shape)
+    val v2keys = v2.select(col("product_id")).distinct()
+    def qsum(df: org.apache.spark.sql.DataFrame) =
+      df.join(v2keys, Seq("product_id"), "left_semi")
+        .agg(sum(col("quantity")).cast("long")).head().getLong(0)
+    assert(qsum(v3) != qsum(v2),
+      "re-run changed no quantities — the restock LWW leg is vacuous")
+    // a catalog, not an event log: keys stay unique through both loads
+    assert(v3.groupBy(col("product_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count() == 0L,
+      "inventories store grew duplicate product keys")
+
+    // the judged report's NULL branch is load-bearing AND structural:
+    // the oracle replays the generator, so only this guard pins that the
+    // NULL rows are exactly the never-sold ghost products (both branches
+    // populated; a generator drift that emptied either side stays green
+    // upstream but fails here)
+    val rows = graft.SparkEntry.queries("q163_store_report_cert")(spark, sf).collect()
+    val soldIdx = rows.head.fieldIndex("total_sold")
+    val remIdx = rows.head.fieldIndex("remaining_stock")
+    val (nulls, sold) = rows.partition(_.isNullAt(soldIdx))
+    assert(nulls.nonEmpty, "NULL branch empty — no never-sold product in the report")
+    assert(sold.nonEmpty, "non-NULL branch empty — no sold product in the report")
+    assert(nulls.forall(r => r.getString(0).startsWith("new_") && r.isNullAt(remIdx)),
+      "a NULL total_sold row is not a ghost product (or remaining_stock " +
+        "failed to propagate the NULL)")
+    assert(sold.forall(r => !r.getString(0).startsWith("new_")),
+      "a ghost product shows sales — the disjoint id space leaked into " +
+        "the orders store")
+  }
 }
