@@ -398,6 +398,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.suppressBoundedWindowWarn()
 
     // Reliable-checkpoint mode gate: point SPARK_GRAFT_CHECKPOINT_DIR at
     // a directory to run the whole bench with spark.graft.checkpointDir

@@ -25,6 +25,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.suppressBoundedWindowWarn()
     // same reliable-checkpoint gate as Bench: lets the DuckDB compare
     // run against reliable-mode results (mode parity at gate scale,
     // not just CheckpointModeSpec's unit scale)

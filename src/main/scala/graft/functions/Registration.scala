@@ -21,7 +21,14 @@ private[functions] object Registration {
   def once(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(new FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    // synchronized: exists+register is check-then-act, and QuerySpecs
+    // ARE constructed concurrently (IngestCertSpec's concurrency test) —
+    // two threads both seeing functionExists=false would both register,
+    // resurfacing the WARN this gate exists to silence. The registry is
+    // the natural monitor (one per session; registrations are rare).
+    reg.synchronized {
+      if (!reg.functionExists(new FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

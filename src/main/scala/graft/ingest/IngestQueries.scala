@@ -104,12 +104,17 @@ object IngestQueries {
     * must mirror [[linesFrom]] exactly) cannot drift between the two
     * judged replays. A def, not a val: oracle strings are vals built at
     * object init and must never read a forward val reference.
+    * shipping_cost's divisor is cast to DOUBLE explicitly: the
+    * cent-floor aggregates require double division (29/100.0 in double
+    * floors to 28 cents exactly as Spark computes it), and an implicit
+    * bigint/decimal resolution would silently flip that — the explicit
+    * cast makes the requirement independent of DuckDB's literal typing.
     */
   private def hazardColsSql: String =
     """CASE WHEN k % 5 = 0 THEN NULL
       |         ELSE 'camp,' || cast(k % 7 AS varchar) END AS campaign,
       |    cast(k % 50 + 1 AS integer) AS quantity,
-      |    (k % 2000) / 100.0 AS shipping_cost,
+      |    (k % 2000) / cast(100.0 AS double) AS shipping_cost,
       |    o_orderdate + (k % 1440) * INTERVAL 1 minute
       |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
       |      AS date_time""".stripMargin

@@ -1,6 +1,9 @@
 #!/bin/bash
 # Run a scalatest suite with bare java (avoids sbt startup).
-ST=$(find /root/.cache/coursier -path "*3.2.19*" -name "*.jar" | tr '\n' ':')
+# group-scoped pattern: "*3.2.19*" alone would also pick up any
+# UNRELATED library that happens to ship that version string in its
+# coursier path, ahead of the intended jars
+ST=$(find /root/.cache/coursier -path "*org/scalatest*" -path "*3.2.19*" -name "*.jar" | tr '\n' ':')
 SCK=$(find /root/.cache/coursier -name "scalacheck_2.13-1.18.0.jar" | head -1)
 SC=$(find /root/.cache/coursier -name "scalactic_2.13-3.2.19.jar" | head -1)
 CP="/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes:/opt/spark/jars/*:$ST$SC:$SCK"
