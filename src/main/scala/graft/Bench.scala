@@ -129,8 +129,10 @@ object Bench {
     "q160_schema_evolution_cert",
     "q161_reference_flow_e2e",
     "q162_streaming_flow_e2e",
-    // round-14 addition: the store-to-store A4 report certificate
-    "q163_store_report_cert")
+    // round-14 additions: the store-to-store A4 report certificate and
+    // the CDC-driven incremental report maintenance certificate
+    "q163_store_report_cert",
+    "q164_incremental_report_cert")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -362,7 +364,13 @@ object Bench {
     // versions) plus the inventories flow (two more landing dirs +
     // three versions) are construction inside every timed sample by
     // design — the store round-trips ARE the measured operator
-    "q163_store_report_cert" -> 5.52)
+    "q163_store_report_cert" -> 5.52,
+    // q164 introduced round 14 at its targeted-run measurement (launch
+    // loadavg 3.4 — a loaded sample only overestimates; MIN rule
+    // re-bases DOWN on quieter samples). Cost class: the q161 store
+    // build (construction, invocation-scoped) plus the CDC join, two
+    // pruned delta aggregations, and the recompute certificate leg
+    "q164_incremental_report_cert" -> 6.8)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

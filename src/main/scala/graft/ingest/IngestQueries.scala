@@ -593,9 +593,104 @@ object IngestQueries {
        |FROM inv i LEFT JOIN sold s ON i.product_id = s.product_id
        |ORDER BY i.product_id""".stripMargin)
 
+  /** The per-product sales report maintained by q164 — one definition
+    * for the base snapshot, both delta arms, and the full-recompute
+    * certificate leg, so the maintained aggregate and its oracle twin
+    * cannot drift from the recomputed one.
+    */
+  private[graft] def productReport(contents: DataFrame): DataFrame =
+    contents.groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("amount") * 100).cast("long")).as("amount_cents"))
+
+  /** q164: incremental report maintenance off the store's CDC feed —
+    * judged equal to a full recompute. At 100 TB the reference's
+    * reports cannot be recomputed per run; the scale answer is a
+    * materialized report plus a delta derived from what CHANGED. The
+    * store's versioned CDC ([[graft.state.StateTable.diff]], judged by
+    * q158) is exactly that change feed, but until now nothing consumed
+    * it downstream. q164 closes the loop on the reference's own report
+    * surface:
+    *
+    *  1. build the flow store ([[q161BuildStore]]: first load v2,
+    *     LWW re-run v3);
+    *  2. materialize the per-product report off v2;
+    *  3. read the v2→v3 CDC (key-level: inserts + LWW updates here;
+    *     the algebra below also absorbs deletes — a deleted key's rows
+    *     appear only in the before arm);
+    *  4. form the delta as `report(v3 ⋉ changedKeys) −
+    *     report(v2 ⋉ changedKeys)` — on a key-partitioned store both
+    *     semi-joined scans prune to the changed keys' partitions, so
+    *     the maintenance cost tracks the CHANGE volume, not the store
+    *     size (this corpus re-runs half its keys; production re-runs
+    *     touch a sliver);
+    *  5. merge: `report(v3) ≡ report(v2) ⊎ delta` under group-wise sum
+    *     (SUM/COUNT are self-maintainable; a MIN/MAX report would need
+    *     the per-group recompute fallback on retraction).
+    *
+    * The judged rows carry the MAINTAINED report (so its values meet
+    * the weighted-arms oracle replay) plus a per-product `equiv_diff`
+    * against the full recompute (q162's ±1-weighted union-groupBy
+    * multiset certificate) — 0 everywhere means the incremental path
+    * reproduced the recompute exactly, row for row. A change the CDC
+    * missed, a delta arm double-counting a duplicated key's copies, or
+    * a retraction applied to the wrong group all break it.
+    *
+    * What the replayed oracle cannot see — that the delta path really
+    * prunes (changedKeys a proper nonempty subset) and really moves the
+    * report (v2 report ≠ v3 report) — IngestCertSpec pins.
+    *
+    * Scale: one CDC join (q158's audited shape), two semi-joined
+    * pruned aggregations, three group-sums on the report key, the
+    * certificate's recompute leg (the honest price, q141/q162
+    * convention), one output sort. The CDC frame feeds both delta arms
+    * — pinned once (Checkpoints.pin, the multi-consumer discipline).
+    */
+  val q164IncrementalReportCert: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val st = q161BuildStore(s, dir)
+      val h = st.history()
+      val keyCols = graft.core.Schemas.ordersKey
+      val v2 = st.readVersion(h(1))
+      val v3 = st.readVersion(h(2))
+      val changedKeys = graft.core.Checkpoints.pin(
+        st.diff(h(1), h(2)).select(keyCols.map(col): _*))
+      def arm(version: DataFrame, sign: Long) =
+        productReport(version.join(changedKeys, keyCols, "left_semi"))
+          .select(col("product_id"),
+            (col("n_rows") * lit(sign)).as("n_rows"),
+            (col("amount_cents") * lit(sign)).as("amount_cents"))
+      val maintained = productReport(v2)
+        .unionByName(arm(v3, 1L)).unionByName(arm(v2, -1L))
+        .groupBy(col("product_id"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("amount_cents")).as("amount_cents"))
+        // a group whose rows all retracted leaves a zero shell (only
+        // reachable via deletes — not this store's algebra, but the
+        // maintenance must be correct for the operator, not the fixture)
+        .filter(col("n_rows") > 0)
+      val pinned = graft.core.Checkpoints.pin(maintained)
+      val recomputed = productReport(v3)
+      val cols = pinned.columns.toIndexedSeq
+      val equiv = pinned.withColumn("_w", lit(1L))
+        .unionByName(recomputed.withColumn("_w", lit(-1L)))
+        .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_imb"))
+        .groupBy(col("product_id")).agg(sum(abs(col("_imb"))).as("equiv_diff"))
+      // inner join: equiv groups over the UNION of both report legs, a
+      // superset of the maintained report's products by construction
+      pinned.join(equiv, Seq("product_id")).orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
     "q162_streaming_flow_e2e" -> q162StreamingFlowE2e,
-    "q163_store_report_cert" -> q163StoreReportCert)
+    "q163_store_report_cert" -> q163StoreReportCert,
+    "q164_incremental_report_cert" -> q164IncrementalReportCert)
 }

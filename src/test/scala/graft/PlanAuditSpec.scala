@@ -765,7 +765,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // the post-agg sold side (stats-sized at audit scale; the catalog
       // side itself is corpus-proportional and carries NO hint — the
       // house rule), and the output range sort
-      "q163_store_report_cert" -> 2)
+      "q163_store_report_cert" -> 2,
+      // q164 (round-14, audited at introduction): the store build is
+      // construction and the CDC feed + maintained report are pinned
+      // (multi-consumer discipline), so the judged plan is the
+      // recompute certificate leg's scan-agg, the ±1-weighted
+      // union-groupBy equivalence pair, and the output sort
+      "q164_incremental_report_cert" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

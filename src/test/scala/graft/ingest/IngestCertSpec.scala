@@ -234,4 +234,39 @@ class IngestCertSpec extends AnyFunSuite {
       "a ghost product shows sales — the disjoint id space leaked into " +
         "the orders store")
   }
+
+  test("q164 CDC really prunes and the maintenance is non-vacuous") {
+    val sf = TestSpark.testdata("0.001")
+    // the SAME store builder + report definition the judged query runs
+    val st = IngestQueries.q161BuildStore(spark, sf)
+    val h = st.history()
+    val keyCols = graft.core.Schemas.ordersKey
+
+    // the delta path is a real pruning: the CDC key set is nonempty and
+    // a PROPER subset of the final store's keys — the oracle replays
+    // the generator, so a degenerate fixture where every key changed
+    // (delta ≡ recompute, no pruning exercised) would stay green there
+    val changed = st.diff(h(1), h(2)).select(keyCols.map(col): _*)
+    val nChanged = changed.count()
+    val nTotal = st.readVersion(h(2)).select(keyCols.map(col): _*)
+      .distinct().count()
+    assert(nChanged > 0, "CDC empty — the incremental path maintains nothing")
+    assert(nChanged < nTotal,
+      s"every key changed ($nChanged of $nTotal) — the pruned-delta claim " +
+        "is untested by this fixture")
+
+    // the maintenance is non-vacuous in BOTH change kinds the store
+    // produces: the re-run inserted new report rows (group count grows)
+    // and LWW-updated amounts on existing products (cents move within a
+    // surviving group)
+    val r2 = IngestQueries.productReport(st.readVersion(h(1)))
+    val r3 = IngestQueries.productReport(st.readVersion(h(2)))
+    assert(r3.count() >= r2.count(), "report groups shrank without deletes")
+    val moved = r3.join(r2.select(col("product_id"),
+        col("amount_cents").as("_pre")), Seq("product_id"))
+      .filter(col("amount_cents") =!= col("_pre"))
+    assert(moved.limit(1).count() == 1L,
+      "no surviving product's cents moved — the update leg of the " +
+        "maintenance is vacuous")
+  }
 }
