@@ -119,21 +119,32 @@ object IngestQueries {
       |      + (CASE WHEN k % 2 = 0 THEN k % 60 ELSE 0 END) * INTERVAL 1 second
       |      AS date_time""".stripMargin
 
-  /** Stage the fixture as a 4-file landing dir, each file carrying its
-    * own camelCase header line (the CSV reader skips one header line per
-    * file — a multi-file landing dir is the production shape).
+  /** Landing-dir staging mechanics shared by every CSV fixture: N part
+    * files, each carrying its own header line (the CSV reader skips one
+    * header per FILE — a multi-file landing dir is the production
+    * shape), header prepended per partition so the staging itself is
+    * distributed (no driver loop). ONE writer so the orders and
+    * inventories fixtures can never drift to different staging
+    * conventions.
+    */
+  private def stageLandingDir(spark: SparkSession, lines: DataFrame,
+      header: String, nFiles: Int, out: String): Unit = {
+    import spark.implicits._
+    lines.repartition(nFiles).as[String]
+      .mapPartitions(it => Iterator(header) ++ it)
+      .write.mode("overwrite").text(out)
+  }
+
+  /** Stage the fixture as a 4-file landing dir via [[stageLandingDir]].
     * `transform` reshapes the hazard source before line building (q161's
     * batch slices); the default identity keeps q159's fixture
     * byte-identical to its oracle's replay.
     */
   private[graft] def stageOrdersCsv(
       spark: SparkSession, dir: String, out: String,
-      transform: DataFrame => DataFrame = identity): Unit = {
-    import spark.implicits._
-    linesFrom(transform(hazardSource(spark, dir))).repartition(4).as[String]
-      .mapPartitions(it => Iterator(Header) ++ it)
-      .write.mode("overwrite").text(out)
-  }
+      transform: DataFrame => DataFrame = identity): Unit =
+    stageLandingDir(spark, linesFrom(transform(hazardSource(spark, dir))),
+      Header, 4, out)
 
   val q159CsvIngestCert: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -408,6 +419,26 @@ object IngestQueries {
     * batch store — two store scans, the honest price of an equivalence
     * certificate (q141/q151/q157 convention).
     */
+  /** Per-group full-row multiset symmetric difference (q156's
+    * convention): every column of `a` participates, so any value
+    * produced differently in either leg breaks it. Computed as a
+    * ±1-weighted union-groupBy, NOT a count join — rows legitimately
+    * carry NULLs (cleaned campaigns), and a join on the column list can
+    * never match NULL keys (NULL = NULL is not true), which would
+    * report every NULL-bearing row as a spurious two-sided diff;
+    * grouping treats NULLs as equal. One shuffle instead of
+    * two-plus-join, too. ONE definition for every equivalence
+    * certificate in this family (q162, q164), so the arithmetic cannot
+    * drift between them.
+    */
+  private def multisetEquivDiff(a: DataFrame, b: DataFrame,
+      groupKey: String): DataFrame = {
+    val cols = a.columns.toIndexedSeq
+    a.withColumn("_w", lit(1L)).unionByName(b.withColumn("_w", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_imb"))
+      .groupBy(col(groupKey)).agg(sum(abs(col("_imb"))).as("equiv_diff"))
+  }
+
   val q162StreamingFlowE2e: QuerySpec = QuerySpec(
     (s, dir) => {
       val streamed = q162BuildStreamedStore(s, dir).st
@@ -415,20 +446,7 @@ object IngestQueries {
       val a = streamed.current().get
       val b = batch.current().get
       val versions = streamed.history().size.toLong
-      // per-group full-row multiset symmetric difference (q156's
-      // convention): every column participates, so any value the CSV →
-      // clean → upsert chain produced differently in either leg breaks
-      // it. Computed as ±1-weighted union-groupBy, NOT a count join —
-      // campaign is legitimately NULL on cleaned rows, and a join on
-      // the column list can never match NULL keys (NULL = NULL is not
-      // true), which would report every null-campaign row as a
-      // spurious two-sided diff; grouping treats NULLs as equal. One
-      // shuffle instead of two-plus-join, too.
-      val cols = a.columns.toIndexedSeq
-      val diff = a.withColumn("_w", lit(1L)).unionByName(b.withColumn("_w", lit(-1L)))
-        .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_imb"))
-        .groupBy(col("channel_group"))
-        .agg(sum(abs(col("_imb"))).as("equiv_diff"))
+      val diff = multisetEquivDiff(a, b, "channel_group")
       // inner join: diff is grouped from the UNION of both stores, so
       // its channel_group set is a superset of the rollup's by
       // construction — there is no unmatched-row case to coalesce (and
@@ -457,9 +475,12 @@ object IngestQueries {
     * the batch-1 base quantity; batch transforms reshape it. Every
     * k ≡ 0 mod 10 row maps to a DISJOINT 'new_'-prefixed product id — a
     * just-listed product no order can reference — which makes A4's NULL
-    * branch (never-sold products) load-bearing by construction: this
-    * corpus has no customer without orders, so without the ghost block
-    * the LEFT JOIN would never exercise NULL propagation.
+    * branch (never-sold products) load-bearing by construction rather
+    * than by corpus accident. (Scale note: at sf0.001/sf0.01 every
+    * customer has surviving orders, so the ghosts are the ONLY NULL
+    * source; the NULL-rows-are-exactly-ghosts invariant the guard pins
+    * is scale-checked, not structural — a corpus where a non-mod-10
+    * customer had no orders would legitimately add non-ghost NULLs.)
     */
   private[graft] def invSource(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(
@@ -481,17 +502,13 @@ object IngestQueries {
       concat(lit("sub_"), (col("k") % 13).cast("string"))).as("value"))
 
   /** Stage an inventories landing dir (2 part files, camelCase header
-    * per file — the production multi-file shape, as in
-    * [[stageOrdersCsv]]).
+    * per file) via [[stageLandingDir]].
     */
   private[graft] def stageInventoriesCsv(
       spark: SparkSession, dir: String, out: String,
-      transform: DataFrame => DataFrame = identity): Unit = {
-    import spark.implicits._
-    invLinesFrom(transform(invSource(spark, dir))).repartition(2).as[String]
-      .mapPartitions(it => Iterator(InvHeader) ++ it)
-      .write.mode("overwrite").text(out)
-  }
+      transform: DataFrame => DataFrame = identity): Unit =
+    stageLandingDir(spark, invLinesFrom(transform(invSource(spark, dir))),
+      InvHeader, 2, out)
 
   /** q163's inventory batch slices — batch 1 is the catalog minus the
     * k ≡ 0 mod 7 block (those arrive later), batch 2 re-lists every
@@ -670,12 +687,7 @@ object IngestQueries {
         // maintenance must be correct for the operator, not the fixture)
         .filter(col("n_rows") > 0)
       val pinned = graft.core.Checkpoints.pin(maintained)
-      val recomputed = productReport(v3)
-      val cols = pinned.columns.toIndexedSeq
-      val equiv = pinned.withColumn("_w", lit(1L))
-        .unionByName(recomputed.withColumn("_w", lit(-1L)))
-        .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_imb"))
-        .groupBy(col("product_id")).agg(sum(abs(col("_imb"))).as("equiv_diff"))
+      val equiv = multisetEquivDiff(pinned, productReport(v3), "product_id")
       // inner join: equiv groups over the UNION of both report legs, a
       // superset of the maintained report's products by construction
       pinned.join(equiv, Seq("product_id")).orderBy(col("product_id"))

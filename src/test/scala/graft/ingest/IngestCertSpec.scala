@@ -255,10 +255,20 @@ class IngestCertSpec extends AnyFunSuite {
       s"every key changed ($nChanged of $nTotal) — the pruned-delta claim " +
         "is untested by this fixture")
 
-    // the maintenance is non-vacuous in BOTH change kinds the store
-    // produces: the re-run inserted new report rows (group count grows)
-    // and LWW-updated amounts on existing products (cents move within a
-    // surviving group)
+    // the maintenance is fed BOTH change kinds this store's flow can
+    // produce — pinned structurally off the CDC stream itself (report
+    // group growth is NOT structural: a new report group appears only
+    // when a product's every order arrived in the insert arm, a
+    // one-key corpus accident at sf0.001)
+    val kinds = st.diff(h(1), h(2)).select(col("_change")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("insert", "update"),
+      s"CDC change kinds $kinds — the maintenance must see inserts AND " +
+        "LWW updates (and this flow never deletes)")
+
+    // ... and is non-vacuous in the report values: no group vanished
+    // (key-loss guard; deletes don't exist here) and cents moved on a
+    // surviving product (the update leg reached the aggregate)
     val r2 = IngestQueries.productReport(st.readVersion(h(1)))
     val r3 = IngestQueries.productReport(st.readVersion(h(2)))
     assert(r3.count() >= r2.count(), "report groups shrank without deletes")
