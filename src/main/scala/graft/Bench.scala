@@ -197,13 +197,13 @@ object Bench {
     "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.30,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
-    "q19_simhash" -> 0.279, "q20_jaccard_pairs" -> 1.00,
+    "q19_simhash" -> 0.272, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
-    "q56_gapfill" -> 0.41, "q59_pipeline_e2e" -> 0.26,
+    "q56_gapfill" -> 0.402, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
@@ -215,7 +215,7 @@ object Bench {
     // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
     // CodegenFallback lambda chains (6.74 s → 0.97 s standalone, 0.51 s
     // in the warm full-headline run)
-    "q100_pq_ann" -> 0.415, "q101_incremental_neardup" -> 1.053,
+    "q100_pq_ann" -> 0.415, "q101_incremental_neardup" -> 0.999,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
     "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.452,
@@ -225,17 +225,17 @@ object Bench {
     // q39's value is from AFTER the WinnowFingerprints codegen
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
-    "q39_winnowing" -> 0.646, "q42_running_totals" -> 0.41,
+    "q39_winnowing" -> 0.635, "q42_running_totals" -> 0.362,
     "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.46,
     "q108_image_decode" -> 0.447, "q109_zorder_prune" -> 0.5,
-    "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.47,
+    "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.467,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
     "q116_shard_admission" -> 0.58,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.51,
-    "q119_repeated_spans" -> 1.66, "q120_ivfpq_ann" -> 0.4,
+    "q119_repeated_spans" -> 1.581, "q120_ivfpq_ann" -> 0.4,
     "q121_span_coverage" -> 1.66, "q122_bpe_merges" -> 0.78,
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
@@ -317,7 +317,7 @@ object Bench {
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
     "q154_watermark_funnel" -> 3.69,
-    "q155_watermark_calibration" -> 0.479,
+    "q155_watermark_calibration" -> 0.466,
     // round-12 additions: introduction minima from a SEMI-LOADED window
     // (loadavg 1.3 at start, external spike to 8.5 by the tail —
     // bench_diag preserved in git) — possible ceilings, re-base DOWN at
@@ -337,40 +337,41 @@ object Bench {
     // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
     // across the round-13 full runs → 1.699 (round 14, off the official
     // BENCH_r13 quiet-launch record — the MIN rule)
-    "q158_state_cdc_vacuum" -> 1.699,
+    "q158_state_cdc_vacuum" -> 1.637,
     // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
     // 0.87 in the same round's full quiet-start run (warm grouped slot
     // — the introduction value carried fresh-JVM staging cost), then
     // 0.821 round 14 off the official BENCH_r13 record
-    "q159_csv_ingest_cert" -> 0.821,
+    "q159_csv_ingest_cert" -> 0.785,
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost),
     // then 1.253 round 14 off the official BENCH_r13 record
-    "q160_schema_evolution_cert" -> 1.253,
+    "q160_schema_evolution_cert" -> 1.18,
     // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN
     // 3.42 → 2.52 across the closing full runs (two landing-dir
     // stagings + three store versions dominate)
-    "q161_reference_flow_e2e" -> 2.52,
+    "q161_reference_flow_e2e" -> 2.5,
     // q162 introduced round 13 at 7.73 (targeted run), re-based DOWN
     // to 6.33 in the closing full run (two full store lifecycles + two
     // streaming drains), then 5.892 round 14 off the official
     // BENCH_r13 quiet-launch record (the MIN rule)
-    "q162_streaming_flow_e2e" -> 5.892,
-    // q163 introduced round 14 at its targeted-run measurement (launch
-    // loadavg 2.6 — a loaded sample only overestimates the floor; the
-    // MIN rule re-bases DOWN on any quieter sub-ref sample). Cost class:
-    // the full q161 orders flow (two landing dirs + three store
-    // versions) plus the inventories flow (two more landing dirs +
-    // three versions) are construction inside every timed sample by
-    // design — the store round-trips ARE the measured operator
-    "q163_store_report_cert" -> 5.52,
-    // q164 introduced round 14 at its targeted-run measurement (launch
-    // loadavg 3.4 — a loaded sample only overestimates; MIN rule
-    // re-bases DOWN on quieter samples). Cost class: the q161 store
-    // build (construction, invocation-scoped) plus the CDC join, two
-    // pruned delta aggregations, and the recompute certificate leg
-    "q164_incremental_report_cert" -> 6.8)
+    "q162_streaming_flow_e2e" -> 5.427,
+    // q163 introduced round 14 at 5.52 (targeted run, loadavg 2.6),
+    // re-based DOWN to 4.427 in the same round's closing quiet-launch
+    // full run (the q156/q157 convention — the introduction value was
+    // a loaded ceiling). Cost class: the full q161 orders flow (two
+    // landing dirs + three store versions) plus the inventories flow
+    // (two more landing dirs + three versions) are construction inside
+    // every timed sample by design — the store round-trips ARE the
+    // measured operator
+    "q163_store_report_cert" -> 4.427,
+    // q164 introduced round 14 at 6.8 (targeted run, loadavg 3.4),
+    // re-based DOWN to 5.055 in the same round's closing quiet-launch
+    // full run. Cost class: the q161 store build (construction,
+    // invocation-scoped) plus the CDC join, two pruned delta
+    // aggregations, and the recompute certificate leg
+    "q164_incremental_report_cert" -> 5.055)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
