@@ -663,6 +663,34 @@ object IngestQueries {
     * convention), one output sort. The CDC frame feeds both delta arms
     * — pinned once (Checkpoints.pin, the multi-consumer discipline).
     */
+  /** The q164 maintenance step as a named operator: apply a pruned
+    * delta derived from `changedKeys` (the CDC key set between
+    * `before` and `after`) to the report materialized off `before`.
+    * Correct for ALL three change kinds — inserts and updates land via
+    * the `after ⊖ before` arms over the changed keys, and a DELETED
+    * key's rows appear only in the before arm, retracting its
+    * contribution; a group whose rows ALL retracted leaves a zero
+    * shell, filtered here (SUM/COUNT are self-maintainable; MIN/MAX
+    * would need a per-group recompute fallback on retraction). The
+    * q164 flow exercises inserts + LWW updates; the delete arm is
+    * spec-pinned (IngestCertSpec) against a hand-built version pair,
+    * so the doc claim is tested, not asserted.
+    */
+  private[graft] def maintainProductReport(before: DataFrame, after: DataFrame,
+      changedKeys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    def arm(version: DataFrame, sign: Long) =
+      productReport(version.join(changedKeys, keyCols, "left_semi"))
+        .select(col("product_id"),
+          (col("n_rows") * lit(sign)).as("n_rows"),
+          (col("amount_cents") * lit(sign)).as("amount_cents"))
+    productReport(before)
+      .unionByName(arm(after, 1L)).unionByName(arm(before, -1L))
+      .groupBy(col("product_id"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("amount_cents")).as("amount_cents"))
+      .filter(col("n_rows") > 0)
+  }
+
   val q164IncrementalReportCert: QuerySpec = QuerySpec(
     (s, dir) => {
       val st = q161BuildStore(s, dir)
@@ -672,21 +700,8 @@ object IngestQueries {
       val v3 = st.readVersion(h(2))
       val changedKeys = graft.core.Checkpoints.pin(
         st.diff(h(1), h(2)).select(keyCols.map(col): _*))
-      def arm(version: DataFrame, sign: Long) =
-        productReport(version.join(changedKeys, keyCols, "left_semi"))
-          .select(col("product_id"),
-            (col("n_rows") * lit(sign)).as("n_rows"),
-            (col("amount_cents") * lit(sign)).as("amount_cents"))
-      val maintained = productReport(v2)
-        .unionByName(arm(v3, 1L)).unionByName(arm(v2, -1L))
-        .groupBy(col("product_id"))
-        .agg(sum(col("n_rows")).as("n_rows"),
-          sum(col("amount_cents")).as("amount_cents"))
-        // a group whose rows all retracted leaves a zero shell (only
-        // reachable via deletes — not this store's algebra, but the
-        // maintenance must be correct for the operator, not the fixture)
-        .filter(col("n_rows") > 0)
-      val pinned = graft.core.Checkpoints.pin(maintained)
+      val pinned = graft.core.Checkpoints.pin(
+        maintainProductReport(v2, v3, changedKeys, keyCols))
       val equiv = multisetEquivDiff(pinned, productReport(v3), "product_id")
       // inner join: equiv groups over the UNION of both report legs, a
       // superset of the maintained report's products by construction

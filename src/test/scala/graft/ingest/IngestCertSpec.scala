@@ -279,4 +279,41 @@ class IngestCertSpec extends AnyFunSuite {
       "no surviving product's cents moved — the update leg of the " +
         "maintenance is vacuous")
   }
+
+  test("q164 maintenance absorbs deletes, including whole-group retraction") {
+    // the judged flow produces only inserts and LWW updates, so the
+    // delete arm of maintainProductReport (the doc's "absorbs deletes"
+    // claim) is pinned here against a hand-built version pair: product
+    // 'a' keeps one of two rows partially-deleted, 'b' is updated,
+    // 'c' is deleted ENTIRELY (its zero shell must be filtered, not
+    // emitted as a 0-row group), 'd' is inserted
+    import spark.implicits._
+    val keyCols = Seq("order_id", "product_id")
+    val before = Seq(
+      ("o1", "a", 10.00), ("o2", "a", 20.00),
+      ("o3", "b", 5.00),
+      ("o4", "c", 7.00), ("o5", "c", 9.00)
+    ).toDF("order_id", "product_id", "amount")
+    val after = Seq(
+      ("o1", "a", 10.00),              // o2 deleted: partial retraction
+      ("o3", "b", 6.50),               // updated
+      ("o6", "d", 3.00)                // inserted; c gone entirely
+    ).toDF("order_id", "product_id", "amount")
+    val changedKeys = Seq(
+      ("o2", "a"), ("o3", "b"), ("o4", "c"), ("o5", "c"), ("o6", "d")
+    ).toDF("order_id", "product_id")
+
+    val maintained = IngestQueries.maintainProductReport(
+      before, after, changedKeys, keyCols)
+    val recomputed = IngestQueries.productReport(after)
+    val diff = maintained.withColumn("_w", lit(1L))
+      .unionByName(recomputed.withColumn("_w", lit(-1L)))
+      .groupBy(col("product_id"), col("n_rows"), col("amount_cents"))
+      .agg(sum(col("_w")).as("imb")).filter(col("imb") =!= 0L)
+    assert(diff.limit(1).count() == 0L,
+      "maintained report diverged from the recompute under deletes")
+    assert(maintained.filter(col("product_id") === "c").limit(1).count() == 0L,
+      "fully-retracted group 'c' left a zero shell in the maintained report")
+    assert(maintained.count() == 3L, "expected exactly groups a, b, d")
+  }
 }
