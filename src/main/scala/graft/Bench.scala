@@ -195,7 +195,7 @@ object Bench {
     */
   val reference: Map[String, Double] = Map(
     "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
-    "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.30,
+    "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.289,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
     "q19_simhash" -> 0.272, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
@@ -203,7 +203,7 @@ object Bench {
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
-    "q56_gapfill" -> 0.402, "q59_pipeline_e2e" -> 0.26,
+    "q56_gapfill" -> 0.375, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
@@ -215,7 +215,7 @@ object Bench {
     // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
     // CodegenFallback lambda chains (6.74 s → 0.97 s standalone, 0.51 s
     // in the warm full-headline run)
-    "q100_pq_ann" -> 0.415, "q101_incremental_neardup" -> 0.999,
+    "q100_pq_ann" -> 0.389, "q101_incremental_neardup" -> 0.978,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
     "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.452,
@@ -225,10 +225,10 @@ object Bench {
     // q39's value is from AFTER the WinnowFingerprints codegen
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
-    "q39_winnowing" -> 0.635, "q42_running_totals" -> 0.362,
-    "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.46,
+    "q39_winnowing" -> 0.618, "q42_running_totals" -> 0.362,
+    "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.456,
     "q108_image_decode" -> 0.447, "q109_zorder_prune" -> 0.5,
-    "q110_pii_redaction" -> 0.62, "q111_contamination_fps" -> 0.467,
+    "q110_pii_redaction" -> 0.547, "q111_contamination_fps" -> 0.467,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
     "q116_shard_admission" -> 0.58,
@@ -236,11 +236,11 @@ object Bench {
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.51,
     "q119_repeated_spans" -> 1.581, "q120_ivfpq_ann" -> 0.4,
-    "q121_span_coverage" -> 1.66, "q122_bpe_merges" -> 0.78,
+    "q121_span_coverage" -> 1.594, "q122_bpe_merges" -> 0.78,
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
-    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.76,
+    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.686,
     // round-8 third batch: re-based to the 65-query quiet-window run
     // (64.9 s total, ZERO stall retimes) that followed their
     // introduction runs
@@ -262,7 +262,7 @@ object Bench {
     // (it fired at 11.1 s in the round-12 full run). MIN rule still
     // applies: any future quiet sample below 5.74 re-bases DOWN.
     "q135_multimodal_neardup" -> 5.74, "q136_deletion_purge" -> 3.95,
-    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.95,
+    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.947,
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
     // their refs in the same run — the refs stand as quiet floors)
@@ -276,13 +276,13 @@ object Bench {
     "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.177,
     "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.18,
     "q148_pit_features" -> 0.291, "q149_consistent_hashing" -> 0.37,
-    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.08,
+    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.054,
     // round-10 additions: introduced at their quiet-window
     // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
     // (0.712 in the round-11 full run — the introduction value was an
     // inflated first-process measurement); re-based DOWN round 14 to
     // the official BENCH_r13 record (MIN rule)
-    "q152_sampling_stability" -> 0.678,
+    "q152_sampling_stability" -> 0.618,
     // q153 re-based UP round 11: the 3.00 introduction value was never
     // reproduced on any later run — round 10's own official record ran
     // it at 5.5, the round-11 quiet-window targeted runs measured
@@ -316,7 +316,7 @@ object Bench {
     // quiet-start run (the replay cost class is q99's — two
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
-    "q154_watermark_funnel" -> 3.69,
+    "q154_watermark_funnel" -> 3.505,
     "q155_watermark_calibration" -> 0.466,
     // round-12 additions: introduction minima from a SEMI-LOADED window
     // (loadavg 1.3 at start, external spike to 8.5 by the tail —
@@ -328,16 +328,16 @@ object Bench {
     // q156 re-based DOWN 3.23 → 2.95 → 2.81 across the round-12
     // watcher firings (introduction was a semi-loaded ceiling, per its
     // own flag; successive loaded-window minima per the MIN rule)
-    "q156_compaction_cert" -> 2.81,
+    "q156_compaction_cert" -> 2.751,
     // q157 re-based DOWN three times per the MIN rule (6.82 → 6.02
     // full-run offset-0 sample → 5.80 late watcher ceiling run under
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
-    "q157_streaming_shard_ingest" -> 5.37,
+    "q157_streaming_shard_ingest" -> 5.09,
     // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
     // across the round-13 full runs → 1.699 (round 14, off the official
     // BENCH_r13 quiet-launch record — the MIN rule)
-    "q158_state_cdc_vacuum" -> 1.637,
+    "q158_state_cdc_vacuum" -> 1.567,
     // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
     // 0.87 in the same round's full quiet-start run (warm grouped slot
     // — the introduction value carried fresh-JVM staging cost), then
@@ -347,31 +347,31 @@ object Bench {
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost),
     // then 1.253 round 14 off the official BENCH_r13 record
-    "q160_schema_evolution_cert" -> 1.18,
+    "q160_schema_evolution_cert" -> 1.119,
     // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN
     // 3.42 → 2.52 across the closing full runs (two landing-dir
     // stagings + three store versions dominate)
-    "q161_reference_flow_e2e" -> 2.5,
+    "q161_reference_flow_e2e" -> 2.192,
     // q162 introduced round 13 at 7.73 (targeted run), re-based DOWN
     // to 6.33 in the closing full run (two full store lifecycles + two
     // streaming drains), then 5.892 round 14 off the official
     // BENCH_r13 quiet-launch record (the MIN rule)
-    "q162_streaming_flow_e2e" -> 5.427,
+    "q162_streaming_flow_e2e" -> 5.04,
     // q163 introduced round 14 at 5.52 (targeted run, loadavg 2.6),
-    // re-based DOWN to 4.427 in the same round's closing quiet-launch
-    // full run (the q156/q157 convention — the introduction value was
+    // re-based DOWN 4.427 → 4.069 across the round's two quiet-launch
+    // full runs (the q156/q157 convention — the introduction value was
     // a loaded ceiling). Cost class: the full q161 orders flow (two
     // landing dirs + three store versions) plus the inventories flow
     // (two more landing dirs + three versions) are construction inside
     // every timed sample by design — the store round-trips ARE the
     // measured operator
-    "q163_store_report_cert" -> 4.427,
+    "q163_store_report_cert" -> 4.069,
     // q164 introduced round 14 at 6.8 (targeted run, loadavg 3.4),
-    // re-based DOWN to 5.055 in the same round's closing quiet-launch
-    // full run. Cost class: the q161 store build (construction,
+    // re-based DOWN 5.055 → 4.715 across the round's two quiet-launch
+    // full runs. Cost class: the q161 store build (construction,
     // invocation-scoped) plus the CDC join, two pruned delta
     // aggregations, and the recompute certificate leg
-    "q164_incremental_report_cert" -> 5.055)
+    "q164_incremental_report_cert" -> 4.715)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
