@@ -198,12 +198,12 @@ object Bench {
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.289,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
     "q19_simhash" -> 0.272, "q20_jaccard_pairs" -> 1.00,
-    "q21_cosine_topk" -> 0.22, "q23_tumbling_windows" -> 0.17,
+    "q21_cosine_topk" -> 0.206, "q23_tumbling_windows" -> 0.17,
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
-    "q56_gapfill" -> 0.375, "q59_pipeline_e2e" -> 0.26,
+    "q56_gapfill" -> 0.373, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
@@ -218,15 +218,15 @@ object Bench {
     "q100_pq_ann" -> 0.389, "q101_incremental_neardup" -> 0.978,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.452,
+    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.402,
     // round-7 additions: per-query min of matching sf0.1 runs at
     // introduction (measured in a globally ~1.7× inflated window — see
     // README round-7 notes — so future quiet rounds may re-base DOWN);
     // q39's value is from AFTER the WinnowFingerprints codegen
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
-    "q39_winnowing" -> 0.618, "q42_running_totals" -> 0.362,
-    "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.456,
+    "q39_winnowing" -> 0.618, "q42_running_totals" -> 0.358,
+    "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.423,
     "q108_image_decode" -> 0.447, "q109_zorder_prune" -> 0.5,
     "q110_pii_redaction" -> 0.547, "q111_contamination_fps" -> 0.467,
     "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
@@ -235,8 +235,8 @@ object Bench {
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
     "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.51,
-    "q119_repeated_spans" -> 1.581, "q120_ivfpq_ann" -> 0.4,
-    "q121_span_coverage" -> 1.594, "q122_bpe_merges" -> 0.78,
+    "q119_repeated_spans" -> 1.541, "q120_ivfpq_ann" -> 0.4,
+    "q121_span_coverage" -> 1.569, "q122_bpe_merges" -> 0.78,
     "q123_triangle_clustering" -> 1.55,
     "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
@@ -262,7 +262,7 @@ object Bench {
     // (it fired at 11.1 s in the round-12 full run). MIN rule still
     // applies: any future quiet sample below 5.74 re-bases DOWN.
     "q135_multimodal_neardup" -> 5.74, "q136_deletion_purge" -> 3.95,
-    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.947,
+    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.938,
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
     // their refs in the same run — the refs stand as quiet floors)
@@ -271,18 +271,18 @@ object Bench {
     // introduction (loadavg recorded in bench_diag.json)
     // re-based to the 83-query warm full run (95.3 s total, 1 retime,
     // loadavg 1.6-5 window): cross-run minima per the stall protocol
-    "q140_bigram_coherence" -> 1.00, "q141_dedup_equivalence" -> 0.63,
-    "q142_bloom_admission" -> 0.46, "q143_streaming_admission" -> 2.78,
+    "q140_bigram_coherence" -> 0.961, "q141_dedup_equivalence" -> 0.582,
+    "q142_bloom_admission" -> 0.41, "q143_streaming_admission" -> 2.78,
     "q144_coherence_calibration" -> 0.96, "q145_cdc_chunking" -> 1.177,
-    "q146_cusum_drift" -> 0.31, "q147_k_anonymity" -> 0.18,
+    "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.168,
     "q148_pit_features" -> 0.291, "q149_consistent_hashing" -> 0.37,
-    "q150_merkle_diff" -> 0.19, "q151_incremental_cc" -> 5.054,
+    "q150_merkle_diff" -> 0.188, "q151_incremental_cc" -> 5.054,
     // round-10 additions: introduced at their quiet-window
     // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
     // (0.712 in the round-11 full run — the introduction value was an
     // inflated first-process measurement); re-based DOWN round 14 to
     // the official BENCH_r13 record (MIN rule)
-    "q152_sampling_stability" -> 0.618,
+    "q152_sampling_stability" -> 0.554,
     // q153 re-based UP round 11: the 3.00 introduction value was never
     // reproduced on any later run — round 10's own official record ran
     // it at 5.5, the round-11 quiet-window targeted runs measured
@@ -317,7 +317,7 @@ object Bench {
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
     "q154_watermark_funnel" -> 3.505,
-    "q155_watermark_calibration" -> 0.466,
+    "q155_watermark_calibration" -> 0.434,
     // round-12 additions: introduction minima from a SEMI-LOADED window
     // (loadavg 1.3 at start, external spike to 8.5 by the tail —
     // bench_diag preserved in git) — possible ceilings, re-base DOWN at
@@ -328,7 +328,7 @@ object Bench {
     // q156 re-based DOWN 3.23 → 2.95 → 2.81 across the round-12
     // watcher firings (introduction was a semi-loaded ceiling, per its
     // own flag; successive loaded-window minima per the MIN rule)
-    "q156_compaction_cert" -> 2.751,
+    "q156_compaction_cert" -> 2.719,
     // q157 re-based DOWN three times per the MIN rule (6.82 → 6.02
     // full-run offset-0 sample → 5.80 late watcher ceiling run under
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
@@ -342,7 +342,7 @@ object Bench {
     // 0.87 in the same round's full quiet-start run (warm grouped slot
     // — the introduction value carried fresh-JVM staging cost), then
     // 0.821 round 14 off the official BENCH_r13 record
-    "q159_csv_ingest_cert" -> 0.785,
+    "q159_csv_ingest_cert" -> 0.743,
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost),
