@@ -26,6 +26,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Logs.suppressBoundedWindowWarn()
+    graft.core.Logs.suppressStreamingMainWarns()
     // same reliable-checkpoint gate as Bench: lets the DuckDB compare
     // run against reliable-mode results (mode parity at gate scale,
     // not just CheckpointModeSpec's unit scale)

@@ -32,4 +32,34 @@ object Logs {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+
+  /** Raise the thresholds of the three per-streaming-query-start WARN
+    * sources to ERROR — the same tail-budget hazard class as
+    * `WindowExec`, fired by every `writeStream.start()` in the driver
+    * mains (each streaming certificate starts 2+ queries, so the
+    * official run's tail carried 3 such lines in round 14):
+    *
+    *  - `ResolveWriteToStream` — "spark.sql.adaptive.enabled is not
+    *    supported in streaming DataFrames/Datasets and will be
+    *    disabled": expected and deliberate; the mains enable AQE for
+    *    the BATCH queries, and Spark documentedly disables it per
+    *    streaming query — there is nothing to act on;
+    *  - `MicroBatchExecution` — the same AQE-disabled notice repeated
+    *    at execution start;
+    *  - `SharedInMemoryCache` — file-listing cache eviction under the
+    *    default 250 MB budget: a sizing notice, not a correctness
+    *    signal, and at bench scale eviction only means re-listing a
+    *    staged landing dir.
+    *
+    * Driver mains (Bench/Verify) only — interactive and test sessions
+    * keep the defaults so a developer still sees all three where they
+    * are looking.
+    */
+  def suppressStreamingMainWarns(): Unit =
+    Seq(
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.datasources.SharedInMemoryCache"
+    ).foreach(l => org.apache.logging.log4j.core.config.Configurator.setLevel(
+      l, org.apache.logging.log4j.Level.ERROR))
 }

@@ -362,16 +362,30 @@ object IngestQueries {
   private[graft] final case class StreamedFlow(
       st: graft.state.StateTable, drain: () => Unit)
 
-  private[graft] def q162BuildStreamedStore(s: SparkSession, dir: String): StreamedFlow = {
+  /** The streamed reference flow, shared by q162 (parity certificate)
+    * and q165 (maintained report): stage both batches, sync a fresh
+    * store, drain the landing dir twice under ONE checkpoint — phase 1
+    * the first-load files, phase 2 the re-run files landed into the
+    * SAME directory. `afterDrain` fires after each drain with the store
+    * (q165 folds its maintenance step there); the final history require
+    * pins exactly one micro-batch version per drain, so a hook that
+    * reads `history` sees the pre-drain version at size−2. ONE builder
+    * so the two streamed certificates can never drift to different
+    * drain protocols.
+    */
+  private def buildStreamedFlowStore(s: SparkSession, dir: String,
+      prefix: String, label: String,
+      afterDrain: graft.state.StateTable => Unit = _ => ()): StreamedFlow = {
     // the phase-1 files stage directly into the landing dir; phase-2
     // files stage aside and land between the drains
-    val (landing, stageB) = stageFlowBatches(s, dir, "graft_q162")
-    val st = freshSyncedStore(s, dir, "graft_q162_state", "q162")
-    val ckpt = graft.core.Staging.invocationDir("graft_q162_ckpt", dir)
+    val (landing, stageB) = stageFlowBatches(s, dir, prefix)
+    val st = freshSyncedStore(s, dir, s"${prefix}_state", label)
+    val ckpt = graft.core.Staging.invocationDir(s"${prefix}_ckpt", dir)
     def drain(): Unit =
       graft.streaming.StreamingIngest.runOrdersIngest(s, landing, st, ckpt)
         .awaitTermination()
     drain() // phase 1: the first-load files
+    afterDrain(st)
     // phase 2: the re-run files land in the SAME directory (fresh names;
     // the file source keys its processed-log on path)
     graft.core.Fs.listDir(java.nio.file.Paths.get(stageB))
@@ -381,12 +395,16 @@ object IngestQueries {
           java.nio.file.Paths.get(landing, s"rerun-$i-${p.getFileName}")): Unit
       }
     drain() // phase 2: only the newly-landed files
+    afterDrain(st)
     require(st.history().size == 3,
-      s"q162 precondition: expected CreateTable + 2 micro-batch versions, " +
+      s"$label precondition: expected CreateTable + 2 micro-batch versions, " +
         s"got ${st.history().size} — trigger chunking or the checkpoint " +
         "file log drifted")
     StreamedFlow(st, () => drain())
   }
+
+  private[graft] def q162BuildStreamedStore(s: SparkSession, dir: String): StreamedFlow =
+    buildStreamedFlowStore(s, dir, "graft_q162", "q162")
 
   /** q162: the STREAMING twin of q161 — the reference's "re-run when a
     * new file lands" semantics (`main.py:29–32`) as a file-source
@@ -663,33 +681,60 @@ object IngestQueries {
     * convention), one output sort. The CDC frame feeds both delta arms
     * — pinned once (Checkpoints.pin, the multi-consumer discipline).
     */
-  /** The q164 maintenance step as a named operator: apply a pruned
-    * delta derived from `changedKeys` (the CDC key set between
-    * `before` and `after`) to the report materialized off `before`.
-    * Correct for ALL three change kinds — inserts and updates land via
-    * the `after ⊖ before` arms over the changed keys, and a DELETED
-    * key's rows appear only in the before arm, retracting its
-    * contribution; a group whose rows ALL retracted leaves a zero
-    * shell, filtered here (SUM/COUNT are self-maintainable; MIN/MAX
-    * would need a per-group recompute fallback on retraction). The
-    * q164 flow exercises inserts + LWW updates; the delete arm is
-    * spec-pinned (IngestCertSpec) against a hand-built version pair,
-    * so the doc claim is tested, not asserted.
+  /** The maintenance fold shared by q164 (one batch step off a report
+    * materialized from `before`) and q165 (a CARRIED report folded per
+    * drained micro-batch): apply the pruned ±delta derived from
+    * `changedKeys` to `base`, the materialized report for `before`'s
+    * contents. Correct for ALL three change kinds — inserts and
+    * updates land via the `after ⊖ before` arms over the changed keys,
+    * and a DELETED key's rows appear only in the before arm,
+    * retracting its contribution; a group whose rows ALL retracted
+    * leaves a zero shell, filtered here (SUM/COUNT are
+    * self-maintainable; MIN/MAX would need a per-group recompute
+    * fallback on retraction).
+    *
+    * PRECONDITION on the change feed: `changedKeys` must cover every
+    * key whose row MULTISET differs between the versions.
+    * [[graft.state.StateTable.diff]] is key-level (latest row per
+    * key), so a transition that added or removed value-identical
+    * COPIES of an existing key would slip past it — but transitions
+    * produced by [[graft.state.StateTable.upsert]] can never do that:
+    * the LWW arm rewrites an existing key's latest row IN PLACE and
+    * the insert arm appends only UNSEEN keys, so an existing key's
+    * multiplicity is invariant across an upsert, and any multiset
+    * change at an existing key shows up in its latest row's values
+    * (IngestCertSpec pins this invariant on the judged flow's own
+    * version pair). Feeding this fold from a store mutated by raw
+    * `overwrite` (multiset edits invisible at key level) needs a
+    * multiset-aware change feed instead — e.g. also diffing per-key
+    * row counts between the versions.
     */
-  private[graft] def maintainProductReport(before: DataFrame, after: DataFrame,
-      changedKeys: DataFrame, keyCols: Seq[String]): DataFrame = {
+  private[graft] def applyReportDelta(base: DataFrame, before: DataFrame,
+      after: DataFrame, changedKeys: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     def arm(version: DataFrame, sign: Long) =
       productReport(version.join(changedKeys, keyCols, "left_semi"))
         .select(col("product_id"),
           (col("n_rows") * lit(sign)).as("n_rows"),
           (col("amount_cents") * lit(sign)).as("amount_cents"))
-    productReport(before)
+    base
       .unionByName(arm(after, 1L)).unionByName(arm(before, -1L))
       .groupBy(col("product_id"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("amount_cents")).as("amount_cents"))
       .filter(col("n_rows") > 0)
   }
+
+  /** The q164 maintenance step as a named operator: one
+    * [[applyReportDelta]] fold onto the report materialized off
+    * `before`. The q164 flow exercises inserts + LWW updates; the
+    * delete arm is spec-pinned (IngestCertSpec) against a hand-built
+    * version pair, so the doc claim is tested, not asserted. The
+    * change-feed precondition is documented at [[applyReportDelta]].
+    */
+  private[graft] def maintainProductReport(before: DataFrame, after: DataFrame,
+      changedKeys: DataFrame, keyCols: Seq[String]): DataFrame =
+    applyReportDelta(productReport(before), before, after, changedKeys, keyCols)
 
   val q164IncrementalReportCert: QuerySpec = QuerySpec(
     (s, dir) => {
@@ -714,10 +759,144 @@ object IngestQueries {
        |  cast(0 AS bigint) AS equiv_diff
        |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
 
+  /** The maintained-stream handles: the drained store, the final
+    * maintained report (pinned), and the per-drain CDC key frames
+    * (pinned) — kept so IngestCertSpec can pin that ≥2 maintenance
+    * steps really applied nonempty, DISTINCT key sets (the replayed
+    * oracle sees only the final rows).
+    */
+  private[graft] final case class MaintainedStream(
+      st: graft.state.StateTable, report: DataFrame,
+      stepKeys: Seq[DataFrame])
+
+  /** q165's construction: the q162 streamed flow with q164's report
+    * maintenance folded INSIDE the drain loop — after each drained
+    * micro-batch, derive the CDC step off the store's version pair and
+    * [[applyReportDelta]] the pruned ±delta onto the CARRIED report
+    * (base case: the report of the pre-drain version — empty at the
+    * CreateTable version). Each step's report and CDC key frame are
+    * pinned (Checkpoints.pin): the maintained artifact must not
+    * accrete lineage across drains — at production drain counts an
+    * unpinned fold's plan depth grows per micro-batch (the iterative-
+    * operator rule, `core/Checkpoints.scala`).
+    */
+  private[graft] def q165BuildMaintainedStream(
+      s: SparkSession, dir: String): MaintainedStream = {
+    val keyCols = graft.core.Schemas.ordersKey
+    var report: DataFrame = null
+    var prev: String = null // last version the fold consumed
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val flow = buildStreamedFlowStore(s, dir, "graft_q165", "q165", st => {
+      val h = st.history()
+      // fold from the last consumed version (CreateTable before the
+      // first drain) to the drain's head — robust even if a drain ever
+      // chunked into several versions (the builder's history require
+      // would still fail the run loudly afterwards)
+      val from = if (prev == null) h.head else prev
+      val to = h.last
+      val before = st.readVersion(from)
+      val after = st.readVersion(to)
+      val changedKeys = graft.core.Checkpoints.pin(
+        st.diff(from, to).select(keyCols.map(col): _*))
+      steps += changedKeys
+      val base = if (report == null) productReport(before) else report
+      report = graft.core.Checkpoints.pin(
+        applyReportDelta(base, before, after, changedKeys, keyCols))
+      prev = to
+    })
+    MaintainedStream(flow.st, report, steps.toSeq)
+  }
+
+  /** q165: the maintained report under STREAMING ingest — the 100 TB
+    * report-freshness story end to end. q164 proved one CDC
+    * maintenance step in batch; the production shape is the reference's
+    * re-run-on-new-file loop (`main.py:29–32`,
+    * `flows/data_ingestion.py:219–279`) keeping the report fresh as
+    * the stream drains WITHOUT recomputing it: two `AvailableNow`
+    * drains under ONE checkpoint (the q162 protocol, so the file
+    * source's exactly-once log is in scope), and after EACH drain the
+    * carried report absorbs the pruned CDC delta of that micro-batch.
+    * The judged rows are the final maintained report — its values meet
+    * the weighted-arms oracle replay, so the fold reproduced the full
+    * ingest arithmetic — plus a per-product `equiv_diff` against the
+    * recompute off the drained store (the q162/q164 multiset
+    * certificate) and the applied step count. A drain the maintenance
+    * missed, a delta folded twice across the checkpoint boundary, or a
+    * reprocessed first-load file all break it.
+    *
+    * What the replayed oracle cannot see — that BOTH steps applied
+    * nonempty, distinct CDC key sets (a degenerate fold that only ran
+    * once over the union would replay green) — IngestCertSpec pins off
+    * [[MaintainedStream.stepKeys]].
+    *
+    * Scale: maintenance cost per drain tracks the micro-batch's CHANGE
+    * volume (semi-join-pruned arms, a group-sum over the report key),
+    * not the store size; the carried report is pinned per step so plan
+    * depth stays O(1) in drain count. The judged plan is the pinned
+    * report scan, the recompute certificate leg's scan-agg (the honest
+    * price, q141/q162/q164 convention), the ±1-weighted union-groupBy
+    * pair, and the output sort.
+    */
+  val q165StreamingReportMaintCert: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val m = q165BuildMaintainedStream(s, dir)
+      val recompute = productReport(m.st.current().get)
+      val equiv = multisetEquivDiff(m.report, recompute, "product_id")
+      // inner join: equiv groups over the UNION of both report legs, a
+      // superset of the maintained report's products by construction
+      m.report
+        .withColumn("n_steps", lit(m.stepKeys.size.toLong))
+        .join(equiv, Seq("product_id"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(2 AS bigint) AS n_steps,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
+
+  /** q166: the A2 report (orders per product per month,
+    * `README.md:79–92` over `flows/data_ingestion.py:86–91` data) off
+    * the flow-built store — the one reference-report axis that had no
+    * judged row through the production path: a TIMESTAMP that survived
+    * CSV parse (dual-format, q159) → store round-trip (q161) → month/
+    * year EXTRACT (q02's shape, UTC-pinned). q02 judges the EXTRACT
+    * off raw corpus DATE columns; this certifies it off the ingested
+    * TimestampType, where a tz or precision drift in the store
+    * round-trip would move rows between months.
+    *
+    * Scale: the store build is construction (q74/q103 convention); the
+    * judged plan is one store scan into the (product, year, month)
+    * rollup — one hash exchange — and the output sort.
+    */
+  val q166StoreMonthlyCert: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val st = q161BuildStore(s, dir)
+      st.current().get
+        .groupBy(col("product_id"),
+          year(col("date_time")).as("sale_year"),
+          month(col("date_time")).as("sale_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("quantity")).as("qty_sum"))
+        .orderBy(col("product_id"), col("sale_year"), col("sale_month"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(year(date_time) AS integer) AS sale_year,
+       |  cast(month(date_time) AS integer) AS sale_month,
+       |  cast(sum(w) AS bigint) AS n_orders,
+       |  cast(sum(w * quantity) AS bigint) AS qty_sum
+       |FROM fin GROUP BY 1, 2, 3
+       |ORDER BY product_id, sale_year, sale_month""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
     "q162_streaming_flow_e2e" -> q162StreamingFlowE2e,
     "q163_store_report_cert" -> q163StoreReportCert,
-    "q164_incremental_report_cert" -> q164IncrementalReportCert)
+    "q164_incremental_report_cert" -> q164IncrementalReportCert,
+    "q165_streaming_report_maint" -> q165StreamingReportMaintCert,
+    "q166_store_monthly_cert" -> q166StoreMonthlyCert)
 }
