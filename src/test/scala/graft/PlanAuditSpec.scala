@@ -761,17 +761,34 @@ class PlanAuditSpec extends AnyFunSuite {
       // q163 (round-14, audited at introduction): both store builds are
       // construction (q161's orders flow + the inventories leg); the
       // judged plan is the orders store scan into the per-product
-      // partial-agg exchange, the catalog join riding a BROADCAST of
-      // the post-agg sold side (stats-sized at audit scale; the catalog
-      // side itself is corpus-proportional and carries NO hint — the
-      // house rule), and the output range sort
-      "q163_store_report_cert" -> 2,
+      // partial-agg exchange, the catalog join, and the output range
+      // sort. Budget is the HINT-FREE WORST CASE of 3 (key exchanges
+      // on both join sides): the OBSERVED plan at audit scale is 2
+      // because the optimizer stats-sizes a broadcast of the post-agg
+      // sold side, but the query deliberately carries no hint (the
+      // catalog side is corpus-proportional — the house rule), so a
+      // stats or autoBroadcastJoinThreshold drift legitimately flips
+      // the audited plan to the shuffle join without any regression;
+      // pinning 2 would fail the budget on optimizer weather
+      "q163_store_report_cert" -> 3,
       // q164 (round-14, audited at introduction): the store build is
       // construction and the CDC feed + maintained report are pinned
       // (multi-consumer discipline), so the judged plan is the
       // recompute certificate leg's scan-agg, the ±1-weighted
       // union-groupBy equivalence pair, and the output sort
-      "q164_incremental_report_cert" -> 4)
+      "q164_incremental_report_cert" -> 4,
+      // q165 (round-15, audited at introduction): the streamed store
+      // build AND every per-drain maintenance fold are construction
+      // (each step's report and CDC keys are pinned — the maintained
+      // artifact must not accrete lineage across drains), so the
+      // judged plan is q164's consumer shape off the PINNED final
+      // report: the recompute leg's scan-agg, the ±1-weighted
+      // union-groupBy equivalence pair, and the output sort
+      "q165_streaming_report_maint" -> 4,
+      // q166 (round-15, audited at introduction): the store build is
+      // construction; the judged plan is one store scan into the
+      // (product, year, month) rollup exchange + the output range sort
+      "q166_store_monthly_cert" -> 2)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

@@ -316,4 +316,88 @@ class IngestCertSpec extends AnyFunSuite {
       "fully-retracted group 'c' left a zero shell in the maintained report")
     assert(maintained.count() == 3L, "expected exactly groups a, b, d")
   }
+
+  test("upsert transitions satisfy applyReportDelta's CDC multiset precondition") {
+    // applyReportDelta's correctness rests on the documented
+    // precondition: a key ABSENT from the key-level CDC feed has an
+    // UNCHANGED row multiset across the transition (StateTable.diff
+    // compares only the latest row per key, so a transition that added
+    // or removed value-identical copies of an existing key would slip
+    // past it). For upsert-produced transitions this is structural —
+    // the LWW arm rewrites an existing key's latest row IN PLACE and
+    // the insert arm appends only UNSEEN keys — pinned here on the
+    // judged flow's own version pair rather than asserted in prose:
+    val sf = TestSpark.testdata("0.001")
+    val st = IngestQueries.q161BuildStore(spark, sf)
+    val h = st.history()
+    val keyCols = graft.core.Schemas.ordersKey
+    def counts(v: String, as: String) =
+      st.readVersion(v).groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as(as))
+    // 1. every key present before the upsert keeps its multiplicity
+    val drifted = counts(h(1), "n2").join(counts(h(2), "n3"), keyCols)
+      .filter(col("n2") =!= col("n3"))
+    assert(drifted.limit(1).count() == 0L,
+      "upsert changed an existing key's row multiplicity — the " +
+        "key-level CDC feed would miss it and applyReportDelta's " +
+        "documented precondition is broken")
+    // 2. every key whose multiplicity DID change (0 → n inserts, the
+    //    only kind upsert can produce) is covered by the CDC feed
+    val cdcKeys = st.diff(h(1), h(2)).select(keyCols.map(col): _*)
+    val newKeys = counts(h(2), "n3")
+      .join(counts(h(1), "n2"), keyCols, "left_anti")
+      .select(keyCols.map(col): _*)
+    assert(newKeys.except(cdcKeys).limit(1).count() == 0L,
+      "a key with changed multiplicity is missing from the CDC feed")
+  }
+
+  test("q165 maintenance really ran two nonempty, distinct CDC steps") {
+    // the judged oracle replays the final rows, so a degenerate fold —
+    // one that ran once over the union of both drains, or folded an
+    // empty delta — would replay green; the step evidence is pinned
+    // here off the builder's own handles
+    val sf = TestSpark.testdata("0.001")
+    val m = IngestQueries.q165BuildMaintainedStream(spark, sf)
+    assert(m.stepKeys.size == 2,
+      s"expected one maintenance step per drain, got ${m.stepKeys.size}")
+    val Seq(s1, s2) = m.stepKeys
+    assert(s1.limit(1).count() == 1L && s2.limit(1).count() == 1L,
+      "a maintenance step folded an empty CDC delta")
+    // distinct in BOTH directions — neither step's key set contains the
+    // other (step 1 = the first-load keys; step 2 = the re-run's LWW
+    // updates plus its unseen inserts), so the two folds demonstrably
+    // applied different deltas
+    assert(s1.except(s2).limit(1).count() == 1L &&
+      s2.except(s1).limit(1).count() == 1L,
+      "the two maintenance steps applied identical or nested key sets — " +
+        "the per-drain fold is not exercised")
+    // and the maintained artifact equals the recompute off the drained
+    // store row-for-row (the judged certificate's property, re-checked
+    // here where the step handles are in scope)
+    val recompute = IngestQueries.productReport(m.st.current().get)
+    val diff = m.report.withColumn("_w", lit(1L))
+      .unionByName(recompute.withColumn("_w", lit(-1L)))
+      .groupBy(col("product_id"), col("n_rows"), col("amount_cents"))
+      .agg(sum(col("_w")).as("imb")).filter(col("imb") =!= 0L)
+    assert(diff.limit(1).count() == 0L,
+      "maintained report diverged from the drained-store recompute")
+  }
+
+  test("q166 timestamp axis through the store is non-degenerate") {
+    // q166's point is the month/year EXTRACT off the STORE's
+    // TimestampType column; a fixture collapse to one month (or a
+    // round-trip that nulled the column) would leave the grouping
+    // vacuous while the replayed oracle stayed green
+    val sf = TestSpark.testdata("0.001")
+    val st = IngestQueries.q161BuildStore(spark, sf)
+    val contents = st.current().get
+    assert(contents.filter(col("date_time").isNull).limit(1).count() == 0L,
+      "store round-trip nulled date_time")
+    val nMonths = contents
+      .select(year(col("date_time")), month(col("date_time")))
+      .distinct().count()
+    assert(nMonths > 1,
+      s"only $nMonths (year, month) group(s) through the store — the " +
+        "EXTRACT axis is degenerate at this corpus")
+  }
 }
