@@ -198,16 +198,16 @@ object Bench {
     * bench_diag.json's git history, see the entry's comment).
     */
   val reference: Map[String, Double] = Map(
-    "q00_pricing_summary" -> 0.63, "q01_revenue_per_product" -> 0.78,
+    "q00_pricing_summary" -> 0.586, "q01_revenue_per_product" -> 0.78,
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.289,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
-    "q19_simhash" -> 0.272, "q20_jaccard_pairs" -> 1.00,
+    "q19_simhash" -> 0.266, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.206, "q23_tumbling_windows" -> 0.17,
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
-    "q56_gapfill" -> 0.373, "q59_pipeline_e2e" -> 0.26,
+    "q56_gapfill" -> 0.364, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
     "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
@@ -215,12 +215,12 @@ object Bench {
     // introduction; q99 re-based round 7 after the replay-harness trim
     // (bands staged once per process, AvailableNow trigger, state
     // partitions sized to the replay)
-    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 2.79,
+    "q98_chunk_dedup" -> 0.35, "q99_streaming_neardup" -> 2.776,
     // q100 re-based round 8: PqRecon/VecL2 codegen kernels replaced the
     // CodegenFallback lambda chains (6.74 s → 0.97 s standalone, 0.51 s
     // in the warm full-headline run)
     "q100_pq_ann" -> 0.358, // ↓r15: BENCH_r14 official (MIN rule)
-    "q101_incremental_neardup" -> 0.978,
+    "q101_incremental_neardup" -> 0.942,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
     "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.402,
@@ -232,32 +232,32 @@ object Bench {
     // 0.97 s in the same window)
     "q39_winnowing" -> 0.601, // ↓r15: BENCH_r14
     "q42_running_totals" -> 0.358,
-    "q58_dedup_clusters_star" -> 2.61, "q83_scd2_history" -> 0.423,
-    "q108_image_decode" -> 0.447, "q109_zorder_prune" -> 0.5,
-    "q110_pii_redaction" -> 0.547, "q111_contamination_fps" -> 0.454, // ↓r15: BENCH_r14
-    "q112_sequence_packing" -> 0.52, "q113_filter_funnel" -> 0.26,
+    "q58_dedup_clusters_star" -> 2.521, "q83_scd2_history" -> 0.413,
+    "q108_image_decode" -> 0.425, "q109_zorder_prune" -> 0.5,
+    "q110_pii_redaction" -> 0.547, "q111_contamination_fps" -> 0.418, // ↓r15: BENCH_r14
+    "q112_sequence_packing" -> 0.489, "q113_filter_funnel" -> 0.255,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
     "q116_shard_admission" -> 0.58,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.51,
+    "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.476,
     "q119_repeated_spans" -> 1.496, // ↓r15: BENCH_r14
-    "q120_ivfpq_ann" -> 0.4,
+    "q120_ivfpq_ann" -> 0.381,
     "q121_span_coverage" -> 1.569, "q122_bpe_merges" -> 0.78,
-    "q123_triangle_clustering" -> 1.55,
-    "q124_regional_revenue" -> 0.48, "q125_knn_classify" -> 0.53,
+    "q123_triangle_clustering" -> 1.533,
+    "q124_regional_revenue" -> 0.46, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
     "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.686,
     // round-8 third batch: re-based to the 65-query quiet-window run
     // (64.9 s total, ZERO stall retimes) that followed their
     // introduction runs
-    "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 2.11,
-    "q132_rank_quality" -> 0.84,
+    "q130_leakage_safe_split" -> 1.84, "q131_multimodal_manifest" -> 1.982,
+    "q132_rank_quality" -> 0.682,
     // round-9 additions: per-query min across the introduction runs and
     // the two end-of-round 70/71-query full runs (external load 1.5–9
     // through most windows — q134/q135 especially carry loaded-window
     // ceilings; future quiet rounds may re-base DOWN)
-    "q133_image_neardup" -> 1.21, "q134_training_data_card" -> 4.06,
+    "q133_image_neardup" -> 1.202, "q134_training_data_card" -> 3.605,
     // q135 re-based UP round 13 under the introduction-artifact rule's
     // rework corollary: the 4.95 floor belonged to the PRE-round-11
     // plan (re-based at 90c80cb, before the one-scan rework at
@@ -267,8 +267,12 @@ object Bench {
     // 0.04-loadavg round-13 start) ever undercut it — a floor the
     // current code never reproduces only burns the stall-retime budget
     // (it fired at 11.1 s in the round-12 full run). MIN rule still
-    // applies: any future quiet sample below 5.74 re-bases DOWN.
-    "q135_multimodal_neardup" -> 5.74, "q136_deletion_purge" -> 3.845, // ↓r15: BENCH_r14 official (MIN rule)
+    // applies: any future quiet sample below 5.74 re-bases DOWN —
+    // and round 15's first quiet-launch full run (in-process
+    // launch_load 3.19 incl. sbt startup, zero retimes, zero over-2x)
+    // finally did: 5.291 in slot 2 at offset 19s. Re-based DOWN; the
+    // passive-observation stance carries (no targeted probes).
+    "q135_multimodal_neardup" -> 5.291, "q136_deletion_purge" -> 3.845, // ↓r15: BENCH_r14 official (MIN rule)
     "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.889, // ↓r15: BENCH_r14
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
@@ -280,18 +284,18 @@ object Bench {
     // loadavg 1.6-5 window): cross-run minima per the stall protocol
     "q140_bigram_coherence" -> 0.927, // ↓r15: BENCH_r14
     "q141_dedup_equivalence" -> 0.582,
-    "q142_bloom_admission" -> 0.41, "q143_streaming_admission" -> 2.78,
+    "q142_bloom_admission" -> 0.402, "q143_streaming_admission" -> 2.78,
     "q144_coherence_calibration" -> 0.958, // ↓r15: BENCH_r14
     "q145_cdc_chunking" -> 1.134, // ↓r15: BENCH_r14
-    "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.168,
+    "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.165,
     "q148_pit_features" -> 0.291, "q149_consistent_hashing" -> 0.37,
-    "q150_merkle_diff" -> 0.188, "q151_incremental_cc" -> 5.054,
+    "q150_merkle_diff" -> 0.188, "q151_incremental_cc" -> 4.792,
     // round-10 additions: introduced at their quiet-window
     // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
     // (0.712 in the round-11 full run — the introduction value was an
     // inflated first-process measurement); re-based DOWN round 14 to
     // the official BENCH_r13 record (MIN rule)
-    "q152_sampling_stability" -> 0.554,
+    "q152_sampling_stability" -> 0.528,
     // q153 re-based UP round 11: the 3.00 introduction value was never
     // reproduced on any later run — round 10's own official record ran
     // it at 5.5, the round-11 quiet-window targeted runs measured
@@ -342,7 +346,7 @@ object Bench {
     // full-run offset-0 sample → 5.80 late watcher ceiling run under
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
-    "q157_streaming_shard_ingest" -> 5.064, // ↓r15: BENCH_r14
+    "q157_streaming_shard_ingest" -> 4.966, // ↓r15: BENCH_r14
     // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
     // across the round-13 full runs → 1.699 (round 14, off the official
     // BENCH_r13 quiet-launch record) → 1.567 from the round-14
@@ -372,7 +376,7 @@ object Bench {
     // streaming drains), then 5.892 round 14 off the official
     // BENCH_r13 quiet-launch record, then 5.04 from the round-14
     // quiet-launch full runs (the MIN rule)
-    "q162_streaming_flow_e2e" -> 5.04,
+    "q162_streaming_flow_e2e" -> 4.986,
     // q163 introduced round 14 at 5.52 (targeted run, loadavg 2.6),
     // re-based DOWN 4.427 → 4.069 across the round's two quiet-launch
     // full runs (the q156/q157 convention — the introduction value was
@@ -387,16 +391,19 @@ object Bench {
     // full runs. Cost class: the q161 store build (construction,
     // invocation-scoped) plus the CDC join, two pruned delta
     // aggregations, and the recompute certificate leg
-    "q164_incremental_report_cert" -> 4.715,
-    // round-15 introductions: provisional 999 fronts them in the run
-    // order and suppresses their retime pass; replaced by the measured
-    // introduction minima in the same round (the q156/q157 convention).
-    // q165's cost class is q162's (two streaming drains over one
-    // checkpoint + a full store lifecycle) plus the per-drain CDC fold
-    // and the recompute certificate leg; q166's is q161's store build
-    // plus one store-scan rollup
-    "q165_streaming_report_maint" -> 999.0,
-    "q166_store_monthly_cert" -> 999.0)
+    "q164_incremental_report_cert" -> 4.479,
+    // round-15 introductions: targeted quiet-start runs measured
+    // q165 11.078 / q166 2.992 (fresh-process ceilings, per their
+    // flag), re-based DOWN to the same round's first quiet-launch
+    // full-run warm slots (zero retimes, zero over-2x). q165's cost
+    // class is q162's (two streaming drains over one checkpoint + a
+    // full store lifecycle) plus the
+    // per-drain CDC diffs and pinned report folds and the recompute
+    // certificate leg — the per-drain maintenance is INSIDE the
+    // measured operator by design; q166's is q161's store build plus
+    // one store-scan rollup
+    "q165_streaming_report_maint" -> 6.074,
+    "q166_store_monthly_cert" -> 2.485)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -49,17 +49,28 @@ object Logs {
     *  - `SharedInMemoryCache` — file-listing cache eviction under the
     *    default 250 MB budget: a sizing notice, not a correctness
     *    signal, and at bench scale eviction only means re-listing a
-    *    staged landing dir.
+    *    staged landing dir;
+    *  - `ChecksumCheckpointFileManager` — "No checksum file found …
+    *    hence no checksum verification" per state snapshot/delta file
+    *    written before checksumming was enabled (or by a replay
+    *    harness restart): a per-file notice that fired 80× in the
+    *    first round-15 full run, 3 of them inside the last 2 KB;
+    *  - `HDFSBackedStateStoreProvider` — "state for version N doesn't
+    *    exist in loadedMaps … normal for the first batch of starting
+    *    query": self-described as normal, fired per state partition on
+    *    every checkpoint-restart replay.
     *
     * Driver mains (Bench/Verify) only — interactive and test sessions
-    * keep the defaults so a developer still sees all three where they
-    * are looking.
+    * keep the defaults so a developer still sees all of these where
+    * they are looking.
     */
   def suppressStreamingMainWarns(): Unit =
     Seq(
       "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
-      "org.apache.spark.sql.execution.datasources.SharedInMemoryCache"
+      "org.apache.spark.sql.execution.datasources.SharedInMemoryCache",
+      "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     ).foreach(l => org.apache.logging.log4j.core.config.Configurator.setLevel(
       l, org.apache.logging.log4j.Level.ERROR))
 }
