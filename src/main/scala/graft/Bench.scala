@@ -198,10 +198,10 @@ object Bench {
     * bench_diag.json's git history, see the entry's comment).
     */
   val reference: Map[String, Double] = Map(
-    "q00_pricing_summary" -> 0.586, "q01_revenue_per_product" -> 0.78,
+    "q00_pricing_summary" -> 0.578, "q01_revenue_per_product" -> 0.78,
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.289,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
-    "q19_simhash" -> 0.266, "q20_jaccard_pairs" -> 1.00,
+    "q19_simhash" -> 0.261, "q20_jaccard_pairs" -> 1.00,
     "q21_cosine_topk" -> 0.206, "q23_tumbling_windows" -> 0.17,
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
@@ -230,8 +230,8 @@ object Bench {
     // q39's value is from AFTER the WinnowFingerprints codegen
     // expression replaced the CodegenFallback lambda chain (5.4 s →
     // 0.97 s in the same window)
-    "q39_winnowing" -> 0.601, // ↓r15: BENCH_r14
-    "q42_running_totals" -> 0.358,
+    "q39_winnowing" -> 0.599, // ↓r15: BENCH_r14
+    "q42_running_totals" -> 0.352,
     "q58_dedup_clusters_star" -> 2.521, "q83_scd2_history" -> 0.413,
     "q108_image_decode" -> 0.425, "q109_zorder_prune" -> 0.5,
     "q110_pii_redaction" -> 0.547, "q111_contamination_fps" -> 0.418, // ↓r15: BENCH_r14
@@ -240,14 +240,14 @@ object Bench {
     "q116_shard_admission" -> 0.58,
     // round-8 additions: per-query min of matching sf0.1 runs at
     // introduction (quiet window, loadavg-checked)
-    "q117_shard_ingest_e2e" -> 2.85, "q118_gif_frames" -> 0.476,
+    "q117_shard_ingest_e2e" -> 2.822, "q118_gif_frames" -> 0.476,
     "q119_repeated_spans" -> 1.496, // ↓r15: BENCH_r14
-    "q120_ivfpq_ann" -> 0.381,
+    "q120_ivfpq_ann" -> 0.376,
     "q121_span_coverage" -> 1.569, "q122_bpe_merges" -> 0.78,
-    "q123_triangle_clustering" -> 1.533,
+    "q123_triangle_clustering" -> 1.511,
     "q124_regional_revenue" -> 0.46, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
-    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.686,
+    "q128_cluster_reps" -> 1.8, "q129_decontam_pipeline" -> 0.634,
     // round-8 third batch: re-based to the 65-query quiet-window run
     // (64.9 s total, ZERO stall retimes) that followed their
     // introduction runs
@@ -268,12 +268,13 @@ object Bench {
     // current code never reproduces only burns the stall-retime budget
     // (it fired at 11.1 s in the round-12 full run). MIN rule still
     // applies: any future quiet sample below 5.74 re-bases DOWN —
-    // and round 15's first quiet-launch full run (in-process
-    // launch_load 3.19 incl. sbt startup, zero retimes, zero over-2x)
-    // finally did: 5.291 in slot 2 at offset 19s. Re-based DOWN; the
+    // and round 15's quiet-launch full runs (zero retimes, zero
+    // over-2x each) finally did — three consecutive undercuts 5.291 /
+    // 5.201 / 4.968 in warm full-run slots, so the old 5.74 "quiet
+    // floor" was itself environmental. Re-based DOWN per run; the
     // passive-observation stance carries (no targeted probes).
-    "q135_multimodal_neardup" -> 5.291, "q136_deletion_purge" -> 3.845, // ↓r15: BENCH_r14 official (MIN rule)
-    "q137_streaming_image_neardup" -> 3.13, "q138_data_quality" -> 0.889, // ↓r15: BENCH_r14
+    "q135_multimodal_neardup" -> 4.968, "q136_deletion_purge" -> 3.845, // ↓r15: BENCH_r14 official (MIN rule)
+    "q137_streaming_image_neardup" -> 3.116, "q138_data_quality" -> 0.889, // ↓r15: BENCH_r14
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
     // their refs in the same run — the refs stand as quiet floors)
@@ -288,8 +289,8 @@ object Bench {
     "q144_coherence_calibration" -> 0.958, // ↓r15: BENCH_r14
     "q145_cdc_chunking" -> 1.134, // ↓r15: BENCH_r14
     "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.165,
-    "q148_pit_features" -> 0.291, "q149_consistent_hashing" -> 0.37,
-    "q150_merkle_diff" -> 0.188, "q151_incremental_cc" -> 4.792,
+    "q148_pit_features" -> 0.289, "q149_consistent_hashing" -> 0.37,
+    "q150_merkle_diff" -> 0.165, "q151_incremental_cc" -> 4.175,
     // round-10 additions: introduced at their quiet-window
     // (loadavg < 0.8) introduction-run minima; q152 re-based round 11
     // (0.712 in the round-11 full run — the introduction value was an
@@ -324,7 +325,7 @@ object Bench {
     // the DOWNWARD direction (the guard-before-collect fix did not
     // change the plan; the ref was a ceiling, not a floor). Re-based
     // DOWN per the MIN rule; the flag is retired.
-    "q153_streaming_neardup_purge" -> 4.938,
+    "q153_streaming_neardup_purge" -> 4.778,
     // round-11 additions: re-based to the round-11 targeted
     // quiet-start run (the replay cost class is q99's — two
     // AvailableNow jobs over 8 staged files, the second a checkpoint
@@ -341,17 +342,17 @@ object Bench {
     // q156 re-based DOWN 3.23 → 2.95 → 2.81 across the round-12
     // watcher firings (introduction was a semi-loaded ceiling, per its
     // own flag; successive loaded-window minima per the MIN rule)
-    "q156_compaction_cert" -> 2.719,
+    "q156_compaction_cert" -> 2.65,
     // q157 re-based DOWN three times per the MIN rule (6.82 → 6.02
     // full-run offset-0 sample → 5.80 late watcher ceiling run under
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
-    "q157_streaming_shard_ingest" -> 4.966, // ↓r15: BENCH_r14
+    "q157_streaming_shard_ingest" -> 4.813, // ↓r15: BENCH_r14
     // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
     // across the round-13 full runs → 1.699 (round 14, off the official
     // BENCH_r13 quiet-launch record) → 1.567 from the round-14
     // quiet-launch full runs (the MIN rule)
-    "q158_state_cdc_vacuum" -> 1.567,
+    "q158_state_cdc_vacuum" -> 1.539,
     // q159 introduced round 13 at 1.51 (targeted run), re-based DOWN to
     // 0.87 in the same round's full quiet-start run (warm grouped slot
     // — the introduction value carried fresh-JVM staging cost), then
@@ -385,7 +386,7 @@ object Bench {
     // (two more landing dirs + three versions) are construction inside
     // every timed sample by design — the store round-trips ARE the
     // measured operator
-    "q163_store_report_cert" -> 4.069,
+    "q163_store_report_cert" -> 4.0,
     // q164 introduced round 14 at 6.8 (targeted run, loadavg 3.4),
     // re-based DOWN 5.055 → 4.715 across the round's two quiet-launch
     // full runs. Cost class: the q161 store build (construction,
@@ -403,7 +404,7 @@ object Bench {
     // measured operator by design; q166's is q161's store build plus
     // one store-scan rollup
     "q165_streaming_report_maint" -> 6.074,
-    "q166_store_monthly_cert" -> 2.485)
+    "q166_store_monthly_cert" -> 2.415)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
