@@ -586,17 +586,22 @@ object Bench {
       // three times can never produce a time, so extra runs are waste
       val needRetime = reference.get(name).exists(ref =>
         base.nonEmpty && base.min > NoiseFactor * ref)
-      val (retimes, retimeLoad) =
-        if (!needRetime) (Seq.empty[Double], -1.0)
+      // load sampled BEFORE AND AFTER the retime loop: a storm that
+      // begins mid-window (round-14 q133: load 2.73-and-rising at the
+      // start, retimes 12.6–16.8) is invisible to the entry sample
+      // alone, and the second-pass criterion below gates on the MAX of
+      // the two
+      val (retimes, retimeLoad, retimeLoadEnd) =
+        if (!needRetime) (Seq.empty[Double], -1.0, -1.0)
         else {
           val l = loadavg()
           val r = (1 to ExtraRuns).flatMap(_ => timeOnce(name))
           graft.core.Staging.sweepInvocationDirs(): Unit
-          (r, l)
+          (r, l, loadavg())
         }
       val times = base ++ retimes
       (name, times.minOption.getOrElse(-1.0), needRetime,
-        base, retimes, startOff, loadBefore, retimeLoad)
+        base, retimes, startOff, loadBefore, retimeLoad, retimeLoadEnd)
     }
     // Load-aware SECOND deferred retime pass (round-15 protocol). In
     // the round-14 official record both deferred retimes landed in an
@@ -607,32 +612,37 @@ object Bench {
     // when the retime window itself is stormed. One more pass, taken
     // ONLY for a query that is still over the noise bar after 6
     // samples AND whose first retime pass measurably ran under
-    // external load relative to this run's launch window
-    // (retime_load > max(1.0, 2 × launchLoad)) — so a genuinely slow
-    // query on a quiet machine gets no extra budget (its 6 quiet
-    // samples already told the truth), and a machine that is equally
-    // busy all run long doesn't either (a third stormed window cannot
-    // wash the first two). Bounded cost: ExtraRuns per such query,
-    // zero queries in a quiet run by construction.
+    // external load relative to this run's launch window — gated on
+    // max(load at retime start, load at retime end) > max(1.0,
+    // 2 × launchLoad), the end sample covering a storm that begins
+    // mid-window — so a genuinely slow query on a quiet machine gets
+    // no extra budget (its 6 quiet samples already told the truth),
+    // and a machine that is equally busy all run long doesn't either
+    // (a third stormed window cannot wash the first two). Bounded
+    // cost: ExtraRuns per such query, zero queries in a quiet run by
+    // construction.
     val results = firstPass.map {
-      case (name, mn, needRetime, base, retimes, startOff, loadBefore, retimeLoad) =>
+      case (name, mn, needRetime, base, retimes, startOff, loadBefore,
+          retimeLoad, retimeLoadEnd) =>
         val stillSlow = needRetime &&
           reference.get(name).exists(ref => mn >= 0 && mn > NoiseFactor * ref)
-        val firstRetimeStormed = retimeLoad > math.max(1.0, 2.0 * launchLoad)
+        val firstRetimeStormed =
+          math.max(retimeLoad, retimeLoadEnd) > math.max(1.0, 2.0 * launchLoad)
         val (retimes2, retime2Load) =
           if (!(stillSlow && firstRetimeStormed)) (Seq.empty[Double], -1.0)
           else {
             val l = loadavg()
             System.err.println(s"[bench] $name second retime pass " +
-              f"(min $mn%.3f still over bar; first retime load $retimeLoad%.2f " +
-              f"vs launch $launchLoad%.2f)")
+              f"(min $mn%.3f still over bar; first retime load " +
+              f"$retimeLoad%.2f→$retimeLoadEnd%.2f vs launch $launchLoad%.2f)")
             val r = (1 to ExtraRuns).flatMap(_ => timeOnce(name))
             graft.core.Staging.sweepInvocationDirs(): Unit
             (r, l)
           }
         val times = base ++ retimes ++ retimes2
         (name, times.minOption.getOrElse(-1.0), needRetime,
-          base, retimes, retimes2, startOff, loadBefore, retimeLoad, retime2Load)
+          base, retimes, retimes2, startOff, loadBefore, retimeLoad,
+          retimeLoadEnd, retime2Load)
     }
     // Per-run forensics: every individual sample, the query's wall-clock
     // offset into the bench, and the 1-min loadavg before base and
@@ -642,10 +652,12 @@ object Bench {
     // lesson).
     try {
       def arr(xs: Seq[Double]) = xs.map(v => f"$v%.3f").mkString("[", ",", "]")
-      val diag = results.map { case (name, _, _, base, retimes, retimes2, startOff, lb, lr, lr2) =>
-        s"""{"q":"$name","off":${f"$startOff%.1f"},"load":${f"$lb%.2f"}""" +
-          s""","base":${arr(base)},"retimes":${arr(retimes)},"retime_load":${f"$lr%.2f"}""" +
-          s""","retimes2":${arr(retimes2)},"retime2_load":${f"$lr2%.2f"}}"""
+      val diag = results.map {
+        case (name, _, _, base, retimes, retimes2, startOff, lb, lr, lrEnd, lr2) =>
+          s"""{"q":"$name","off":${f"$startOff%.1f"},"load":${f"$lb%.2f"}""" +
+            s""","base":${arr(base)},"retimes":${arr(retimes)},"retime_load":${f"$lr%.2f"}""" +
+            s""","retime_load_end":${f"$lrEnd%.2f"}""" +
+            s""","retimes2":${arr(retimes2)},"retime2_load":${f"$lr2%.2f"}}"""
       }.mkString("[", ",\n ", "]")
       val w = new java.io.PrintWriter("bench_diag.json")
       try w.println(s"""{"launch_load":${f"$launchLoad%.2f"},"samples":\n$diag}""")
@@ -666,10 +678,18 @@ object Bench {
     // truncation. Full names stay on stderr via the retime log and in
     // `headline` itself; CORRECTNESS rows keep full names.
     def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val retimedNames = results.collect { case (k, _, true, _, _, _, _, _, _, _) => k }
+    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _, _) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // name each retimed query WITH its total sample count (6 after one
+    // deferred pass, 9 after the load-aware second pass) — a hardcoded
+    // "6-sample" label would misstate the retime budget whenever the
+    // second pass fires, and this stderr line is the input to
+    // next-round forensics
+    val retimedNames = results.collect {
+      case (k, _, true, base, r1, r2, _, _, _, _, _) =>
+        s"$k (${base.size + r1.size + r2.size} samples)"
+    }
     if (retimedNames.nonEmpty)
-      System.err.println(s"[bench] stall-retimed (deferred 6-sample min): ${retimedNames.mkString(", ")}")
+      System.err.println(s"[bench] stall-retimed (deferred min): ${retimedNames.mkString(", ")}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"retimed":${retimedNames.size},"sf":"$sfDir"}"""

@@ -32,6 +32,22 @@ class IngestCertSpec extends AnyFunSuite {
       != cents(loaded), msg)
   }
 
+  /** Full-row multiset equality between two same-schema frames, the
+    * spec-side twin of IngestQueries' private multisetEquivDiff (same
+    * ±1-weighted union-groupBy algebra, same NULL-treats-as-equal
+    * grouping rationale): asserts the symmetric difference is empty.
+    * ONE definition for the three lifecycle/maintenance guards so the
+    * certificate arithmetic cannot drift between them.
+    */
+  private def assertMultisetEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+    val diff = a.withColumn("_w", lit(1L))
+      .unionByName(b.withColumn("_w", lit(-1L)))
+      .groupBy(a.columns.map(col).toIndexedSeq: _*)
+      .agg(sum(col("_w")).as("imb")).filter(col("imb") =!= 0L)
+    assert(diff.limit(1).count() == 0L, msg)
+  }
+
   private def staged(): (String, Array[String]) = {
     val sf = TestSpark.testdata("0.001")
     val dir = graft.core.Staging.invocationDir("graft_ingest_cert_spec", sf)
@@ -162,11 +178,7 @@ class IngestCertSpec extends AnyFunSuite {
     val c1 = s1.current().get
     val c2 = s2.current().get
     assert(c1.count() == c2.count() && c1.count() > 0L)
-    val diff = c1.withColumn("_w", lit(1L))
-      .unionByName(c2.withColumn("_w", lit(-1L)))
-      .groupBy(c1.columns.map(col).toIndexedSeq: _*).agg(sum(col("_w")).as("imb"))
-      .filter(col("imb") =!= 0L)
-    assert(diff.limit(1).count() == 0L,
+    assertMultisetEqual(c1, c2,
       "concurrent flows produced different store contents")
   }
 
@@ -306,11 +318,7 @@ class IngestCertSpec extends AnyFunSuite {
     val maintained = IngestQueries.maintainProductReport(
       before, after, changedKeys, keyCols)
     val recomputed = IngestQueries.productReport(after)
-    val diff = maintained.withColumn("_w", lit(1L))
-      .unionByName(recomputed.withColumn("_w", lit(-1L)))
-      .groupBy(col("product_id"), col("n_rows"), col("amount_cents"))
-      .agg(sum(col("_w")).as("imb")).filter(col("imb") =!= 0L)
-    assert(diff.limit(1).count() == 0L,
+    assertMultisetEqual(maintained, recomputed,
       "maintained report diverged from the recompute under deletes")
     assert(maintained.filter(col("product_id") === "c").limit(1).count() == 0L,
       "fully-retracted group 'c' left a zero shell in the maintained report")
@@ -374,12 +382,8 @@ class IngestCertSpec extends AnyFunSuite {
     // and the maintained artifact equals the recompute off the drained
     // store row-for-row (the judged certificate's property, re-checked
     // here where the step handles are in scope)
-    val recompute = IngestQueries.productReport(m.st.current().get)
-    val diff = m.report.withColumn("_w", lit(1L))
-      .unionByName(recompute.withColumn("_w", lit(-1L)))
-      .groupBy(col("product_id"), col("n_rows"), col("amount_cents"))
-      .agg(sum(col("_w")).as("imb")).filter(col("imb") =!= 0L)
-    assert(diff.limit(1).count() == 0L,
+    assertMultisetEqual(m.report,
+      IngestQueries.productReport(m.st.current().get),
       "maintained report diverged from the drained-store recompute")
   }
 
