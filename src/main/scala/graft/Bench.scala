@@ -133,10 +133,12 @@ object Bench {
     // the CDC-driven incremental report maintenance certificate
     "q163_store_report_cert",
     "q164_incremental_report_cert",
-    // round-15 additions: the maintained report under streaming ingest
-    // and the A2-off-the-store timestamp-axis certificate
+    // round-15 additions: the maintained report under streaming ingest,
+    // the A2-off-the-store timestamp-axis certificate, and the durable
+    // resumable-maintenance certificate
     "q165_streaming_report_maint",
-    "q166_store_monthly_cert")
+    "q166_store_monthly_cert",
+    "q167_durable_report_resume")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -404,7 +406,15 @@ object Bench {
     // measured operator by design; q166's is q161's store build plus
     // one store-scan rollup
     "q165_streaming_report_maint" -> 6.074,
-    "q166_store_monthly_cert" -> 2.415)
+    "q166_store_monthly_cert" -> 2.415,
+    // q167 introduced late round 15: minimum of two targeted
+    // quiet-start runs (launch loadavg 1.16 / 1.53; min-of-3 within
+    // each) — a possible fresh-process ceiling like q165's was;
+    // re-base DOWN on the first quiet full-run undercut per the MIN
+    // rule. Cost class: q165's (streamed flow + per-drain CDC folds)
+    // with the in-memory pins swapped for one durable report version
+    // write per fold, plus the recompute certificate leg
+    "q167_durable_report_resume" -> 8.188)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

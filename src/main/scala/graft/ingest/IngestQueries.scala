@@ -891,6 +891,167 @@ object IngestQueries {
        |FROM fin GROUP BY 1, 2, 3
        |ORDER BY product_id, sale_year, sale_month""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q167: DURABLE, resumable report maintenance — the process-failure
+  // story q165 leaves implicit
+  // ------------------------------------------------------------------
+
+  /** The durable report table's declared schema: the report columns
+    * plus `as_of`, the orders-store version string the report
+    * reflects — the resume watermark. Constant across a version's rows
+    * (every fold stamps the version it consumed), so `max(as_of)` on
+    * the current contents recovers the watermark with no sidecar
+    * metadata file; version strings sort by their monotonic
+    * nano-timestamp prefix, so max IS the latest.
+    */
+  private[graft] val reportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("product_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amount_cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("as_of",
+        org.apache.spark.sql.types.StringType)))
+
+  /** A (possibly fresh-process) handle to the durable report table at
+    * `root`: first call CreateTables it via the same SchemaSync leg
+    * every flow store uses (R4 sequencing), later calls must find it
+    * already in sync — any other applied change is a named failure.
+    */
+  private[graft] def reportStoreHandle(
+      s: SparkSession, root: String): graft.state.StateTable = {
+    val st = new graft.state.StateTable(s, root, Seq("product_id"))
+    val changes = graft.schemasync.SchemaSync.sync(s, st, reportSchema)
+    require(changes.isEmpty ||
+      changes == Seq(graft.schemasync.SchemaSync.CreateTable(reportSchema)),
+      s"q167 precondition: report-store sync applied $changes")
+    st
+  }
+
+  /** Resume report maintenance from DURABLE state only: recover the
+    * `as_of` watermark off the report table's current contents (the
+    * orders CreateTable version when the report is still empty), then
+    * fold every orders-store version pair AFTER it —
+    * [[applyReportDelta]] per step, one report version written per
+    * step (`overwrite` stamps the new watermark; the durable write IS
+    * the lineage truncation, so no in-memory pin is needed). Returns
+    * the number of steps applied: 0 on a restart with nothing new
+    * (idempotence — the guard calls it a third time to prove exactly
+    * that), 1 per drained batch in steady state, >1 when catching up
+    * after missed folds. Versioned immutability makes the concurrent
+    * read-while-write safe: each step's base is read from the CURRENT
+    * version dir while the next version writes to a fresh dir.
+    */
+  private[graft] def resumeReportMaintenance(
+      ordersSt: graft.state.StateTable,
+      reportSt: graft.state.StateTable,
+      keyCols: Seq[String]): Int = {
+    val h = ordersSt.history()
+    require(h.nonEmpty, "q167: orders store has no versions to fold")
+    val asOf = {
+      val m = reportSt.current().get.agg(max(col("as_of"))).head().getString(0)
+      Option(m).getOrElse(h.head)
+    }
+    val idx = h.indexOf(asOf)
+    require(idx >= 0,
+      s"q167: report watermark $asOf not in the orders store history — " +
+        "the store was vacuumed past the report's resume point")
+    val pairs = h.drop(idx).sliding(2).filter(_.size == 2).toSeq
+    pairs.foreach { case Seq(from, to) =>
+      val before = ordersSt.readVersion(from)
+      val after = ordersSt.readVersion(to)
+      val changedKeys = graft.core.Checkpoints.pin(
+        ordersSt.diff(from, to).select(keyCols.map(col): _*))
+      val base = reportSt.current().get.drop("as_of")
+      reportSt.overwrite(
+        applyReportDelta(base, before, after, changedKeys, keyCols)
+          .withColumn("as_of", lit(to)))
+    }
+    pairs.size
+  }
+
+  /** q167's construction: the q162 streamed flow with the maintenance
+    * persisted DURABLY per drain, and every fold performed by a
+    * FRESH-HANDLE "process" that recovers all its state from disk —
+    * the restart realism q165's in-memory carried report cannot give.
+    * Returns the roots (the durable state) plus per-drain applied-step
+    * counts for the guards.
+    */
+  private[graft] final case class DurableFlow(
+      ordersRoot: String, reportRoot: String, foldSteps: Seq[Int])
+
+  private[graft] def q167BuildDurableFlow(
+      s: SparkSession, dir: String): DurableFlow = {
+    val reportRoot = graft.core.Staging.invocationDir("graft_q167_report", dir)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val flow = buildStreamedFlowStore(s, dir, "graft_q167", "q167", st => {
+      // restart realism: NEW handles from the durable roots on every
+      // drain — the fold may use nothing the previous "process" held
+      // in memory
+      val orders = new graft.state.StateTable(s, st.root,
+        graft.core.Schemas.ordersKey)
+      val report = reportStoreHandle(s, reportRoot)
+      steps += resumeReportMaintenance(orders, report,
+        graft.core.Schemas.ordersKey)
+    })
+    DurableFlow(flow.st.root, reportRoot, steps.toSeq)
+  }
+
+  /** q167: durable, RESUMABLE report maintenance — the
+    * process-failure story. q165 judges the maintained report as a
+    * carried in-memory artifact: correct while the process lives, gone
+    * with it. At 100 TB the maintenance loop runs for days and WILL be
+    * restarted; the production shape persists the maintained report in
+    * its own versioned table with a resume watermark, and a restarted
+    * process recovers everything from durable state. q167 certifies
+    * exactly that: the q162 streamed flow (two drains, one checkpoint)
+    * with each fold performed by a fresh-handle "process" —
+    * [[reportStoreHandle]] re-syncs, [[resumeReportMaintenance]]
+    * recovers the `as_of` watermark off the report's own rows, folds
+    * the orders versions landed since (CDC-pruned, one durable report
+    * version per step), and a restart with nothing new applies ZERO
+    * steps (idempotence, IngestCertSpec's third-handle guard). The
+    * judged rows are the report table's CURRENT contents (values meet
+    * the weighted-arms replay), the report version count (CreateTable
+    * + one per fold), the total applied steps, and the per-product
+    * `equiv_diff` against the recompute off the drained store. A
+    * fold that re-applied an already-folded version (watermark broken),
+    * a missed version (sliding walk broken), or a report row lost in
+    * the durable round-trip all break it.
+    *
+    * Scale: identical maintenance algebra to q165 (cost tracks change
+    * volume), plus one small-table write per step — the durable write
+    * replaces q165's in-memory pin as the lineage truncation, and the
+    * report table's atomic version swap gives readers a consistent
+    * report at every instant (R3's transaction discipline applied to
+    * the DERIVED artifact, not just the ingested one).
+    */
+  val q167DurableReportResume: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val flow = q167BuildDurableFlow(s, dir)
+      val ordersSt = new graft.state.StateTable(s, flow.ordersRoot,
+        graft.core.Schemas.ordersKey)
+      val reportSt = reportStoreHandle(s, flow.reportRoot)
+      val maintained = reportSt.current().get.drop("as_of")
+      val recompute = productReport(ordersSt.current().get)
+      val equiv = multisetEquivDiff(maintained, recompute, "product_id")
+      maintained
+        .withColumn("n_steps", lit(flow.foldSteps.sum.toLong))
+        .withColumn("n_report_versions", lit(reportSt.history().size.toLong))
+        .join(equiv, Seq("product_id"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(2 AS bigint) AS n_steps,
+       |  cast(3 AS bigint) AS n_report_versions,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -898,5 +1059,6 @@ object IngestQueries {
     "q163_store_report_cert" -> q163StoreReportCert,
     "q164_incremental_report_cert" -> q164IncrementalReportCert,
     "q165_streaming_report_maint" -> q165StreamingReportMaintCert,
-    "q166_store_monthly_cert" -> q166StoreMonthlyCert)
+    "q166_store_monthly_cert" -> q166StoreMonthlyCert,
+    "q167_durable_report_resume" -> q167DurableReportResume)
 }

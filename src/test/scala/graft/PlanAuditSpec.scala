@@ -788,7 +788,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // q166 (round-15, audited at introduction): the store build is
       // construction; the judged plan is one store scan into the
       // (product, year, month) rollup exchange + the output range sort
-      "q166_store_monthly_cert" -> 2)
+      "q166_store_monthly_cert" -> 2,
+      // q167 (round-15, audited at introduction): the streamed flow +
+      // every durable fold are construction (each fold WRITES a report
+      // version — the durable write is the lineage truncation), so the
+      // judged plan is the report table's parquet scan joined to the
+      // recompute certificate leg's scan-agg via the ±1-weighted
+      // union-groupBy pair, plus the output sort. Budget is the
+      // hint-free worst case of 6 (key exchanges on both certificate
+      // join sides — the q163 lesson); the observed plan at audit
+      // scale is 4, riding a stats-sized broadcast of the small
+      // report side
+      "q167_durable_report_resume" -> 6)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

@@ -404,4 +404,44 @@ class IngestCertSpec extends AnyFunSuite {
       s"only $nMonths (year, month) group(s) through the store — the " +
         "EXTRACT axis is degenerate at this corpus")
   }
+
+  test("q167 durable maintenance: watermark, per-drain folds, restart idempotence") {
+    val sf = TestSpark.testdata("0.001")
+    val keyCols = graft.core.Schemas.ordersKey
+    val flow = IngestQueries.q167BuildDurableFlow(spark, sf)
+    // steady state: exactly one fold per drain — a fold that consumed
+    // the union of both drains (2, 0) would still replay green, so the
+    // per-drain shape is pinned here
+    assert(flow.foldSteps == Seq(1, 1),
+      s"expected one applied step per drain, got ${flow.foldSteps}")
+    val orders = new graft.state.StateTable(spark, flow.ordersRoot, keyCols)
+    val report = IngestQueries.reportStoreHandle(spark, flow.reportRoot)
+    assert(report.history().size == 3,
+      s"expected CreateTable + one report version per fold, got " +
+        s"${report.history().size}")
+    // the watermark is the orders store's FINAL version, constant
+    // across the current report's rows
+    val asOf = report.current().get.select(col("as_of")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(asOf == Seq(orders.history().last),
+      s"report watermark $asOf != final orders version")
+    // restart idempotence: a THIRD fresh-handle process finds nothing
+    // new — zero steps applied, no version written
+    val report2 = IngestQueries.reportStoreHandle(spark, flow.reportRoot)
+    assert(IngestQueries.resumeReportMaintenance(orders, report2, keyCols) == 0,
+      "an idempotent restart re-applied a fold")
+    assert(report2.history().size == 3,
+      "an idempotent restart wrote a report version")
+    // catch-up from cold: a FRESH report store against the
+    // fully-drained orders store folds BOTH pending versions in one
+    // resume (the missed-folds recovery path) and lands on the same
+    // rows as the per-drain incremental report
+    val cold = IngestQueries.reportStoreHandle(spark,
+      graft.core.Staging.invocationDir("graft_q167_cold", sf))
+    assert(IngestQueries.resumeReportMaintenance(orders, cold, keyCols) == 2,
+      "cold catch-up did not walk both pending versions")
+    assertMultisetEqual(cold.current().get.drop("as_of"),
+      report.current().get.drop("as_of"),
+      "cold catch-up diverged from the per-drain incremental report")
+  }
 }
