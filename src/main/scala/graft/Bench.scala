@@ -204,7 +204,7 @@ object Bench {
     "q02_orders_monthly" -> 0.65, "q04_stock_status" -> 0.289,
     "q11_upsert_lww" -> 0.88, "q17_minhash_sig" -> 1.07,
     "q19_simhash" -> 0.261, "q20_jaccard_pairs" -> 1.00,
-    "q21_cosine_topk" -> 0.206, "q23_tumbling_windows" -> 0.17,
+    "q21_cosine_topk" -> 0.203, "q23_tumbling_windows" -> 0.17,
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
@@ -237,7 +237,7 @@ object Bench {
     "q58_dedup_clusters_star" -> 2.521, "q83_scd2_history" -> 0.413,
     "q108_image_decode" -> 0.425, "q109_zorder_prune" -> 0.5,
     "q110_pii_redaction" -> 0.547, "q111_contamination_fps" -> 0.418, // ↓r15: BENCH_r14
-    "q112_sequence_packing" -> 0.489, "q113_filter_funnel" -> 0.255,
+    "q112_sequence_packing" -> 0.489, "q113_filter_funnel" -> 0.233,
     "q114_audio_decode" -> 0.85, "q115_embedding_clusters" -> 1.22,
     "q116_shard_admission" -> 0.58,
     // round-8 additions: per-query min of matching sf0.1 runs at
@@ -290,7 +290,7 @@ object Bench {
     "q142_bloom_admission" -> 0.402, "q143_streaming_admission" -> 2.78,
     "q144_coherence_calibration" -> 0.958, // ↓r15: BENCH_r14
     "q145_cdc_chunking" -> 1.134, // ↓r15: BENCH_r14
-    "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.165,
+    "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.16,
     "q148_pit_features" -> 0.289, "q149_consistent_hashing" -> 0.37,
     "q150_merkle_diff" -> 0.165, "q151_incremental_cc" -> 4.175,
     // round-10 additions: introduced at their quiet-window
@@ -361,7 +361,7 @@ object Bench {
     // 0.821 round 14 off the official BENCH_r13 record, then 0.743
     // from the round-14 quiet-launch full runs (the MIN rule; commits
     // 4630548/3aca751/b49f8f5)
-    "q159_csv_ingest_cert" -> 0.743,
+    "q159_csv_ingest_cert" -> 0.741,
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
     // 1.48 then 1.36 across the same round's full runs (warm grouped
     // slots — the introduction value carried fresh-JVM staging cost),
@@ -414,7 +414,7 @@ object Bench {
     // rule. Cost class: q165's (streamed flow + per-drain CDC folds)
     // with the in-memory pins swapped for one durable report version
     // write per fold, plus the recompute certificate leg
-    "q167_durable_report_resume" -> 8.188)
+    "q167_durable_report_resume" -> 7.982)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
