@@ -360,7 +360,8 @@ object Bench {
     // — the introduction value carried fresh-JVM staging cost), then
     // 0.821 round 14 off the official BENCH_r13 record, then 0.743
     // from the round-14 quiet-launch full runs (the MIN rule; commits
-    // 4630548/3aca751/b49f8f5)
+    // 4630548/3aca751/b49f8f5), then 0.741 from round 15's sixth full
+    // run
     "q159_csv_ingest_cert" -> 0.741,
     // q160 introduced round 13 at 2.42 (targeted run), re-based DOWN to
     // 1.48 then 1.36 across the same round's full runs (warm grouped
@@ -407,13 +408,15 @@ object Bench {
     // one store-scan rollup
     "q165_streaming_report_maint" -> 6.074,
     "q166_store_monthly_cert" -> 2.415,
-    // q167 introduced late round 15: minimum of two targeted
-    // quiet-start runs (launch loadavg 1.16 / 1.53; min-of-3 within
-    // each) — a possible fresh-process ceiling like q165's was;
-    // re-base DOWN on the first quiet full-run undercut per the MIN
-    // rule. Cost class: q165's (streamed flow + per-drain CDC folds)
-    // with the in-memory pins swapped for one durable report version
-    // write per fold, plus the recompute certificate leg
+    // q167 introduced late round 15 at 8.188 (minimum of two targeted
+    // quiet-start runs, launch loadavg 1.16 / 1.53), re-based DOWN to
+    // 7.982 in the same round's sixth full run — a LOADED window
+    // (launch 3.42), so a loaded sample can only overestimate the
+    // floor and further quiet undercuts are likely; re-base DOWN per
+    // the MIN rule as they land. Cost class: q165's (streamed flow +
+    // per-drain CDC folds) with the in-memory pins swapped for one
+    // durable report version write per fold, plus the recompute
+    // certificate leg
     "q167_durable_report_resume" -> 7.982)
 
   private val NoiseFactor = 2.0
