@@ -138,7 +138,10 @@ object Bench {
     // resumable-maintenance certificate
     "q165_streaming_report_maint",
     "q166_store_monthly_cert",
-    "q167_durable_report_resume")
+    "q167_durable_report_resume",
+    // round-16 addition: retention running next to durable maintenance
+    // (watermark-bounded vacuum inside the q167 loop)
+    "q168_retention_safe_resume")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -286,7 +289,9 @@ object Bench {
     // re-based to the 83-query warm full run (95.3 s total, 1 retime,
     // loadavg 1.6-5 window): cross-run minima per the stall protocol
     "q140_bigram_coherence" -> 0.927, // ↓r15: BENCH_r14
-    "q141_dedup_equivalence" -> 0.582,
+    // ↓r16: official BENCH_r15 measured 0.554 under a loaded-at-launch
+    // window — an undercut of the 0.582 floor; MIN rule re-base
+    "q141_dedup_equivalence" -> 0.554,
     "q142_bloom_admission" -> 0.402, "q143_streaming_admission" -> 2.78,
     "q144_coherence_calibration" -> 0.958, // ↓r15: BENCH_r14
     "q145_cdc_chunking" -> 1.134, // ↓r15: BENCH_r14
@@ -417,7 +422,11 @@ object Bench {
     // per-drain CDC folds) with the in-memory pins swapped for one
     // durable report version write per fold, plus the recompute
     // certificate leg
-    "q167_durable_report_resume" -> 7.982)
+    "q167_durable_report_resume" -> 7.982,
+    // q168 introduced round 16: provisional ceiling pending targeted
+    // quiet-start measurement (cost class: q167 exactly — the added
+    // per-drain vacuum is a driver-side directory delete)
+    "q168_retention_safe_resume" -> 9.0)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -455,6 +464,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Logs.suppressBoundedWindowWarn()
     graft.core.Logs.suppressStreamingMainWarns()
+    // Bench-only: the state-store PACKAGE floor (tail-budget hazard
+    // here; Verify keeps it visible — round-15 advice)
+    graft.core.Logs.suppressStateStoreNoticeWarns()
 
     // Reliable-checkpoint mode gate: point SPARK_GRAFT_CHECKPOINT_DIR at
     // a directory to run the whole bench with spark.graft.checkpointDir

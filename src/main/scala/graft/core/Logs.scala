@@ -72,14 +72,41 @@ object Logs {
     * Driver mains (Bench/Verify) only — interactive and test sessions
     * keep the defaults so a developer still sees all of these where
     * they are looking.
+    *
+    * The first four are EXACT-CLASS thresholds on sources whose WARNs
+    * are individually vetted as nothing-to-act-on, safe in both mains.
+    * The `…streaming.state` PACKAGE threshold is deliberately NOT here:
+    * a package-wide ERROR floor also hides actionable state-store
+    * warnings (e.g. maintenance/snapshot-upload failures), which must
+    * stay visible in Verify — the correctness gate. Bench, whose
+    * compact stdout line is the tail-budget hazard the suppression
+    * exists for, additionally calls
+    * [[suppressStateStoreNoticeWarns]].
     */
   def suppressStreamingMainWarns(): Unit =
     Seq(
       "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
       "org.apache.spark.sql.execution.datasources.SharedInMemoryCache",
-      "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager",
-      "org.apache.spark.sql.execution.streaming.state"
+      "org.apache.spark.sql.execution.streaming.checkpointing.ChecksumCheckpointFileManager"
     ).foreach(l => org.apache.logging.log4j.core.config.Configurator.setLevel(
       l, org.apache.logging.log4j.Level.ERROR))
+
+  /** Bench-only: raise the `…streaming.state` PACKAGE to ERROR. The
+    * package logger is the nearest addressable ancestor of
+    * `HDFSBackedStateStoreProvider`'s dynamically-named per-store
+    * loggers (name suffixed with the StoreId — an exact-class
+    * threshold never matches, verified in the second round-15 full
+    * run), whose "state for version N doesn't exist in loadedMaps …
+    * normal for the first batch" notice fires per state partition on
+    * every checkpoint-restart replay and competes with the compact
+    * result line for the driver's bounded stdout tail. The cost — any
+    * genuinely actionable state-store WARN is also hidden — is
+    * acceptable only where the tail budget is the point; Verify keeps
+    * the default threshold for this package (round-15 advice).
+    */
+  def suppressStateStoreNoticeWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -370,12 +370,19 @@ object IngestQueries {
     * (q165 folds its maintenance step there); the final history require
     * pins exactly one micro-batch version per drain, so a hook that
     * reads `history` sees the pre-drain version at size−2. ONE builder
-    * so the two streamed certificates can never drift to different
-    * drain protocols.
+    * so the streamed certificates can never drift to different
+    * drain protocols. `finalVersions` is the expected RETAINED history
+    * size after both drains — 3 (CreateTable + one micro-batch per
+    * drain) unless the hook itself vacuums (q168's continuous
+    * retention reclaims everything below the fold watermark, leaving
+    * 1); a hook that vacuums also pins per-drain fold counts in its
+    * guard spec, which carries the one-version-per-drain assumption
+    * this require can then no longer see.
     */
   private def buildStreamedFlowStore(s: SparkSession, dir: String,
       prefix: String, label: String,
-      afterDrain: graft.state.StateTable => Unit = _ => ()): StreamedFlow = {
+      afterDrain: graft.state.StateTable => Unit = _ => (),
+      finalVersions: Int = 3): StreamedFlow = {
     // the phase-1 files stage directly into the landing dir; phase-2
     // files stage aside and land between the drains
     val (landing, stageB) = stageFlowBatches(s, dir, prefix)
@@ -396,10 +403,10 @@ object IngestQueries {
       }
     drain() // phase 2: only the newly-landed files
     afterDrain(st)
-    require(st.history().size == 3,
-      s"$label precondition: expected CreateTable + 2 micro-batch versions, " +
-        s"got ${st.history().size} — trigger chunking or the checkpoint " +
-        "file log drifted")
+    require(st.history().size == finalVersions,
+      s"$label precondition: expected $finalVersions retained version(s) " +
+        s"after both drains, got ${st.history().size} — trigger chunking, " +
+        "the checkpoint file log, or the hook's retention drifted")
     StreamedFlow(st, () => drain())
   }
 
@@ -1052,6 +1059,115 @@ object IngestQueries {
        |  cast(0 AS bigint) AS equiv_diff
        |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q168: retention running NEXT TO durable maintenance — vacuum
+  // bounded by the consumer watermark, judged together with resume
+  // ------------------------------------------------------------------
+
+  /** q168's durable state plus the per-drain retention evidence: fold
+    * counts (q167's shape) and the version names each mid-loop vacuum
+    * reclaimed — kept so the guard spec can pin that retention bit on
+    * EVERY drain, not just in aggregate.
+    */
+  private[graft] final case class RetainedFlow(
+      ordersRoot: String, reportRoot: String, foldSteps: Seq[Int],
+      reclaimed: Seq[Seq[String]])
+
+  /** q167's durable flow with the production retention policy running
+    * inside the loop: after each fresh-handle fold, vacuum the orders
+    * store bounded by the MINIMUM CONSUMER WATERMARK — here the
+    * report's own durable `as_of`, re-read from disk rather than
+    * trusted from memory (the same restart realism as the fold). Every
+    * version a resume could still fold from survives by construction
+    * ([[graft.state.StateTable.vacuumBefore]] keeps `≥ watermark`),
+    * while fully-absorbed history is reclaimed immediately.
+    */
+  private[graft] def q168BuildRetainedFlow(
+      s: SparkSession, dir: String): RetainedFlow = {
+    val reportRoot = graft.core.Staging.invocationDir("graft_q168_report", dir)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val reclaimed = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val flow = buildStreamedFlowStore(s, dir, "graft_q168", "q168", st => {
+      val orders = new graft.state.StateTable(s, st.root,
+        graft.core.Schemas.ordersKey)
+      val report = reportStoreHandle(s, reportRoot)
+      steps += resumeReportMaintenance(orders, report,
+        graft.core.Schemas.ordersKey)
+      // retention, bounded by the consumer: the report's durable
+      // watermark (a single-row max over the small report — the
+      // sanctioned driver-side read shape)
+      val wm = report.current().get.agg(max(col("as_of"))).head().getString(0)
+      reclaimed += orders.vacuumBefore(wm)
+    },
+      // continuous retention converges the store to the single current
+      // version: each vacuum reclaims everything below that drain's
+      // fold watermark (see the builder's finalVersions note)
+      finalVersions = 1)
+    RetainedFlow(flow.st.root, reportRoot, steps.toSeq, reclaimed.toSeq)
+  }
+
+  /** q168: retention and resumable maintenance judged TOGETHER — the
+    * store-lifecycle completion of q167. q158 proves vacuum on a
+    * store; q167 proves resume off the report's durable watermark;
+    * at 100 TB the two run CONCURRENTLY for days, and an unbounded
+    * vacuum would strand the resume point (q167's
+    * [[resumeReportMaintenance]] require is the crash, not the
+    * answer). The production policy judged here: vacuum bounded by
+    * min(consumer watermarks) — each drain's fold is followed by
+    * `vacuumBefore(report.as_of)`, so retention reclaims exactly the
+    * history every consumer has absorbed and nothing a resume could
+    * still need. The judged rows are the maintained report's durable
+    * contents (values meet the weighted-arms replay — the SECOND fold
+    * ran off a post-vacuum history, so a reclaim that broke the walk
+    * would surface), the total fold count, the total versions
+    * reclaimed (2 — the vacuum must actually BITE, once per drain),
+    * the retained version count (1 — retention converged to minimal),
+    * and the per-product `equiv_diff` against the recompute. The
+    * negative path — an UNSAFE keep-current-only vacuum while the
+    * watermark is behind must still fail the resume loudly — is
+    * guard-pinned in IngestCertSpec, as are the per-drain reclaim
+    * counts the judged totals cannot distinguish.
+    *
+    * Reference leg: R3's transactional hygiene extended to the full
+    * store lifecycle the reference delegates to Postgres MVCC +
+    * autovacuum (SURVEY §2.9) — versioned immutability gives the MVCC
+    * read side, the watermark-bounded vacuum is the autovacuum that
+    * never reclaims a row an open consumer still needs.
+    *
+    * Scale: identical maintenance algebra to q167 (cost tracks change
+    * volume); the vacuum itself is a driver-side directory delete of
+    * versions no reader can be entering (readers come in via
+    * `_CURRENT` or a consumer watermark, both ≥ the reclaim bound),
+    * so retention adds no executor work at all — the judged plan is
+    * exactly q167's consumer shape (report scan ⋈ recompute
+    * certificate leg via the ±1-weighted union-groupBy).
+    */
+  val q168RetentionSafeResume: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val flow = q168BuildRetainedFlow(s, dir)
+      val ordersSt = new graft.state.StateTable(s, flow.ordersRoot,
+        graft.core.Schemas.ordersKey)
+      val reportSt = reportStoreHandle(s, flow.reportRoot)
+      val maintained = reportSt.current().get.drop("as_of")
+      val recompute = productReport(ordersSt.current().get)
+      val equiv = multisetEquivDiff(maintained, recompute, "product_id")
+      maintained
+        .withColumn("n_steps", lit(flow.foldSteps.sum.toLong))
+        .withColumn("n_reclaimed", lit(flow.reclaimed.map(_.size).sum.toLong))
+        .withColumn("n_retained", lit(ordersSt.history().size.toLong))
+        .join(equiv, Seq("product_id"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(2 AS bigint) AS n_steps,
+       |  cast(2 AS bigint) AS n_reclaimed,
+       |  cast(1 AS bigint) AS n_retained,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -1060,5 +1176,6 @@ object IngestQueries {
     "q164_incremental_report_cert" -> q164IncrementalReportCert,
     "q165_streaming_report_maint" -> q165StreamingReportMaintCert,
     "q166_store_monthly_cert" -> q166StoreMonthlyCert,
-    "q167_durable_report_resume" -> q167DurableReportResume)
+    "q167_durable_report_resume" -> q167DurableReportResume,
+    "q168_retention_safe_resume" -> q168RetentionSafeResume)
 }

@@ -61,10 +61,30 @@ final class StateTable(
   /** Write `df` as a fresh immutable version and atomically repoint.
     * Version names embed a monotonic nano timestamp so [[history]] has a
     * deterministic order even for writes within the same millisecond.
+    *
+    * `System.nanoTime` is monotone only WITHIN one JVM/boot clock
+    * domain: a maintenance process restarted after a machine reboot or
+    * on a failover host could otherwise mint a name that sorts BEFORE
+    * retained versions, corrupting [[history]] order and any watermark
+    * recovered from version names (q167/q168's resume). So the name is
+    * order-safe by construction: when the local candidate timestamp
+    * does not exceed the newest retained name's, the successor of that
+    * name's timestamp is used instead — names are strictly increasing
+    * across writes from ANY process. (Strictly: within one process two
+    * same-nanoTime writes previously tie-broke on the random suffix;
+    * the successor rule now makes the prefix itself strictly
+    * increasing.)
     */
   def overwrite(df: DataFrame): Unit = {
     Files.createDirectories(rootPath)
-    val v = f"v-${System.nanoTime()}%016x-${UUID.randomUUID().toString.take(4)}"
+    val local = System.nanoTime()
+    val ts = history().lastOption
+      .flatMap(n => scala.util.Try(
+        java.lang.Long.parseUnsignedLong(n.slice(2, 18), 16)).toOption)
+      .filter(newest => java.lang.Long.compareUnsigned(newest, local) >= 0)
+      .map(_ + 1L)
+      .getOrElse(local)
+    val v = f"v-$ts%016x-${UUID.randomUUID().toString.take(4)}"
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(rootPath.resolve(v).toString)
@@ -81,6 +101,24 @@ final class StateTable(
     listDir(rootPath)
       .filter(p => p.getFileName.toString.startsWith("v-") && p.getFileName.toString != keep)
       .foreach(deleteRecursively)
+  }
+
+  /** Retention-bounded vacuum: drop retained versions STRICTLY OLDER
+    * than `watermark` (fixed-format names make lexicographic order the
+    * creation order — [[overwrite]]'s cross-process guarantee), never
+    * the current version. `watermark` is the minimum consumer resume
+    * point — e.g. the oldest `as_of` across maintained reports
+    * (q168) — so retention can run continuously next to maintenance
+    * without stranding a resumable consumer: every version a resume
+    * could still fold from survives, while history the consumers have
+    * all absorbed is reclaimed. Returns the reclaimed version names so
+    * callers can judge that retention actually bit (and how much).
+    */
+  def vacuumBefore(watermark: String): Seq[String] = {
+    val keep = currentVersion.toSet
+    val reclaimed = history().filter(v => v < watermark && !keep.contains(v))
+    reclaimed.foreach(v => deleteRecursively(rootPath.resolve(v)))
+    reclaimed
   }
 
   /** Upsert a batch. `orderCol` names a column of `batch` that is

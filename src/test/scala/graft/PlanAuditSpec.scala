@@ -799,10 +799,41 @@ class PlanAuditSpec extends AnyFunSuite {
       // join sides — the q163 lesson); the observed plan at audit
       // scale is 4, riding a stats-sized broadcast of the small
       // report side
-      "q167_durable_report_resume" -> 6)
+      "q167_durable_report_resume" -> 6,
+      // q168 (round-16, audited at introduction): q167's consumer
+      // shape exactly — the retention vacuum is a driver-side
+      // directory delete with no executor work, so the judged plan is
+      // unchanged: report scan ⋈ recompute certificate leg via the
+      // ±1-weighted union-groupBy + output sort. Same hint-free
+      // worst-case budget of 6; observed 4 at audit scale (the
+      // stats-sized report-side broadcast)
+      "q168_retention_safe_resume" -> 6)
+    // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
+    // q167, q168: the observed plan rides a stats-sized broadcast that
+    // a stats/threshold drift may legitimately drop), a real plan
+    // regression inside the query would also pass silently. Surface —
+    // without failing on optimizer weather — any drift above the
+    // HISTORICAL OBSERVED count recorded at audit time.
+    val observedAtAudit = Map(
+      "q163_store_report_cert" -> 2,
+      "q167_durable_report_resume" -> 4,
+      "q168_retention_safe_resume" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
+      observedAtAudit.get(n).filter(got > _).foreach { hist =>
+        alert(s"$n shuffles $got exceed the audit-time observed $hist " +
+          s"(budget $maxEx): either optimizer weather dropped the " +
+          "stats-sized broadcast or a regression added an exchange — " +
+          "read the plan before re-recording the observed count")
+      }
+    }
+    // the worst-case-budgeted certificates are EXPECTED to ride a
+    // broadcast at audit scale; losing it here (same data, same
+    // thresholds) is a regression in the query, not weather
+    observedAtAudit.keys.foreach { n =>
+      assert(count(plan(n)) { case _: BroadcastHashJoinExec => } >= 1,
+        s"$n lost its audit-scale broadcast join")
     }
   }
 }

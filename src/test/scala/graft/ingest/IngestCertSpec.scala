@@ -444,4 +444,46 @@ class IngestCertSpec extends AnyFunSuite {
       report.current().get.drop("as_of"),
       "cold catch-up diverged from the per-drain incremental report")
   }
+
+  test("q168 retention coexistence: per-drain reclaim, post-vacuum resume, unsafe vacuum fails loudly") {
+    val sf = TestSpark.testdata("0.001")
+    val keyCols = graft.core.Schemas.ordersKey
+    val flow = IngestQueries.q168BuildRetainedFlow(spark, sf)
+    // the judged totals (n_steps=2, n_reclaimed=2) cannot distinguish
+    // WHEN retention bit — pin the per-drain shape: each fold applied
+    // one step, each vacuum reclaimed exactly the one version that
+    // fold absorbed (CreateTable after drain 1, micro-batch 1 after
+    // drain 2)
+    assert(flow.foldSteps == Seq(1, 1),
+      s"expected one applied step per drain, got ${flow.foldSteps}")
+    assert(flow.reclaimed.map(_.size) == Seq(1, 1),
+      s"expected one version reclaimed per drain, got " +
+        s"${flow.reclaimed.map(_.size)}")
+    val orders = new graft.state.StateTable(spark, flow.ordersRoot, keyCols)
+    assert(orders.history().size == 1,
+      "continuous retention did not converge the store to its current version")
+    // the reclaimed names were each drain's fold-absorbed history:
+    // strictly older than the surviving version, in walk order
+    val survivor = orders.history().head
+    assert(flow.reclaimed.flatten.forall(_ < survivor),
+      "a vacuum reclaimed a version at or above the surviving watermark")
+    // restart idempotence HOLDS AFTER RETENTION: a fresh-handle
+    // process resumes off the vacuumed store with zero steps
+    val report = IngestQueries.reportStoreHandle(spark, flow.reportRoot)
+    assert(IngestQueries.resumeReportMaintenance(orders, report, keyCols) == 0,
+      "post-vacuum restart re-applied a fold")
+    // negative path: the UNSAFE policy — a keep-current-only vacuum
+    // while the consumer watermark is behind — must fail the resume
+    // loudly (q167's require is the crash; q168's bounded vacuum is
+    // the answer). Land an un-folded version so watermark < current,
+    // then vacuum unboundedly.
+    orders.overwrite(orders.read().get)
+    orders.vacuum()
+    val ex = intercept[IllegalArgumentException] {
+      IngestQueries.resumeReportMaintenance(orders,
+        IngestQueries.reportStoreHandle(spark, flow.reportRoot), keyCols)
+    }
+    assert(ex.getMessage.contains("vacuumed past"),
+      s"unsafe vacuum failed with the wrong diagnostic: ${ex.getMessage}")
+  }
 }

@@ -102,4 +102,49 @@ class StateTableSpec extends AnyFunSuite {
     t.vacuum()
     assert(t.current().get.count() == 8)
   }
+
+  test("version names are order-safe across clock domains (restart realism)") {
+    val t = freshTable()
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    // simulate a version minted in a FASTER pre-restart clock domain:
+    // a retained name whose nano prefix is far ahead of this JVM's
+    // System.nanoTime — without the successor rule, the next local
+    // write would sort BEFORE it, corrupting history order and any
+    // version-name watermark (the q167/q168 resume hazard)
+    val future = f"v-${Long.MaxValue - 7}%016x-aaaa"
+    val futureDir = java.nio.file.Paths.get(t.root, future)
+    val cur = java.nio.file.Paths.get(t.root, t.currentVersion.get)
+    java.nio.file.Files.walk(cur).forEach { p =>
+      val rel = cur.relativize(p)
+      val dst = futureDir.resolve(rel)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst): Unit
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(t.root, "_CURRENT"), future)
+    assert(t.history().last == future)
+    // the restarted process's write must sort AFTER every retained name
+    t.upsert(ordersBatch("orders_rerun.csv"))
+    val newest = t.currentVersion.get
+    assert(newest > future,
+      s"post-restart version $newest sorts before retained $future")
+    assert(t.history().last == newest)
+  }
+
+  test("vacuumBefore reclaims strictly-older versions, keeps watermark and newer") {
+    val t = freshTable()
+    t.upsert(ordersBatch("orders_fixture.csv"))
+    t.upsert(ordersBatch("orders_rerun.csv"))
+    t.upsert(ordersBatch("orders_rerun.csv"))
+    val Seq(v1, v2, v3) = t.history()
+    // watermark at v2: only v1 is strictly older
+    assert(t.vacuumBefore(v2) == Seq(v1))
+    assert(t.history() == Seq(v2, v3))
+    // idempotent: nothing older than the watermark remains
+    assert(t.vacuumBefore(v2).isEmpty)
+    // watermark at current: reclaims v2, never the current version
+    assert(t.vacuumBefore(v3) == Seq(v2))
+    assert(t.history() == Seq(v3))
+    assert(t.vacuumBefore(v3).isEmpty)
+    assert(t.current().get.count() == 8)
+  }
 }
