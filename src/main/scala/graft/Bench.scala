@@ -139,9 +139,11 @@ object Bench {
     "q165_streaming_report_maint",
     "q166_store_monthly_cert",
     "q167_durable_report_resume",
-    // round-16 addition: retention running next to durable maintenance
-    // (watermark-bounded vacuum inside the q167 loop)
-    "q168_retention_safe_resume")
+    // round-16 additions: retention running next to durable maintenance
+    // (watermark-bounded vacuum inside the q167 loop) and the
+    // maintained top-seller report (argmax with retraction fallback)
+    "q168_retention_safe_resume",
+    "q169_maintained_top_sellers")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -422,11 +424,28 @@ object Bench {
     // per-drain CDC folds) with the in-memory pins swapped for one
     // durable report version write per fold, plus the recompute
     // certificate leg
-    "q167_durable_report_resume" -> 7.982,
-    // q168 introduced round 16: provisional ceiling pending targeted
-    // quiet-start measurement (cost class: q167 exactly — the added
-    // per-drain vacuum is a driver-side directory delete)
-    "q168_retention_safe_resume" -> 9.0)
+    // ↓r16: targeted introduction runs (launch loads 2.40 / 3.72)
+    // measured q167 at 7.663 / 7.705, undercutting the 7.982 floor;
+    // the same round's first full run (launch 3.09, warm slot)
+    // undercut again to 7.062. MIN rule re-base to 7.062
+    "q167_durable_report_resume" -> 7.062,
+    // q168 introduced round 16 at 8.349 (minimum of the two targeted
+    // runs: 8.349 / 8.409), re-based DOWN to 7.376 in the same
+    // round's first full run (base samples 8.144 / 7.706 / 7.376 —
+    // the targeted values were fresh-process ceilings, the q165/q166
+    // introduction pattern). Cost class: q167 exactly — the added
+    // per-drain watermark-bounded vacuum is a driver-side directory
+    // delete with no executor work
+    "q168_retention_safe_resume" -> 7.376,
+    // q169 introduced round 16 at 11.406 (minimum of two targeted
+    // runs: 11.406 / 11.837, launch loads 2.34 / 4.79) — expected to
+    // be a fresh-process ceiling like q165's 11.078 introduction
+    // (which settled to 6.074 in warm full-run slots); re-base DOWN as
+    // full-run undercuts land. Cost class: q165's streamed flow +
+    // per-drain folds, with the fold doubled to two levels (±
+    // category delta + touched-group argmax recompute) and BOTH
+    // equivalence certificates in the judged consumer
+    "q169_maintained_top_sellers" -> 11.406)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

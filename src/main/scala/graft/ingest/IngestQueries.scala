@@ -1168,6 +1168,206 @@ object IngestQueries {
        |  cast(0 AS bigint) AS equiv_diff
        |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q169: maintained TOP-SELLER report — the MIN/MAX-shaped aggregate
+  // family, with the per-group recompute fallback on retraction
+  // ------------------------------------------------------------------
+
+  /** Level 1 of the top-seller maintenance: per (channel_group,
+    * product_id) revenue and row count. SUM-shaped, so the ± delta
+    * algebra maintains it exactly like [[productReport]] — one
+    * definition for the base snapshot, both delta arms, and the
+    * recompute certificate leg.
+    */
+  private[graft] def categoryReport(contents: DataFrame): DataFrame =
+    contents.groupBy(col("channel_group"), col("product_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("amount") * 100).cast("long")).as("revenue_cents"))
+
+  /** [[applyReportDelta]]'s ± fold at the two-level (channel_group,
+    * product_id) key. Group MOVES are absorbed for free: an LWW update
+    * that rewrites channel_group retracts the key's rows from the old
+    * group via the before arm and adds them to the new one via the
+    * after arm. Same change-feed precondition as [[applyReportDelta]].
+    */
+  private[graft] def applyCategoryDelta(base: DataFrame, before: DataFrame,
+      after: DataFrame, changedKeys: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    def arm(version: DataFrame, sign: Long) =
+      categoryReport(version.join(changedKeys, keyCols, "left_semi"))
+        .select(col("channel_group"), col("product_id"),
+          (col("n_rows") * lit(sign)).as("n_rows"),
+          (col("revenue_cents") * lit(sign)).as("revenue_cents"))
+    base
+      .unionByName(arm(after, 1L)).unionByName(arm(before, -1L))
+      .groupBy(col("channel_group"), col("product_id"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("revenue_cents")).as("revenue_cents"))
+      .filter(col("n_rows") > 0)
+  }
+
+  /** Level 2: the best-selling product per channel group off a level-1
+    * frame — deterministic argmax (revenue ties broken by LARGEST
+    * product_id via the struct ordering; the oracle mirrors with
+    * `ORDER BY revenue_cents DESC, product_id DESC`).
+    */
+  private[graft] def topSellers(lvl1: DataFrame): DataFrame =
+    lvl1.groupBy(col("channel_group"))
+      .agg(max(struct(col("revenue_cents"), col("product_id"))).as("_t"))
+      .select(col("channel_group"),
+        col("_t").getField("product_id").as("top_product_id"),
+        col("_t").getField("revenue_cents").as("top_revenue_cents"))
+
+  /** The channel groups whose level-1 rows a change step can move: the
+    * groups of the changed keys' rows on EITHER side of the transition
+    * (before-side catches retractions and moves-out, after-side
+    * inserts and moves-in).
+    */
+  private[graft] def touchedGroups(before: DataFrame, after: DataFrame,
+      changedKeys: DataFrame, keyCols: Seq[String]): DataFrame =
+    before.join(changedKeys, keyCols, "left_semi").select(col("channel_group"))
+      .unionByName(
+        after.join(changedKeys, keyCols, "left_semi").select(col("channel_group")))
+      .distinct()
+
+  /** The MIN/MAX maintenance step ([[applyReportDelta]]'s documented
+    * fallback, now implemented): an argmax is NOT self-maintainable
+    * under retraction — a revenue decrease or a deleted row can
+    * dethrone a group's leader, and no ± algebra on the TOP row alone
+    * can recover the runner-up. The fallback recomputes level 2 ONLY
+    * for the `touched` groups, and off the MAINTAINED level-1
+    * aggregate — not the store — so the recompute reads
+    * |touched groups| × products-per-group AGGREGATED rows: the step
+    * cost stays proportional to the change volume, never the store
+    * size. Untouched groups keep their carried top row verbatim.
+    */
+  private[graft] def maintainTopSellers(baseTop: DataFrame,
+      lvl1Maintained: DataFrame, touched: DataFrame): DataFrame =
+    baseTop.join(touched, Seq("channel_group"), "left_anti")
+      .unionByName(topSellers(
+        lvl1Maintained.join(touched, Seq("channel_group"), "left_semi")))
+
+  /** The maintained-top-seller handles: the drained store, the carried
+    * level-1 and level-2 artifacts, and the per-step top/touched
+    * frames (pinned) for the guards.
+    */
+  private[graft] final case class MaintainedTopStream(
+      st: graft.state.StateTable, lvl1: DataFrame, top: DataFrame,
+      stepTops: Seq[DataFrame], stepTouched: Seq[DataFrame])
+
+  /** q169's construction: the q165 drain loop with the TWO-LEVEL fold
+    * per drained micro-batch — level 1 by ± delta
+    * ([[applyCategoryDelta]]), level 2 by touched-group recompute
+    * ([[maintainTopSellers]]). Both carried artifacts are pinned per
+    * step (the q165 lineage discipline: plan depth O(1) in drain
+    * count).
+    */
+  private[graft] def q169BuildMaintainedTop(
+      s: SparkSession, dir: String): MaintainedTopStream = {
+    val keyCols = graft.core.Schemas.ordersKey
+    var lvl1: DataFrame = null
+    var top: DataFrame = null
+    var prev: String = null
+    val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val touchedSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val flow = buildStreamedFlowStore(s, dir, "graft_q169", "q169", st => {
+      val h = st.history()
+      val from = if (prev == null) h.head else prev
+      val to = h.last
+      val before = st.readVersion(from)
+      val after = st.readVersion(to)
+      val changedKeys = graft.core.Checkpoints.pin(
+        st.diff(from, to).select(keyCols.map(col): _*))
+      val base = if (lvl1 == null) categoryReport(before) else lvl1
+      val baseTop = if (top == null) topSellers(base) else top
+      lvl1 = graft.core.Checkpoints.pin(
+        applyCategoryDelta(base, before, after, changedKeys, keyCols))
+      val touched = graft.core.Checkpoints.pin(
+        touchedGroups(before, after, changedKeys, keyCols))
+      touchedSteps += touched
+      top = graft.core.Checkpoints.pin(
+        maintainTopSellers(baseTop, lvl1, touched))
+      tops += top
+      prev = to
+    })
+    MaintainedTopStream(flow.st, lvl1, top, tops.toSeq, touchedSteps.toSeq)
+  }
+
+  /** q169: the maintained TOP-SELLER report (A5's argmax shape,
+    * `README.md:132–148`) under streaming ingest — the capability step
+    * beyond q165/q167, whose maintained reports are SUM/COUNT-shaped
+    * and so self-maintainable. MIN/MAX/argmax is the documented hole
+    * ([[applyReportDelta]]'s limitation note): retraction can dethrone
+    * a leader, and the production answer is the two-level design
+    * judged here — a ±-maintained per-(group, product) revenue
+    * aggregate (level 1) plus an argmax recomputed per step ONLY for
+    * the touched groups, off the maintained aggregate (level 2). The
+    * judged rows are the final maintained top row per channel group
+    * (values meet the weighted-arms oracle replay with the argmax
+    * re-derived in DuckDB), the per-group product count, the step
+    * count, and BOTH equivalence certificates against the recompute
+    * off the drained store (level-1 multiset and top-row multiset —
+    * 0 everywhere means both maintained artifacts reproduced their
+    * recomputes exactly). A delta folded twice, a touched group the
+    * recompute missed, or a stale carried top row surviving a touched
+    * step all break it.
+    *
+    * What the replayed oracle cannot see, IngestCertSpec pins: each
+    * step touched a nonempty group set, the maintained top actually
+    * MOVED between the drains (a fold that never updated the carried
+    * row would replay green if the final state happened to match), and
+    * — on a hand-built retraction pair, where the judged flow can't
+    * reach — a deleted leader IS dethroned by the per-group fallback
+    * while untouched groups' rows are carried verbatim (the
+    * proper-subset pruning this corpus's 3 channel groups cannot
+    * demonstrate end-to-end).
+    *
+    * Scale: level-1 arms are CDC-pruned semi-joins (change-volume
+    * cost); level-2 recompute reads only touched groups' AGGREGATED
+    * rows — at production group counts the semi-join prunes the argmax
+    * to the changed slice, and the carried artifacts are pinned per
+    * step so plan depth stays O(1) in drain count. The judged plan is
+    * the two pinned artifact scans, the recompute certificate legs
+    * (store scan → level-1 rollup → argmax), the two ±1-weighted
+    * union-groupBy pairs, and the 3-row output sort.
+    */
+  val q169MaintainedTopSellers: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val m = q169BuildMaintainedTop(s, dir)
+      val lvl1Re = categoryReport(m.st.current().get)
+      val lvl1Equiv = multisetEquivDiff(m.lvl1, lvl1Re, "channel_group")
+        .withColumnRenamed("equiv_diff", "lvl1_equiv_diff")
+      val topEquiv = multisetEquivDiff(m.top, topSellers(lvl1Re), "channel_group")
+        .withColumnRenamed("equiv_diff", "top_equiv_diff")
+      val nProducts = m.lvl1.groupBy(col("channel_group"))
+        .agg(count(lit(1)).as("n_products"))
+      m.top
+        .join(nProducts, Seq("channel_group"))
+        .withColumn("n_steps", lit(m.stepTops.size.toLong))
+        .join(lvl1Equiv, Seq("channel_group"))
+        .join(topEquiv, Seq("channel_group"))
+        .orderBy(col("channel_group"))
+    },
+    s"""$flowStoreReplaySql,
+       |lvl1 AS (
+       |  SELECT o_orderstatus AS channel_group,
+       |    cast(o_custkey AS varchar) AS product_id,
+       |    cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS revenue_cents
+       |  FROM fin GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT channel_group, product_id, revenue_cents,
+       |    row_number() OVER (PARTITION BY channel_group
+       |      ORDER BY revenue_cents DESC, product_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY channel_group) AS n_products
+       |  FROM lvl1)
+       |SELECT channel_group, product_id AS top_product_id,
+       |  revenue_cents AS top_revenue_cents,
+       |  cast(n_products AS bigint) AS n_products,
+       |  cast(2 AS bigint) AS n_steps,
+       |  cast(0 AS bigint) AS lvl1_equiv_diff,
+       |  cast(0 AS bigint) AS top_equiv_diff
+       |FROM ranked WHERE rn = 1 ORDER BY channel_group""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -1177,5 +1377,6 @@ object IngestQueries {
     "q165_streaming_report_maint" -> q165StreamingReportMaintCert,
     "q166_store_monthly_cert" -> q166StoreMonthlyCert,
     "q167_durable_report_resume" -> q167DurableReportResume,
-    "q168_retention_safe_resume" -> q168RetentionSafeResume)
+    "q168_retention_safe_resume" -> q168RetentionSafeResume,
+    "q169_maintained_top_sellers" -> q169MaintainedTopSellers)
 }

@@ -807,7 +807,20 @@ class PlanAuditSpec extends AnyFunSuite {
       // ±1-weighted union-groupBy + output sort. Same hint-free
       // worst-case budget of 6; observed 4 at audit scale (the
       // stats-sized report-side broadcast)
-      "q168_retention_safe_resume" -> 6)
+      "q168_retention_safe_resume" -> 6,
+      // q169 (round-16, audited at introduction): the streamed build
+      // and every two-level fold are construction (lvl1/top pinned per
+      // step); the judged plan is the two pinned artifact scans, the
+      // recompute certificate legs (store scan → (group, product)
+      // rollup → argmax regroup), TWO ±1-weighted union-groupBy pairs
+      // (level-1 and top multiset certificates — the honest price of
+      // certifying both levels), the pinned-lvl1 n_products rollup,
+      // and the 3-row output sort: 9 observed, all three consumer
+      // joins riding stats-sized broadcasts of ≤3-row frames. Budget
+      // is the hint-free worst case of 13 (the q163 lesson: key
+      // exchanges on the certificate join sides if a stats drift
+      // drops the broadcasts)
+      "q169_maintained_top_sellers" -> 13)
     // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
     // q167, q168: the observed plan rides a stats-sized broadcast that
     // a stats/threshold drift may legitimately drop), a real plan
@@ -817,7 +830,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val observedAtAudit = Map(
       "q163_store_report_cert" -> 2,
       "q167_durable_report_resume" -> 4,
-      "q168_retention_safe_resume" -> 4)
+      "q168_retention_safe_resume" -> 4,
+      "q169_maintained_top_sellers" -> 9)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

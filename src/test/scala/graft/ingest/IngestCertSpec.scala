@@ -486,4 +486,59 @@ class IngestCertSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("vacuumed past"),
       s"unsafe vacuum failed with the wrong diagnostic: ${ex.getMessage}")
   }
+
+  test("q169 two-level maintenance: steps touch groups and the top actually moves") {
+    val sf = TestSpark.testdata("0.001")
+    val flow = IngestQueries.q169BuildMaintainedTop(spark, sf)
+    assert(flow.stepTops.size == 2 && flow.stepTouched.size == 2,
+      s"expected one two-level fold per drain")
+    // each step's touched-group set is nonempty — a step that touched
+    // nothing would leave the carried top verbatim and still replay
+    // green if the final state happened to match
+    flow.stepTouched.zipWithIndex.foreach { case (t, i) =>
+      assert(t.limit(1).count() == 1L, s"step $i touched no groups")
+    }
+    // the maintained top MOVED between the drains: the re-run batch's
+    // LWW boosts and inserts change leaders' revenues, so a carried
+    // row surviving step 2 untouched means the fold is vacuous
+    val t0 = flow.stepTops(0).collect().toSet
+    val t1 = flow.stepTops(1).collect().toSet
+    assert(t0 != t1,
+      "the maintained top rows are identical across both drains — " +
+        "the second fold moved nothing at this corpus")
+  }
+
+  test("q169 retraction fallback: a deleted leader is dethroned, untouched groups carried") {
+    // the judged flow produces only inserts and LWW updates, so the
+    // RETRACTION path of the argmax fallback — the whole reason level 2
+    // needs a recompute — is pinned on a hand-built pair (the q164
+    // delete-arm convention): deleting leader 'a' must dethrone group
+    // X to runner-up 'b' while group Y's carried row is never touched
+    import spark.implicits._
+    val keyCols = Seq("order_id", "product_id")
+    val before = Seq(
+      ("o1", "a", "X", 100.00), ("o2", "b", "X", 60.00),
+      ("o3", "c", "Y", 10.00)
+    ).toDF("order_id", "product_id", "channel_group", "amount")
+    val after = Seq(
+      ("o2", "b", "X", 60.00), ("o3", "c", "Y", 10.00)
+    ).toDF("order_id", "product_id", "channel_group", "amount")
+    val changedKeys = Seq(("o1", "a")).toDF("order_id", "product_id")
+    val lvl1 = IngestQueries.applyCategoryDelta(
+      IngestQueries.categoryReport(before), before, after, changedKeys, keyCols)
+    val touched = IngestQueries.touchedGroups(before, after, changedKeys, keyCols)
+    // proper-subset pruning the 3-group judged corpus can't show e2e:
+    // the retraction touches ONLY X, so Y's argmax is never recomputed
+    assert(touched.collect().map(_.getString(0)).toSeq == Seq("X"),
+      "expected the retraction to touch exactly group X")
+    val top = IngestQueries.maintainTopSellers(
+      IngestQueries.topSellers(IngestQueries.categoryReport(before)),
+      lvl1, touched)
+    assertMultisetEqual(top,
+      IngestQueries.topSellers(IngestQueries.categoryReport(after)),
+      "maintained top diverged from the recompute under a leader retraction")
+    val x = top.filter(col("channel_group") === "X").collect()
+    assert(x.length == 1 && x.head.getAs[String]("top_product_id") == "b",
+      s"deleted leader 'a' was not dethroned to runner-up 'b': ${x.toSeq}")
+  }
 }
