@@ -413,7 +413,9 @@ object Bench {
     // certificate leg — the per-drain maintenance is INSIDE the
     // measured operator by design; q166's is q161's store build plus
     // one store-scan rollup
-    "q165_streaming_report_maint" -> 6.074,
+    // ↓r16: second full run (quiet launch 1.26, zero retimes)
+    // undercut to 5.858
+    "q165_streaming_report_maint" -> 5.858,
     "q166_store_monthly_cert" -> 2.415,
     // q167 introduced late round 15 at 8.188 (minimum of two targeted
     // quiet-start runs, launch loadavg 1.16 / 1.53), re-based DOWN to
@@ -426,9 +428,10 @@ object Bench {
     // certificate leg
     // ↓r16: targeted introduction runs (launch loads 2.40 / 3.72)
     // measured q167 at 7.663 / 7.705, undercutting the 7.982 floor;
-    // the same round's first full run (launch 3.09, warm slot)
-    // undercut again to 7.062. MIN rule re-base to 7.062
-    "q167_durable_report_resume" -> 7.062,
+    // the same round's full runs undercut again — 7.062 (run 1,
+    // launch 3.09), then 6.942 (run 2, quiet launch 1.26). MIN rule
+    // re-base to 6.942
+    "q167_durable_report_resume" -> 6.942,
     // q168 introduced round 16 at 8.349 (minimum of the two targeted
     // runs: 8.349 / 8.409), re-based DOWN to 7.376 in the same
     // round's first full run (base samples 8.144 / 7.706 / 7.376 —
@@ -438,14 +441,14 @@ object Bench {
     // delete with no executor work
     "q168_retention_safe_resume" -> 7.376,
     // q169 introduced round 16 at 11.406 (minimum of two targeted
-    // runs: 11.406 / 11.837, launch loads 2.34 / 4.79) — expected to
-    // be a fresh-process ceiling like q165's 11.078 introduction
-    // (which settled to 6.074 in warm full-run slots); re-base DOWN as
-    // full-run undercuts land. Cost class: q165's streamed flow +
-    // per-drain folds, with the fold doubled to two levels (±
+    // runs: 11.406 / 11.837, launch loads 2.34 / 4.79) — a
+    // fresh-process ceiling as predicted: the second full run's warm
+    // slot (quiet launch 1.26, zero retimes) re-based it to 8.803
+    // (the q165 introduction pattern). Cost class: q165's streamed
+    // flow + per-drain folds, with the fold doubled to two levels (±
     // category delta + touched-group argmax recompute) and BOTH
     // equivalence certificates in the judged consumer
-    "q169_maintained_top_sellers" -> 11.406)
+    "q169_maintained_top_sellers" -> 8.803)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
