@@ -1095,8 +1095,13 @@ object IngestQueries {
         graft.core.Schemas.ordersKey)
       // retention, bounded by the consumer: the report's durable
       // watermark (a single-row max over the small report — the
-      // sanctioned driver-side read shape)
-      val wm = report.current().get.agg(max(col("as_of"))).head().getString(0)
+      // sanctioned driver-side read shape). An EMPTY report means no
+      // consumer progress — the watermark is the store's oldest
+      // version and the vacuum reclaims nothing (the same convention
+      // resumeReportMaintenance uses to recover its resume point)
+      val wm = Option(
+        report.current().get.agg(max(col("as_of"))).head().getString(0))
+        .getOrElse(orders.history().head)
       reclaimed += orders.vacuumBefore(wm)
     },
       // continuous retention converges the store to the single current
