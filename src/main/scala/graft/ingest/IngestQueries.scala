@@ -688,20 +688,48 @@ object IngestQueries {
     * convention), one output sort. The CDC frame feeds both delta arms
     * — pinned once (Checkpoints.pin, the multi-consumer discipline).
     */
-  /** The maintenance fold shared by q164 (one batch step off a report
-    * materialized from `before`) and q165 (a CARRIED report folded per
-    * drained micro-batch): apply the pruned ±delta derived from
-    * `changedKeys` to `base`, the materialized report for `before`'s
-    * contents. Correct for ALL three change kinds — inserts and
-    * updates land via the `after ⊖ before` arms over the changed keys,
-    * and a DELETED key's rows appear only in the before arm,
-    * retracting its contribution; a group whose rows ALL retracted
-    * leaves a zero shell, filtered here (SUM/COUNT are
-    * self-maintainable; MIN/MAX would need a per-group recompute
-    * fallback on retraction).
+  /** The generic ± fold behind EVERY SUM-shaped maintained aggregate
+    * (q164/q165/q167/q168's product report, q169's level-1 category
+    * report): `report` defines the aggregate (it must emit
+    * `groupCols ++ measureCols`, with `n_rows` among the measures —
+    * the zero-shell filter reads it), the fold applies
+    * `report(after ⋉ keys) ⊖ report(before ⋉ keys)` onto `base` via
+    * the ±1-signed union-groupBy. ONE definition so a fix to the fold
+    * algebra (or its change-feed precondition, documented at
+    * [[applyReportDelta]]) can never drift between the maintained
+    * families.
+    */
+  private[graft] def applySumDelta(base: DataFrame, before: DataFrame,
+      after: DataFrame, changedKeys: DataFrame, keyCols: Seq[String],
+      report: DataFrame => DataFrame, groupCols: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    def arm(version: DataFrame, sign: Long) =
+      report(version.join(changedKeys, keyCols, "left_semi"))
+        .select(groupCols.map(col) ++
+          measureCols.map(c => (col(c) * lit(sign)).as(c)): _*)
+    val aggs = measureCols.map(c => sum(col(c)).as(c))
+    base
+      .unionByName(arm(after, 1L)).unionByName(arm(before, -1L))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_rows") > 0)
+  }
+
+  /** The product-report fold shared by q164 (one batch step off a
+    * report materialized from `before`), q165 (a CARRIED report folded
+    * per drained micro-batch), and q167/q168 (durable folds): apply
+    * the pruned ±delta derived from `changedKeys` to `base`, the
+    * materialized report for `before`'s contents. Correct for ALL
+    * three change kinds — inserts and updates land via the
+    * `after ⊖ before` arms over the changed keys, and a DELETED key's
+    * rows appear only in the before arm, retracting its contribution;
+    * a group whose rows ALL retracted leaves a zero shell, filtered in
+    * the shared fold (SUM/COUNT are self-maintainable; MIN/MAX needs
+    * the per-group recompute fallback — q169's [[maintainTopSellers]]).
     *
-    * PRECONDITION on the change feed: `changedKeys` must cover every
-    * key whose row MULTISET differs between the versions.
+    * PRECONDITION on the change feed (applies to every [[applySumDelta]]
+    * caller): `changedKeys` must cover every key whose row MULTISET
+    * differs between the versions.
     * [[graft.state.StateTable.diff]] is key-level (latest row per
     * key), so a transition that added or removed value-identical
     * COPIES of an existing key would slip past it — but transitions
@@ -718,19 +746,9 @@ object IngestQueries {
     */
   private[graft] def applyReportDelta(base: DataFrame, before: DataFrame,
       after: DataFrame, changedKeys: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
-    def arm(version: DataFrame, sign: Long) =
-      productReport(version.join(changedKeys, keyCols, "left_semi"))
-        .select(col("product_id"),
-          (col("n_rows") * lit(sign)).as("n_rows"),
-          (col("amount_cents") * lit(sign)).as("amount_cents"))
-    base
-      .unionByName(arm(after, 1L)).unionByName(arm(before, -1L))
-      .groupBy(col("product_id"))
-      .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("amount_cents")).as("amount_cents"))
-      .filter(col("n_rows") > 0)
-  }
+      keyCols: Seq[String]): DataFrame =
+    applySumDelta(base, before, after, changedKeys, keyCols,
+      productReport, Seq("product_id"), Seq("n_rows", "amount_cents"))
 
   /** The q164 maintenance step as a named operator: one
     * [[applyReportDelta]] fold onto the report materialized off
@@ -937,6 +955,20 @@ object IngestQueries {
     st
   }
 
+  /** The consumer's resume point off its durable rows: `max(as_of)`
+    * on the report's current contents — a single-row aggregate read,
+    * the sanctioned driver-side shape. An EMPTY report means no
+    * consumer progress: the watermark falls back to `oldest` (the
+    * store's first retained version), so a resume folds everything
+    * and a bounded vacuum reclaims nothing. ONE definition for the
+    * resume walk, the q168 retention hook, and the specs, so the
+    * convention cannot drift.
+    */
+  private[graft] def reportWatermark(
+      reportSt: graft.state.StateTable, oldest: => String): String =
+    Option(reportSt.current().get.agg(max(col("as_of"))).head().getString(0))
+      .getOrElse(oldest)
+
   /** Resume report maintenance from DURABLE state only: recover the
     * `as_of` watermark off the report table's current contents (the
     * orders CreateTable version when the report is still empty), then
@@ -957,10 +989,7 @@ object IngestQueries {
       keyCols: Seq[String]): Int = {
     val h = ordersSt.history()
     require(h.nonEmpty, "q167: orders store has no versions to fold")
-    val asOf = {
-      val m = reportSt.current().get.agg(max(col("as_of"))).head().getString(0)
-      Option(m).getOrElse(h.head)
-    }
+    val asOf = reportWatermark(reportSt, h.head)
     val idx = h.indexOf(asOf)
     require(idx >= 0,
       s"q167: report watermark $asOf not in the orders store history — " +
@@ -1094,15 +1123,10 @@ object IngestQueries {
       steps += resumeReportMaintenance(orders, report,
         graft.core.Schemas.ordersKey)
       // retention, bounded by the consumer: the report's durable
-      // watermark (a single-row max over the small report — the
-      // sanctioned driver-side read shape). An EMPTY report means no
-      // consumer progress — the watermark is the store's oldest
-      // version and the vacuum reclaims nothing (the same convention
-      // resumeReportMaintenance uses to recover its resume point)
-      val wm = Option(
-        report.current().get.agg(max(col("as_of"))).head().getString(0))
-        .getOrElse(orders.history().head)
-      reclaimed += orders.vacuumBefore(wm)
+      // watermark, re-read from disk ([[reportWatermark]] — empty
+      // report ⇒ oldest version ⇒ the vacuum reclaims nothing)
+      reclaimed += orders.vacuumBefore(
+        reportWatermark(report, orders.history().head))
     },
       // continuous retention converges the store to the single current
       // version: each vacuum reclaims everything below that drain's
@@ -1197,19 +1221,10 @@ object IngestQueries {
     */
   private[graft] def applyCategoryDelta(base: DataFrame, before: DataFrame,
       after: DataFrame, changedKeys: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
-    def arm(version: DataFrame, sign: Long) =
-      categoryReport(version.join(changedKeys, keyCols, "left_semi"))
-        .select(col("channel_group"), col("product_id"),
-          (col("n_rows") * lit(sign)).as("n_rows"),
-          (col("revenue_cents") * lit(sign)).as("revenue_cents"))
-    base
-      .unionByName(arm(after, 1L)).unionByName(arm(before, -1L))
-      .groupBy(col("channel_group"), col("product_id"))
-      .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("revenue_cents")).as("revenue_cents"))
-      .filter(col("n_rows") > 0)
-  }
+      keyCols: Seq[String]): DataFrame =
+    applySumDelta(base, before, after, changedKeys, keyCols,
+      categoryReport, Seq("channel_group", "product_id"),
+      Seq("n_rows", "revenue_cents"))
 
   /** Level 2: the best-selling product per channel group off a level-1
     * frame — deterministic argmax (revenue ties broken by LARGEST

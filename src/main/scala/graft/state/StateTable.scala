@@ -82,7 +82,16 @@ final class StateTable(
       .flatMap(n => scala.util.Try(
         java.lang.Long.parseUnsignedLong(n.slice(2, 18), 16)).toOption)
       .filter(newest => java.lang.Long.compareUnsigned(newest, local) >= 0)
-      .map(_ + 1L)
+      .map { newest =>
+        // unsigned max + 1 would WRAP to 0 and silently break the
+        // ordering guarantee forever (reachable only via a host whose
+        // nanoTime returned a negative value — the spec allows it);
+        // fail loudly instead of corrupting
+        require(newest != -1L,
+          s"version-name timestamp space exhausted at $root — the newest " +
+            "retained version carries the maximal unsigned prefix")
+        newest + 1L
+      }
       .getOrElse(local)
     val v = f"v-$ts%016x-${UUID.randomUUID().toString.take(4)}"
     val writer = df.write.mode("overwrite")

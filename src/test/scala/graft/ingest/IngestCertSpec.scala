@@ -555,10 +555,8 @@ class IngestCertSpec extends AnyFunSuite {
     val orders = IngestQueries.q161BuildStore(spark, sf)
     val h = orders.history()
     assert(h.size == 3)
-    def wm(r: graft.state.StateTable): String = {
-      val m = r.current().get.agg(max(col("as_of"))).head().getString(0)
-      Option(m).getOrElse(h.head)
-    }
+    def wm(r: graft.state.StateTable): String =
+      IngestQueries.reportWatermark(r, h.head)
     val fast = IngestQueries.reportStoreHandle(spark,
       graft.core.Staging.invocationDir("graft_mc_fast", sf))
     val slow = IngestQueries.reportStoreHandle(spark,
