@@ -143,7 +143,12 @@ object Bench {
     // (watermark-bounded vacuum inside the q167 loop) and the
     // maintained top-seller report (argmax with retraction fallback)
     "q168_retention_safe_resume",
-    "q169_maintained_top_sellers")
+    "q169_maintained_top_sellers",
+    // round-17 additions: the argmax dethronement judged through a
+    // real mid-loop purge, and multi-consumer (laggard-bounded)
+    // retention judged over two heterogeneous durable consumers
+    "q170_purged_top_sellers",
+    "q171_multi_consumer_retention")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -285,7 +290,9 @@ object Bench {
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
     // their refs in the same run — the refs stand as quiet floors)
-    "q139_image_shard_admission" -> 2.27,
+    // ↓r17: official BENCH_r16 measured 2.129 — a MIN-rule undercut of
+    // the round-11 targeted-ceiling 2.27 (computed by the r16 judge)
+    "q139_image_shard_admission" -> 2.129,
     // round-9 second batch: per-query min of matching sf0.1 runs at
     // introduction (loadavg recorded in bench_diag.json)
     // re-based to the 83-query warm full run (95.3 s total, 1 retime,
@@ -375,8 +382,9 @@ object Bench {
     // slots — the introduction value carried fresh-JVM staging cost),
     // then 1.253 round 14 off the official BENCH_r13 record, then
     // 1.119 from the round-14 quiet-launch full runs, then 1.090 off
-    // the official BENCH_r14 record (round 15, MIN rule)
-    "q160_schema_evolution_cert" -> 1.090,
+    // the official BENCH_r14 record (round 15, MIN rule), then 1.065
+    // off the official BENCH_r16 record (↓r17, MIN rule)
+    "q160_schema_evolution_cert" -> 1.065,
     // q161 introduced round 13 at 3.48 (targeted run), re-based DOWN
     // 3.42 → 2.52 across the closing full runs (two landing-dir
     // stagings + three store versions dominate), then 2.192 from the
@@ -448,7 +456,16 @@ object Bench {
     // flow + per-drain folds, with the fold doubled to two levels (±
     // category delta + touched-group argmax recompute) and BOTH
     // equivalence certificates in the judged consumer
-    "q169_maintained_top_sellers" -> 8.803)
+    "q169_maintained_top_sellers" -> 8.803,
+    // round-17 introductions (provisional 999 until the targeted
+    // introduction runs land — the fullRunOrder convention fronts them
+    // and suppresses their retime pass; replaced by the measured
+    // minimum in the same round). q170's cost class is q169's (streamed
+    // two-level fold) plus one purge version write and a third fold;
+    // q171's is q168's (durable folds + bounded vacuums) plus the
+    // second consumer's catch-up fold and certificate leg
+    "q170_purged_top_sellers" -> 999.0,
+    "q171_multi_consumer_retention" -> 999.0)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -714,10 +731,17 @@ object Bench {
     // over-long result line is truncated from the FRONT, losing the
     // early queries and the total (round 7's official record was
     // unparseable for exactly this reason). Keep the line compact:
-    // 3-decimal times (sub-millisecond digits are noise anyway) and the
-    // stall-retime detail demoted to a count, with the retimed names on
-    // stderr for the performance notes.
-    def fmt(v: Double): String = f"$v%.3f"
+    // 2-decimal times and the stall-retime detail demoted to a count,
+    // with the retimed names on stderr for the performance notes.
+    // Round 17 trimmed 3 → 2 decimals (the r16 verdict's forced
+    // decision: the 3-decimal line measured 1,395–1,398/1,400 at 102
+    // entries — one addition or one stormed window away from arming
+    // rotation — and the 3rd decimal is far below this VM's
+    // quiet-to-storm variance, so the trim costs zero information and
+    // buys ~100 chars; rotation stays the unarmed fallback). Full
+    // 3-decimal samples remain in bench_diag.json; floor re-bases keep
+    // citing bench_diag/targeted runs, which are unaffected.
+    def fmt(v: Double): String = f"$v%.2f"
     // Emit the numeric prefix ("q117") as the queries key: prefixes are
     // unique by construction (the registry requires it, checked below)
     // and the full-name map at 62 entries was already 1.8k chars in the

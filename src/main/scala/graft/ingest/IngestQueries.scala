@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
@@ -715,6 +715,39 @@ object IngestQueries {
       .filter(col("n_rows") > 0)
   }
 
+  /** A maintained SUM-shaped report family as ONE object: the
+    * aggregate definition, its grouping/measure columns (the
+    * [[applySumDelta]] arguments), and — derived, never hand-written —
+    * the durable report-store schema (group columns as strings,
+    * measures as longs, plus the `as_of` resume watermark). Bundling
+    * them means a consumer ([[reportStoreHandle]] /
+    * [[resumeReportMaintenance]]) can never pair one family's fold
+    * with another's declared schema. Two instances exist:
+    * [[productShape]] (q164–q168's per-product report) and
+    * [[categoryShape]] (q169/q170's level-1 per-(group, product)
+    * report; q171's second consumer).
+    */
+  private[graft] final case class MaintainedShape(
+      report: DataFrame => DataFrame,
+      groupCols: Seq[String], measureCols: Seq[String]) {
+    def fold(base: DataFrame, before: DataFrame, after: DataFrame,
+        changedKeys: DataFrame, keyCols: Seq[String]): DataFrame =
+      applySumDelta(base, before, after, changedKeys, keyCols,
+        report, groupCols, measureCols)
+    def schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        groupCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)) ++
+        measureCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType)) :+
+        org.apache.spark.sql.types.StructField("as_of",
+          org.apache.spark.sql.types.StringType))
+  }
+
+  private[graft] val productShape: MaintainedShape =
+    MaintainedShape(productReport, Seq("product_id"),
+      Seq("n_rows", "amount_cents"))
+
   /** The product-report fold shared by q164 (one batch step off a
     * report materialized from `before`), q165 (a CARRIED report folded
     * per drained micro-batch), and q167/q168 (durable folds): apply
@@ -747,8 +780,7 @@ object IngestQueries {
   private[graft] def applyReportDelta(base: DataFrame, before: DataFrame,
       after: DataFrame, changedKeys: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    applySumDelta(base, before, after, changedKeys, keyCols,
-      productReport, Seq("product_id"), Seq("n_rows", "amount_cents"))
+    productShape.fold(base, before, after, changedKeys, keyCols)
 
   /** The q164 maintenance step as a named operator: one
     * [[applyReportDelta]] fold onto the report materialized off
@@ -927,69 +959,91 @@ object IngestQueries {
     * (every fold stamps the version it consumed), so `max(as_of)` on
     * the current contents recovers the watermark with no sidecar
     * metadata file; version strings sort by their monotonic
-    * nano-timestamp prefix, so max IS the latest.
+    * nano-timestamp prefix, so max IS the latest. Derived from
+    * [[productShape]] — the schema and the fold can never drift.
     */
   private[graft] val reportSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("product_id",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_rows",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("amount_cents",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("as_of",
-        org.apache.spark.sql.types.StringType)))
+    productShape.schema
 
   /** A (possibly fresh-process) handle to the durable report table at
-    * `root`: first call CreateTables it via the same SchemaSync leg
-    * every flow store uses (R4 sequencing), later calls must find it
-    * already in sync — any other applied change is a named failure.
+    * `root` for one maintained `shape`: first call CreateTables it via
+    * the same SchemaSync leg every flow store uses (R4 sequencing),
+    * later calls must find it already in sync — any other applied
+    * change is a named failure.
     */
   private[graft] def reportStoreHandle(
-      s: SparkSession, root: String): graft.state.StateTable = {
-    val st = new graft.state.StateTable(s, root, Seq("product_id"))
-    val changes = graft.schemasync.SchemaSync.sync(s, st, reportSchema)
+      s: SparkSession, root: String,
+      shape: MaintainedShape = productShape,
+      label: String = "q167"): graft.state.StateTable = {
+    val st = new graft.state.StateTable(s, root, shape.groupCols)
+    val changes = graft.schemasync.SchemaSync.sync(s, st, shape.schema)
     require(changes.isEmpty ||
-      changes == Seq(graft.schemasync.SchemaSync.CreateTable(reportSchema)),
-      s"q167 precondition: report-store sync applied $changes")
+      changes == Seq(graft.schemasync.SchemaSync.CreateTable(shape.schema)),
+      s"$label precondition: report-store sync applied $changes")
     st
   }
 
-  /** The consumer's resume point off its durable rows: `max(as_of)`
+  /** The consumer's raw resume point off its durable rows: `max(as_of)`
     * on the report's current contents — a single-row aggregate read,
-    * the sanctioned driver-side shape. An EMPTY report means no
-    * consumer progress: the watermark falls back to `oldest` (the
-    * store's first retained version), so a resume folds everything
-    * and a bounded vacuum reclaims nothing. ONE definition for the
-    * resume walk, the q168 retention hook, and the specs, so the
-    * convention cannot drift.
+    * the sanctioned driver-side shape. None means an EMPTY report — no
+    * consumer progress recorded (the bootstrap-vs-caught-up distinction
+    * [[resumeReportMaintenance]] needs on a retention-vacuumed store).
+    */
+  private[graft] def reportWatermarkOpt(
+      reportSt: graft.state.StateTable): Option[String] =
+    Option(reportSt.current().get.agg(max(col("as_of"))).head().getString(0))
+
+  /** [[reportWatermarkOpt]] with the empty-report fallback to `oldest`
+    * (the store's first retained version): an un-started consumer
+    * bounds retention at the oldest version, so a resume can still
+    * fold everything and a bounded vacuum reclaims nothing. ONE
+    * definition for the resume walk, the q168/q171 retention hooks,
+    * and the specs, so the convention cannot drift.
     */
   private[graft] def reportWatermark(
       reportSt: graft.state.StateTable, oldest: => String): String =
-    Option(reportSt.current().get.agg(max(col("as_of"))).head().getString(0))
-      .getOrElse(oldest)
+    reportWatermarkOpt(reportSt).getOrElse(oldest)
 
   /** Resume report maintenance from DURABLE state only: recover the
-    * `as_of` watermark off the report table's current contents (the
-    * orders CreateTable version when the report is still empty), then
-    * fold every orders-store version pair AFTER it —
-    * [[applyReportDelta]] per step, one report version written per
-    * step (`overwrite` stamps the new watermark; the durable write IS
-    * the lineage truncation, so no in-memory pin is needed). Returns
-    * the number of steps applied: 0 on a restart with nothing new
-    * (idempotence — the guard calls it a third time to prove exactly
-    * that), 1 per drained batch in steady state, >1 when catching up
-    * after missed folds. Versioned immutability makes the concurrent
-    * read-while-write safe: each step's base is read from the CURRENT
-    * version dir while the next version writes to a fresh dir.
+    * `as_of` watermark off the report table's current contents, then
+    * fold every orders-store version pair AFTER it — `shape.fold` per
+    * step, one report version written per step (`overwrite` stamps the
+    * new watermark; the durable write IS the lineage truncation, so no
+    * in-memory pin is needed). Returns the number of fold steps
+    * applied: 0 on a restart with nothing new (idempotence — the guard
+    * calls it a third time to prove exactly that), 1 per drained batch
+    * in steady state, >1 when catching up after missed folds.
+    * Versioned immutability makes the concurrent read-while-write
+    * safe: each step's base is read from the CURRENT version dir while
+    * the next version writes to a fresh dir.
+    *
+    * FRESH-CONSUMER BOOTSTRAP (round-17 advice, medium): an empty
+    * report's watermark falls back to the OLDEST retained version and
+    * the walk folds only pairs AFTER it — correct when that version is
+    * the flow's empty CreateTable, silently wrong once retention
+    * (q168's `vacuumBefore`) has reclaimed it: the consumer would fold
+    * deltas onto an empty base, permanently missing the oldest
+    * version's contents, while its watermark reads fully caught up for
+    * retention decisions. So an empty report on a store whose oldest
+    * retained version carries rows first materializes its base as
+    * `shape.report(oldest contents)` stamped `as_of = oldest`, then
+    * walks the pairs. The `isEmpty` gate (a bounded limit-1 read, taken
+    * only on the empty-report path) keeps the judged q167/q168 flows —
+    * whose oldest version IS the empty CreateTable — byte-identical in
+    * behavior and report-version counts.
     */
   private[graft] def resumeReportMaintenance(
       ordersSt: graft.state.StateTable,
       reportSt: graft.state.StateTable,
-      keyCols: Seq[String]): Int = {
+      keyCols: Seq[String],
+      shape: MaintainedShape = productShape): Int = {
     val h = ordersSt.history()
     require(h.nonEmpty, "q167: orders store has no versions to fold")
-    val asOf = reportWatermark(reportSt, h.head)
+    val wmOpt = reportWatermarkOpt(reportSt)
+    if (wmOpt.isEmpty && !ordersSt.readVersion(h.head).isEmpty)
+      reportSt.overwrite(shape.report(ordersSt.readVersion(h.head))
+        .withColumn("as_of", lit(h.head)))
+    val asOf = wmOpt.getOrElse(h.head)
     val idx = h.indexOf(asOf)
     require(idx >= 0,
       s"q167: report watermark $asOf not in the orders store history — " +
@@ -1002,7 +1056,7 @@ object IngestQueries {
         ordersSt.diff(from, to).select(keyCols.map(col): _*))
       val base = reportSt.current().get.drop("as_of")
       reportSt.overwrite(
-        applyReportDelta(base, before, after, changedKeys, keyCols)
+        shape.fold(base, before, after, changedKeys, keyCols)
           .withColumn("as_of", lit(to)))
     }
     pairs.size
@@ -1219,12 +1273,14 @@ object IngestQueries {
     * group via the before arm and adds them to the new one via the
     * after arm. Same change-feed precondition as [[applyReportDelta]].
     */
+  private[graft] val categoryShape: MaintainedShape =
+    MaintainedShape(categoryReport, Seq("channel_group", "product_id"),
+      Seq("n_rows", "revenue_cents"))
+
   private[graft] def applyCategoryDelta(base: DataFrame, before: DataFrame,
       after: DataFrame, changedKeys: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    applySumDelta(base, before, after, changedKeys, keyCols,
-      categoryReport, Seq("channel_group", "product_id"),
-      Seq("n_rows", "revenue_cents"))
+    categoryShape.fold(base, before, after, changedKeys, keyCols)
 
   /** Level 2: the best-selling product per channel group off a level-1
     * frame — deterministic argmax (revenue ties broken by LARGEST
@@ -1275,22 +1331,22 @@ object IngestQueries {
       st: graft.state.StateTable, lvl1: DataFrame, top: DataFrame,
       stepTops: Seq[DataFrame], stepTouched: Seq[DataFrame])
 
-  /** q169's construction: the q165 drain loop with the TWO-LEVEL fold
-    * per drained micro-batch — level 1 by ± delta
+  /** The carried two-level fold state shared by q169 (streamed drains
+    * only) and q170 (drains + a mid-loop purge transition): one
+    * [[step]] per store version landed — level 1 by ± delta
     * ([[applyCategoryDelta]]), level 2 by touched-group recompute
     * ([[maintainTopSellers]]). Both carried artifacts are pinned per
-    * step (the q165 lineage discipline: plan depth O(1) in drain
-    * count).
+    * step (the q165 lineage discipline: plan depth O(1) in step
+    * count). ONE fold implementation so the purge certificate can
+    * never drift from the drain certificate's algebra.
     */
-  private[graft] def q169BuildMaintainedTop(
-      s: SparkSession, dir: String): MaintainedTopStream = {
-    val keyCols = graft.core.Schemas.ordersKey
+  private[graft] final class TopFoldState(keyCols: Seq[String]) {
     var lvl1: DataFrame = null
     var top: DataFrame = null
-    var prev: String = null
+    private var prev: String = null
     val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val touchedSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val flow = buildStreamedFlowStore(s, dir, "graft_q169", "q169", st => {
+    def step(st: graft.state.StateTable): Unit = {
       val h = st.history()
       val from = if (prev == null) h.head else prev
       val to = h.last
@@ -1309,8 +1365,19 @@ object IngestQueries {
         maintainTopSellers(baseTop, lvl1, touched))
       tops += top
       prev = to
-    })
-    MaintainedTopStream(flow.st, lvl1, top, tops.toSeq, touchedSteps.toSeq)
+    }
+  }
+
+  /** q169's construction: the q165 drain loop with one [[TopFoldState]]
+    * step per drained micro-batch.
+    */
+  private[graft] def q169BuildMaintainedTop(
+      s: SparkSession, dir: String): MaintainedTopStream = {
+    val fold = new TopFoldState(graft.core.Schemas.ordersKey)
+    val flow = buildStreamedFlowStore(s, dir, "graft_q169", "q169",
+      st => fold.step(st))
+    MaintainedTopStream(flow.st, fold.lvl1, fold.top,
+      fold.tops.toSeq, fold.touchedSteps.toSeq)
   }
 
   /** q169: the maintained TOP-SELLER report (A5's argmax shape,
@@ -1369,11 +1436,15 @@ object IngestQueries {
         .orderBy(col("channel_group"))
     },
     s"""$flowStoreReplaySql,
+       |-- the zero-net filter mirrors the Spark fold's n_rows > 0 shell
+       |-- filter (applySumDelta): a product whose weighted rows net to
+       |-- zero must not appear on either side (unreachable at this
+       |-- upsert-only corpus, load-bearing under deletions — q170)
        |lvl1 AS (
        |  SELECT o_orderstatus AS channel_group,
        |    cast(o_custkey AS varchar) AS product_id,
        |    cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS revenue_cents
-       |  FROM fin GROUP BY 1, 2),
+       |  FROM fin GROUP BY 1, 2 HAVING cast(sum(w) AS bigint) > 0),
        |ranked AS (
        |  SELECT channel_group, product_id, revenue_cents,
        |    row_number() OVER (PARTITION BY channel_group
@@ -1388,6 +1459,334 @@ object IngestQueries {
        |  cast(0 AS bigint) AS top_equiv_diff
        |FROM ranked WHERE rn = 1 ORDER BY channel_group""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q170: the argmax DETHRONEMENT judged through the store — q169's
+  // retraction fallback reached by a real mid-loop deletion
+  // ------------------------------------------------------------------
+
+  /** q170's handles: the drained-then-purged store, the carried
+    * two-level artifacts, the per-step touched frames, and the purge
+    * evidence (the pre-purge top and the victim identity) for the
+    * guards.
+    */
+  private[graft] final case class PurgedTopStream(
+      st: graft.state.StateTable, lvl1: DataFrame, top: DataFrame,
+      stepTouched: Seq[DataFrame], prePurgeTop: DataFrame,
+      victimGroup: String, victimProduct: String)
+
+  /** q170's construction: the q169 streamed flow with a REAL DELETION
+    * landed mid-loop and folded through the same [[TopFoldState]] —
+    * after the second drain's fold, the maintained top's leader of the
+    * FIRST channel group (one bounded single-row read off the pinned
+    * 3-row artifact) is purged from the store (q158's deletion-slice
+    * convention: `overwrite` of the filtered current version, the
+    * GDPR-shaped path), and a third fold absorbs the purge transition
+    * via the CDC delete arm. The victim predicate is
+    * (channel_group, product_id) — whole keys by construction (a key's
+    * copies are byte-identical, so every copy matches or none does),
+    * and scoped to ONE group so the touched-group pruning is a proper
+    * subset the guards and the judged count can SEE.
+    */
+  private[graft] def q170BuildPurgedTop(
+      s: SparkSession, dir: String): PurgedTopStream = {
+    val keyCols = graft.core.Schemas.ordersKey
+    val fold = new TopFoldState(keyCols)
+    var drains = 0
+    var prePurgeTop: DataFrame = null
+    var victimGroup: String = null
+    var victimProduct: String = null
+    val flow = buildStreamedFlowStore(s, dir, "graft_q170", "q170", st => {
+      fold.step(st)
+      drains += 1
+      if (drains == 2) {
+        // the purge victim: the pre-purge leader of the first channel
+        // group, read off the maintained top (pinned, 3 rows — one
+        // bounded single-row read, the sanctioned shape)
+        val leader = fold.top.orderBy(col("channel_group")).limit(1).head()
+        victimGroup = leader.getAs[String]("channel_group")
+        victimProduct = leader.getAs[String]("top_product_id")
+        prePurgeTop = fold.top
+        // non-degeneracy: a runner-up must exist, else the purge would
+        // EMPTY the group instead of dethroning its leader and the
+        // judged 3-row shape would silently change
+        require(fold.lvl1.filter(col("channel_group") === victimGroup)
+            .limit(2).count() == 2L,
+          s"q170 precondition: group $victimGroup has no runner-up — " +
+            "the dethronement certificate would be vacuous")
+        st.overwrite(st.read().get.filter(
+          !(col("channel_group") === victimGroup &&
+            col("product_id") === victimProduct)))
+        fold.step(st)
+      }
+    }, finalVersions = 4)
+    PurgedTopStream(flow.st, fold.lvl1, fold.top, fold.touchedSteps.toSeq,
+      prePurgeTop, victimGroup, victimProduct)
+  }
+
+  /** q170: the maintained top-seller report under DATA DELETION — the
+    * judged row for q169's retraction fallback, previously reachable
+    * only in a hand-built spec pair (the r16 verdict's #1). q169
+    * certifies the two-level design under an upsert-only flow, where
+    * level 2's recompute never faces the one event it exists for: a
+    * retraction that DETHRONES a leader (no ± algebra on the top row
+    * recovers the runner-up). q170 composes machinery the repo already
+    * owns — the q169 maintained top ([[TopFoldState]], the same fold)
+    * over the streamed flow, plus a real deletion landed mid-loop
+    * (q136/q158's purge convention): after both drains, the leader of
+    * the first channel group is purged from the store and a THIRD fold
+    * absorbs the transition through the CDC delete arm. The judged
+    * rows are the post-purge maintained top per channel group — the
+    * dethroned group MUST show the runner-up, which the oracle
+    * re-derives by replaying the purge (victim = the pre-purge argmax
+    * of the first group, removed from the weighted replay) — plus the
+    * per-group product count (the victim's lvl1 row is GONE, a zero
+    * shell would off-by-one it), the step count (3), the count of
+    * groups the purge fold recomputed (1 — the touched-group pruning
+    * judged visible: 1 < the 3 judged rows), and BOTH level
+    * equivalence certificates against the recompute off the purged
+    * store. A delete the CDC missed, a stale carried top surviving the
+    * touched step, a zero shell escaping the fold's n_rows filter, or
+    * a recompute that read untouched groups all break it.
+    *
+    * What the replayed oracle cannot see, IngestCertSpec pins: the
+    * purged product really LED its group pre-purge (and its rows
+    * really left the store), the untouched groups' top rows carried
+    * VERBATIM across the purge fold (never recomputed), and the purge
+    * step's touched set is exactly the victim group.
+    *
+    * Reference leg: A5's best-seller report (`README.md:132–148`)
+    * under data deletion — the right-to-be-forgotten path a 100 TB
+    * curation store cannot avoid.
+    *
+    * Scale: the purge is one store-version rewrite (q158's class); the
+    * purge fold's arms are CDC-pruned to the deleted keys and the
+    * level-2 recompute reads ONE touched group's AGGREGATED rows — the
+    * change-volume-proportional property, now judged under retraction.
+    * The judged plan is q169's consumer shape exactly (two pinned
+    * artifact scans, the recompute certificate legs, two ±1-weighted
+    * union-groupBy pairs, the 3-row sort).
+    */
+  val q170PurgedTopSellers: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val m = q170BuildPurgedTop(s, dir)
+      val lvl1Re = categoryReport(m.st.current().get)
+      val lvl1Equiv = multisetEquivDiff(m.lvl1, lvl1Re, "channel_group")
+        .withColumnRenamed("equiv_diff", "lvl1_equiv_diff")
+      val topEquiv = multisetEquivDiff(m.top, topSellers(lvl1Re), "channel_group")
+        .withColumnRenamed("equiv_diff", "top_equiv_diff")
+      val nProducts = m.lvl1.groupBy(col("channel_group"))
+        .agg(count(lit(1)).as("n_products"))
+      m.top
+        .join(nProducts, Seq("channel_group"))
+        .withColumn("n_steps", lit(m.stepTouched.size.toLong))
+        // the purge fold's recomputed-group count: a single-row
+        // aggregate read on the pinned ≤3-row touched frame
+        .withColumn("n_purge_touched", lit(m.stepTouched.last.count()))
+        .join(lvl1Equiv, Seq("channel_group"))
+        .join(topEquiv, Seq("channel_group"))
+        .orderBy(col("channel_group"))
+    },
+    s"""$flowStoreReplaySql,
+       |-- pre-purge level-1 off the FULL flow (both drains); the
+       |-- zero-net filter mirrors the fold's n_rows > 0 shell filter
+       |lvl1_pre AS (
+       |  SELECT o_orderstatus AS channel_group,
+       |    cast(o_custkey AS varchar) AS product_id,
+       |    cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS revenue_cents
+       |  FROM fin GROUP BY 1, 2 HAVING cast(sum(w) AS bigint) > 0),
+       |-- the purge victim: the pre-purge leader (q169's tie-break) of
+       |-- the first channel group
+       |victim AS (
+       |  SELECT channel_group, product_id FROM lvl1_pre
+       |  WHERE channel_group = (SELECT min(channel_group) FROM lvl1_pre)
+       |  ORDER BY revenue_cents DESC, product_id DESC LIMIT 1),
+       |fin2 AS (
+       |  SELECT f.* FROM fin f
+       |  WHERE NOT (f.o_orderstatus = (SELECT channel_group FROM victim)
+       |    AND cast(f.o_custkey AS varchar) = (SELECT product_id FROM victim))),
+       |lvl1 AS (
+       |  SELECT o_orderstatus AS channel_group,
+       |    cast(o_custkey AS varchar) AS product_id,
+       |    cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS revenue_cents
+       |  FROM fin2 GROUP BY 1, 2 HAVING cast(sum(w) AS bigint) > 0),
+       |ranked AS (
+       |  SELECT channel_group, product_id, revenue_cents,
+       |    row_number() OVER (PARTITION BY channel_group
+       |      ORDER BY revenue_cents DESC, product_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY channel_group) AS n_products
+       |  FROM lvl1)
+       |SELECT channel_group, product_id AS top_product_id,
+       |  revenue_cents AS top_revenue_cents,
+       |  cast(n_products AS bigint) AS n_products,
+       |  cast(3 AS bigint) AS n_steps,
+       |  cast(1 AS bigint) AS n_purge_touched,
+       |  cast(0 AS bigint) AS lvl1_equiv_diff,
+       |  cast(0 AS bigint) AS top_equiv_diff
+       |FROM ranked WHERE rn = 1 ORDER BY channel_group""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // q171: MULTI-CONSUMER retention — the laggard holds the vacuum,
+  // catching up releases exactly the absorbed history (judged)
+  // ------------------------------------------------------------------
+
+  /** q171's durable state plus the per-phase evidence: consumer A's
+    * per-drain fold counts, consumer B's one catch-up count, and the
+    * version names each phase's bounded vacuum reclaimed.
+    */
+  private[graft] final case class MultiConsumerFlow(
+      ordersRoot: String, aRoot: String, bRoot: String,
+      aSteps: Seq[Int], bCatchupSteps: Int, reclaimed: Seq[Seq[String]])
+
+  /** q168's retained flow with TWO durable consumers at STAGGERED
+    * paces over one orders store: consumer A (the [[productShape]]
+    * report) folds after every drain; consumer B (the
+    * [[categoryShape]] report — a genuinely different maintained
+    * aggregate, not a copy) is a LAGGARD that does not run at all in
+    * phase 1 and catches up over both pending versions in phase 2.
+    * Retention runs after each phase bounded by the MINIMUM consumer
+    * watermark — [[reportWatermark]]'s empty-report fallback makes the
+    * un-started laggard hold the vacuum at the store's oldest version.
+    */
+  private[graft] def q171BuildMultiConsumerFlow(
+      s: SparkSession, dir: String): MultiConsumerFlow = {
+    val keyCols = graft.core.Schemas.ordersKey
+    val aRoot = graft.core.Staging.invocationDir("graft_q171_rep_a", dir)
+    val bRoot = graft.core.Staging.invocationDir("graft_q171_rep_b", dir)
+    val aSteps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var bCatchup = -1
+    val reclaimed = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var drains = 0
+    val flow = buildStreamedFlowStore(s, dir, "graft_q171", "q171", st => {
+      drains += 1
+      // fresh handles per phase (q167's restart realism)
+      val orders = new graft.state.StateTable(s, st.root, keyCols)
+      val repA = reportStoreHandle(s, aRoot, productShape, "q171")
+      val repB = reportStoreHandle(s, bRoot, categoryShape, "q171")
+      aSteps += resumeReportMaintenance(orders, repA, keyCols, productShape)
+      // the laggard: no phase-1 fold at all — its durable watermark
+      // stays the empty-report fallback until the phase-2 catch-up
+      if (drains == 2)
+        bCatchup = resumeReportMaintenance(orders, repB, keyCols, categoryShape)
+      val oldest = orders.history().head
+      reclaimed += orders.vacuumBefore(Seq(
+        reportWatermark(repA, oldest), reportWatermark(repB, oldest)).min)
+    },
+      // phase 2's vacuum (both consumers caught up) converges the store
+      // to the single current version; phase 1's reclaims nothing
+      finalVersions = 1)
+    MultiConsumerFlow(flow.st.root, aRoot, bRoot, aSteps.toSeq, bCatchup,
+      reclaimed.toSeq)
+  }
+
+  /** q171: multi-consumer retention judged — the policy q168 certifies
+    * with ONE consumer (where min(consumer watermarks) is trivial) run
+    * with TWO, at staggered paces, so the min actually DECIDES (the
+    * r16 verdict's #2; the strong laggard spec in IngestCertSpec
+    * becomes this row's guard layer). The streamed flow drains twice;
+    * consumer A (per-product report) folds after every drain, consumer
+    * B (the per-(group, product) category report — a different
+    * maintained shape, so the policy is judged across heterogeneous
+    * consumers) skips phase 1 entirely and catches up in phase 2; each
+    * phase ends with `vacuumBefore(min(watermarks))`. Judged (metric,
+    * value) rows: the per-phase reclaim counts — 0 while the laggard
+    * is behind (an un-started consumer's empty-report watermark holds
+    * the vacuum at the oldest version), then EXACTLY the 2 absorbed
+    * versions once it catches up — the retained version count (1),
+    * both consumers' fold counts (A: 1 per drain; B: one 2-step
+    * catch-up), both consumers' post-reclaim resumability (a fresh
+    * handle applies 0 steps — run INSIDE the judged query, after the
+    * reclaim), both content totals off the durable rows (row counts
+    * and cent sums, replayed by the oracle from the flow arithmetic),
+    * and both equiv_diff = 0 against the recomputes off the drained
+    * store. A vacuum that ignored the laggard would fail its catch-up
+    * resume loudly BEFORE the judged rows could even form (q167's
+    * require); a laggard watermark misread as caught-up flips
+    * phase1_reclaimed; a fold the laggard missed breaks b_equiv_diff.
+    *
+    * Reference leg: the reference's reports are INDEPENDENT consumers
+    * of one ingested store (`README.md:79–148` — each psql report
+    * reads the tables at its own cadence); retention that respects the
+    * slowest reader is what Postgres gives them via MVCC horizon +
+    * autovacuum (SURVEY §2.9), judged here over versioned parquet.
+    *
+    * Scale: maintenance cost per consumer tracks ITS change volume
+    * (the q167 algebra); the vacuum is a driver-side directory delete;
+    * adding consumers adds one watermark read each — a single-row
+    * aggregate — so the policy's cost is O(consumers) driver reads per
+    * cycle, zero executor work. The judged plan is two q167-shaped
+    * certificate legs (one per consumer: report scan ⋈ recompute via
+    * the ±1-weighted union-groupBy) collapsed to 1-row aggregates,
+    * plus the metric explode union and the 14-row sort.
+    */
+  val q171MultiConsumerRetention: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val keyCols = graft.core.Schemas.ordersKey
+      val flow = q171BuildMultiConsumerFlow(s, dir)
+      val orders = new graft.state.StateTable(s, flow.ordersRoot, keyCols)
+      val repA = reportStoreHandle(s, flow.aRoot, productShape, "q171")
+      val repB = reportStoreHandle(s, flow.bRoot, categoryShape, "q171")
+      // post-reclaim resumability: fresh handles against the vacuumed
+      // store apply ZERO steps (idempotence judged, not just spec'd)
+      val aResume = resumeReportMaintenance(orders, repA, keyCols, productShape)
+      val bResume = resumeReportMaintenance(orders, repB, keyCols, categoryShape)
+      val current = orders.current().get
+      def kv(pairs: (String, Column)*) : Column =
+        explode(map(pairs.flatMap { case (k, v) =>
+          Seq(lit(k), v.cast("long")) }: _*))
+      val aRows = repA.current().get
+        .agg(count(lit(1)).as("n"), sum(col("amount_cents")).as("cents"))
+        .select(kv("a_n_products" -> col("n"),
+          "a_amount_cents_total" -> col("cents")).as(Seq("metric", "value")))
+      val bRows = repB.current().get
+        .agg(count(lit(1)).as("n"), sum(col("revenue_cents")).as("cents"))
+        .select(kv("b_n_rows" -> col("n"),
+          "b_revenue_cents_total" -> col("cents")).as(Seq("metric", "value")))
+      val aEquiv = multisetEquivDiff(repA.current().get.drop("as_of"),
+          productReport(current), "product_id")
+        .agg(sum(col("equiv_diff")).as("d"))
+        .select(kv("a_equiv_diff" -> col("d")).as(Seq("metric", "value")))
+      val bEquiv = multisetEquivDiff(repB.current().get.drop("as_of"),
+          categoryReport(current), "channel_group")
+        .agg(sum(col("equiv_diff")).as("d"))
+        .select(kv("b_equiv_diff" -> col("d")).as(Seq("metric", "value")))
+      val consts = s.range(1).select(kv(
+        "phase1_reclaimed" -> lit(flow.reclaimed(0).size),
+        "phase2_reclaimed" -> lit(flow.reclaimed(1).size),
+        "retained_versions" -> lit(orders.history().size),
+        "a_steps_drain1" -> lit(flow.aSteps(0)),
+        "a_steps_drain2" -> lit(flow.aSteps(1)),
+        "b_catchup_steps" -> lit(flow.bCatchupSteps),
+        "a_resume_steps" -> lit(aResume),
+        "b_resume_steps" -> lit(bResume)).as(Seq("metric", "value")))
+      aRows.unionByName(bRows).unionByName(aEquiv).unionByName(bEquiv)
+        .unionByName(consts).orderBy(col("metric"))
+    },
+    s"""$flowStoreReplaySql,
+       |prodrep AS (
+       |  SELECT cast(o_custkey AS varchar) AS product_id,
+       |    cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS cents
+       |  FROM fin GROUP BY 1),
+       |catrep AS (
+       |  SELECT o_orderstatus, cast(o_custkey AS varchar) AS product_id,
+       |    cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS cents
+       |  FROM fin GROUP BY 1, 2)
+       |SELECT metric, value FROM (
+       |  SELECT 'a_n_products' AS metric, cast(count(*) AS bigint) AS value FROM prodrep
+       |  UNION ALL SELECT 'a_amount_cents_total', cast(sum(cents) AS bigint) FROM prodrep
+       |  UNION ALL SELECT 'b_n_rows', cast(count(*) AS bigint) FROM catrep
+       |  UNION ALL SELECT 'b_revenue_cents_total', cast(sum(cents) AS bigint) FROM catrep
+       |  UNION ALL SELECT 'a_equiv_diff', cast(0 AS bigint)
+       |  UNION ALL SELECT 'b_equiv_diff', cast(0 AS bigint)
+       |  UNION ALL SELECT 'phase1_reclaimed', cast(0 AS bigint)
+       |  UNION ALL SELECT 'phase2_reclaimed', cast(2 AS bigint)
+       |  UNION ALL SELECT 'retained_versions', cast(1 AS bigint)
+       |  UNION ALL SELECT 'a_steps_drain1', cast(1 AS bigint)
+       |  UNION ALL SELECT 'a_steps_drain2', cast(1 AS bigint)
+       |  UNION ALL SELECT 'b_catchup_steps', cast(2 AS bigint)
+       |  UNION ALL SELECT 'a_resume_steps', cast(0 AS bigint)
+       |  UNION ALL SELECT 'b_resume_steps', cast(0 AS bigint)
+       |) ORDER BY metric""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -1398,5 +1797,7 @@ object IngestQueries {
     "q166_store_monthly_cert" -> q166StoreMonthlyCert,
     "q167_durable_report_resume" -> q167DurableReportResume,
     "q168_retention_safe_resume" -> q168RetentionSafeResume,
-    "q169_maintained_top_sellers" -> q169MaintainedTopSellers)
+    "q169_maintained_top_sellers" -> q169MaintainedTopSellers,
+    "q170_purged_top_sellers" -> q170PurgedTopSellers,
+    "q171_multi_consumer_retention" -> q171MultiConsumerRetention)
 }

@@ -70,10 +70,21 @@ final class StateTable(
     * order-safe by construction: when the local candidate timestamp
     * does not exceed the newest retained name's, the successor of that
     * name's timestamp is used instead — names are strictly increasing
-    * across writes from ANY process. (Strictly: within one process two
-    * same-nanoTime writes previously tie-broke on the random suffix;
-    * the successor rule now makes the prefix itself strictly
-    * increasing.)
+    * across SEQUENTIAL writes from any process. (Strictly: within one
+    * process two same-nanoTime writes previously tie-broke on the
+    * random suffix; the successor rule now makes the prefix itself
+    * strictly increasing.)
+    *
+    * Guarantee scope: ONE writer at a time — the framework's
+    * maintenance model (flows, folds, and retention run sequentially
+    * against a store; the next writer starts only after the previous
+    * pointer move is visible). The read-history-then-mint successor
+    * rule is not atomic: two CONCURRENT writers could read the same
+    * newest prefix, mint equal timestamps (ordered only by the random
+    * suffix), and the later pointer write would win silently.
+    * Concurrent writers need external coordination — on a cluster,
+    * swap this layer for Delta/Iceberg ACID commits (the class doc's
+    * note) or fence writers at the orchestrator.
     */
   def overwrite(df: DataFrame): Unit = {
     Files.createDirectories(rootPath)

@@ -820,7 +820,27 @@ class PlanAuditSpec extends AnyFunSuite {
       // is the hint-free worst case of 13 (the q163 lesson: key
       // exchanges on the certificate join sides if a stats drift
       // drops the broadcasts)
-      "q169_maintained_top_sellers" -> 13)
+      "q169_maintained_top_sellers" -> 13,
+      // q170 (round-17, audited at introduction): q169's consumer
+      // shape exactly — the purge is one store-version rewrite and the
+      // purge fold is construction (pinned artifacts), so the judged
+      // plan is the two pinned artifact scans, the recompute
+      // certificate legs off the PURGED store, the two ±1-weighted
+      // union-groupBy pairs, the n_products rollup, and the 3-row
+      // sort. Same hint-free worst-case budget of 13 as q169 (key
+      // exchanges on the certificate join sides if a stats drift
+      // drops the ≤3-row broadcasts); observed below
+      "q170_purged_top_sellers" -> 13,
+      // q171 (round-17, audited at introduction): the streamed flow,
+      // both consumers' durable folds, and the bounded vacuums are all
+      // construction; the judged plan is two q167-shaped certificate
+      // legs COLLAPSED to 1-row aggregates (per consumer: the report
+      // scan's content rollup, the recompute leg's scan-agg, and the
+      // ±1-weighted union-groupBy pair re-aggregated to the scalar
+      // equiv sum), the metric explode unions, and the 14-row sort —
+      // NO joins at all, so there is no broadcast for optimizer
+      // weather to drop and the observed count IS the worst case
+      "q171_multi_consumer_retention" -> 11)
     // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
     // q167, q168: the observed plan rides a stats-sized broadcast that
     // a stats/threshold drift may legitimately drop), a real plan
@@ -831,7 +851,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q163_store_report_cert" -> 2,
       "q167_durable_report_resume" -> 4,
       "q168_retention_safe_resume" -> 4,
-      "q169_maintained_top_sellers" -> 9)
+      "q169_maintained_top_sellers" -> 9,
+      "q170_purged_top_sellers" -> 9)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
