@@ -457,15 +457,18 @@ object Bench {
     // category delta + touched-group argmax recompute) and BOTH
     // equivalence certificates in the judged consumer
     "q169_maintained_top_sellers" -> 8.803,
-    // round-17 introductions (provisional 999 until the targeted
-    // introduction runs land — the fullRunOrder convention fronts them
-    // and suppresses their retime pass; replaced by the measured
-    // minimum in the same round). q170's cost class is q169's (streamed
-    // two-level fold) plus one purge version write and a third fold;
-    // q171's is q168's (durable folds + bounded vacuums) plus the
-    // second consumer's catch-up fold and certificate leg
-    "q170_purged_top_sellers" -> 999.0,
-    "q171_multi_consumer_retention" -> 999.0)
+    // round-17 introductions: min of two targeted runs (14.37/14.01 at
+    // launch loads 0.18/4.25, and 15.68/15.51) — fresh-process ceilings
+    // per the q165/q169 pattern, re-base DOWN on full-run warm slots.
+    // q170's cost class is q169's (streamed two-level fold) plus one
+    // purge version write and a third fold; q171's is q168's (durable
+    // folds + bounded vacuums) plus the laggard's catch-up folds, the
+    // in-query post-reclaim resumes, and a SECOND certificate leg
+    // ↓r17: the round's first full run (loaded window, launch 0.18
+    // ramping to 5.4) undercut both introductions from warm slots —
+    // 12.38 / 14.61; MIN rule
+    "q170_purged_top_sellers" -> 12.38,
+    "q171_multi_consumer_retention" -> 14.61)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
