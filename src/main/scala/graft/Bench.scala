@@ -148,7 +148,10 @@ object Bench {
     // real mid-loop purge, and multi-consumer (laggard-bounded)
     // retention judged over two heterogeneous durable consumers
     "q170_purged_top_sellers",
-    "q171_multi_consumer_retention")
+    "q171_multi_consumer_retention",
+    // round-17 third addition: consumer onboarding on a
+    // retention-vacuumed store + the delete-arm purge fold
+    "q172_consumer_bootstrap")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -468,7 +471,14 @@ object Bench {
     // ramping to 5.4) undercut both introductions from warm slots —
     // 12.38 / 14.61; MIN rule
     "q170_purged_top_sellers" -> 12.38,
-    "q171_multi_consumer_retention" -> 14.61)
+    "q171_multi_consumer_retention" -> 14.61,
+    // q172 introduced round 17: min of two targeted runs (15.14 /
+    // 13.94 at launch loads 1.26 / 4.0) — a fresh-process ceiling per
+    // the pattern, re-base DOWN on full-run warm slots. Cost class:
+    // q168's retained flow as construction, plus the bootstrap
+    // aggregation, one purge version rewrite, two CDC purge folds,
+    // and the two certificate legs
+    "q172_consumer_bootstrap" -> 13.94)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1787,6 +1787,140 @@ object IngestQueries {
        |  UNION ALL SELECT 'b_resume_steps', cast(0 AS bigint)
        |) ORDER BY metric""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q172: a NEW consumer joins a retention-managed store — the
+  // bootstrap path judged, then both consumers fold a real purge
+  // ------------------------------------------------------------------
+
+  /** q172's durable state plus the lifecycle evidence: the newcomer's
+    * bootstrap step count (0 — the base is materialized, not folded),
+    * both consumers' purge-fold counts, and the final retention
+    * accounting.
+    */
+  private[graft] final case class BootstrapFlow(
+      ordersRoot: String, aRoot: String, bRoot: String,
+      bootstrapSteps: Int, aPurgeSteps: Int, bPurgeSteps: Int,
+      nReclaimed: Int)
+
+  /** q172's construction: the q168 retained flow (store converged to
+    * ONE non-empty version — retention already reclaimed the empty
+    * CreateTable bootstrap version, the exact precondition the
+    * round-17 advice hazard names), then
+    *
+    *  1. a NEW consumer joins: a fresh [[productShape]] report store
+    *     resumes against the vacuumed single-version history —
+    *     [[resumeReportMaintenance]]'s bootstrap materializes its base
+    *     from the current version's CONTENTS (0 pairs to fold);
+    *  2. a real purge lands: every product ≡ 0 (mod 17) is forgotten
+    *     (q136/q158's right-to-be-forgotten convention; whole keys by
+    *     construction — product_id is part of the composite key);
+    *  3. BOTH consumers resume one purge fold each — the veteran off
+    *     its drain watermark, the newcomer off its bootstrap stamp —
+    *     driving [[applyReportDelta]]'s delete arm (retraction +
+    *     whole-group zero-shell filtering) through a REAL store
+    *     transition;
+    *  4. retention reclaims exactly the absorbed pre-purge version.
+    */
+  private[graft] def q172BuildBootstrapFlow(
+      s: SparkSession, dir: String): BootstrapFlow = {
+    val keyCols = graft.core.Schemas.ordersKey
+    val base = q168BuildRetainedFlow(s, dir)
+    val orders = new graft.state.StateTable(s, base.ordersRoot, keyCols)
+    val bRoot = graft.core.Staging.invocationDir("graft_q172_rep_b", dir)
+    val repB = reportStoreHandle(s, bRoot, productShape, "q172")
+    val bootstrapSteps = resumeReportMaintenance(orders, repB, keyCols)
+    orders.overwrite(orders.read().get
+      .filter(col("product_id").cast("long") % 17 =!= 0))
+    val repA = reportStoreHandle(s, base.reportRoot, productShape, "q172")
+    val aPurgeSteps = resumeReportMaintenance(orders, repA, keyCols)
+    val bPurgeSteps = resumeReportMaintenance(orders, repB, keyCols)
+    val oldest = orders.history().head
+    val nReclaimed = orders.vacuumBefore(Seq(
+      reportWatermark(repA, oldest), reportWatermark(repB, oldest)).min).size
+    BootstrapFlow(base.ordersRoot, base.reportRoot, bRoot,
+      bootstrapSteps, aPurgeSteps, bPurgeSteps, nReclaimed)
+  }
+
+  /** q172: consumer ONBOARDING on a retention-managed store, judged —
+    * the round-17 advice hazard promoted from spec to CORRECTNESS row,
+    * composed with the one maintained-product-report branch no judged
+    * flow had driven: the delete arm. q168 proves retention next to
+    * maintenance; its converged store has ALREADY reclaimed the empty
+    * CreateTable version — so a new consumer joining later (teams add
+    * report consumers to a years-old 100 TB store all the time) cannot
+    * fold from the beginning of history: it must materialize its base
+    * from the oldest RETAINED version's contents, or silently maintain
+    * an empty report that reads as caught up (the pre-fix behavior).
+    * q172 judges that bootstrap end to end, then lands a real
+    * forget-these-products purge and has BOTH consumers — the veteran
+    * and the newcomer — fold it incrementally: the CDC delete arm
+    * retracts the purged products' contributions and their
+    * fully-retracted groups vanish through the zero-shell filter
+    * (q164's spec-only delete claim, now judged through a real store
+    * transition). The judged rows are the veteran's post-purge report
+    * (values meet the weighted-arms replay restricted to surviving
+    * products — a purged group leaving a zero shell, a retraction
+    * applied to the wrong group, or a bootstrap that missed base
+    * contents all break it), the newcomer's per-product equiv_diff
+    * against it (0 — two consumers at different join times converge on
+    * identical durable rows), the recompute equiv_diff (0), the
+    * bootstrap step count (0 — materialized, not folded), both purge
+    * fold counts (1 each), and the retention accounting (1 reclaimed,
+    * 1 retained).
+    *
+    * What the replay cannot see, IngestCertSpec pins: the newcomer's
+    * pre-purge base really carried the FULL report (bootstrap
+    * non-degenerate), the purge transition's CDC is pure deletes, and
+    * report groups really VANISHED across the purge fold.
+    *
+    * Scale: the bootstrap is one aggregation over the store's current
+    * version — the unavoidable one-time cost of joining late, after
+    * which the newcomer pays change-volume prices like everyone else;
+    * the purge folds are CDC-pruned to the deleted keys; retention
+    * stays a driver-side directory delete. The judged plan is the
+    * veteran's report scan joined to the newcomer-equiv and
+    * recompute-equiv certificate legs (±1-weighted union-groupBy
+    * pairs) plus the output sort.
+    */
+  val q172ConsumerBootstrap: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val flow = q172BuildBootstrapFlow(s, dir)
+      val keyCols = graft.core.Schemas.ordersKey
+      val orders = new graft.state.StateTable(s, flow.ordersRoot, keyCols)
+      val repA = reportStoreHandle(s, flow.aRoot, productShape, "q172")
+      val repB = reportStoreHandle(s, flow.bRoot, productShape, "q172")
+      val a = repA.current().get.drop("as_of")
+      val b = repB.current().get.drop("as_of")
+      val bEquiv = multisetEquivDiff(a, b, "product_id")
+        .withColumnRenamed("equiv_diff", "b_equiv_diff")
+      val reEquiv = multisetEquivDiff(a, productReport(orders.current().get),
+          "product_id")
+        .withColumnRenamed("equiv_diff", "recompute_equiv_diff")
+      a.withColumn("bootstrap_steps", lit(flow.bootstrapSteps.toLong))
+        .withColumn("a_purge_steps", lit(flow.aPurgeSteps.toLong))
+        .withColumn("b_purge_steps", lit(flow.bPurgeSteps.toLong))
+        .withColumn("n_reclaimed", lit(flow.nReclaimed.toLong))
+        .withColumn("n_retained", lit(orders.history().size.toLong))
+        .join(bEquiv, Seq("product_id"))
+        .join(reEquiv, Seq("product_id"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(0 AS bigint) AS bootstrap_steps,
+       |  cast(1 AS bigint) AS a_purge_steps,
+       |  cast(1 AS bigint) AS b_purge_steps,
+       |  cast(1 AS bigint) AS n_reclaimed,
+       |  cast(1 AS bigint) AS n_retained,
+       |  cast(0 AS bigint) AS b_equiv_diff,
+       |  cast(0 AS bigint) AS recompute_equiv_diff
+       |-- the purge: every product ≡ 0 (mod 17) forgotten — surviving
+       |-- rows only (whole keys; product_id is part of the upsert key)
+       |FROM fin WHERE o_custkey % 17 <> 0
+       |GROUP BY product_id ORDER BY product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -1799,5 +1933,6 @@ object IngestQueries {
     "q168_retention_safe_resume" -> q168RetentionSafeResume,
     "q169_maintained_top_sellers" -> q169MaintainedTopSellers,
     "q170_purged_top_sellers" -> q170PurgedTopSellers,
-    "q171_multi_consumer_retention" -> q171MultiConsumerRetention)
+    "q171_multi_consumer_retention" -> q171MultiConsumerRetention,
+    "q172_consumer_bootstrap" -> q172ConsumerBootstrap)
 }

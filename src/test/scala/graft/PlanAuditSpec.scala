@@ -840,7 +840,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // equiv sum), the metric explode unions, and the 14-row sort —
       // NO joins at all, so there is no broadcast for optimizer
       // weather to drop and the observed count IS the worst case
-      "q171_multi_consumer_retention" -> 11)
+      "q171_multi_consumer_retention" -> 11,
+      // q172 (round-17, audited at introduction): the q168 base flow,
+      // the bootstrap materialization, both purge folds, and the
+      // vacuum are all construction (durable writes truncate lineage);
+      // the judged plan is the veteran's report scan joined to TWO
+      // certificate legs — the newcomer-equiv pair (two report scans)
+      // and the recompute-equiv pair (report scan + store scan-agg) —
+      // plus the output sort: 6 observed, both assembly joins riding
+      // stats-sized broadcasts of the equiv frames. Budget is the
+      // hint-free worst case of 8 (the q163 lesson: key exchanges on
+      // both certificate join sides if a stats drift drops them)
+      "q172_consumer_bootstrap" -> 8)
     // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
     // q167, q168: the observed plan rides a stats-sized broadcast that
     // a stats/threshold drift may legitimately drop), a real plan
@@ -852,7 +863,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q167_durable_report_resume" -> 4,
       "q168_retention_safe_resume" -> 4,
       "q169_maintained_top_sellers" -> 9,
-      "q170_purged_top_sellers" -> 9)
+      "q170_purged_top_sellers" -> 9,
+      "q172_consumer_bootstrap" -> 6)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

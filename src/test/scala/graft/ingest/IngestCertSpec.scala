@@ -654,6 +654,44 @@ class IngestCertSpec extends AnyFunSuite {
       Seq("channel_group", "product_id", "n_rows", "revenue_cents", "as_of"))
   }
 
+  test("q172 newcomer's bootstrap base is the full report; the purge really shrank it") {
+    // the judged oracle replays only the FINAL rows; what it cannot
+    // see: the newcomer's bootstrap version really carried the full
+    // pre-purge report (a bootstrap that wrote an empty base would
+    // still converge after the purge fold ONLY by accident of the
+    // equiv certificates — pin the intermediate), and the purge fold
+    // really shrank the report (groups vanished, no zero shells)
+    val sf = TestSpark.testdata("0.001")
+    val flow = IngestQueries.q172BuildBootstrapFlow(spark, sf)
+    assert(flow.bootstrapSteps == 0 && flow.aPurgeSteps == 1 &&
+      flow.bPurgeSteps == 1 && flow.nReclaimed == 1)
+    val repA = IngestQueries.reportStoreHandle(spark, flow.aRoot)
+    val repB = IngestQueries.reportStoreHandle(spark, flow.bRoot)
+    val ah = repA.history()
+    val bh = repB.history()
+    // A: CreateTable + 2 drain folds + 1 purge fold; B: CreateTable +
+    // the bootstrap materialization + 1 purge fold
+    assert(ah.size == 4 && bh.size == 3,
+      s"report lifecycles drifted: A=${ah.size} B=${bh.size}")
+    // the newcomer's bootstrap version equals the veteran's pre-purge
+    // report INCLUDING as_of — both reflect the same store version
+    // (the veteran folded up to it; the bootstrap stamped the oldest
+    // retained version, which retention had converged to exactly it)
+    assertMultisetEqual(repB.readVersion(bh(1)), repA.readVersion(ah(2)),
+      "bootstrap base diverged from the veteran's pre-purge report")
+    // the purge really shrank the report: ≡0 (mod 17) products existed
+    // pre-purge, none survive, and no zero shell replaced them
+    def mod17(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("product_id").cast("long") % 17 === 0)
+    assert(mod17(repA.readVersion(ah(2))).limit(1).count() == 1L,
+      "no mod-17 product pre-purge — the purge fixture is vacuous")
+    val post = repA.current().get
+    assert(mod17(post).limit(1).count() == 0L,
+      "a purged product's report group survived the delete-arm fold")
+    assert(post.filter(col("n_rows") <= 0).limit(1).count() == 0L,
+      "a zero shell escaped the fold's n_rows filter")
+  }
+
   test("multi-consumer retention: a lagging consumer holds the vacuum, catching up releases it") {
     // q168 judges the watermark-bounded vacuum with ONE consumer, where
     // min(consumer watermarks) is trivial. The production store has
