@@ -469,16 +469,17 @@ object Bench {
     // in-query post-reclaim resumes, and a SECOND certificate leg
     // ↓r17: the round's first full run (loaded window, launch 0.18
     // ramping to 5.4) undercut both introductions from warm slots —
-    // 12.38 / 14.61; MIN rule
-    "q170_purged_top_sellers" -> 12.38,
-    "q171_multi_consumer_retention" -> 14.61,
+    // 12.38 / 14.61; run 4 (launch 1.88, 3 retimes, the round's best
+    // at ratio 1.19) undercut again — 11.97 / 13.89; MIN rule
+    "q170_purged_top_sellers" -> 11.97,
+    "q171_multi_consumer_retention" -> 13.89,
     // q172 introduced round 17: min of two targeted runs (15.14 /
-    // 13.94 at launch loads 1.26 / 4.0) — a fresh-process ceiling per
-    // the pattern, re-base DOWN on full-run warm slots. Cost class:
-    // q168's retained flow as construction, plus the bootstrap
-    // aggregation, one purge version rewrite, two CDC purge folds,
-    // and the two certificate legs
-    "q172_consumer_bootstrap" -> 13.94)
+    // 13.94 at launch loads 1.26 / 4.0), undercut to 13.76 in the
+    // same round's run-4 warm slot (MIN rule). Cost class: q168's
+    // retained flow as construction, plus the bootstrap aggregation,
+    // one purge version rewrite, two CDC purge folds, and the two
+    // certificate legs
+    "q172_consumer_bootstrap" -> 13.76)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
