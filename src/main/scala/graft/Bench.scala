@@ -149,9 +149,11 @@ object Bench {
     // retention judged over two heterogeneous durable consumers
     "q170_purged_top_sellers",
     "q171_multi_consumer_retention",
-    // round-17 third addition: consumer onboarding on a
-    // retention-vacuumed store + the delete-arm purge fold
-    "q172_consumer_bootstrap")
+    // round-17 third/fourth additions: consumer onboarding on a
+    // retention-vacuumed store + the delete-arm purge fold, and
+    // compaction under a live maintained consumer
+    "q172_consumer_bootstrap",
+    "q173_compaction_maintenance")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -479,7 +481,14 @@ object Bench {
     // retained flow as construction, plus the bootstrap aggregation,
     // one purge version rewrite, two CDC purge folds, and the two
     // certificate legs
-    "q172_consumer_bootstrap" -> 13.76)
+    "q172_consumer_bootstrap" -> 13.76,
+    // q173 introduced round 17: min of two targeted runs (10.70 /
+    // 11.97 at launch loads 0.99 / ~3) — a fresh-process ceiling per
+    // the pattern, re-base DOWN on full-run warm slots. Cost class:
+    // the q161 batch flow store + two resume folds as construction,
+    // plus the compaction rewrite, the empty-delta fold, and the
+    // certificate leg
+    "q173_compaction_maintenance" -> 10.70)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -1921,6 +1921,131 @@ object IngestQueries {
        |FROM fin WHERE o_custkey % 17 <> 0
        |GROUP BY product_id ORDER BY product_id""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q173: COMPACTION under a live maintained consumer — the layout
+  // rewrite is CDC-invisible, the consumer absorbs it, retention
+  // reclaims the pre-compact history
+  // ------------------------------------------------------------------
+
+  /** q173's durable state plus the lifecycle evidence: the flow-fold
+    * and compaction-fold step counts, the MEASURED row count of the
+    * compaction transition's CDC (pinned before retention reclaims the
+    * pre-compact version — the q158 ordering), the pre-compact file
+    * count (the fragmentation precondition), and the reclaim count.
+    */
+  private[graft] final case class CompactionFlow(
+      ordersRoot: String, reportRoot: String,
+      flowSteps: Int, compactSteps: Int, compactCdcRows: Long,
+      nReclaimed: Int)
+
+  private[graft] def q173BuildCompactionFlow(
+      s: SparkSession, dir: String): CompactionFlow = {
+    val keyCols = graft.core.Schemas.ordersKey
+    val orders = q161BuildStore(s, dir)
+    val reportRoot = graft.core.Staging.invocationDir("graft_q173_report", dir)
+    val report = reportStoreHandle(s, reportRoot, productShape, "q173")
+    val flowSteps = resumeReportMaintenance(orders, report, keyCols)
+    // fragmentation precondition (q156's convention): the compaction
+    // must have real work, or the transparency certificate is vacuous
+    val preFiles = orders.read().get
+      .select(countDistinct(col("_metadata.file_path"))).head().getLong(0)
+    require(preFiles >= 2,
+      s"q173 precondition: pre-compact version has $preFiles file(s); " +
+        "the upsert writer no longer fragments and the compaction " +
+        "certificate would be vacuous")
+    val preCompact = orders.currentVersion.get
+    orders.compact(targetFiles = 1)
+    val postCompact = orders.currentVersion.get
+    // the transition's CDC row count — a single-row aggregate read,
+    // taken BEFORE the vacuum below deletes the pre-compact dir the
+    // lazy diff plan reads (the q158 drain-before-retention contract)
+    val compactCdcRows = orders.diff(preCompact, postCompact).count()
+    val compactSteps = resumeReportMaintenance(orders, report, keyCols)
+    val nReclaimed = orders.vacuumBefore(
+      reportWatermark(report, orders.history().head)).size
+    CompactionFlow(orders.root, reportRoot, flowSteps, compactSteps,
+      compactCdcRows, nReclaimed)
+  }
+
+  /** q173: small-files COMPACTION under a live maintained consumer —
+    * the one store-lifecycle op (q156) that had never met the
+    * maintenance loop (q167) in a judged row, though at 100 TB the two
+    * run concurrently by construction: every upsert writes a full new
+    * version whose union plan fragments the layout, so compaction runs
+    * CONTINUOUSLY next to maintenance, and it must be invisible to CDC
+    * consumers — a pure layout rewrite, never a data change. q173
+    * certifies the composition end to end: the q161 flow store with a
+    * caught-up durable report (2 folds), then `compact(targetFiles=1)`
+    * lands a new version, the consumer resumes ONE more fold over the
+    * compaction transition whose CDC is EMPTY (the judged
+    * `compact_cdc_rows = 0` — a compaction that perturbed any latest
+    * row, e.g. by breaking `_seq` preservation, would surface here and
+    * in the report values), the fold is a value no-op that still
+    * ADVANCES the consumer watermark, and retention bounded by that
+    * watermark reclaims ALL pre-compact history (3 versions) — the
+    * full point of absorbing the compaction: without the fold, the
+    * min-watermark vacuum could never reclaim the fragmented versions
+    * behind a live consumer. Judged rows: the maintained report
+    * (values meet the weighted-arms replay — unchanged across the
+    * compaction fold), the fold counts (2 flow + 1 compaction), the
+    * measured compaction-CDC row count (0), the retention accounting
+    * (3 reclaimed / 1 retained), the post-compact file count (1 — the
+    * layout really changed, so the no-op claim is non-vacuous), and
+    * `equiv_diff = 0` against the recompute off the compacted store.
+    *
+    * What the replay cannot see, IngestCertSpec pins: the report
+    * VERSION the compaction fold wrote is value-identical to its
+    * predecessor (modulo `as_of`), a further restart applies zero
+    * steps, and the report lifecycle is CreateTable + exactly 3 folds.
+    *
+    * Reference leg: the reference delegates layout maintenance to
+    * Postgres (autovacuum/CLUSTER, SURVEY §2.9) while its reports keep
+    * reading — the same transparency contract over versioned parquet.
+    *
+    * Scale: compaction cost is the one-version rewrite (q156's class,
+    * `targetFiles` sized to the table); the consumer's extra fold
+    * costs one EMPTY-delta pass (semi-joins against an empty key
+    * frame); retention stays a driver-side delete. The judged plan is
+    * q167's consumer shape: the report scan joined to the recompute
+    * certificate leg via the ±1-weighted union-groupBy, plus the
+    * output sort.
+    */
+  val q173CompactionMaintenance: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val keyCols = graft.core.Schemas.ordersKey
+      val flow = q173BuildCompactionFlow(s, dir)
+      val orders = new graft.state.StateTable(s, flow.ordersRoot, keyCols)
+      val report = reportStoreHandle(s, flow.reportRoot, productShape, "q173")
+      val maintained = report.current().get.drop("as_of")
+      val equiv = multisetEquivDiff(maintained,
+        productReport(orders.current().get), "product_id")
+      // post-compact layout: a single-row aggregate read off the
+      // writer's actual file metadata (q156's accounting convention)
+      val nFiles = orders.read().get
+        .select(countDistinct(col("_metadata.file_path"))).head().getLong(0)
+      maintained
+        .withColumn("n_steps_flow", lit(flow.flowSteps.toLong))
+        .withColumn("n_steps_compact", lit(flow.compactSteps.toLong))
+        .withColumn("compact_cdc_rows", lit(flow.compactCdcRows))
+        .withColumn("n_reclaimed", lit(flow.nReclaimed.toLong))
+        .withColumn("n_retained", lit(orders.history().size.toLong))
+        .withColumn("n_files", lit(nFiles))
+        .join(equiv, Seq("product_id"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(2 AS bigint) AS n_steps_flow,
+       |  cast(1 AS bigint) AS n_steps_compact,
+       |  cast(0 AS bigint) AS compact_cdc_rows,
+       |  cast(3 AS bigint) AS n_reclaimed,
+       |  cast(1 AS bigint) AS n_retained,
+       |  cast(1 AS bigint) AS n_files,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -1934,5 +2059,6 @@ object IngestQueries {
     "q169_maintained_top_sellers" -> q169MaintainedTopSellers,
     "q170_purged_top_sellers" -> q170PurgedTopSellers,
     "q171_multi_consumer_retention" -> q171MultiConsumerRetention,
-    "q172_consumer_bootstrap" -> q172ConsumerBootstrap)
+    "q172_consumer_bootstrap" -> q172ConsumerBootstrap,
+    "q173_compaction_maintenance" -> q173CompactionMaintenance)
 }

@@ -851,7 +851,16 @@ class PlanAuditSpec extends AnyFunSuite {
       // stats-sized broadcasts of the equiv frames. Budget is the
       // hint-free worst case of 8 (the q163 lesson: key exchanges on
       // both certificate join sides if a stats drift drops them)
-      "q172_consumer_bootstrap" -> 8)
+      "q172_consumer_bootstrap" -> 8,
+      // q173 (round-17, audited at introduction): the flow store,
+      // both resume folds, the compaction, and the vacuum are all
+      // construction; the judged plan is q167's consumer shape — the
+      // report scan joined to the recompute certificate leg via the
+      // ±1-weighted union-groupBy pair, plus the output sort. Same
+      // hint-free worst-case budget of 6 as q167/q168 (key exchanges
+      // on both certificate join sides if a stats drift drops the
+      // report-side broadcast); observed below
+      "q173_compaction_maintenance" -> 6)
     // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
     // q167, q168: the observed plan rides a stats-sized broadcast that
     // a stats/threshold drift may legitimately drop), a real plan
@@ -864,7 +873,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q168_retention_safe_resume" -> 4,
       "q169_maintained_top_sellers" -> 9,
       "q170_purged_top_sellers" -> 9,
-      "q172_consumer_bootstrap" -> 6)
+      "q172_consumer_bootstrap" -> 6,
+      "q173_compaction_maintenance" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

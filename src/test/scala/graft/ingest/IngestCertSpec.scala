@@ -692,6 +692,38 @@ class IngestCertSpec extends AnyFunSuite {
       "a zero shell escaped the fold's n_rows filter")
   }
 
+  test("q173 compaction fold is a value no-op that still advances the watermark") {
+    // the judged compact_cdc_rows = 0 and the replayed values imply
+    // transparency; pinned directly here: the report version the
+    // compaction fold wrote is value-identical to its predecessor
+    // (modulo the advanced as_of), a further restart applies zero
+    // steps, and the report lifecycle is CreateTable + exactly 3 folds
+    val sf = TestSpark.testdata("0.001")
+    val keyCols = graft.core.Schemas.ordersKey
+    val flow = IngestQueries.q173BuildCompactionFlow(spark, sf)
+    assert(flow.flowSteps == 2 && flow.compactSteps == 1 &&
+      flow.compactCdcRows == 0L && flow.nReclaimed == 3)
+    val report = IngestQueries.reportStoreHandle(spark, flow.reportRoot)
+    val rh = report.history()
+    assert(rh.size == 4,
+      s"report lifecycle ${rh.size} != CreateTable + 3 folds")
+    assertMultisetEqual(
+      report.readVersion(rh(2)).drop("as_of"),
+      report.readVersion(rh(3)).drop("as_of"),
+      "the compaction fold changed report values — the layout rewrite " +
+        "leaked into the CDC feed")
+    // ... while the watermark DID advance (the whole point: retention
+    // behind a live consumer can only reclaim what the consumer
+    // absorbed, so the fold must stamp the compaction version)
+    val asOf = (v: String) => report.readVersion(v)
+      .select(max(col("as_of"))).head().getString(0)
+    assert(asOf(rh(3)) > asOf(rh(2)),
+      "the compaction fold did not advance the consumer watermark")
+    val orders = new graft.state.StateTable(spark, flow.ordersRoot, keyCols)
+    assert(IngestQueries.resumeReportMaintenance(orders, report, keyCols) == 0,
+      "a post-compaction restart re-applied a fold")
+  }
+
   test("multi-consumer retention: a lagging consumer holds the vacuum, catching up releases it") {
     // q168 judges the watermark-bounded vacuum with ONE consumer, where
     // min(consumer watermarks) is trivial. The production store has
