@@ -153,7 +153,11 @@ object Bench {
     // retention-vacuumed store + the delete-arm purge fold, and
     // compaction under a live maintained consumer
     "q172_consumer_bootstrap",
-    "q173_compaction_maintenance")
+    "q173_compaction_maintenance",
+    // round-17 fifth addition: schema evolution under a live
+    // maintained consumer (CDC-invisible rewrite, boundary-crossing
+    // folds)
+    "q174_evolution_maintenance")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -488,7 +492,13 @@ object Bench {
     // the q161 batch flow store + two resume folds as construction,
     // plus the compaction rewrite, the empty-delta fold, and the
     // certificate leg
-    "q173_compaction_maintenance" -> 10.70)
+    "q173_compaction_maintenance" -> 10.70,
+    // q174 introduced round 17: min of two targeted runs (12.14 /
+    // 12.89 at launch loads 2.9 / ~4) — a fresh-process ceiling per
+    // the pattern, re-base DOWN on full-run warm slots. Cost class:
+    // q173's minus the compaction rewrite, plus the evolution rewrite
+    // and the third (boundary-crossing) fold
+    "q174_evolution_maintenance" -> 12.14)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

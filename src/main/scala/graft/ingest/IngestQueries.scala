@@ -2046,6 +2046,152 @@ object IngestQueries {
        |  cast(0 AS bigint) AS equiv_diff
        |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q174: SCHEMA EVOLUTION under a live maintained consumer — the
+  // evolution rewrite is CDC-invisible, later folds cross the
+  // schema boundary correctly
+  // ------------------------------------------------------------------
+
+  /** q174's durable state plus the lifecycle evidence: per-phase fold
+    * counts (first load / evolution / evolved re-run), the MEASURED
+    * CDC row count of the evolution transition (pinned before
+    * retention reclaims the pre-evolution version), and the retention
+    * accounting.
+    */
+  private[graft] final case class EvolutionFlow(
+      ordersRoot: String, reportRoot: String,
+      loadSteps: Int, evoSteps: Int, rerunSteps: Int,
+      evoCdcRows: Long, nReclaimed: Int)
+
+  /** The evolved orders schema: the declared base plus a `discount`
+    * column the CSV sources don't carry yet — the reference's
+    * declare-first, ingest-later evolution order (`main.py:20–24`
+    * syncs before every ingest run).
+    */
+  private[graft] val evolvedOrdersSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      graft.core.Schemas.orders.fields :+
+        org.apache.spark.sql.types.StructField("discount",
+          org.apache.spark.sql.types.DoubleType))
+
+  private[graft] def q174BuildEvolutionFlow(
+      s: SparkSession, dir: String): EvolutionFlow = {
+    val keyCols = graft.core.Schemas.ordersKey
+    val (dirA, dirB) = stageFlowBatches(s, dir, "graft_q174")
+    val orders = freshSyncedStore(s, dir, "graft_q174_state", "q174")
+    val reportRoot = graft.core.Staging.invocationDir("graft_q174_report", dir)
+    val report = reportStoreHandle(s, reportRoot, productShape, "q174")
+    // phase 1: first load, consumer catches up (CreateTable + load)
+    orders.upsert(Ingest.readOrdersCsv(s, dirA))
+    val loadSteps = resumeReportMaintenance(orders, report, keyCols)
+    // phase 2: the declared schema evolves — sync rewrites the store
+    // with the new column as typed nulls (q160's AddColumn branch),
+    // landing a version the consumer must fold OVER
+    val preEvo = orders.currentVersion.get
+    val changes = graft.schemasync.SchemaSync.sync(s, orders, evolvedOrdersSchema)
+    require(changes == Seq(graft.schemasync.SchemaSync.AddColumn(
+        evolvedOrdersSchema("discount"))),
+      s"q174 precondition: evolution sync applied $changes")
+    val postEvo = orders.currentVersion.get
+    // the transition's CDC row count — a single-row aggregate read,
+    // taken BEFORE retention reclaims the pre-evolution dir the lazy
+    // diff plan reads (the q158 ordering). diff aligns the schemas
+    // (typed nulls on the missing side), so an all-null added column
+    // must produce ZERO change rows — a naive differ would mark EVERY
+    // key updated here and the "incremental" fold would recompute the
+    // world on each evolution
+    val evoCdcRows = orders.diff(preEvo, postEvo).count()
+    val evoSteps = resumeReportMaintenance(orders, report, keyCols)
+    // phase 3: the re-run batch lands through the UNCHANGED reader —
+    // the source doesn't carry `discount` yet; upsert aligns it as
+    // typed nulls (the evolve-then-ingest path) — and the fold crosses
+    // the schema boundary (before arm reads the evolved version, the
+    // walk's earlier pairs read pre-evolution versions)
+    orders.upsert(Ingest.readOrdersCsv(s, dirB))
+    val rerunSteps = resumeReportMaintenance(orders, report, keyCols)
+    val nReclaimed = orders.vacuumBefore(
+      reportWatermark(report, orders.history().head)).size
+    EvolutionFlow(orders.root, reportRoot, loadSteps, evoSteps, rerunSteps,
+      evoCdcRows, nReclaimed)
+  }
+
+  /** q174: schema EVOLUTION under a live maintained consumer — the
+    * last store-lifecycle transition (q160) that had never met the
+    * maintenance loop (q167) in a judged row. Long-lived stores evolve
+    * while their report consumers keep folding; the production
+    * contract has three parts, all judged here on the reference flow
+    * with the evolution landed BETWEEN the two loads:
+    *
+    *  1. the evolution rewrite is CDC-INVISIBLE (`evo_cdc_rows = 0`):
+    *     [[graft.state.StateTable.diff]] aligns schemas with typed
+    *     nulls, so adding an all-null column changes no key — a naive
+    *     differ would mark EVERY key updated and turn each evolution
+    *     into a full-store maintenance step;
+    *  2. the consumer's fold over the evolution version is a value
+    *     no-op that still ADVANCES the watermark, so retention can
+    *     reclaim pre-evolution history behind the live consumer;
+    *  3. later folds CROSS the schema boundary correctly: the re-run
+    *     batch arrives through the unchanged reader (no `discount`
+    *     yet — upsert lands it as typed nulls, the evolve-then-ingest
+    *     path), and its fold's delta arms read versions of DIFFERENT
+    *     schemas (before = evolved, walk start = pre-evolution).
+    *
+    * The judged rows are the maintained report (values meet the SAME
+    * weighted-arms replay as the un-evolved flow — the evolution must
+    * not move a single cent), the per-phase fold counts (1/1/1), the
+    * measured evolution-CDC row count (0), the retention accounting
+    * (3 reclaimed / 1 retained), and `equiv_diff = 0` against the
+    * recompute off the evolved store. IngestCertSpec pins what the
+    * replay can't see: the evolved column physically exists (all-null)
+    * in the final store, the evolution-fold report version is
+    * value-identical to its predecessor modulo `as_of`, and a restart
+    * applies zero steps.
+    *
+    * Reference leg: `main.py:20–24` — schema sync runs BEFORE every
+    * ingest, so evolution-between-runs is the reference's normal
+    * cadence, not an edge case; its reports (psql views) keep reading
+    * across it via Postgres's relaxed-nullability ALTER. Same contract
+    * over versioned parquet.
+    *
+    * Scale: the evolution rewrite is one column-pruned scan→write pass
+    * (no shuffle, SchemaSync's doc); the consumer's extra fold costs
+    * one empty-delta pass; everything else is the standard
+    * change-volume maintenance algebra. The judged plan is q167's
+    * consumer shape (report scan ⋈ recompute certificate leg via the
+    * ±1-weighted union-groupBy, plus the output sort).
+    */
+  val q174EvolutionMaintenance: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val keyCols = graft.core.Schemas.ordersKey
+      val flow = q174BuildEvolutionFlow(s, dir)
+      val orders = new graft.state.StateTable(s, flow.ordersRoot, keyCols)
+      val report = reportStoreHandle(s, flow.reportRoot, productShape, "q174")
+      val maintained = report.current().get.drop("as_of")
+      val equiv = multisetEquivDiff(maintained,
+        productReport(orders.current().get), "product_id")
+      maintained
+        .withColumn("n_steps_load", lit(flow.loadSteps.toLong))
+        .withColumn("n_steps_evo", lit(flow.evoSteps.toLong))
+        .withColumn("n_steps_rerun", lit(flow.rerunSteps.toLong))
+        .withColumn("evo_cdc_rows", lit(flow.evoCdcRows))
+        .withColumn("n_reclaimed", lit(flow.nReclaimed.toLong))
+        .withColumn("n_retained", lit(orders.history().size.toLong))
+        .join(equiv, Seq("product_id"))
+        .orderBy(col("product_id"))
+    },
+    s"""$flowStoreReplaySql
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cast(floor(amount * 100) AS bigint)) AS bigint) AS amount_cents,
+       |  cast(1 AS bigint) AS n_steps_load,
+       |  cast(1 AS bigint) AS n_steps_evo,
+       |  cast(1 AS bigint) AS n_steps_rerun,
+       |  cast(0 AS bigint) AS evo_cdc_rows,
+       |  cast(3 AS bigint) AS n_reclaimed,
+       |  cast(1 AS bigint) AS n_retained,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -2060,5 +2206,6 @@ object IngestQueries {
     "q170_purged_top_sellers" -> q170PurgedTopSellers,
     "q171_multi_consumer_retention" -> q171MultiConsumerRetention,
     "q172_consumer_bootstrap" -> q172ConsumerBootstrap,
-    "q173_compaction_maintenance" -> q173CompactionMaintenance)
+    "q173_compaction_maintenance" -> q173CompactionMaintenance,
+    "q174_evolution_maintenance" -> q174EvolutionMaintenance)
 }

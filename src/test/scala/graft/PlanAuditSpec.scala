@@ -860,7 +860,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // hint-free worst-case budget of 6 as q167/q168 (key exchanges
       // on both certificate join sides if a stats drift drops the
       // report-side broadcast); observed below
-      "q173_compaction_maintenance" -> 6)
+      "q173_compaction_maintenance" -> 6,
+      // q174 (round-17, audited at introduction): identical judged
+      // consumer shape to q173 (the evolution flow, all three folds,
+      // and the vacuum are construction) — report scan ⋈ recompute
+      // certificate leg via the ±1-weighted union-groupBy + output
+      // sort. Same hint-free worst-case budget of 6; observed below
+      "q174_evolution_maintenance" -> 6)
     // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
     // q167, q168: the observed plan rides a stats-sized broadcast that
     // a stats/threshold drift may legitimately drop), a real plan
@@ -874,7 +880,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q169_maintained_top_sellers" -> 9,
       "q170_purged_top_sellers" -> 9,
       "q172_consumer_bootstrap" -> 6,
-      "q173_compaction_maintenance" -> 4)
+      "q173_compaction_maintenance" -> 4,
+      "q174_evolution_maintenance" -> 4)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")

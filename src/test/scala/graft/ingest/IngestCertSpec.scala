@@ -724,6 +724,41 @@ class IngestCertSpec extends AnyFunSuite {
       "a post-compaction restart re-applied a fold")
   }
 
+  test("q174 evolution fold is a value no-op; the evolved column physically landed") {
+    // the judged evo_cdc_rows = 0 plus the replay imply transparency;
+    // pinned directly: the evolved column exists (all-null) in the
+    // final store, the evolution-fold report version is value-
+    // identical to its predecessor modulo the advanced as_of, and a
+    // restart applies zero steps
+    val sf = TestSpark.testdata("0.001")
+    val keyCols = graft.core.Schemas.ordersKey
+    val flow = IngestQueries.q174BuildEvolutionFlow(spark, sf)
+    assert(flow.loadSteps == 1 && flow.evoSteps == 1 && flow.rerunSteps == 1 &&
+      flow.evoCdcRows == 0L && flow.nReclaimed == 3)
+    val orders = new graft.state.StateTable(spark, flow.ordersRoot, keyCols)
+    val contents = orders.current().get
+    assert(contents.columns.contains("discount"),
+      "the evolved column did not survive to the final store")
+    assert(contents.filter(col("discount").isNotNull).limit(1).count() == 0L,
+      "the evolve-then-ingest path produced non-null discount values — " +
+        "the reader or the upsert align leaked data into the new column")
+    val report = IngestQueries.reportStoreHandle(spark, flow.reportRoot)
+    val rh = report.history()
+    assert(rh.size == 4, s"report lifecycle ${rh.size} != CreateTable + 3 folds")
+    // rh(1) = post-load fold, rh(2) = the evolution fold: values equal
+    assertMultisetEqual(
+      report.readVersion(rh(1)).drop("as_of"),
+      report.readVersion(rh(2)).drop("as_of"),
+      "the evolution fold changed report values — the schema rewrite " +
+        "leaked into the CDC feed")
+    val asOf = (v: String) => report.readVersion(v)
+      .select(max(col("as_of"))).head().getString(0)
+    assert(asOf(rh(2)) > asOf(rh(1)),
+      "the evolution fold did not advance the consumer watermark")
+    assert(IngestQueries.resumeReportMaintenance(orders, report, keyCols) == 0,
+      "a post-evolution restart re-applied a fold")
+  }
+
   test("multi-consumer retention: a lagging consumer holds the vacuum, catching up releases it") {
     // q168 judges the watermark-bounded vacuum with ONE consumer, where
     // min(consumer watermarks) is trivial. The production store has
