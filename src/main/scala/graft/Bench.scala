@@ -157,7 +157,13 @@ object Bench {
     // round-17 fifth addition: schema evolution under a live
     // maintained consumer (CDC-invisible rewrite, boundary-crossing
     // folds)
-    "q174_evolution_maintenance")
+    "q174_evolution_maintenance",
+    // round-18 additions: the maintained two-table JOIN report
+    // (incremental view maintenance under changes to both stores) and
+    // the maintained time-bucketed report (derived group keys, late
+    // arrivals)
+    "q175_maintained_join_report",
+    "q176_maintained_monthly")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -230,7 +236,8 @@ object Bench {
     "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
     "q56_gapfill" -> 0.364, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
-    "q86_inverted_index" -> 0.79, "q88_rate_anomaly" -> 0.23,
+    "q86_inverted_index" -> 0.781, // ↓r18: BENCH_r17 (bench_diag 0.781)
+    "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
     // round-6 additions: per-query min of two matching sf0.1 runs at
     // introduction; q99 re-based round 7 after the replay-harness trim
@@ -244,7 +251,8 @@ object Bench {
     "q101_incremental_neardup" -> 0.942,
     "q102_boilerplate" -> 0.32, "q103_incremental_index" -> 1.15,
     "q104_zorder_layout" -> 0.21, "q105_shard_novelty" -> 0.54,
-    "q106_vocab_coverage" -> 0.42, "q107_embedding_outliers" -> 0.402,
+    "q106_vocab_coverage" -> 0.42,
+    "q107_embedding_outliers" -> 0.379, // ↓r18: BENCH_r17 (bench_diag 0.379)
     // round-7 additions: per-query min of matching sf0.1 runs at
     // introduction (measured in a globally ~1.7× inflated window — see
     // README round-7 notes — so future quiet rounds may re-base DOWN);
@@ -264,7 +272,8 @@ object Bench {
     "q117_shard_ingest_e2e" -> 2.822, "q118_gif_frames" -> 0.476,
     "q119_repeated_spans" -> 1.496, // ↓r15: BENCH_r14
     "q120_ivfpq_ann" -> 0.376,
-    "q121_span_coverage" -> 1.569, "q122_bpe_merges" -> 0.78,
+    "q121_span_coverage" -> 1.569,
+    "q122_bpe_merges" -> 0.76, // ↓r18: BENCH_r17 (bench_diag 0.760)
     "q123_triangle_clustering" -> 1.511,
     "q124_regional_revenue" -> 0.46, "q125_knn_classify" -> 0.53,
     "q126_audio_frames" -> 1.01, "q127_mixing_schedule" -> 0.58,
@@ -295,7 +304,8 @@ object Bench {
     // floor" was itself environmental. Re-based DOWN per run; the
     // passive-observation stance carries (no targeted probes).
     "q135_multimodal_neardup" -> 4.968, "q136_deletion_purge" -> 3.845, // ↓r15: BENCH_r14 official (MIN rule)
-    "q137_streaming_image_neardup" -> 3.116, "q138_data_quality" -> 0.889, // ↓r15: BENCH_r14
+    "q137_streaming_image_neardup" -> 3.006, // ↓r18: BENCH_r17 (bench_diag 3.006)
+    "q138_data_quality" -> 0.889, // ↓r15: BENCH_r14
     // q139/q151 re-based round 11 (targeted ceiling run, best window
     // of the round; the other round-9 ceilings measured just ABOVE
     // their refs in the same run — the refs stand as quiet floors)
@@ -310,9 +320,10 @@ object Bench {
     // ↓r16: official BENCH_r15 measured 0.554 under a loaded-at-launch
     // window — an undercut of the 0.582 floor; MIN rule re-base
     "q141_dedup_equivalence" -> 0.554,
-    "q142_bloom_admission" -> 0.402, "q143_streaming_admission" -> 2.78,
+    "q142_bloom_admission" -> 0.395, // ↓r18: BENCH_r17 (bench_diag 0.395)
+    "q143_streaming_admission" -> 2.78,
     "q144_coherence_calibration" -> 0.958, // ↓r15: BENCH_r14
-    "q145_cdc_chunking" -> 1.134, // ↓r15: BENCH_r14
+    "q145_cdc_chunking" -> 1.127, // ↓r18: BENCH_r17 (bench_diag 1.127; prev ↓r15)
     "q146_cusum_drift" -> 0.293, "q147_k_anonymity" -> 0.16,
     "q148_pit_features" -> 0.289, "q149_consistent_hashing" -> 0.37,
     "q150_merkle_diff" -> 0.165, "q151_incremental_cc" -> 4.175,
@@ -355,8 +366,8 @@ object Bench {
     // quiet-start run (the replay cost class is q99's — two
     // AvailableNow jobs over 8 staged files, the second a checkpoint
     // RESTART — plus the batch margin/certificate legs)
-    "q154_watermark_funnel" -> 3.505,
-    "q155_watermark_calibration" -> 0.417, // ↓r15: BENCH_r14
+    "q154_watermark_funnel" -> 3.166, // ↓r18: BENCH_r17 (bench_diag 3.166)
+    "q155_watermark_calibration" -> 0.368, // ↓r18: BENCH_r17 (bench_diag 0.368; prev ↓r15)
     // round-12 additions: introduction minima from a SEMI-LOADED window
     // (loadavg 1.3 at start, external spike to 8.5 by the tail —
     // bench_diag preserved in git) — possible ceilings, re-base DOWN at
@@ -367,12 +378,12 @@ object Bench {
     // q156 re-based DOWN 3.23 → 2.95 → 2.81 across the round-12
     // watcher firings (introduction was a semi-loaded ceiling, per its
     // own flag; successive loaded-window minima per the MIN rule)
-    "q156_compaction_cert" -> 2.65,
+    "q156_compaction_cert" -> 2.599, // ↓r18: BENCH_r17 (bench_diag 2.599)
     // q157 re-based DOWN three times per the MIN rule (6.82 → 6.02
     // full-run offset-0 sample → 5.80 late watcher ceiling run under
     // load 9 → 5.37 in the round-13 opening targeted run, warm grouped
     // slot at load 7 — a loaded sample can only overestimate the floor)
-    "q157_streaming_shard_ingest" -> 4.813, // ↓r15: BENCH_r14
+    "q157_streaming_shard_ingest" -> 4.636, // ↓r18: BENCH_r17 (bench_diag 4.636; prev ↓r15)
     // q158: re-based DOWN 3.30 → 2.20 (round 12) → 1.97 → 1.93 → 1.77
     // across the round-13 full runs → 1.699 (round 14, off the official
     // BENCH_r13 quiet-launch record) → 1.567 from the round-14
@@ -413,7 +424,7 @@ object Bench {
     // (two more landing dirs + three versions) are construction inside
     // every timed sample by design — the store round-trips ARE the
     // measured operator
-    "q163_store_report_cert" -> 4.0,
+    "q163_store_report_cert" -> 3.774, // ↓r18: BENCH_r17 (bench_diag 3.774)
     // q164 introduced round 14 at 6.8 (targeted run, loadavg 3.4),
     // re-based DOWN 5.055 → 4.715 across the round's two quiet-launch
     // full runs. Cost class: the q161 store build (construction,
@@ -465,7 +476,9 @@ object Bench {
     // flow + per-drain folds, with the fold doubled to two levels (±
     // category delta + touched-group argmax recompute) and BOTH
     // equivalence certificates in the judged consumer
-    "q169_maintained_top_sellers" -> 8.803,
+    // ↓r18: official BENCH_r17 warm slot measured 7.516 (bench_diag
+    // base samples 7.516/8.061/10.263); MIN rule
+    "q169_maintained_top_sellers" -> 7.516,
     // round-17 introductions: min of two targeted runs (14.37/14.01 at
     // launch loads 0.18/4.25, and 15.68/15.51) — fresh-process ceilings
     // per the q165/q169 pattern, re-base DOWN on full-run warm slots.
@@ -477,28 +490,40 @@ object Bench {
     // ramping to 5.4) undercut both introductions from warm slots —
     // 12.38 / 14.61; run 4 (launch 1.88, 3 retimes, the round's best
     // at ratio 1.19) undercut again — 11.97 / 13.89; MIN rule
-    "q170_purged_top_sellers" -> 11.97,
-    "q171_multi_consumer_retention" -> 13.89,
+    // ↓r18: official BENCH_r17 undercut both again (bench_diag mins
+    // 11.258 / 12.260); MIN rule
+    "q170_purged_top_sellers" -> 11.258,
+    "q171_multi_consumer_retention" -> 12.26,
     // q172 introduced round 17: min of two targeted runs (15.14 /
     // 13.94 at launch loads 1.26 / 4.0), undercut to 13.76 in the
     // same round's run-4 warm slot (MIN rule). Cost class: q168's
     // retained flow as construction, plus the bootstrap aggregation,
     // one purge version rewrite, two CDC purge folds, and the two
     // certificate legs
-    "q172_consumer_bootstrap" -> 13.76,
+    "q172_consumer_bootstrap" -> 11.81, // ↓r18: BENCH_r17 (bench_diag 11.810)
     // q173 introduced round 17: min of two targeted runs (10.70 /
     // 11.97 at launch loads 0.99 / ~3) — a fresh-process ceiling per
     // the pattern, re-base DOWN on full-run warm slots. Cost class:
     // the q161 batch flow store + two resume folds as construction,
     // plus the compaction rewrite, the empty-delta fold, and the
     // certificate leg
-    "q173_compaction_maintenance" -> 10.70,
+    "q173_compaction_maintenance" -> 9.563, // ↓r18: BENCH_r17 (bench_diag 9.563)
     // q174 introduced round 17: min of two targeted runs (12.14 /
     // 12.89 at launch loads 2.9 / ~4) — a fresh-process ceiling per
     // the pattern, re-base DOWN on full-run warm slots. Cost class:
     // q173's minus the compaction rewrite, plus the evolution rewrite
     // and the third (boundary-crossing) fold
-    "q174_evolution_maintenance" -> 12.14)
+    "q174_evolution_maintenance" -> 9.301, // ↓r18: BENCH_r17 (bench_diag 9.301)
+    // round-18 introductions: provisional (suppresses the retime pass
+    // and sorts them into the quietest first minutes); replaced by the
+    // min of two targeted sf0.1 runs in the same round, per protocol.
+    // q175's cost class is q165's (streamed flow + per-drain pinned
+    // folds) plus the inventories store build and the two-store
+    // recompute certificate leg; q176's is q167's (durable folds over
+    // the streamed flow) plus the late staging, a third drain, and a
+    // third durable fold at the finer (product, year, month) key
+    "q175_maintained_join_report" -> 999.0,
+    "q176_maintained_monthly" -> 999.0)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3

@@ -357,10 +357,28 @@ object IngestQueries {
   /** The streamed flow's handles: the store plus a re-drain thunk over
     * the same landing dir + checkpoint, so IngestCertSpec can prove the
     * exactly-once file log covers every landed file (a third drain with
-    * nothing new must not write a version).
+    * nothing new must not write a version). `landing` is the live
+    * landing directory itself, so a certificate can LAND MORE FILES
+    * after the build and drain them through the same checkpoint
+    * (q176's late-arriving batch).
     */
   private[graft] final case class StreamedFlow(
-      st: graft.state.StateTable, drain: () => Unit)
+      st: graft.state.StateTable, drain: () => Unit, landing: String)
+
+  /** Move a staged dir's part files into a landing dir under fresh
+    * `tag`-prefixed names — the file source keys its processed-file log
+    * on PATH, so later-landed files must never collide with an earlier
+    * landing's names. ONE definition for the builder's re-run landing
+    * and any certificate that lands extra batches (q176).
+    */
+  private[graft] def landStagedFiles(stageDir: String, landing: String,
+      tag: String): Unit =
+    graft.core.Fs.listDir(java.nio.file.Paths.get(stageDir))
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(landing, s"$tag-$i-${p.getFileName}")): Unit
+      }
 
   /** The streamed reference flow, shared by q162 (parity certificate)
     * and q165 (maintained report): stage both batches, sync a fresh
@@ -395,19 +413,14 @@ object IngestQueries {
     afterDrain(st)
     // phase 2: the re-run files land in the SAME directory (fresh names;
     // the file source keys its processed-log on path)
-    graft.core.Fs.listDir(java.nio.file.Paths.get(stageB))
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.move(p,
-          java.nio.file.Paths.get(landing, s"rerun-$i-${p.getFileName}")): Unit
-      }
+    landStagedFiles(stageB, landing, "rerun")
     drain() // phase 2: only the newly-landed files
     afterDrain(st)
     require(st.history().size == finalVersions,
       s"$label precondition: expected $finalVersions retained version(s) " +
         s"after both drains, got ${st.history().size} — trigger chunking, " +
         "the checkpoint file log, or the hook's retention drifted")
-    StreamedFlow(st, () => drain())
+    StreamedFlow(st, () => drain(), landing)
   }
 
   private[graft] def q162BuildStreamedStore(s: SparkSession, dir: String): StreamedFlow =
@@ -718,30 +731,41 @@ object IngestQueries {
   /** A maintained SUM-shaped report family as ONE object: the
     * aggregate definition, its grouping/measure columns (the
     * [[applySumDelta]] arguments), and — derived, never hand-written —
-    * the durable report-store schema (group columns as strings,
-    * measures as longs, plus the `as_of` resume watermark). Bundling
-    * them means a consumer ([[reportStoreHandle]] /
-    * [[resumeReportMaintenance]]) can never pair one family's fold
-    * with another's declared schema. Two instances exist:
-    * [[productShape]] (q164–q168's per-product report) and
+    * the durable report-store schema (group columns as strings unless
+    * `groupTypes` declares otherwise, measures as longs, plus the
+    * `as_of` resume watermark). Bundling them means a consumer
+    * ([[reportStoreHandle]] / [[resumeReportMaintenance]]) can never
+    * pair one family's fold with another's declared schema. Instances:
+    * [[productShape]] (q164–q168's per-product report),
     * [[categoryShape]] (q169/q170's level-1 per-(group, product)
-    * report; q171's second consumer).
+    * report; q171's second consumer), [[joinedShape]] (q175's joined
+    * per-category report), and [[monthlyShape]] (q176's time-bucketed
+    * report — its DERIVED integer group keys are why `groupTypes`
+    * exists).
     */
   private[graft] final case class MaintainedShape(
       report: DataFrame => DataFrame,
-      groupCols: Seq[String], measureCols: Seq[String]) {
+      groupCols: Seq[String], measureCols: Seq[String],
+      groupTypes: Seq[org.apache.spark.sql.types.DataType] = Nil) {
+    require(groupTypes.isEmpty || groupTypes.size == groupCols.size,
+      "groupTypes must be empty (all strings) or one per group column")
     def fold(base: DataFrame, before: DataFrame, after: DataFrame,
         changedKeys: DataFrame, keyCols: Seq[String]): DataFrame =
       applySumDelta(base, before, after, changedKeys, keyCols,
         report, groupCols, measureCols)
-    def schema: org.apache.spark.sql.types.StructType =
+    def schema: org.apache.spark.sql.types.StructType = {
+      val types =
+        if (groupTypes.isEmpty)
+          groupCols.map(_ => org.apache.spark.sql.types.StringType)
+        else groupTypes
       org.apache.spark.sql.types.StructType(
-        groupCols.map(c => org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.StringType)) ++
+        groupCols.zip(types).map { case (c, t) =>
+          org.apache.spark.sql.types.StructField(c, t) } ++
         measureCols.map(c => org.apache.spark.sql.types.StructField(c,
           org.apache.spark.sql.types.LongType)) :+
         org.apache.spark.sql.types.StructField("as_of",
           org.apache.spark.sql.types.StringType))
+    }
   }
 
   private[graft] val productShape: MaintainedShape =
@@ -2192,6 +2216,446 @@ object IngestQueries {
        |  cast(0 AS bigint) AS equiv_diff
        |FROM fin GROUP BY product_id ORDER BY product_id""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // q175: maintained JOIN report — incremental view maintenance of a
+  // TWO-table joined report (orders ⋈ inventories) under changes to
+  // BOTH stores, including a mid-loop dimension move
+  // ------------------------------------------------------------------
+
+  /** The joined fact⋈dimension view behind A3's revenue-per-category
+    * report (`README.md:103–106`) read off the TWO flow-built stores:
+    * orders rows inner-joined to their catalog row's category. The
+    * dimension side is projected to (product_id, category) before the
+    * join — at 100 TB the catalog's payload columns must never ride
+    * the fact shuffle.
+    */
+  private[graft] def joinedView(orders: DataFrame, inv: DataFrame): DataFrame =
+    orders.join(inv.select(col("product_id"), col("category")),
+      Seq("product_id"))
+
+  /** Revenue per category off the joined view — SUM-shaped, so the ±
+    * delta algebra maintains it ([[applySumDelta]]); one definition for
+    * the base snapshot, both delta arms, and the recompute certificate
+    * leg.
+    */
+  private[graft] def joinedCategoryReport(joined: DataFrame): DataFrame =
+    joined.groupBy(col("category"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("amount") * 100).cast("long")).as("revenue_cents"))
+
+  private[graft] val joinedShape: MaintainedShape =
+    MaintainedShape(joinedCategoryReport, Seq("category"),
+      Seq("n_rows", "revenue_cents"))
+
+  /** q175's dimension-move batch: every real catalog product with
+    * k ≡ 0 (mod 3) is re-listed under a brand-new category with name/
+    * stock/sub-category unchanged — a PURE dimension move (the LWW
+    * rewrite changes only the grouping attribute). Ghost ids
+    * (k ≡ 0 mod 10) and the never-listed k ≡ 0 (mod 7) block are
+    * excluded, so the moved set is exactly the products that can
+    * influence the joined report, and the judged affected-count
+    * replays from the generator.
+    */
+  private[graft] val q175MoveBatch: DataFrame => DataFrame =
+    df => df.filter(col("k") % 3 === 0 && col("k") % 7 =!= 0 &&
+        col("k") % 10 =!= 0)
+      .withColumn("c_mktsegment", lit("RELOCATED"))
+
+  /** The carried two-store join-fold state: one [[step]] per change
+    * landed on EITHER store. The delta algebra is the combined-arm
+    * form of the textbook two-table IVM expansion
+    * `Δ(O⋈I) = ΔO⋈I ∪ O⋈ΔI ∪ ΔO⋈ΔI`: with
+    * P = π_product(ΔO) ∪ keys(ΔI) (the products whose joined slice can
+    * change), the fold applies
+    * `report(σ_P O_after ⋈ σ_P I_after) ⊖ report(σ_P O_before ⋈ σ_P I_before)`
+    * through the shared [[applySumDelta]] ±1-weighted union-groupBy —
+    * products outside P contribute identically to both arms and
+    * cancel, so restricting to P loses nothing, and each arm reads
+    * only the changed products' order slices plus their single catalog
+    * rows (the middle `O⋈ΔI` arm's other-side current version arrives
+    * semi-join-pruned, exactly the change-volume-proportional cost the
+    * expansion promises). An order-side change prices at its changed
+    * keys; a dimension move prices at the moved products' fact slices
+    * — never the store size, never a full joined-report recompute.
+    *
+    * The dimension base is the inventory version CURRENT at the fold's
+    * first observation: earlier dimension history belongs to the base
+    * report, not to any change step. Both carried artifacts are pinned
+    * per step (the q165 lineage discipline). ONE fold implementation
+    * so the order-side and dimension-side certificates can never drift
+    * to different algebras.
+    */
+  private[graft] final class JoinFoldState {
+    var report: DataFrame = null
+    private var prevO: String = null
+    private var prevI: String = null
+    val affectedSteps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val orderChangedSteps = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val dimChangedSteps = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def step(ordersSt: graft.state.StateTable,
+        invSt: graft.state.StateTable): Unit = {
+      val fromO = if (prevO == null) ordersSt.history().head else prevO
+      val toO = ordersSt.history().last
+      val fromI = if (prevI == null) invSt.history().last else prevI
+      val toI = invSt.history().last
+      val changedO = toO != fromO
+      val changedI = toI != fromI
+      require(changedO || changedI,
+        "q175: fold step with no change on either store")
+      val arms = Seq(
+        if (changedO) Some(ordersSt.diff(fromO, toO).select(col("product_id")))
+        else None,
+        if (changedI) Some(invSt.diff(fromI, toI).select(col("product_id")))
+        else None).flatten
+      val affected = graft.core.Checkpoints.pin(
+        arms.reduce(_ unionByName _).distinct())
+      def pruned(i: DataFrame) =
+        i.join(affected, Seq("product_id"), "left_semi")
+      val oBefore = ordersSt.readVersion(fromO)
+      val oAfter = ordersSt.readVersion(toO)
+      val base =
+        if (report == null)
+          joinedCategoryReport(joinedView(oBefore, invSt.readVersion(fromI)))
+        else report
+      report = graft.core.Checkpoints.pin(joinedShape.fold(base,
+        joinedView(oBefore, pruned(invSt.readVersion(fromI))),
+        joinedView(oAfter, pruned(invSt.readVersion(toI))),
+        affected, Seq("product_id")))
+      affectedSteps += affected
+      orderChangedSteps += changedO
+      dimChangedSteps += changedI
+      prevO = toO
+      prevI = toI
+    }
+  }
+
+  /** q175's handles: both stores, the carried joined report, the
+    * per-step affected-product frames (pinned) and change-side flags,
+    * and the pre-move report for the guards.
+    */
+  private[graft] final case class MaintainedJoinFlow(
+      ordersSt: graft.state.StateTable, invSt: graft.state.StateTable,
+      report: DataFrame, affectedSteps: Seq[DataFrame],
+      orderChangedSteps: Seq[Boolean], dimChangedSteps: Seq[Boolean],
+      preMoveReport: DataFrame)
+
+  /** q175's construction: the inventories store loads its catalog
+    * (q163's batch-1 leg), then the q169-convention streamed orders
+    * flow runs with one [[JoinFoldState]] step per drained micro-batch
+    * — and MID-LOOP, after the second drain's fold, the dimension
+    * update lands: [[q175MoveBatch]] re-lists every k ≡ 0 (mod 3) real
+    * product under a new category through the same CSV→LWW-upsert leg,
+    * and a third fold absorbs the move with the ORDERS side unchanged
+    * (the pure-dimension-change path).
+    */
+  private[graft] def q175BuildJoinedFlow(
+      s: SparkSession, dir: String): MaintainedJoinFlow = {
+    val invB1 = graft.core.Staging.invocationDir("graft_q175_inv_b1", dir)
+    val invMove = graft.core.Staging.invocationDir("graft_q175_inv_move", dir)
+    stageInventoriesCsv(s, dir, invB1, q163InvBatch1)
+    stageInventoriesCsv(s, dir, invMove, q175MoveBatch)
+    val invSt = freshSyncedStore(s, dir, "graft_q175_inv_state", "q175",
+      graft.core.Schemas.inventories, graft.core.Schemas.inventoriesKey)
+    invSt.upsert(Ingest.readInventoriesCsv(s, invB1))
+    val fold = new JoinFoldState
+    var drains = 0
+    var preMove: DataFrame = null
+    val flow = buildStreamedFlowStore(s, dir, "graft_q175", "q175", st => {
+      fold.step(st, invSt)
+      drains += 1
+      if (drains == 2) {
+        preMove = fold.report
+        invSt.upsert(Ingest.readInventoriesCsv(s, invMove))
+        fold.step(st, invSt)
+      }
+    })
+    MaintainedJoinFlow(flow.st, invSt, fold.report, fold.affectedSteps.toSeq,
+      fold.orderChangedSteps.toSeq, fold.dimChangedSteps.toSeq, preMove)
+  }
+
+  /** q175: the maintained JOIN report — incremental view maintenance
+    * of a TWO-table joined report, the one IVM step no judged row had
+    * taken (every maintained report q164–q174 folds changes of the
+    * orders store alone, while the reference's reports 1, 3, 4, 5 all
+    * JOIN orders ⋈ inventories — `README.md:47–50, 103–106, 122–125,
+    * 141–148`). At 100 TB the gap bites from the dimension side: an
+    * inventory recategorization is a tiny update to a small table, but
+    * without join maintenance it forces a full joined-report recompute
+    * over the fact store. q175 certifies the production answer: A3's
+    * revenue-per-category (category sourced from the inventories
+    * STORE, not the fact rows) maintained under changes to BOTH stores
+    * via [[JoinFoldState]]'s combined-arm delta — two order-side folds
+    * (the streamed drains) and one dimension-side fold (a real
+    * mid-loop category move through the CSV→LWW leg). The judged rows
+    * are the final maintained report per category — the moved
+    * products' revenue must sit under the NEW category, which the
+    * oracle re-derives by replaying the move against the weighted-arms
+    * flow replay — plus the step counts per side (2 order + 1 dim),
+    * the dimension fold's affected-product count (mod-3 of the real
+    * catalog — judged PROPER subset: n_dim_affected < n_catalog, the
+    * change-volume pruning made visible, q170's convention), the
+    * catalog size, and `equiv_diff = 0` against the full joined
+    * recompute off both stores' current versions. A dimension change
+    * the fold missed, a retraction left under the old category, a
+    * double-counted ΔO⋈ΔI overlap, or an affected set that silently
+    * widened to the whole catalog all break it.
+    *
+    * What the replayed oracle cannot see, IngestCertSpec pins: the
+    * moved products' category really CHANGED between the inventory
+    * versions (the move is physically in the store), the dim step's
+    * affected set is EXACTLY the moved products, the order-side steps
+    * each touched a nonempty product set, and the report really MOVED
+    * across the dimension fold (retraction + addition, not a no-op).
+    *
+    * Reference leg: `flows/data_ingestion.py:250–272` ingests both
+    * datasets; reports 1/3/4/5 join them (`README.md:47–148`). The
+    * reference recomputes each report per run — the maintained form is
+    * the 100 TB answer to the same surface.
+    *
+    * Scale: each fold arm reads |P| products' fact slices (semi-join-
+    * pruned on the key the store partitions by) joined to |P| catalog
+    * rows — change-volume cost on either side's update; the carried
+    * report is pinned per step (O(1) plan depth in step count). The
+    * judged plan is the pinned report scan, the recompute certificate
+    * leg (both store scans → projected join → category rollup — the
+    * honest price, q141/q162 convention), the ±1-weighted
+    * union-groupBy pair, and the ≤6-row output sort.
+    */
+  val q175MaintainedJoinReport: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val m = q175BuildJoinedFlow(s, dir)
+      val recompute = joinedCategoryReport(joinedView(
+        m.ordersSt.current().get, m.invSt.current().get))
+      val equiv = multisetEquivDiff(m.report, recompute, "category")
+      m.report
+        .withColumn("n_steps", lit(m.affectedSteps.size.toLong))
+        .withColumn("n_order_steps",
+          lit(m.orderChangedSteps.count(identity).toLong))
+        .withColumn("n_dim_steps",
+          lit(m.dimChangedSteps.count(identity).toLong))
+        // the dimension fold's affected-product count: a single-row
+        // aggregate read on the pinned affected frame (and the catalog
+        // row count it must stay a proper subset of)
+        .withColumn("n_dim_affected", lit(m.affectedSteps.last.count()))
+        .withColumn("n_catalog", lit(m.invSt.current().get.count()))
+        .join(equiv, Seq("category"))
+        .orderBy(col("category"))
+    },
+    s"""$flowStoreReplaySql,
+       |-- the final catalog replay: batch-1 rows (k % 7 <> 0) with the
+       |-- move batch's LWW category rewrite on k % 3 = 0 real keys;
+       |-- ghost rows (k % 10 = 0 carry disjoint 'new_' ids) never match
+       |-- a numeric o_custkey, so they are omitted from the join replay
+       |inv AS (
+       |  SELECT cast(c_custkey AS varchar) AS product_id,
+       |         CASE WHEN c_custkey % 3 = 0 THEN 'RELOCATED'
+       |              ELSE c_mktsegment END AS category
+       |  FROM customer
+       |  WHERE c_custkey % 7 <> 0 AND c_custkey % 10 <> 0),
+       |joined AS (
+       |  SELECT i.category, f.w,
+       |         cast(floor(f.amount * 100) AS bigint) AS cents
+       |  FROM fin f JOIN inv i ON cast(f.o_custkey AS varchar) = i.product_id)
+       |SELECT category,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cents) AS bigint) AS revenue_cents,
+       |  cast(3 AS bigint) AS n_steps,
+       |  cast(2 AS bigint) AS n_order_steps,
+       |  cast(1 AS bigint) AS n_dim_steps,
+       |  (SELECT cast(count(*) AS bigint) FROM customer
+       |   WHERE c_custkey % 3 = 0 AND c_custkey % 7 <> 0
+       |     AND c_custkey % 10 <> 0) AS n_dim_affected,
+       |  (SELECT cast(count(*) AS bigint) FROM customer
+       |   WHERE c_custkey % 7 <> 0) AS n_catalog,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM joined GROUP BY category ORDER BY category""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // q176: maintained TIME-BUCKETED report — derived (year, month)
+  // group keys, judged with a LATE-arriving batch folding into
+  // already-reported months
+  // ------------------------------------------------------------------
+
+  /** A2's orders-per-product-per-month rollup (`README.md:79–92`,
+    * q166's shape) as a maintainable report: the group keys are
+    * DERIVED (`year(date_time)`, `month(date_time)`), not stored
+    * columns — the ± fold's arms recompute them per slice, so a row's
+    * bucket is always derived from its own event time and a
+    * boundary-crossing late row lands in ITS month, never the
+    * processing-time one. One definition for the base snapshot, both
+    * delta arms, and the recompute certificate leg.
+    */
+  private[graft] def monthlyReport(contents: DataFrame): DataFrame =
+    contents.groupBy(col("product_id"),
+        year(col("date_time")).as("sale_year"),
+        month(col("date_time")).as("sale_month"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("quantity")).as("qty_sum"))
+
+  private[graft] val monthlyShape: MaintainedShape =
+    MaintainedShape(monthlyReport,
+      Seq("product_id", "sale_year", "sale_month"),
+      Seq("n_rows", "qty_sum"),
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
+
+  /** q176's late-arriving batch: every k ≡ 0 (mod 5) source row
+    * re-landed under a DISJOINT order-id space (k + 10⁷ — far above
+    * any corpus orderkey at every judged SF, so the upsert's insert
+    * arm appends all copies), with `o_orderdate` untouched: the
+    * derived event times fall in the months the report has ALREADY
+    * folded — late data in the event-time sense, arriving after its
+    * month was reported. The shift preserves k's parity (10⁷ is
+    * even), so each line keeps its original timestamp FORMAT arm; all
+    * other hazard columns re-derive from the shifted k, which the
+    * oracle replays.
+    */
+  private[graft] val q176LateBatch: DataFrame => DataFrame =
+    df => df.filter(col("k") % 5 === 0)
+      .withColumn("k", col("k") + lit(10000000L))
+
+  /** q176's durable state plus the evidence the guards need: per-fold
+    * applied-step counts, the late transition's changed keys, and the
+    * (product, year, month) groups the late fold touched (both
+    * pinned).
+    */
+  private[graft] final case class MonthlyFlow(
+      ordersRoot: String, reportRoot: String, foldSteps: Seq[Int],
+      lateKeys: DataFrame, lateTouched: DataFrame)
+
+  /** q176's construction: the q167 durable-consumer loop run with
+    * [[monthlyShape]] (fresh handles per fold — restart realism), then
+    * the LATE batch lands in the SAME landing directory and a third
+    * `AvailableNow` drain under the SAME checkpoint absorbs it (the
+    * file-source log must skip every already-processed file), followed
+    * by one more durable fold over the late transition.
+    */
+  private[graft] def q176BuildMonthlyFlow(
+      s: SparkSession, dir: String): MonthlyFlow = {
+    val keyCols = graft.core.Schemas.ordersKey
+    val reportRoot = graft.core.Staging.invocationDir("graft_q176_report", dir)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def foldOnce(root: String): Int = {
+      val orders = new graft.state.StateTable(s, root, keyCols)
+      val report = reportStoreHandle(s, reportRoot, monthlyShape, "q176")
+      resumeReportMaintenance(orders, report, keyCols, monthlyShape)
+    }
+    val flow = buildStreamedFlowStore(s, dir, "graft_q176", "q176",
+      st => steps += foldOnce(st.root))
+    val lateDir = graft.core.Staging.invocationDir("graft_q176_late", dir)
+    stageOrdersCsv(s, dir, lateDir, q176LateBatch)
+    landStagedFiles(lateDir, flow.landing, "late")
+    flow.drain()
+    val orders = new graft.state.StateTable(s, flow.st.root, keyCols)
+    val h = orders.history()
+    require(h.size == 4,
+      s"q176: expected 4 retained versions after the late drain, got ${h.size}")
+    val lateKeys = graft.core.Checkpoints.pin(
+      orders.diff(h(2), h(3)).select(keyCols.map(col): _*))
+    steps += foldOnce(flow.st.root)
+    // the groups the late fold touched: the changed keys' rows exist
+    // only on the after side (pure inserts), so their derived
+    // (product, year, month) buckets off the current version ARE the
+    // fold's touched set
+    val lateTouched = graft.core.Checkpoints.pin(
+      monthlyReport(orders.current().get.join(lateKeys, keyCols, "left_semi"))
+        .select(col("product_id"), col("sale_year"), col("sale_month")))
+    MonthlyFlow(flow.st.root, reportRoot, steps.toSeq, lateKeys, lateTouched)
+  }
+
+  /** q176: the maintained TIME-BUCKETED report — A2 was the one
+    * reference report with no maintained judged row (q166 recomputes
+    * it off the store). The new surface is DERIVED group keys: every
+    * prior maintained family groups by stored string columns, while
+    * A2's buckets are `year(date_time)`/`month(date_time)` expressions
+    * — and the late-data hazard that comes with them: rows can arrive
+    * AFTER their month was folded and reported, and must fold into the
+    * OLD month's groups (event-time bucketing), touching only those.
+    * q176 judges both on the production path: the q167 durable
+    * consumer loop (fresh handles, watermark resume, one report
+    * version per fold) running [[monthlyShape]] over the streamed
+    * flow's two drains, then a LATE batch — new order ids whose event
+    * times sit in already-folded months ([[q176LateBatch]]) — lands in
+    * the same landing dir, drains through the same checkpoint, and a
+    * third durable fold absorbs it. The judged rows are the final
+    * maintained monthly report (values meet the weighted-arms replay
+    * plus the late arm — a late row bucketed by fold time instead of
+    * event time, a double-folded late file, or a derived-key drift in
+    * the durable round-trip all break it), the fold-step count (3),
+    * the report version count (4), the count of groups the late fold
+    * touched (judged visibly smaller than the report's group set — the
+    * judged output itself is the group set), and `equiv_diff = 0`
+    * against the recompute off the drained store.
+    *
+    * What the replayed oracle cannot see, IngestCertSpec pins: the
+    * late keys are disjoint inserts whose months were ALREADY in the
+    * pre-late report (really late, not just new), and the late fold's
+    * durable report version differs from its predecessor ONLY within
+    * the touched groups — every other (product, year, month) row
+    * carried byte-identical (the expression-key pruning, q170's
+    * convention).
+    *
+    * Scale: the fold arms derive buckets from the changed keys' rows
+    * only (semi-join-pruned on the store key), so a late batch prices
+    * at its own row count regardless of how many historical months the
+    * report holds; the durable write truncates lineage per fold. The
+    * judged plan is q167's consumer shape at the finer group key — the
+    * report table's parquet scan joined to the recompute certificate
+    * leg via the ±1-weighted union-groupBy pair, plus the output sort.
+    */
+  val q176MaintainedMonthly: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val keyCols = graft.core.Schemas.ordersKey
+      val flow = q176BuildMonthlyFlow(s, dir)
+      val orders = new graft.state.StateTable(s, flow.ordersRoot, keyCols)
+      val reportSt = reportStoreHandle(s, flow.reportRoot, monthlyShape, "q176")
+      val maintained = reportSt.current().get.drop("as_of")
+      val recompute = monthlyReport(orders.current().get)
+      val equiv = multisetEquivDiff(maintained, recompute, "product_id")
+      maintained
+        .withColumn("n_steps", lit(flow.foldSteps.sum.toLong))
+        .withColumn("n_report_versions", lit(reportSt.history().size.toLong))
+        // a single-row aggregate read on the pinned touched frame
+        .withColumn("n_late_touched", lit(flow.lateTouched.count()))
+        .join(equiv, Seq("product_id"))
+        .orderBy(col("product_id"), col("sale_year"), col("sale_month"))
+    },
+    s"""$flowStoreReplaySql,
+       |-- the late batch replay: k ≡ 0 (mod 5) source rows re-landed
+       |-- under the shifted (disjoint) order-id space; the verbatim
+       |-- duplicate convention (k % 11, on the ORIGINAL key) rides
+       |-- along, and every late row inserts with weight 1 per line
+       |late AS (
+       |  SELECT o_orderkey + 10000000 AS k, o_custkey, o_totalprice,
+       |         o_orderdate, o_orderpriority, o_orderstatus
+       |  FROM orders WHERE o_orderkey % 5 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+       |         o_orderdate, o_orderpriority, o_orderstatus
+       |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 = 0),
+       |lkeyed AS (
+       |  SELECT *, $hazardColsSql
+       |  FROM late),
+       |mfin AS (
+       |  SELECT o_custkey, quantity, date_time, w FROM fin
+       |  UNION ALL
+       |  SELECT o_custkey, quantity, date_time, 1 AS w FROM lkeyed),
+       |lgroups AS (
+       |  SELECT DISTINCT o_custkey, year(date_time) AS y,
+       |         month(date_time) AS m
+       |  FROM lkeyed)
+       |SELECT cast(o_custkey AS varchar) AS product_id,
+       |  cast(year(date_time) AS integer) AS sale_year,
+       |  cast(month(date_time) AS integer) AS sale_month,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * quantity) AS bigint) AS qty_sum,
+       |  cast(3 AS bigint) AS n_steps,
+       |  cast(4 AS bigint) AS n_report_versions,
+       |  (SELECT cast(count(*) AS bigint) FROM lgroups) AS n_late_touched,
+       |  cast(0 AS bigint) AS equiv_diff
+       |FROM mfin GROUP BY 1, 2, 3
+       |ORDER BY product_id, sale_year, sale_month""".stripMargin)
+
   val all: Map[String, QuerySpec] = Map(
     "q159_csv_ingest_cert" -> q159CsvIngestCert,
     "q161_reference_flow_e2e" -> q161ReferenceFlowE2e,
@@ -2207,5 +2671,7 @@ object IngestQueries {
     "q171_multi_consumer_retention" -> q171MultiConsumerRetention,
     "q172_consumer_bootstrap" -> q172ConsumerBootstrap,
     "q173_compaction_maintenance" -> q173CompactionMaintenance,
-    "q174_evolution_maintenance" -> q174EvolutionMaintenance)
+    "q174_evolution_maintenance" -> q174EvolutionMaintenance,
+    "q175_maintained_join_report" -> q175MaintainedJoinReport,
+    "q176_maintained_monthly" -> q176MaintainedMonthly)
 }

@@ -797,4 +797,155 @@ class IngestCertSpec extends AnyFunSuite {
     assert(IngestQueries.resumeReportMaintenance(orders, fast, keyCols) == 0)
     assert(IngestQueries.resumeReportMaintenance(orders, slow, keyCols) == 0)
   }
+
+  test("q175 dimension move is physical; the dim fold prunes to exactly the moved products") {
+    // the judged oracle replays the move from the generator, so it
+    // cannot see that the maintained path folded it as a CHANGE (vs a
+    // degenerate full recompute), nor which products the dimension arm
+    // read. Pinned off the builder's own handles:
+    val sf = TestSpark.testdata("0.001")
+    val m = IngestQueries.q175BuildJoinedFlow(spark, sf)
+    // two order-side folds (the drains) then one PURE dimension fold
+    assert(m.orderChangedSteps == Seq(true, true, false),
+      "order-side change flags drifted")
+    assert(m.dimChangedSteps == Seq(false, false, true),
+      "dimension-side change flags drifted")
+    m.affectedSteps.take(2).zipWithIndex.foreach { case (a, i) =>
+      assert(a.limit(1).count() == 1L, s"order step $i touched no products")
+    }
+    // the move is physically in the store: the products whose category
+    // differs between the inventory versions are nonempty, all landed
+    // under the new category, and form a PROPER subset of the catalog
+    val h = m.invSt.history()
+    assert(h.size == 3, "expected CreateTable + catalog load + move")
+    val pre = m.invSt.readVersion(h(1))
+    val post = m.invSt.readVersion(h(2))
+    val moved = pre.select(col("product_id"), col("category").as("pre_cat"))
+      .join(post.select(col("product_id"), col("category").as("post_cat")),
+        Seq("product_id"))
+      .filter(col("pre_cat") =!= col("post_cat"))
+    val nMoved = moved.count()
+    val nCatalog = post.count()
+    assert(nMoved > 0 && nMoved < nCatalog,
+      "the moved set is empty or swallowed the whole catalog")
+    assert(moved.filter(col("post_cat") =!= "RELOCATED").limit(1).count() == 0L,
+      "a moved product landed somewhere other than the new category")
+    // the dimension fold's affected set is EXACTLY the moved products —
+    // the change-volume pruning the judged n_dim_affected summarizes
+    assertMultisetEqual(m.affectedSteps.last,
+      moved.select(col("product_id")),
+      "the dimension fold's affected set is not exactly the moved products")
+    // the report really MOVED across the dimension fold: the new
+    // category exists only after it, so the fold performed a real
+    // retraction + addition, not a value no-op
+    assert(m.preMoveReport.filter(col("category") === "RELOCATED")
+        .limit(1).count() == 0L,
+      "the new category existed before the dimension fold")
+    assert(m.report.filter(col("category") === "RELOCATED")
+        .limit(1).count() == 1L,
+      "the new category is missing from the maintained report")
+  }
+
+  test("q175 join fold absorbs simultaneous two-side change and dimension deletes") {
+    // the judged q175 flow lands its changes on one side at a time, so
+    // the ΔO⋈ΔI overlap arm — the corner where a double-count would
+    // hide — and the dimension DELETE (a delisted product's orders must
+    // leave the report) are pinned on hand-built stores (the q169
+    // retraction-spec convention): one transition changes BOTH stores
+    // at once, including a category move AND a product delete on the
+    // dimension side plus an insert AND an update on the fact side.
+    import spark.implicits._
+    val sf = TestSpark.testdata("0.001")
+    val keyCols = Seq("order_id", "product_id")
+    val orders = new graft.state.StateTable(spark,
+      graft.core.Staging.invocationDir("graft_q175_sim_orders", sf), keyCols)
+    val inv = new graft.state.StateTable(spark,
+      graft.core.Staging.invocationDir("graft_q175_sim_inv", sf),
+      Seq("product_id"))
+    def o(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("order_id", "product_id", "amount")
+    inv.upsert(Seq("p1" -> "A", "p2" -> "A", "p3" -> "B")
+      .toDF("product_id", "category"))
+    orders.upsert(o(("o1", "p1", 10.00), ("o2", "p2", 20.00),
+      ("o3", "p3", 30.00), ("o4", "p3", 5.00)))
+    val fold = new IngestQueries.JoinFoldState
+    // step 1: an order-side-only change initializes the fold (the
+    // dimension base pins to the inv version current at first
+    // observation)
+    orders.upsert(o(("o5", "p1", 7.00)))
+    fold.step(orders, inv)
+    // step 2, SIMULTANEOUS: fact side inserts o6 (p2) and LWW-updates
+    // o3 (p3); dimension side moves p2 A→B and DELETES p3 — one fold
+    // absorbs all four arms of the delta expansion at once
+    orders.upsert(o(("o6", "p2", 11.00), ("o3", "p3", 33.00)))
+    inv.overwrite(inv.read().get.filter(col("product_id") =!= "p3")
+      .withColumn("category",
+        when(col("product_id") === "p2", "B").otherwise(col("category"))))
+    fold.step(orders, inv)
+    assert(fold.orderChangedSteps == Seq(true, true))
+    assert(fold.dimChangedSteps == Seq(false, true))
+    // the affected set is exactly {p2, p3}: p1 is untouched on both
+    // sides and must not be read by either arm
+    assert(fold.affectedSteps.last.collect().map(_.getString(0))
+        .sorted.toSeq == Seq("p2", "p3"),
+      "the simultaneous fold's affected set is not exactly {p2, p3}")
+    // the maintained report equals the recompute off both current
+    // versions: the ΔO⋈ΔI overlap (o6/o3 under moved/deleted
+    // dimension rows) counted exactly once, p3's orders fully
+    // retracted, p2's old-category contribution moved wholesale
+    assertMultisetEqual(fold.report,
+      IngestQueries.joinedCategoryReport(IngestQueries.joinedView(
+        orders.current().get, inv.current().get)),
+      "joined fold diverged from the recompute under simultaneous change")
+  }
+
+  test("q176 late batch is genuinely late; the late fold changed only its buckets") {
+    // the judged oracle replays the late arm, so it cannot see that the
+    // late rows landed as INSERTS into months the report had already
+    // folded, nor that the durable fold left every other bucket
+    // byte-identical. Pinned off the builder's handles and the report
+    // table's own version history:
+    val sf = TestSpark.testdata("0.001")
+    val flow = IngestQueries.q176BuildMonthlyFlow(spark, sf)
+    assert(flow.foldSteps == Seq(1, 1, 1), "per-fold applied-step counts drifted")
+    val keyCols = graft.core.Schemas.ordersKey
+    val orders = new graft.state.StateTable(spark, flow.ordersRoot, keyCols)
+    val h = orders.history()
+    assert(h.size == 4)
+    // pure inserts: the late keys are nonempty and disjoint from the
+    // pre-late store
+    assert(flow.lateKeys.limit(1).count() == 1L, "the late transition had no keys")
+    assert(orders.readVersion(h(2))
+        .join(flow.lateKeys, keyCols, "left_semi").limit(1).count() == 0L,
+      "a late key already existed pre-late — not a pure insert batch")
+    val reportSt = IngestQueries.reportStoreHandle(spark, flow.reportRoot,
+      IngestQueries.monthlyShape, "q176-spec")
+    val rh = reportSt.history()
+    assert(rh.size == 4, "expected CreateTable + three durable folds")
+    val bucket = Seq("product_id", "sale_year", "sale_month")
+    val before = reportSt.readVersion(rh(2)).drop("as_of")
+    val after = reportSt.readVersion(rh(3)).drop("as_of")
+    // genuinely LATE: at least one touched bucket was ALREADY reported
+    // before the late fold (new rows landing in an already-folded month)
+    assert(flow.lateTouched.join(before.select(bucket.map(col): _*),
+        bucket, "left_semi").limit(1).count() == 1L,
+      "no late row landed in an already-folded month")
+    // expression-key pruning: every bucket that changed across the late
+    // fold's durable versions is in the touched set — all other
+    // (product, year, month) rows carried byte-identical
+    val changed = before.withColumn("_w", lit(1L))
+      .unionByName(after.withColumn("_w", lit(-1L)))
+      .groupBy(before.columns.map(col).toIndexedSeq: _*)
+      .agg(sum(col("_w")).as("imb")).filter(col("imb") =!= 0L)
+      .select(bucket.map(col): _*).distinct()
+    assert(changed.join(flow.lateTouched, bucket, "left_anti")
+        .limit(1).count() == 0L,
+      "the late fold changed a bucket outside its touched set")
+    // and the touched set is a PROPER subset of the report's buckets —
+    // the pruning the judged n_late_touched makes visible
+    val nTouched = flow.lateTouched.count()
+    val nBuckets = after.select(bucket.map(col): _*).distinct().count()
+    assert(nTouched > 0 && nTouched < nBuckets,
+      s"late fold touched $nTouched of $nBuckets buckets — pruning not visible")
+  }
 }
