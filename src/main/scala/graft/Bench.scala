@@ -163,7 +163,10 @@ object Bench {
     // the maintained time-bucketed report (derived group keys, late
     // arrivals)
     "q175_maintained_join_report",
-    "q176_maintained_monthly")
+    "q176_maintained_monthly",
+    // round-18 third addition: the durable two-store joined-report
+    // consumer (watermark pair, per-store retention, onboarding)
+    "q177_durable_join_resume")
 
   /** Rotation classes for the compact-line budget policy (README
     * "headline rotation"): when the result line approaches the
@@ -233,10 +236,11 @@ object Bench {
     "q30_sessionize" -> 0.36, "q33_topk_global" -> 0.64,
     "q34_tfidf" -> 0.50, "q36_simhash_pairs" -> 0.52,
     "q38_asof_attribution" -> 0.24, "q41_asof_native" -> 0.20,
-    "q46_dedup_clusters" -> 1.79, "q48_ann_ivf" -> 0.36,
+    "q46_dedup_clusters" -> 1.78, // ↓r18: run-1 bench_diag 1.780
+    "q48_ann_ivf" -> 0.36,
     "q56_gapfill" -> 0.364, "q59_pipeline_e2e" -> 0.26,
     "q71_decontaminate" -> 0.55, "q72_repetition" -> 0.60,
-    "q86_inverted_index" -> 0.781, // ↓r18: BENCH_r17 (bench_diag 0.781)
+    "q86_inverted_index" -> 0.778, // ↓r18: BENCH_r17 0.781, then run-1 bench_diag 0.778
     "q88_rate_anomaly" -> 0.23,
     "q90_incremental_agg" -> 0.31, "q91_pagerank" -> 1.50,
     // round-6 additions: per-query min of two matching sf0.1 runs at
@@ -514,16 +518,27 @@ object Bench {
     // q173's minus the compaction rewrite, plus the evolution rewrite
     // and the third (boundary-crossing) fold
     "q174_evolution_maintenance" -> 9.301, // ↓r18: BENCH_r17 (bench_diag 9.301)
-    // round-18 introductions: provisional (suppresses the retime pass
-    // and sorts them into the quietest first minutes); replaced by the
-    // min of two targeted sf0.1 runs in the same round, per protocol.
-    // q175's cost class is q165's (streamed flow + per-drain pinned
-    // folds) plus the inventories store build and the two-store
-    // recompute certificate leg; q176's is q167's (durable folds over
-    // the streamed flow) plus the late staging, a third drain, and a
-    // third durable fold at the finer (product, year, month) key
-    "q175_maintained_join_report" -> 999.0,
-    "q176_maintained_monthly" -> 999.0)
+    // round-18 introductions: min of two targeted runs (q175
+    // 12.59/10.76, q176 15.88/14.34 at launch loads 2.33/4.22) —
+    // fresh-process ceilings per the q165/q169 pattern, re-base DOWN
+    // on full-run warm slots. q175's cost class is q165's (streamed
+    // flow + per-drain pinned folds) plus the inventories store build
+    // and the two-store recompute certificate leg; q176's is q167's
+    // (durable folds over the streamed flow) plus the late staging, a
+    // third drain, and a third durable fold at the finer
+    // (product, year, month) key
+    // ↓r18: the round's first full run undercut both introductions
+    // from warm slots under a loaded window (launch 4.35, bench_diag
+    // mins 9.518 / 13.569); MIN rule
+    "q175_maintained_join_report" -> 9.518,
+    "q176_maintained_monthly" -> 13.569,
+    // q177 introduced round 18: min of two targeted runs (19.37 /
+    // 15.89 at launch loads 3.67 / 4.14 — a LOADED window, so a
+    // fresh-process ceiling twice over; re-base DOWN on full-run warm
+    // slots per the q165/q169 pattern). Cost class is q172's (two
+    // store builds + durable folds + bootstrap + two certificate
+    // legs) with the dimension store's lifecycle added
+    "q177_durable_join_resume" -> 15.89)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
@@ -799,7 +814,17 @@ object Bench {
     // buys ~100 chars; rotation stays the unarmed fallback). Full
     // 3-decimal samples remain in bench_diag.json; floor re-bases keep
     // citing bench_diag/targeted runs, which are unaffected.
-    def fmt(v: Double): String = f"$v%.2f"
+    // Trailing-zero trim (round 18): at 110 entries the plain
+    // 2-decimal line measures ~1,395/1,400; stripping "…0"/"…00"
+    // tails buys ~13 chars at zero information cost (bench_diag keeps
+    // the 3-decimal samples), keeping rotation the unarmed fallback.
+    // "10.00" → "10", "0.50" → "0.5", "-1.00" → "-1" — all valid JSON
+    // numbers.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.replaceAll("0+$", "").replaceAll("\\.$", "")
+      else s
+    }
     // Emit the numeric prefix ("q117") as the queries key: prefixes are
     // unique by construction (the registry requires it, checked below)
     // and the full-name map at 62 entries was already 1.8k chars in the

@@ -2309,24 +2309,41 @@ object IngestQueries {
         else None).flatten
       val affected = graft.core.Checkpoints.pin(
         arms.reduce(_ unionByName _).distinct())
-      def pruned(i: DataFrame) =
-        i.join(affected, Seq("product_id"), "left_semi")
       val oBefore = ordersSt.readVersion(fromO)
       val oAfter = ordersSt.readVersion(toO)
       val base =
         if (report == null)
           joinedCategoryReport(joinedView(oBefore, invSt.readVersion(fromI)))
         else report
-      report = graft.core.Checkpoints.pin(joinedShape.fold(base,
-        joinedView(oBefore, pruned(invSt.readVersion(fromI))),
-        joinedView(oAfter, pruned(invSt.readVersion(toI))),
-        affected, Seq("product_id")))
+      report = graft.core.Checkpoints.pin(foldJoinedDelta(base,
+        oBefore, oAfter,
+        invSt.readVersion(fromI), invSt.readVersion(toI), affected))
       affectedSteps += affected
       orderChangedSteps += changedO
       dimChangedSteps += changedI
       prevO = toO
       prevI = toI
     }
+  }
+
+  /** ONE joined-fold delta application shared by the carried
+    * ([[JoinFoldState]]) and durable ([[resumeJoinedMaintenance]])
+    * consumers — the two-store analog of [[applyReportDelta]], so the
+    * streamed and durable certificates can never drift to different
+    * algebras. `affected` is P = π_product(ΔO) ∪ keys(ΔI); both join
+    * sides arrive pruned to P before the inner join, and the shared
+    * [[applySumDelta]] ± discipline does the rest.
+    */
+  private[graft] def foldJoinedDelta(base: DataFrame,
+      oBefore: DataFrame, oAfter: DataFrame,
+      iBefore: DataFrame, iAfter: DataFrame,
+      affected: DataFrame): DataFrame = {
+    def pruned(i: DataFrame) =
+      i.join(affected, Seq("product_id"), "left_semi")
+    joinedShape.fold(base,
+      joinedView(oBefore, pruned(iBefore)),
+      joinedView(oAfter, pruned(iAfter)),
+      affected, Seq("product_id"))
   }
 
   /** q175's handles: both stores, the carried joined report, the
@@ -2468,6 +2485,287 @@ object IngestQueries {
        |  (SELECT cast(count(*) AS bigint) FROM customer
        |   WHERE c_custkey % 7 <> 0) AS n_catalog,
        |  cast(0 AS bigint) AS equiv_diff
+       |FROM joined GROUP BY category ORDER BY category""".stripMargin)
+
+  // ------------------------------------------------------------------
+  // q177: DURABLE two-store join maintenance — the q167/q168/q172
+  // lifecycle story (watermark resume, bounded retention, consumer
+  // onboarding) for the JOINED report family
+  // ------------------------------------------------------------------
+
+  /** The durable joined-report schema: [[joinedShape]]'s columns plus
+    * a SECOND resume watermark — `as_of` is the orders-store version
+    * the report reflects (the single-store convention) and `as_of_dim`
+    * the inventories-store version. A maintained view of N sources
+    * needs N watermarks, one per change feed; both are constant across
+    * a version's rows, so two single-row max() reads recover the pair
+    * with no sidecar metadata.
+    */
+  private[graft] val joinedReportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(joinedShape.schema.fields :+
+      org.apache.spark.sql.types.StructField("as_of_dim",
+        org.apache.spark.sql.types.StringType))
+
+  /** [[reportStoreHandle]]'s analog for the two-watermark joined
+    * report table: first call CreateTables [[joinedReportSchema]],
+    * later calls must find it in sync.
+    */
+  private[graft] def joinedReportHandle(
+      s: SparkSession, root: String): graft.state.StateTable = {
+    val st = new graft.state.StateTable(s, root, joinedShape.groupCols)
+    val changes = graft.schemasync.SchemaSync.sync(s, st, joinedReportSchema)
+    require(changes.isEmpty ||
+      changes == Seq(graft.schemasync.SchemaSync.CreateTable(joinedReportSchema)),
+      s"q177 precondition: joined-report sync applied $changes")
+    st
+  }
+
+  /** The durable (orders, inventories) watermark pair off the joined
+    * report's current rows — None on an empty report (the
+    * bootstrap-vs-caught-up distinction, q172's convention).
+    */
+  private[graft] def joinedWatermarksOpt(
+      reportSt: graft.state.StateTable): Option[(String, String)] = {
+    val r = reportSt.current().get
+      .agg(max(col("as_of")), max(col("as_of_dim"))).head()
+    if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+  }
+
+  /** Resume JOINED-report maintenance from durable state only — the
+    * two-store analog of [[resumeReportMaintenance]]. Recover the
+    * watermark pair, then absorb the two change feeds in two phases,
+    * each a walk of version pairs folded through the shared
+    * [[foldJoinedDelta]] with one durable report version written per
+    * step:
+    *
+    *  - phase 1 folds every pending ORDERS pair with the dimension
+    *    pinned at ITS watermark `wmI`;
+    *  - phase 2 folds every pending INVENTORIES pair with orders
+    *    pinned at the version phase 1 ended on.
+    *
+    * Phase composition is exact by telescoping: phase 1 accumulates
+    * `report(O_cur ⋈ I_wm) ⊖ report(O_wm ⋈ I_wm)`, phase 2 adds
+    * `report(O_cur ⋈ I_cur) ⊖ report(O_cur ⋈ I_wm)` — the middle
+    * terms cancel, leaving exactly the recompute delta, without
+    * needing any cross-store ordering of the two histories (version
+    * names are comparable only within one store; a two-source
+    * maintenance loop cannot assume a global clock). Each phase's
+    * arms are pruned to its own side's changed products.
+    *
+    * FRESH-CONSUMER BOOTSTRAP (q172's fix, two-store form): an empty
+    * report on stores whose oldest retained versions BOTH carry rows
+    * first materializes its base as the joined report of those two
+    * versions, stamped with the pair — on retention-vacuumed stores
+    * the walks can no longer start from empty CreateTable versions.
+    * When EITHER oldest version is empty the joined base is empty by
+    * inner-join algebra and the walks alone are correct, so the
+    * bounded isEmpty reads gate the materialization precisely.
+    *
+    * Returns (orders steps, dimension steps) — (0, 0) on a restart
+    * with nothing new (idempotence, judged in-query by q177).
+    */
+  private[graft] def resumeJoinedMaintenance(
+      ordersSt: graft.state.StateTable, invSt: graft.state.StateTable,
+      reportSt: graft.state.StateTable): (Int, Int) = {
+    val hO = ordersSt.history()
+    val hI = invSt.history()
+    require(hO.nonEmpty && hI.nonEmpty,
+      "q177: a store has no versions to fold")
+    val wmOpt = joinedWatermarksOpt(reportSt)
+    if (wmOpt.isEmpty && !ordersSt.readVersion(hO.head).isEmpty &&
+        !invSt.readVersion(hI.head).isEmpty)
+      reportSt.overwrite(joinedCategoryReport(joinedView(
+          ordersSt.readVersion(hO.head), invSt.readVersion(hI.head)))
+        .withColumn("as_of", lit(hO.head))
+        .withColumn("as_of_dim", lit(hI.head)))
+    val (wmO, wmI) = wmOpt.getOrElse((hO.head, hI.head))
+    val idxO = hO.indexOf(wmO)
+    val idxI = hI.indexOf(wmI)
+    require(idxO >= 0 && idxI >= 0,
+      s"q177: watermark pair ($wmO, $wmI) not in the stores' histories — " +
+        "a store was vacuumed past the report's resume point")
+    def base() = reportSt.current().get.drop("as_of", "as_of_dim")
+    val oPairs = hO.drop(idxO).sliding(2).filter(_.size == 2).toSeq
+    oPairs.foreach { case Seq(from, to) =>
+      val affected = graft.core.Checkpoints.pin(
+        ordersSt.diff(from, to).select(col("product_id")).distinct())
+      val dim = invSt.readVersion(wmI)
+      reportSt.overwrite(foldJoinedDelta(base(),
+          ordersSt.readVersion(from), ordersSt.readVersion(to),
+          dim, dim, affected)
+        .withColumn("as_of", lit(to)).withColumn("as_of_dim", lit(wmI)))
+    }
+    val oCur = hO.last
+    val iPairs = hI.drop(idxI).sliding(2).filter(_.size == 2).toSeq
+    iPairs.foreach { case Seq(from, to) =>
+      val affected = graft.core.Checkpoints.pin(
+        invSt.diff(from, to).select(col("product_id")).distinct())
+      val oFrame = ordersSt.readVersion(oCur)
+      reportSt.overwrite(foldJoinedDelta(base(), oFrame, oFrame,
+          invSt.readVersion(from), invSt.readVersion(to), affected)
+        .withColumn("as_of", lit(oCur)).withColumn("as_of_dim", lit(to)))
+    }
+    (oPairs.size, iPairs.size)
+  }
+
+  /** q177's durable state plus the lifecycle evidence: per-cycle
+    * (orders, dim) fold counts and the per-store retention accounting.
+    */
+  private[graft] final case class DurableJoinFlow(
+      ordersRoot: String, invRoot: String, reportRoot: String,
+      steps1: (Int, Int), steps2: (Int, Int),
+      oReclaimed: Int, iReclaimed: Int)
+
+  /** q177's construction: the reference flow on BOTH stores (orders
+    * q161 batches; inventories catalog + [[q175MoveBatch]] category
+    * move) with a durable joined-report consumer resuming from disk
+    * after each load cycle (fresh handles — q167's restart realism),
+    * then retention bounded PER STORE by its component of the durable
+    * watermark pair.
+    */
+  private[graft] def q177BuildDurableJoinFlow(
+      s: SparkSession, dir: String): DurableJoinFlow = {
+    val (oA, oB) = stageFlowBatches(s, dir, "graft_q177_o")
+    val iB1 = graft.core.Staging.invocationDir("graft_q177_inv_b1", dir)
+    val iMv = graft.core.Staging.invocationDir("graft_q177_inv_move", dir)
+    stageInventoriesCsv(s, dir, iB1, q163InvBatch1)
+    stageInventoriesCsv(s, dir, iMv, q175MoveBatch)
+    val ordersSt = freshSyncedStore(s, dir, "graft_q177_o_state", "q177")
+    val invSt = freshSyncedStore(s, dir, "graft_q177_i_state", "q177",
+      graft.core.Schemas.inventories, graft.core.Schemas.inventoriesKey)
+    val reportRoot = graft.core.Staging.invocationDir("graft_q177_report", dir)
+    def resume(): (Int, Int) = {
+      val o = new graft.state.StateTable(s, ordersSt.root,
+        graft.core.Schemas.ordersKey)
+      val i = new graft.state.StateTable(s, invSt.root,
+        graft.core.Schemas.inventoriesKey)
+      resumeJoinedMaintenance(o, i, joinedReportHandle(s, reportRoot))
+    }
+    // cycle 1: first loads on both stores, one resume
+    ordersSt.upsert(Ingest.readOrdersCsv(s, oA))
+    invSt.upsert(Ingest.readInventoriesCsv(s, iB1))
+    val steps1 = resume()
+    // cycle 2: the orders re-run AND the dimension category move land,
+    // one resume absorbs both feeds
+    ordersSt.upsert(Ingest.readOrdersCsv(s, oB))
+    invSt.upsert(Ingest.readInventoriesCsv(s, iMv))
+    val steps2 = resume()
+    // retention: each store vacuums bounded by ITS durable watermark
+    val (wmO, wmI) = joinedWatermarksOpt(joinedReportHandle(s, reportRoot)).get
+    val oReclaimed = ordersSt.vacuumBefore(wmO).size
+    val iReclaimed = invSt.vacuumBefore(wmI).size
+    DurableJoinFlow(ordersSt.root, invSt.root, reportRoot,
+      steps1, steps2, oReclaimed, iReclaimed)
+  }
+
+  /** q177: the DURABLE two-store joined-report consumer — q175 proves
+    * the join-maintenance algebra as a carried in-memory fold; the
+    * production consumer of a years-long 100 TB store pair is durable,
+    * resumable, retention-compatible, and joinable late, and every one
+    * of those properties needs the TWO-watermark generalization judged
+    * here: the report table stamps (`as_of`, `as_of_dim`), a restarted
+    * process recovers the pair off the durable rows and absorbs each
+    * feed's pending versions in telescoping phases
+    * ([[resumeJoinedMaintenance]] — no cross-store version ordering
+    * assumed, because none exists), retention runs PER STORE bounded
+    * by that store's watermark component, and a NEW consumer joining
+    * the already-vacuumed stores bootstraps its base from both current
+    * versions (q172's onboarding certificate, two-store form). The
+    * judged flow is the reference cadence on both datasets
+    * (`flows/data_ingestion.py:250–272`): first loads + resume, then
+    * the orders LWW re-run AND the category move land together +
+    * resume, then per-store vacuums; the judged query itself runs the
+    * post-reclaim restart (0, 0 steps) and the newcomer onboarding.
+    * Judged rows: the veteran's per-category report (values meet
+    * q175's joined replay — the dimension move folded durably), fold
+    * counts per side per cycle (2 orders + 2 dim), per-store retention
+    * accounting (2 reclaimed / 1 retained each), the restart and
+    * bootstrap step counts (0), the newcomer equivalence
+    * (`b_equiv_diff = 0` — two consumers at different join times
+    * converge on identical durable rows), and `equiv_diff = 0` against
+    * the recompute off both current versions. A watermark component
+    * misread, a phase folded against the wrong pinned version, a
+    * vacuum that outran its store's consumer, or a bootstrap that
+    * missed either side's contents all break it.
+    *
+    * What the replay cannot see, IngestCertSpec pins: the durable
+    * stamps equal the stores' current versions, the report lifecycle
+    * is CreateTable + exactly 4 folds, the newcomer REALLY took the
+    * materialize path (2 report versions, stamps = the vacuumed
+    * stores' single retained versions), and a dimension-only change
+    * resumes as (0, 1) with the report still meeting the recompute.
+    *
+    * Scale: phase cost tracks each feed's change volume (the q175
+    * arms); the durable write per fold truncates lineage; retention
+    * stays a driver-side delete per store; the watermark pair costs
+    * one two-column single-row read. The judged plan is the veteran's
+    * report scan joined to the newcomer-equiv and recompute-equiv
+    * certificate legs (the recompute leg is the honest two-store
+    * scan ⋈ scan → rollup price) plus the ≤6-row sort.
+    */
+  val q177DurableJoinResume: QuerySpec = QuerySpec(
+    (s, dir) => {
+      val flow = q177BuildDurableJoinFlow(s, dir)
+      val orders = new graft.state.StateTable(s, flow.ordersRoot,
+        graft.core.Schemas.ordersKey)
+      val inv = new graft.state.StateTable(s, flow.invRoot,
+        graft.core.Schemas.inventoriesKey)
+      val rep = joinedReportHandle(s, flow.reportRoot)
+      // post-reclaim restart: a fresh handle applies ZERO steps on
+      // both feeds (idempotence judged, q171's convention)
+      val restart = resumeJoinedMaintenance(orders, inv, rep)
+      // consumer onboarding on the vacuumed store pair: a NEW joined
+      // consumer bootstraps from both current versions
+      val bRoot = graft.core.Staging.invocationDir("graft_q177_rep_b", dir)
+      val repB = joinedReportHandle(s, bRoot)
+      val bSteps = resumeJoinedMaintenance(orders, inv, repB)
+      val a = rep.current().get.drop("as_of", "as_of_dim")
+      val b = repB.current().get.drop("as_of", "as_of_dim")
+      val bEquiv = multisetEquivDiff(a, b, "category")
+        .withColumnRenamed("equiv_diff", "b_equiv_diff")
+      val reEquiv = multisetEquivDiff(a, joinedCategoryReport(joinedView(
+          orders.current().get, inv.current().get)), "category")
+        .withColumnRenamed("equiv_diff", "recompute_equiv_diff")
+      a.withColumn("n_order_steps",
+          lit((flow.steps1._1 + flow.steps2._1).toLong))
+        .withColumn("n_dim_steps",
+          lit((flow.steps1._2 + flow.steps2._2).toLong))
+        .withColumn("o_reclaimed", lit(flow.oReclaimed.toLong))
+        .withColumn("i_reclaimed", lit(flow.iReclaimed.toLong))
+        .withColumn("o_retained", lit(orders.history().size.toLong))
+        .withColumn("i_retained", lit(inv.history().size.toLong))
+        .withColumn("restart_steps", lit((restart._1 + restart._2).toLong))
+        .withColumn("bootstrap_steps", lit((bSteps._1 + bSteps._2).toLong))
+        .join(bEquiv, Seq("category"))
+        .join(reEquiv, Seq("category"))
+        .orderBy(col("category"))
+    },
+    s"""$flowStoreReplaySql,
+       |-- q175's final-catalog replay: batch-1 rows with the LWW
+       |-- category rewrite on moved keys; ghost rows never join
+       |inv AS (
+       |  SELECT cast(c_custkey AS varchar) AS product_id,
+       |         CASE WHEN c_custkey % 3 = 0 THEN 'RELOCATED'
+       |              ELSE c_mktsegment END AS category
+       |  FROM customer
+       |  WHERE c_custkey % 7 <> 0 AND c_custkey % 10 <> 0),
+       |joined AS (
+       |  SELECT i.category, f.w,
+       |         cast(floor(f.amount * 100) AS bigint) AS cents
+       |  FROM fin f JOIN inv i ON cast(f.o_custkey AS varchar) = i.product_id)
+       |SELECT category,
+       |  cast(sum(w) AS bigint) AS n_rows,
+       |  cast(sum(w * cents) AS bigint) AS revenue_cents,
+       |  cast(2 AS bigint) AS n_order_steps,
+       |  cast(2 AS bigint) AS n_dim_steps,
+       |  cast(2 AS bigint) AS o_reclaimed,
+       |  cast(2 AS bigint) AS i_reclaimed,
+       |  cast(1 AS bigint) AS o_retained,
+       |  cast(1 AS bigint) AS i_retained,
+       |  cast(0 AS bigint) AS restart_steps,
+       |  cast(0 AS bigint) AS bootstrap_steps,
+       |  cast(0 AS bigint) AS b_equiv_diff,
+       |  cast(0 AS bigint) AS recompute_equiv_diff
        |FROM joined GROUP BY category ORDER BY category""".stripMargin)
 
   // ------------------------------------------------------------------
@@ -2673,5 +2971,6 @@ object IngestQueries {
     "q173_compaction_maintenance" -> q173CompactionMaintenance,
     "q174_evolution_maintenance" -> q174EvolutionMaintenance,
     "q175_maintained_join_report" -> q175MaintainedJoinReport,
-    "q176_maintained_monthly" -> q176MaintainedMonthly)
+    "q176_maintained_monthly" -> q176MaintainedMonthly,
+    "q177_durable_join_resume" -> q177DurableJoinResume)
 }

@@ -889,7 +889,19 @@ class PlanAuditSpec extends AnyFunSuite {
       // output sort. Same hint-free worst-case budget of 6 as
       // q167/q168 (key exchanges on both assembly sides if a stats
       // drift drops the report-side broadcast); observed below
-      "q176_maintained_monthly" -> 6)
+      "q176_maintained_monthly" -> 6,
+      // q177 (round-18, audited at introduction): both store flows,
+      // all four durable folds, the vacuums, the in-query restart, and
+      // the newcomer bootstrap are construction (durable writes
+      // truncate lineage); the judged plan is the veteran's report
+      // scan joined to TWO certificate legs — the newcomer-equiv pair
+      // (two report scans) and the recompute-equiv pair (report scan +
+      // the two-store scan ⋈ scan → category rollup) — plus the ≤6-row
+      // sort: 6 observed, the assembly joins and the recompute join
+      // riding stats-sized broadcasts. Budget is the hint-free worst
+      // case of 10 (the q163 lesson: key exchanges on the three
+      // dropped-broadcast join sides if stats drift)
+      "q177_durable_join_resume" -> 10)
     // Where a budget is deliberately the HINT-FREE WORST CASE (q163,
     // q167, q168: the observed plan rides a stats-sized broadcast that
     // a stats/threshold drift may legitimately drop), a real plan
@@ -906,7 +918,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q173_compaction_maintenance" -> 4,
       "q174_evolution_maintenance" -> 4,
       "q175_maintained_join_report" -> 2,
-      "q176_maintained_monthly" -> 4)
+      "q176_maintained_monthly" -> 4,
+      "q177_durable_join_resume" -> 6)
     budget.foreach { case (n, maxEx) =>
       val got = count(plan(n)) { case _: ShuffleExchangeExec => }
       assert(got <= maxEx, s"$n shuffles $got > budget $maxEx")
