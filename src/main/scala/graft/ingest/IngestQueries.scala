@@ -130,7 +130,15 @@ object IngestQueries {
   private def stageLandingDir(spark: SparkSession, lines: DataFrame,
       header: String, nFiles: Int, out: String): Unit = {
     import spark.implicits._
-    lines.repartition(nFiles).as[String]
+    // deterministic hash split, NOT round-robin repartition(n): keyless
+    // repartition pays a full local sort of the line strings
+    // (spark.sql.execution.sortBeforeRepartition, needed for retry
+    // determinism it gets for free here — xxhash64(value) is a pure
+    // row function), guide §2.5. 64×nFiles distinct key values spread
+    // evenly over nFiles partitions; duplicate lines co-locate, which
+    // the protocol tolerates (files just need to cover the multiset).
+    lines.repartition(nFiles, pmod(xxhash64(col("value")), lit(nFiles * 64)))
+      .as[String]
       .mapPartitions(it => Iterator(header) ++ it)
       .write.mode("overwrite").text(out)
   }

@@ -54,9 +54,33 @@ final class StateTable(
   def currentVersion: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
 
+  /** Per-version schema cache: versions are immutable (the class
+    * invariant every consumer already relies on), so a version's
+    * parquet schema can never change once read. A bare
+    * `spark.read.parquet` fires a footer/schema-inference job at CALL
+    * time; the maintenance paths read the same version several times
+    * per fold (watermark, CDC, fold base, certificate legs), and at
+    * ~50 ms of job+planning each those add up across a flow. First
+    * read of a version pays the footer job as before; later reads of
+    * the SAME version through this handle skip it. Metadata only —
+    * row data is re-read from parquet on every action.
+    */
+  private val versionSchemas =
+    scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def readDir(version: String): DataFrame = {
+    val path = rootPath.resolve(version).toString
+    versionSchemas.get(version) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None =>
+        val df = spark.read.parquet(path)
+        versionSchemas.update(version, df.schema)
+        df
+    }
+  }
+
   /** Current contents, or None before the first write. */
-  def read(): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(rootPath.resolve(v).toString))
+  def read(): Option[DataFrame] = currentVersion.map(readDir)
 
   /** Write `df` as a fresh immutable version and atomically repoint.
     * Version names embed a monotonic nano timestamp so [[history]] has a
@@ -163,24 +187,51 @@ final class StateTable(
         val b = valueCols.filterNot(b0.columns.contains).foldLeft(b0) { (d, c) =>
           d.withColumn(c, lit(null).cast(state.schema(c).dataType))
         }
-        // last batch row per key (the surviving update value)
-        val wB = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-        val lastPerKey = b.withColumn("_rn", row_number().over(wB)).filter(col("_rn") === 1)
-          .select(keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_u_$c")) :+ lit(true).as("_matched"): _*)
-        // the state row that absorbs the update: max _seq per key
-        val wS = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-        val target = state.withColumn("_srn", row_number().over(wS))
-        val updated = target.join(lastPerKey, keyCols, "left")
-          .select(keyCols.map(col) ++ valueCols.map { c =>
-            when(col("_srn") === 1 && col("_matched"), col(s"_u_$c")).otherwise(col(c)).as(c)
-          } :+ col(SeqCol): _*)
-        // unseen keys: append every batch row (within-batch dups kept)
-        // coalesce: state may exist but be empty (schema-sync CreateTable)
-        val maxSeq = state.agg(coalesce(max(col(SeqCol)), lit(0L))).head().getLong(0)
-        val inserts = b.join(state.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-          .withColumn(SeqCol, col(SeqCol) + lit(maxSeq) + lit(1L))
-          .select(updated.columns.map(col).toIndexedSeq: _*)
-        overwrite(updated.unionByName(inserts))
+        val outCols = (keyCols ++ valueCols :+ SeqCol).map(col)
+        // ONE scalar read serves both the empty-state test and the
+        // insert-arm _seq offset (coalesce: state may exist but be empty
+        // — schema-sync CreateTable); previously max(_seq) was its own
+        // driver action and emptiness was never tested, so a first load
+        // paid the full key algebra against zero state rows
+        val agg = state.agg(coalesce(max(col(SeqCol)), lit(0L)), count(lit(1L))).head()
+        val maxSeq = agg.getLong(0)
+        if (agg.getLong(1) == 0L) {
+          // First load into a synced-but-empty store (§2.4: append ALL
+          // rows, within-batch duplicate keys kept): the general path
+          // below would window, join and anti-join against zero state
+          // rows — two shuffles of pure overhead on exactly the largest
+          // batch a store ever sees (the initial corpus). Same rows,
+          // same column order, same +1 _seq shift as the general path's
+          // insert arm produces over empty state.
+          overwrite(b
+            .withColumn(SeqCol, col(SeqCol) + lit(maxSeq) + lit(1L))
+            .select(outCols: _*))
+        } else {
+          // last batch row per key (the surviving update value); the
+          // SAME windowed frame feeds the insert arm below, so the batch
+          // is scanned and shuffled by key ONCE (ReusedExchange), not
+          // once per arm
+          val wB = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+          val bW = b.withColumn("_rn", row_number().over(wB))
+          val lastPerKey = bW.filter(col("_rn") === 1)
+            .select(keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_u_$c")) :+ lit(true).as("_matched"): _*)
+          // the state row that absorbs the update: max _seq per key; the
+          // _srn === 1 frame doubles as the DISTINCT state-key set for
+          // the insert arm's anti join — one shuffle of the state,
+          // reused, instead of a window pass plus a separate distinct
+          val wS = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
+          val target = state.withColumn("_srn", row_number().over(wS))
+          val updated = target.join(lastPerKey, keyCols, "left")
+            .select(keyCols.map(col) ++ valueCols.map { c =>
+              when(col("_srn") === 1 && col("_matched"), col(s"_u_$c")).otherwise(col(c)).as(c)
+            } :+ col(SeqCol): _*)
+          // unseen keys: append every batch row (within-batch dups kept)
+          val stateKeys = target.filter(col("_srn") === 1).select(keyCols.map(col): _*)
+          val inserts = bW.join(stateKeys, keyCols, "left_anti")
+            .withColumn(SeqCol, col(SeqCol) + lit(maxSeq) + lit(1L))
+            .select(outCols: _*)
+          overwrite(updated.unionByName(inserts))
+        }
     }
   }
 
@@ -214,7 +265,7 @@ final class StateTable(
     * immutable until [[vacuum]]).
     */
   def readVersion(version: String): DataFrame =
-    spark.read.parquet(rootPath.resolve(version).toString).drop(SeqCol)
+    readDir(version).drop(SeqCol)
 
   /** Change-data-capture between two retained versions: one row per
     * changed KEY with `_change ∈ {insert, update, delete}` and the
@@ -225,14 +276,24 @@ final class StateTable(
     */
   def diff(fromVersion: String, toVersion: String): DataFrame = {
     def latestPerKey(v: String): DataFrame = {
-      val raw = spark.read.parquet(rootPath.resolve(v).toString)
+      val raw = readDir(v)
       // versions written via bare overwrite() (sketches, compacted
       // snapshots) carry no _seq — their rows are already key-level
       if (!raw.columns.contains(SeqCol)) raw
       else {
-        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-        raw.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .drop("_rn", SeqCol)
+        // hash aggregate (max_by on the unique-per-row _seq), not a
+        // row_number window: the window sorts the ENTIRE version by
+        // (key, _seq) before keeping one row per key, while max_by
+        // folds to key grain in a partial-aggregate pass before the
+        // exchange — no sort, and map-side reduction shuffles key-grain
+        // rows instead of every row (guide §2.3). Deterministic: _seq
+        // is unique per row within a version (monotonic id at insert,
+        // preserved by the LWW rewrite), so max_by has no ties.
+        val vals = raw.columns.filterNot(c => keyCols.contains(c) || c == SeqCol)
+        if (vals.isEmpty) raw.select(keyCols.map(col): _*).distinct()
+        else raw.groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(vals.map(col).toIndexedSeq: _*), col(SeqCol)).as("_latest"))
+          .select(keyCols.map(col) ++ vals.map(c => col(s"_latest.$c").as(c)): _*)
       }
     }
     // align schemas across an evolution boundary: a column present in
