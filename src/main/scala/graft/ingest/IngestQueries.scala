@@ -130,18 +130,26 @@ object IngestQueries {
   private def stageLandingDir(spark: SparkSession, lines: DataFrame,
       header: String, nFiles: Int, out: String): Unit = {
     import spark.implicits._
-    // deterministic hash split, NOT round-robin repartition(n): keyless
-    // repartition pays a full local sort of the line strings
-    // (spark.sql.execution.sortBeforeRepartition, needed for retry
-    // determinism it gets for free here — xxhash64(value) is a pure
-    // row function), guide §2.5. 64×nFiles distinct key values spread
-    // evenly over nFiles partitions; duplicate lines co-locate, which
-    // the protocol tolerates (files just need to cover the multiset).
-    lines.repartition(nFiles, pmod(xxhash64(col("value")), lit(nFiles * 64)))
-      .as[String]
+    lines.as[String]
       .mapPartitions(it => Iterator(header) ++ it)
       .write.mode("overwrite").text(out)
   }
+
+  /** Deterministic nFiles-way split of a fixture SOURCE frame by hash
+    * of its `k` column — applied BEFORE the CSV line formatting, so:
+    * (1) no round-robin `repartition(n)`, whose retry-determinism
+    * local sort (`spark.sql.execution.sortBeforeRepartition`) would
+    * sort every row — xxhash64(k) is a pure row function and needs no
+    * sort (guide §2.5); (2) the exchange moves the NARROW source
+    * columns, not formatted line strings (guide §2.3, project-late);
+    * (3) the expression-heavy line formatting runs on nFiles tasks
+    * after the exchange instead of on the source's 1–2 scan splits.
+    * 64×nFiles distinct key values spread evenly over nFiles
+    * partitions; duplicate-key rows co-locate, which the landing
+    * protocol tolerates (files just need to cover the line multiset).
+    */
+  private def splitForStaging(src: DataFrame, nFiles: Int): DataFrame =
+    src.repartition(nFiles, pmod(xxhash64(col("k")), lit(nFiles * 64)))
 
   /** Stage the fixture as a 4-file landing dir via [[stageLandingDir]].
     * `transform` reshapes the hazard source before line building (q161's
@@ -151,7 +159,8 @@ object IngestQueries {
   private[graft] def stageOrdersCsv(
       spark: SparkSession, dir: String, out: String,
       transform: DataFrame => DataFrame = identity): Unit =
-    stageLandingDir(spark, linesFrom(transform(hazardSource(spark, dir))),
+    stageLandingDir(spark,
+      linesFrom(splitForStaging(transform(hazardSource(spark, dir)), 4)),
       Header, 4, out)
 
   val q159CsvIngestCert: QuerySpec = QuerySpec(
@@ -553,7 +562,8 @@ object IngestQueries {
   private[graft] def stageInventoriesCsv(
       spark: SparkSession, dir: String, out: String,
       transform: DataFrame => DataFrame = identity): Unit =
-    stageLandingDir(spark, invLinesFrom(transform(invSource(spark, dir))),
+    stageLandingDir(spark,
+      invLinesFrom(splitForStaging(transform(invSource(spark, dir)), 2)),
       InvHeader, 2, out)
 
   /** q163's inventory batch slices — batch 1 is the catalog minus the

@@ -54,30 +54,8 @@ final class StateTable(
   def currentVersion: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
 
-  /** Per-version schema cache: versions are immutable (the class
-    * invariant every consumer already relies on), so a version's
-    * parquet schema can never change once read. A bare
-    * `spark.read.parquet` fires a footer/schema-inference job at CALL
-    * time; the maintenance paths read the same version several times
-    * per fold (watermark, CDC, fold base, certificate legs), and at
-    * ~50 ms of job+planning each those add up across a flow. First
-    * read of a version pays the footer job as before; later reads of
-    * the SAME version through this handle skip it. Metadata only —
-    * row data is re-read from parquet on every action.
-    */
-  private val versionSchemas =
-    scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.types.StructType]
-
-  private def readDir(version: String): DataFrame = {
-    val path = rootPath.resolve(version).toString
-    versionSchemas.get(version) match {
-      case Some(s) => spark.read.schema(s).parquet(path)
-      case None =>
-        val df = spark.read.parquet(path)
-        versionSchemas.update(version, df.schema)
-        df
-    }
-  }
+  private def readDir(version: String): DataFrame =
+    StateTable.readVersionDir(spark, rootPath.resolve(version).toString)
 
   /** Current contents, or None before the first write. */
   def read(): Option[DataFrame] = currentVersion.map(readDir)
@@ -207,12 +185,23 @@ final class StateTable(
             .withColumn(SeqCol, col(SeqCol) + lit(maxSeq) + lit(1L))
             .select(outCols: _*))
         } else {
+          // Pin the batch before the key algebra: _seq defaults to
+          // monotonically_increasing_id(), a NONDETERMINISTIC
+          // expression, so the update and insert arms below — though
+          // they share one logical frame — can never share a physical
+          // exchange (non-same-result subtrees), and the batch source
+          // was scanned AND shuffled once per arm. Pinning materializes
+          // the batch (and its _seq) exactly once; both arms then reuse
+          // one deterministic exchange, and _seq stops depending on two
+          // scans happening to enumerate files identically. The pinned
+          // frame is the ingest batch — change-volume-, not store-sized.
+          val bP = graft.core.Checkpoints.pin(b)
           // last batch row per key (the surviving update value); the
           // SAME windowed frame feeds the insert arm below, so the batch
           // is scanned and shuffled by key ONCE (ReusedExchange), not
           // once per arm
           val wB = Window.partitionBy(keyCols.map(col): _*).orderBy(col(SeqCol).desc)
-          val bW = b.withColumn("_rn", row_number().over(wB))
+          val bW = bP.withColumn("_rn", row_number().over(wB))
           val lastPerKey = bW.filter(col("_rn") === 1)
             .select(keyCols.map(col) ++ valueCols.map(c => col(c).as(s"_u_$c")) :+ lit(true).as("_matched"): _*)
           // the state row that absorbs the update: max _seq per key; the
@@ -340,6 +329,34 @@ final class StateTable(
 object StateTable {
   /** Internal monotone sequence column (persisted). */
   val SeqCol = "_seq"
+
+  /** Process-wide per-version-dir schema cache. Version dirs are
+    * immutable once pointed at (the class invariant every consumer
+    * relies on) and their names are globally unique (nano-timestamp +
+    * random suffix under a caller-owned root), so a version's parquet
+    * schema can never change once read. A bare `spark.read.parquet`
+    * fires a footer/schema-inference job at CALL time; the maintenance
+    * paths read the same version several times per fold (watermark,
+    * CDC, fold base, certificate legs) and the restart-realism flows
+    * do it through FRESH handles per phase — so the cache is keyed by
+    * absolute path at the companion, not per handle. Metadata only:
+    * row data is re-read from parquet on every action, and resume
+    * state (watermarks, report rows) always comes off the durable rows
+    * themselves. Bounded: one StructType per version written this
+    * process; vacuumed versions' entries are inert.
+    */
+  private val versionSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private[state] def readVersionDir(
+      spark: SparkSession, path: String): DataFrame =
+    versionSchemas.get(path) match {
+      case null =>
+        val df = spark.read.parquet(path)
+        versionSchemas.put(path, df.schema): Unit
+        df
+      case s => spark.read.schema(s).parquet(path)
+    }
 
   private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
     graft.core.Fs.listDir(p)
