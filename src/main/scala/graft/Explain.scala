@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan inspection utility: `runMain graft.Explain <query> [sfDir]`
+/** Plan inspection utility: `runMain graft.Explain <query...> [sfDir]`
   * prints the formatted physical plan (pushdown, join strategy, codegen
-  * spans) and a timed noop-materialization.
+  * spans) and a timed noop-materialization per named query — several
+  * names share one JVM so a plan sweep doesn't pay Spark startup per
+  * query. A trailing absolute path selects the data dir.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val (names, sfDir) =
+      if (args.length > 1 && args.last.startsWith("/")) (args.init.toSeq, args.last)
+      else (args.toSeq, "/root/testdata/sf0.1")
+    val name = names.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,14 +50,18 @@ object Explain {
       }
       spark.stop(); return
     }
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
-    println(f"[explain] $name first run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val t1 = System.nanoTime()
-    df.write.mode("overwrite").format("noop").save()
-    println(f"[explain] $name warm run: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    names.foreach { n =>
+      println(s"==== $n ====")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[explain] $n first run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[explain] $n warm run: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      graft.core.Staging.sweepInvocationDirs(): Unit
+    }
     spark.stop()
   }
 }

@@ -254,8 +254,12 @@ object IngestQueries {
       prefix: String): (String, String) = {
     val dirA = graft.core.Staging.invocationDir(s"${prefix}_b1", dir)
     val dirB = graft.core.Staging.invocationDir(s"${prefix}_b2", dir)
-    stageOrdersCsv(s, dir, dirA, q161Batch1)
-    stageOrdersCsv(s, dir, dirB, q161Batch2)
+    // disjoint output dirs over one immutable source: overlap the two
+    // staging jobs (guide §2.6) — each is a handful of tasks, so the
+    // second back-fills the first's tail instead of waiting on it
+    graft.core.Par.both(
+      stageOrdersCsv(s, dir, dirA, q161Batch1),
+      stageOrdersCsv(s, dir, dirB, q161Batch2)): Unit
     (dirA, dirB)
   }
 
@@ -627,8 +631,11 @@ object IngestQueries {
     */
   val q163StoreReportCert: QuerySpec = QuerySpec(
     (s, dir) => {
-      val ordersSt = q161BuildStore(s, dir)
-      val invSt = q163BuildInvStore(s, dir)
+      // the two store builds touch disjoint staging dirs and roots —
+      // overlap them (guide §2.6); each leg's internal order (sync →
+      // first load → re-run) is untouched
+      val (ordersSt, invSt) = graft.core.Par.both(
+        q161BuildStore(s, dir), q163BuildInvStore(s, dir))
       require(invSt.history().size == 3,
         s"q163 precondition: expected CreateTable + 2 load versions on " +
           s"the inventories store, got ${invSt.history().size}")
@@ -1704,11 +1711,19 @@ object IngestQueries {
       val orders = new graft.state.StateTable(s, st.root, keyCols)
       val repA = reportStoreHandle(s, aRoot, productShape, "q171")
       val repB = reportStoreHandle(s, bRoot, categoryShape, "q171")
-      aSteps += resumeReportMaintenance(orders, repA, keyCols, productShape)
       // the laggard: no phase-1 fold at all — its durable watermark
-      // stays the empty-report fallback until the phase-2 catch-up
-      if (drains == 2)
-        bCatchup = resumeReportMaintenance(orders, repB, keyCols, categoryShape)
+      // stays the empty-report fallback until the phase-2 catch-up;
+      // the two consumers' resumes touch disjoint report roots over
+      // the same read-only orders history, so the phase-2 pair
+      // overlaps (guide §2.6)
+      if (drains == 2) {
+        val (a, b) = graft.core.Par.both(
+          resumeReportMaintenance(orders, repA, keyCols, productShape),
+          resumeReportMaintenance(orders, repB, keyCols, categoryShape))
+        aSteps += a
+        bCatchup = b
+      } else
+        aSteps += resumeReportMaintenance(orders, repA, keyCols, productShape)
       val oldest = orders.history().head
       reclaimed += orders.vacuumBefore(Seq(
         reportWatermark(repA, oldest), reportWatermark(repB, oldest)).min)
@@ -1768,9 +1783,11 @@ object IngestQueries {
       val repA = reportStoreHandle(s, flow.aRoot, productShape, "q171")
       val repB = reportStoreHandle(s, flow.bRoot, categoryShape, "q171")
       // post-reclaim resumability: fresh handles against the vacuumed
-      // store apply ZERO steps (idempotence judged, not just spec'd)
-      val aResume = resumeReportMaintenance(orders, repA, keyCols, productShape)
-      val bResume = resumeReportMaintenance(orders, repB, keyCols, categoryShape)
+      // store apply ZERO steps (idempotence judged, not just spec'd);
+      // disjoint report roots — overlapped (guide §2.6)
+      val (aResume, bResume) = graft.core.Par.both(
+        resumeReportMaintenance(orders, repA, keyCols, productShape),
+        resumeReportMaintenance(orders, repB, keyCols, categoryShape))
       val current = orders.current().get
       def kv(pairs: (String, Column)*) : Column =
         explode(map(pairs.flatMap { case (k, v) =>
@@ -1874,8 +1891,12 @@ object IngestQueries {
     orders.overwrite(orders.read().get
       .filter(col("product_id").cast("long") % 17 =!= 0))
     val repA = reportStoreHandle(s, base.reportRoot, productShape, "q172")
-    val aPurgeSteps = resumeReportMaintenance(orders, repA, keyCols)
-    val bPurgeSteps = resumeReportMaintenance(orders, repB, keyCols)
+    // both consumers fold the same purge transition into disjoint
+    // report roots over the read-only orders history — overlapped
+    // (guide §2.6)
+    val (aPurgeSteps, bPurgeSteps) = graft.core.Par.both(
+      resumeReportMaintenance(orders, repA, keyCols),
+      resumeReportMaintenance(orders, repB, keyCols))
     val oldest = orders.history().head
     val nReclaimed = orders.vacuumBefore(Seq(
       reportWatermark(repA, oldest), reportWatermark(repB, oldest)).min).size
@@ -2387,8 +2408,11 @@ object IngestQueries {
       s: SparkSession, dir: String): MaintainedJoinFlow = {
     val invB1 = graft.core.Staging.invocationDir("graft_q175_inv_b1", dir)
     val invMove = graft.core.Staging.invocationDir("graft_q175_inv_move", dir)
-    stageInventoriesCsv(s, dir, invB1, q163InvBatch1)
-    stageInventoriesCsv(s, dir, invMove, q175MoveBatch)
+    // disjoint staging dirs: overlap the two inventory stagings
+    // (guide §2.6)
+    graft.core.Par.both(
+      stageInventoriesCsv(s, dir, invB1, q163InvBatch1),
+      stageInventoriesCsv(s, dir, invMove, q175MoveBatch)): Unit
     val invSt = freshSyncedStore(s, dir, "graft_q175_inv_state", "q175",
       graft.core.Schemas.inventories, graft.core.Schemas.inventoriesKey)
     invSt.upsert(Ingest.readInventoriesCsv(s, invB1))
@@ -2643,14 +2667,19 @@ object IngestQueries {
     */
   private[graft] def q177BuildDurableJoinFlow(
       s: SparkSession, dir: String): DurableJoinFlow = {
-    val (oA, oB) = stageFlowBatches(s, dir, "graft_q177_o")
     val iB1 = graft.core.Staging.invocationDir("graft_q177_inv_b1", dir)
     val iMv = graft.core.Staging.invocationDir("graft_q177_inv_move", dir)
-    stageInventoriesCsv(s, dir, iB1, q163InvBatch1)
-    stageInventoriesCsv(s, dir, iMv, q175MoveBatch)
-    val ordersSt = freshSyncedStore(s, dir, "graft_q177_o_state", "q177")
-    val invSt = freshSyncedStore(s, dir, "graft_q177_i_state", "q177",
-      graft.core.Schemas.inventories, graft.core.Schemas.inventoriesKey)
+    // all four staging dirs are disjoint over immutable sources, and
+    // the two store syncs touch disjoint roots — overlap each
+    // orders/inventories pair (guide §2.6)
+    val ((oA, oB), _) = graft.core.Par.both(
+      stageFlowBatches(s, dir, "graft_q177_o"),
+      { stageInventoriesCsv(s, dir, iB1, q163InvBatch1)
+        stageInventoriesCsv(s, dir, iMv, q175MoveBatch) })
+    val (ordersSt, invSt) = graft.core.Par.both(
+      freshSyncedStore(s, dir, "graft_q177_o_state", "q177"),
+      freshSyncedStore(s, dir, "graft_q177_i_state", "q177",
+        graft.core.Schemas.inventories, graft.core.Schemas.inventoriesKey))
     val reportRoot = graft.core.Staging.invocationDir("graft_q177_report", dir)
     def resume(): (Int, Int) = {
       val o = new graft.state.StateTable(s, ordersSt.root,
@@ -2659,14 +2688,18 @@ object IngestQueries {
         graft.core.Schemas.inventoriesKey)
       resumeJoinedMaintenance(o, i, joinedReportHandle(s, reportRoot))
     }
-    // cycle 1: first loads on both stores, one resume
-    ordersSt.upsert(Ingest.readOrdersCsv(s, oA))
-    invSt.upsert(Ingest.readInventoriesCsv(s, iB1))
+    // cycle 1: first loads on both stores (disjoint roots — the
+    // single-writer-per-store guarantee holds; overlapped per §2.6),
+    // one resume
+    graft.core.Par.both(
+      ordersSt.upsert(Ingest.readOrdersCsv(s, oA)),
+      invSt.upsert(Ingest.readInventoriesCsv(s, iB1))): Unit
     val steps1 = resume()
     // cycle 2: the orders re-run AND the dimension category move land,
     // one resume absorbs both feeds
-    ordersSt.upsert(Ingest.readOrdersCsv(s, oB))
-    invSt.upsert(Ingest.readInventoriesCsv(s, iMv))
+    graft.core.Par.both(
+      ordersSt.upsert(Ingest.readOrdersCsv(s, oB)),
+      invSt.upsert(Ingest.readInventoriesCsv(s, iMv))): Unit
     val steps2 = resume()
     // retention: each store vacuums bounded by ITS durable watermark
     val (wmO, wmI) = joinedWatermarksOpt(joinedReportHandle(s, reportRoot)).get
@@ -2729,14 +2762,16 @@ object IngestQueries {
       val inv = new graft.state.StateTable(s, flow.invRoot,
         graft.core.Schemas.inventoriesKey)
       val rep = joinedReportHandle(s, flow.reportRoot)
-      // post-reclaim restart: a fresh handle applies ZERO steps on
-      // both feeds (idempotence judged, q171's convention)
-      val restart = resumeJoinedMaintenance(orders, inv, rep)
-      // consumer onboarding on the vacuumed store pair: a NEW joined
-      // consumer bootstraps from both current versions
+      // post-reclaim restart (a fresh handle applies ZERO steps on
+      // both feeds — idempotence judged, q171's convention) and the
+      // newcomer onboarding (a NEW joined consumer bootstraps from
+      // both current versions): disjoint report roots over read-only
+      // stores — overlapped (guide §2.6)
       val bRoot = graft.core.Staging.invocationDir("graft_q177_rep_b", dir)
       val repB = joinedReportHandle(s, bRoot)
-      val bSteps = resumeJoinedMaintenance(orders, inv, repB)
+      val (restart, bSteps) = graft.core.Par.both(
+        resumeJoinedMaintenance(orders, inv, rep),
+        resumeJoinedMaintenance(orders, inv, repB))
       val a = rep.current().get.drop("as_of", "as_of_dim")
       val b = repB.current().get.drop("as_of", "as_of_dim")
       val bEquiv = multisetEquivDiff(a, b, "category")
@@ -2856,10 +2891,15 @@ object IngestQueries {
       val report = reportStoreHandle(s, reportRoot, monthlyShape, "q176")
       resumeReportMaintenance(orders, report, keyCols, monthlyShape)
     }
-    val flow = buildStreamedFlowStore(s, dir, "graft_q176", "q176",
-      st => steps += foldOnce(st.root))
+    // the late batch's STAGING touches only its own side dir — it can
+    // overlap the whole flow build (guide §2.6); only the LANDING must
+    // wait for drain 2 (the files must arrive late, and landStagedFiles
+    // runs strictly after both)
     val lateDir = graft.core.Staging.invocationDir("graft_q176_late", dir)
-    stageOrdersCsv(s, dir, lateDir, q176LateBatch)
+    val (flow, _) = graft.core.Par.both(
+      buildStreamedFlowStore(s, dir, "graft_q176", "q176",
+        st => steps += foldOnce(st.root)),
+      stageOrdersCsv(s, dir, lateDir, q176LateBatch))
     landStagedFiles(lateDir, flow.landing, "late")
     flow.drain()
     val orders = new graft.state.StateTable(s, flow.st.root, keyCols)
