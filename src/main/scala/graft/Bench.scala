@@ -428,7 +428,7 @@ object Bench {
     // (two more landing dirs + three versions) are construction inside
     // every timed sample by design — the store round-trips ARE the
     // measured operator
-    "q163_store_report_cert" -> 3.774, // ↓r18: BENCH_r17 (bench_diag 3.774)
+    "q163_store_report_cert" -> 3.152, // ↓r18 again: run-2 bench_diag 3.152 (batch-3 overlap landed; loaded window, conservative)
     // q164 introduced round 14 at 6.8 (targeted run, loadavg 3.4),
     // re-based DOWN 5.055 → 4.715 across the round's two quiet-launch
     // full runs. Cost class: the q161 store build (construction,
@@ -447,7 +447,7 @@ object Bench {
     // one store-scan rollup
     // ↓r16: second full run (quiet launch 1.26, zero retimes)
     // undercut to 5.858
-    "q165_streaming_report_maint" -> 5.858,
+    "q165_streaming_report_maint" -> 5.534, // ↓r18: run-2 bench_diag 5.534
     "q166_store_monthly_cert" -> 2.415,
     // q167 introduced late round 15 at 8.188 (minimum of two targeted
     // quiet-start runs, launch loadavg 1.16 / 1.53), re-based DOWN to
@@ -463,7 +463,7 @@ object Bench {
     // the same round's full runs undercut again — 7.062 (run 1,
     // launch 3.09), then 6.942 (run 2, quiet launch 1.26). MIN rule
     // re-base to 6.942
-    "q167_durable_report_resume" -> 6.942,
+    "q167_durable_report_resume" -> 6.340, // ↓r18: run-2 bench_diag 6.340
     // q168 introduced round 16 at 8.349 (minimum of the two targeted
     // runs: 8.349 / 8.409), re-based DOWN to 7.376 in the same
     // round's first full run (base samples 8.144 / 7.706 / 7.376 —
@@ -471,7 +471,7 @@ object Bench {
     // introduction pattern). Cost class: q167 exactly — the added
     // per-drain watermark-bounded vacuum is a driver-side directory
     // delete with no executor work
-    "q168_retention_safe_resume" -> 7.376,
+    "q168_retention_safe_resume" -> 6.518, // ↓r18: run-2 bench_diag 6.518
     // q169 introduced round 16 at 11.406 (minimum of two targeted
     // runs: 11.406 / 11.837, launch loads 2.34 / 4.79) — a
     // fresh-process ceiling as predicted: the second full run's warm
@@ -496,15 +496,15 @@ object Bench {
     // at ratio 1.19) undercut again — 11.97 / 13.89; MIN rule
     // ↓r18: official BENCH_r17 undercut both again (bench_diag mins
     // 11.258 / 12.260); MIN rule
-    "q170_purged_top_sellers" -> 11.258,
-    "q171_multi_consumer_retention" -> 12.26,
+    "q170_purged_top_sellers" -> 11.014, // ↓r18 again: run-2 bench_diag 11.014
+    "q171_multi_consumer_retention" -> 10.252, // ↓r18 again: run-2 bench_diag 10.252
     // q172 introduced round 17: min of two targeted runs (15.14 /
     // 13.94 at launch loads 1.26 / 4.0), undercut to 13.76 in the
     // same round's run-4 warm slot (MIN rule). Cost class: q168's
     // retained flow as construction, plus the bootstrap aggregation,
     // one purge version rewrite, two CDC purge folds, and the two
     // certificate legs
-    "q172_consumer_bootstrap" -> 11.81, // ↓r18: BENCH_r17 (bench_diag 11.810)
+    "q172_consumer_bootstrap" -> 10.556, // ↓r18 again: run-2 bench_diag 10.556 (prev ↓r18: BENCH_r17 11.810)
     // q173 introduced round 17: min of two targeted runs (10.70 /
     // 11.97 at launch loads 0.99 / ~3) — a fresh-process ceiling per
     // the pattern, re-base DOWN on full-run warm slots. Cost class:
@@ -517,7 +517,7 @@ object Bench {
     // the pattern, re-base DOWN on full-run warm slots. Cost class:
     // q173's minus the compaction rewrite, plus the evolution rewrite
     // and the third (boundary-crossing) fold
-    "q174_evolution_maintenance" -> 9.301, // ↓r18: BENCH_r17 (bench_diag 9.301)
+    "q174_evolution_maintenance" -> 8.495, // ↓r18 again: run-2 bench_diag 8.495 (prev ↓r18: BENCH_r17 9.301)
     // round-18 introductions: min of two targeted runs (q175
     // 12.59/10.76, q176 15.88/14.34 at launch loads 2.33/4.22) —
     // fresh-process ceilings per the q165/q169 pattern, re-base DOWN
@@ -530,15 +530,15 @@ object Bench {
     // ↓r18: the round's first full run undercut both introductions
     // from warm slots under a loaded window (launch 4.35, bench_diag
     // mins 9.518 / 13.569); MIN rule
-    "q175_maintained_join_report" -> 9.518,
-    "q176_maintained_monthly" -> 13.569,
+    "q175_maintained_join_report" -> 9.103, // ↓r18 again: run-2 bench_diag 9.103
+    "q176_maintained_monthly" -> 12.075, // ↓r18 again: run-2 bench_diag 12.075
     // q177 introduced round 18: min of two targeted runs (19.37 /
     // 15.89 at launch loads 3.67 / 4.14 — a LOADED window, so a
     // fresh-process ceiling twice over; re-base DOWN on full-run warm
     // slots per the q165/q169 pattern). Cost class is q172's (two
     // store builds + durable folds + bootstrap + two certificate
     // legs) with the dimension store's lifecycle added
-    "q177_durable_join_resume" -> 15.89)
+    "q177_durable_join_resume" -> 8.922) // ↓r18: run-2 bench_diag 8.922 — the batch-1–3 rework (introduction 15.89 predates it)
 
   private val NoiseFactor = 2.0
   private val ExtraRuns = 3
